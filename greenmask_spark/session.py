@@ -1,0 +1,71 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The reference parallelizes with a worker pool over whole tables
+(internal/db/postgres/cmd/dump.go:253-268) and has no intra-table
+parallelism; here Spark owns all parallelism and we tune the session for
+the shuffle/AQE behavior we want at cluster scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Configs that matter at 100 TB just as much as on local[32]:
+#: - AQE coalesces post-shuffle partitions and splits skewed ones at runtime,
+#:   so a fixed shuffle.partitions number doesn't have to be exactly right.
+#: - Arrow batching keeps the (rare) pandas-UDF path amortized.
+#: - maxPartitionBytes keeps scan partitions memory-sized.
+DEFAULT_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "greenmask-spark", **extra_confs: str) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for k, v in {**DEFAULT_CONFS, **extra_confs}.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver-generated parquet tables as DataFrames.
+
+    Columnar parquet scan with pushdown enabled — filters and projections
+    declared downstream reach the footer (check .explain for PushedFilters
+    / ReadSchema).
+    """
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out

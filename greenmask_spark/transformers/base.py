@@ -1,0 +1,143 @@
+"""Transformer base classes + registry.
+
+Reference model: transformers are registered in a global registry
+(internal/db/postgres/transformers/utils/registry.go:23, 30 MustRegister
+call sites → 51 named transformers), each declaring parameter definitions
+with allowed column types, dynamic-mode support and defaults
+(pkg/toolkit/parameter_definition.go:128-248).
+
+Spark-first re-expression: a transformer is a *Column-expression builder*.
+``build(ctx)`` returns the replacement expression for the target column;
+the planner composes it with ``when`` conditions and ``keep_null`` and the
+whole table becomes one ``df.select`` — fully inside Catalyst/codegen.
+
+Dynamic parameters (pkg/toolkit/dynamic_parameter.go:97-160) collapse
+naturally: a parameter bound to another column is just ``F.col(other)``
+instead of ``F.lit(v)`` inside the same expression.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class BuildContext:
+    """Everything a transformer needs to emit its expression."""
+
+    column: str                       # target column name
+    spark_type: T.DataType            # target column's Spark type
+    params: dict[str, Any]            # static params (already defaulted)
+    engine: Any                       # HashEngine | RandomEngine
+    df_columns: list[str] = field(default_factory=list)
+
+    def col(self) -> Column:
+        return F.col(self.column)
+
+    def param_col(self, name: str, default: Any = None) -> Column:
+        """Resolve a possibly-dynamic parameter to a Column.
+
+        ``{"column": "x", "cast_to": fn}`` → column reference (dynamic mode);
+        anything else → literal.
+        """
+        v = self.params.get(name, default)
+        return resolve_param(v)
+
+
+def resolve_param(v: Any) -> Column:
+    if isinstance(v, Column):
+        return v
+    if isinstance(v, dict) and "column" in v:
+        c = F.col(v["column"])
+        cast_to = v.get("cast_to")
+        if cast_to:
+            c = CAST_FUNCTIONS[cast_to](c)
+        return c
+    return F.lit(v)
+
+
+#: Cast helpers for dynamic params (reference:
+#: pkg/toolkit/type_caster_static_funtions.go — UnixSec↔Timestamp etc.).
+CAST_FUNCTIONS: dict[str, Callable[[Column], Column]] = {
+    "UnixSecToTimestamp": lambda c: F.timestamp_seconds(c.cast("bigint")),
+    "UnixMilliToTimestamp": lambda c: F.timestamp_millis(c.cast("bigint")),
+    "UnixMicroToTimestamp": lambda c: F.timestamp_micros(c.cast("bigint")),
+    "TimestampToUnixSec": lambda c: F.unix_timestamp(c),
+    "TimestampToUnixMilli": lambda c: F.unix_millis(c),
+    "TimestampToUnixMicro": lambda c: F.unix_micros(c),
+    "UnixSecToDate": lambda c: F.to_date(F.timestamp_seconds(c.cast("bigint"))),
+    "DateToUnixSec": lambda c: F.unix_timestamp(c.cast("timestamp")),
+    "IntToString": lambda c: c.cast("string"),
+    "StringToInt": lambda c: c.cast("bigint"),
+    "FloatToString": lambda c: c.cast("string"),
+    "StringToFloat": lambda c: c.cast("double"),
+    "DateToTimestamp": lambda c: c.cast("timestamp"),
+    "TimestampToDate": lambda c: F.to_date(c),
+}
+
+
+class Transformer:
+    """Base class. Subclasses set ``name``, ``allowed_types``, ``defaults``."""
+
+    name: str = ""
+    #: canonical PG type families this transformer accepts (validation only)
+    allowed_types: tuple[str, ...] = ()
+    defaults: dict[str, Any] = {}
+    #: whether the expression is per-row pure (hash engine deterministic)
+    supports_hash_engine: bool = True
+
+    def build(self, ctx: BuildContext) -> Column:  # pragma: no cover
+        raise NotImplementedError
+
+    def validate_params(self, params: dict[str, Any]) -> list[str]:
+        """Return a list of warning strings (reference:
+        pkg/toolkit/validation_warning.go)."""
+        return []
+
+
+class TransformerRegistry:
+    def __init__(self):
+        self._by_name: dict[str, Transformer] = {}
+
+    def register(self, t: Transformer) -> Transformer:
+        if t.name in self._by_name:
+            raise ValueError(f"transformer {t.name!r} already registered")
+        self._by_name[t.name] = t
+        return t
+
+    def get(self, name: str) -> Transformer:
+        try:
+            return self._by_name[name]
+        except KeyError:
+            raise KeyError(
+                f"unknown transformer {name!r}; known: {sorted(self._by_name)}"
+            ) from None
+
+    def names(self) -> list[str]:
+        return sorted(self._by_name)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._by_name
+
+
+#: The default registry, mirroring utils.DefaultTransformerRegistry.
+DEFAULT_REGISTRY = TransformerRegistry()
+
+
+def register(cls):
+    """Class decorator: instantiate + register in the default registry."""
+    DEFAULT_REGISTRY.register(cls())
+    return cls
+
+
+def keep_null_guard(original: Column, transformed: Column, keep_null: bool) -> Column:
+    """NULL handling: the reference's ``keep_null`` leaves NULL cells as-is
+    (e.g. internal/db/postgres/transformers/replace.go:25-266)."""
+    if keep_null:
+        return F.when(original.isNull(), original).otherwise(transformed)
+    return transformed

@@ -1,0 +1,203 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of this module):
+- exact dedup     — one shuffle on a 64-hex digest, min-id wins. At 100 TB
+  the shuffle key is the 32-byte hash, not the document body.
+- MinHash LSH     — signatures are pure Column expressions (shingle array →
+  portable polynomial hashes → array_min), so signature computation is a
+  scan+project with NO shuffle; only the tiny (doc_id, band_key) pairs
+  shuffle for the bucket join. Candidate verification (exact Jaccard) runs
+  only on bucket collisions.
+- SimHash         — explode(tokens) + groupBy(doc) partial-aggregates
+  map-side; the shuffled rows are (doc_id, 16 ints).
+- portability     — hashes use the same sha256-slice + mod-prime arithmetic
+  as the engine kernel so the DuckDB oracle replays signatures exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31-1: keeps a*h+b < 2^62 (no bigint overflow) in both
+#: Spark and DuckDB.
+MERSENNE = 2147483647
+
+#: Deterministic permutation constants (a_i, b_i) for MinHash — fixed odd
+#: multipliers; part of the operator contract.
+def perm_constants(n: int) -> list[tuple[int, int]]:
+    out = []
+    a, b = 1103515245, 12345
+    for i in range(n):
+        out.append(((a * (2 * i + 1)) % MERSENNE, (b * (i + 7)) % MERSENNE))
+    return out
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Array of k-character shingles of normalized text (distinct)."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+
+def _shingle_hash(s: Column) -> Column:
+    """Portable 31-bit hash of a shingle: sha256 hex slice mod MERSENNE."""
+    return F.pmod(
+        F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("bigint"),
+        F.lit(MERSENNE),
+    )
+
+
+def minhash_signature(text: Column, num_perm: int = 16, k: int = 5) -> Column:
+    """Array of num_perm MinHash values (bigint) — pure expression."""
+    hs = F.transform(shingles(text, k), _shingle_hash)
+    sig = [
+        F.array_min(
+            F.transform(hs, lambda h, a=a, b=b: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE)))
+        )
+        for a, b in perm_constants(num_perm)
+    ]
+    return F.array(*sig)
+
+
+def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of band-key strings 'b:r1_r2_...' — docs sharing any band key
+    are near-dup candidates."""
+    keys = []
+    for b in range(bands):
+        parts = [F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                 for r in range(rows_per_band)]
+        keys.append(F.concat_ws("_", F.lit(str(b)), *parts))
+    return F.array(*keys)
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (canonical_id, dup_id) pairs.
+
+    Shuffle key is the 32-byte digest — at 100 TB the exchange carries
+    (digest, id), never the document body.
+    """
+    norm = F.sha2(F.col(text_col), 256).alias("h")
+    hashed = df.select(F.col(id_col), norm)
+    w = Window.partitionBy("h")
+    return (
+        hashed.withColumn("canonical_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("canonical_id"))
+        .select("canonical_id", F.col(id_col).alias("dup_id"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct text."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256))
+    return (
+        df.withColumn("__keep", F.min(id_col).over(w) == F.col(id_col))
+        .filter("__keep")
+        .drop("__keep")
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) sharing at least one band bucket.
+
+    Plan shape: scan → project(signature) → explode(bands) → shuffle on
+    band_key → self-join within buckets. The joined payload is just ids.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm, k)
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(band_keys(sig, bands, rows_per_band)).alias("bk"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, on="bk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact k-shingle Jaccard for candidate pairs (verification stage)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    )
+    return (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens as a pure expression.
+
+    bit_j = 1 iff sum over tokens of (2*((h(tok)>>j)&1)-1) > 0.
+    16 bits keeps the expression tree small; Hamming distance over the
+    resulting int finds near-dups.
+    """
+    from greenmask_spark.functions.text_analysis import tokens
+
+    toks = F.array_distinct(tokens(text))
+    hs = F.transform(toks, _shingle_hash)
+    acc = F.lit(0)
+    for j in range(bits):
+        vote = F.aggregate(
+            hs,
+            F.lit(0),
+            lambda s, h, j=j: s
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+        acc = acc + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Scale path: block on the top byte of the simhash (docs differing only
+    in low bits still collide) rather than a full cross join.
+    """
+    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    s = s.withColumn("blk", F.shiftright("sh", bits // 2))
+    a, b = s.alias("a"), s.alias("b")
+    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    ham = sum(F.shiftright(xor, j).bitwiseAND(F.lit(1)) for j in range(bits))
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )

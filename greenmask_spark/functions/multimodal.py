@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The decode/feature-extraction kernels are STUBS (image/audio libraries are
+not available in this container — they raise NotImplementedError unless
+``fake=True`` substitutes a deterministic fake decoder). The Spark-side
+plumbing is real and tested: schemas, Arrow batch shapes, mapInPandas
+signatures, partition sizing — exactly what a 100 TB media pipeline needs
+before plugging in a real codec.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed metadata accompanying an opaque media payload.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),      # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),    # opaque bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, dim: int) -> list[float]:
+    """Deterministic fake 'decoder': bytes → dim floats in [0,1). Stands in
+    for a real image/audio decode so the pipeline shape is testable."""
+    if payload is None:
+        return None
+    out = []
+    h = 2166136261
+    for i in range(dim):
+        for b in payload[i::dim] or b"\x00":
+            h = (h ^ b) * 16777619 % (1 << 32)
+        out.append((h % 10**6) / 10**6)
+    return out
+
+
+def extract_features(
+    df: DataFrame, dim: int = 8, fake: bool = False, batch_limit_mb: int = 64
+) -> DataFrame:
+    """media table → (media_id, feature[dim], n_bytes) via mapInPandas.
+
+    Partition discipline: media payloads are large; callers should ensure
+    ``spark.sql.files.maxPartitionBytes`` keeps a partition's payloads
+    within executor memory. Arrow batches stream — a batch never holds
+    more than spark.sql.execution.arrow.maxRecordsPerBatch payloads.
+    """
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires an image/audio library not "
+                    "present in this environment; pass fake=True for the "
+                    "deterministic test decoder"
+                )
+            feats = [_fake_decode(p, dim) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "n_bytes": [len(p) if p is not None else None
+                                 for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Stub: real resize needs an image library. Plumbing: returns the same
+    schema with width/height metadata updated; payload untouched."""
+    return df.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Stub frame sampler: emits (media_id, frame_ts_ms) rows from duration
+    metadata — the explode pattern a real video pipeline uses, minus decode."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)),
+                           F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: baseline; broadcast the (small) query set and
+  scan the corpus once — no shuffle beyond the top-k aggregation.
+- LSH-bucketed (random hyperplane) variant: the 100 TB path — corpus and
+  queries hash to sign-bit buckets; only bucket collisions are scored.
+  Hyperplanes are generated from a fixed seed on the driver and inlined as
+  literal arrays (a few KB in the plan, like a broadcast).
+
+Dot products use F.aggregate/F.zip_with (JVM-side, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k corpus neighbors per query vector (exact, brute force).
+
+    ``queries`` is expected to be small → broadcast join (verified in the
+    plan: BroadcastNestedLoopJoin/BroadcastHashJoin, corpus never shuffles
+    its vectors)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes without numpy RNG state
+    ambiguity: values from a hash-derived uniform in [-1, 1]."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.sha256(f"{seed}:{p}:{d}".encode()).digest()
+            u = int.from_bytes(h[:8], "big") / float(1 << 64)
+            row.append(2.0 * u - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-bit bucket id in [0, 2^n_planes) — pure expression."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    acc = F.lit(0)
+    for i, plane in enumerate(planes):
+        parr = F.array(*[F.lit(x) for x in plane])
+        d = dot(vec, parr)
+        acc = acc + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's hyperplane
+    bucket are scored. Recall trades with n_planes; at scale, bucket on
+    (hash-partitioned) bucket id so each task scores one bucket."""
+    b = lambda df: df.withColumn("bucket", lsh_bucket(F.col(vec_col), dim, n_planes))  # noqa: E731
+    q = b(queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+    )
+    c = b(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

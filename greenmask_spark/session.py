@@ -40,6 +40,8 @@ DEFAULT_CONFS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.parquet.filterPushdown": "true",
+    # driver testdata events.ts is TIMESTAMP(NANOS); read as long + convert
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
@@ -63,9 +65,21 @@ def load_tables(
     declared downstream reach the footer (check .explain for PushedFilters
     / ReadSchema).
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            df = spark.read.parquet(path)
+            if name == "events" and isinstance(
+                df.schema["ts"].dataType, T.LongType
+            ):
+                # nanos-as-long → microsecond timestamp (matches DuckDB's
+                # ns→µs truncation of the same file)
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("bigint"))
+                )
+            out[name] = df
     return out

@@ -1,0 +1,165 @@
+"""Subset engine tests: SCC/cycle algorithms on synthetic graphs (model:
+reference subset/component_test.go) + join-plan semantics vs hand-computed
+and DuckDB-oracle expectations."""
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+
+from greenmask_spark.subset import FKGraph, Reference, SubsetPlanner
+from greenmask_spark.subset.graph import condense, elementary_cycles, find_scc, topo_order
+
+
+def test_scc_simple_dag():
+    adj = {"a": ["b"], "b": ["c"], "c": []}
+    comps = find_scc(adj)
+    assert sorted(map(tuple, comps)) == [("a",), ("b",), ("c",)]
+
+
+def test_scc_cycle_detected():
+    adj = {"a": ["b"], "b": ["c"], "c": ["a"], "d": ["a"]}
+    comps = find_scc(adj)
+    assert ["a", "b", "c"] in comps and ["d"] in comps
+
+
+def test_condense_and_topo():
+    g = FKGraph(
+        tables=["a", "b", "c", "d"],
+        references=[
+            Reference("b", "a", ("x",), ("id",)),
+            Reference("c", "b", ("x",), ("id",)),
+            Reference("c", "a", ("y",), ("id",)),
+            Reference("d", "d", ("p",), ("id",)),
+        ],
+    )
+    comps, cid, cadj = condense(g)
+    order = topo_order(cadj)
+    pos = {m: order.index(cid[m]) for m in "abcd"}
+    assert pos["a"] < pos["b"] < pos["c"]
+
+
+def test_elementary_cycles():
+    adj = {"a": ["b"], "b": ["a", "c"], "c": ["a"]}
+    cycles = elementary_cycles(adj)
+    assert ["a", "b"] in cycles
+    assert ["a", "b", "c"] in cycles
+
+
+@pytest.fixture(scope="module")
+def org(spark):
+    """departments ← employees (nullable dept), employees.manager_id →
+    employees.id (self-cycle)."""
+    depts = spark.createDataFrame(
+        [Row(id=1, name="eng", active=True), Row(id=2, name="ops", active=False)]
+    )
+    emps = spark.createDataFrame(
+        [
+            Row(id=10, dept_id=1, manager_id=None),
+            Row(id=11, dept_id=1, manager_id=10),
+            Row(id=12, dept_id=2, manager_id=11),
+            Row(id=13, dept_id=None, manager_id=12),
+            Row(id=14, dept_id=2, manager_id=99),  # dangling manager
+        ]
+    )
+    return {"departments": depts, "employees": emps}
+
+
+def test_subset_inner_semantics(org):
+    g = FKGraph(
+        tables=["departments", "employees"],
+        references=[
+            Reference("employees", "departments", ("dept_id",), ("id",),
+                      nullable=False)
+        ],
+    )
+    planner = SubsetPlanner(g, conditions={"departments": "active = true"})
+    out = planner.plan(org)
+    assert {r.id for r in out["departments"].collect()} == {1}
+    # non-nullable FK: dept must survive; NULL dept row dropped too
+    assert {r.id for r in out["employees"].collect()} == {10, 11}
+
+
+def test_subset_nullable_left_semantics(org):
+    g = FKGraph(
+        tables=["departments", "employees"],
+        references=[
+            Reference("employees", "departments", ("dept_id",), ("id",),
+                      nullable=True)
+        ],
+    )
+    planner = SubsetPlanner(g, conditions={"departments": "active = true"})
+    out = planner.plan(org)
+    # nullable FK: NULL dept row (13) survives
+    assert {r.id for r in out["employees"].collect()} == {10, 11, 13}
+
+
+def test_subset_self_referencing_cycle_fixpoint(org):
+    g = FKGraph(
+        tables=["employees"],
+        references=[
+            Reference("employees", "employees", ("manager_id",), ("id",),
+                      nullable=True)
+        ],
+    )
+    planner = SubsetPlanner(g, conditions={"employees": "id <= 12"})
+    out = planner.plan({"employees": org["employees"]})
+    # 14 dropped by cond? no — id<=12 drops 13,14; manager chains intact:
+    # 10 (null mgr), 11→10, 12→11 all survive
+    assert {r.id for r in out["employees"].collect()} == {10, 11, 12}
+
+
+def test_subset_cycle_cascading_removal(spark):
+    """Dropping a row must cascade through the managers chain."""
+    emps = spark.createDataFrame(
+        [
+            Row(id=1, manager_id=None),
+            Row(id=2, manager_id=1),
+            Row(id=3, manager_id=2),
+            Row(id=4, manager_id=3),
+        ]
+    )
+    g = FKGraph(
+        tables=["employees"],
+        references=[
+            Reference("employees", "employees", ("manager_id",), ("id",),
+                      nullable=False)
+        ],
+    )
+    # cond removes the root (manager NULL is banned by non-nullable FK
+    # once 1 is gone nothing can survive except... everything cascades)
+    planner = SubsetPlanner(g, conditions={"employees": "id >= 2"})
+    out = planner.plan({"employees": emps})
+    # id=2 references removed id=1 → drop; then 3 → drop; then 4 → drop
+    assert out["employees"].count() == 0
+
+
+def test_subset_two_hop_vs_duckdb(tables, sf_dir):
+    """Acyclic TPC-H slice vs a DuckDB oracle running reference-shaped SQL."""
+    g = FKGraph(
+        tables=["customer", "orders", "lineitem"],
+        references=[
+            Reference("orders", "customer", ("o_custkey",), ("c_custkey",)),
+            Reference("lineitem", "orders", ("l_orderkey",), ("o_orderkey",)),
+        ],
+    )
+    planner = SubsetPlanner(g, conditions={"customer": "c_acctbal > 9000"})
+    out = planner.plan(
+        {k: tables[k] for k in ("customer", "orders", "lineitem")}
+    )
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber) for r in out["lineitem"].collect()
+    )
+    duck = duckdb.connect()
+    exp = duck.sql(
+        f"""
+        SELECT l_orderkey, l_linenumber
+        FROM '{sf_dir}/lineitem.parquet'
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM '{sf_dir}/orders.parquet'
+          WHERE o_custkey IN (
+            SELECT c_custkey FROM '{sf_dir}/customer.parquet'
+            WHERE c_acctbal > 9000))
+        ORDER BY 1, 2
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]

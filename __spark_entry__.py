@@ -1,38 +1,916 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` — one entry per implemented operator from SURVEY.md §2 plus
+the training-data operators; each callable (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB ANSI-SQL twins generated from the SAME kernel
+formulas (greenmask_spark.engines.kernel.duck_*), so Spark and the oracle
+stay in lockstep by construction.
+
+Determinism policy: every masking query uses the hash engine with an
+explicit salt (''), so outputs are reproducible and oracle-checkable.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from greenmask_spark.engines import kernel  # noqa: E402
+from greenmask_spark.plan import apply_plan, build_plan  # noqa: E402
+from greenmask_spark.session import load_tables  # noqa: E402
+from greenmask_spark.transformers import lexicons as lex  # noqa: E402
+
+SALT = ""  # explicit engine salt for oracle-checkable determinism
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, names or None)
+
+
+def _plan(table_cfg: dict) -> "object":
+    return build_plan({"tables": [table_cfg]})[0]
+
+
+def _steps(*steps: dict) -> list[dict]:
+    """Attach the explicit salt to every hash-engine step."""
+    out = []
+    for s in steps:
+        s = dict(s)
+        s.setdefault("salt", SALT)
+        out.append(s)
+    return out
+
+
+def _sql_list(values: list[str]) -> str:
+    inner = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+    return f"[{inner}]"
+
+
+def _duck_pick(values: list[str], idx_sql: str) -> str:
+    return f"list_extract({_sql_list(values)}, (({idx_sql}) % {len(values)}) + 1)"
+
+
+def _uix(value_sql: str, lo: int, hi: int, draw: int = 0) -> str:
+    return kernel.duck_uniform_int(value_sql, str(lo), str(hi), salt=SALT, draw=draw)
+
+
+def _udb(value_sql: str, draw: int = 0) -> str:
+    return kernel.duck_uniform_double(value_sql, salt=SALT, draw=draw)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: config-driven anonymization of `customer` (hash engine)."""
+    return q_mask_customer(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# transformer queries
+# ---------------------------------------------------------------------------
+
+SEGMENT_MAP = {"AUTOMOBILE": "SEG_A", "BUILDING": "SEG_B", "FURNITURE": "SEG_F",
+               "HOUSEHOLD": "SEG_H", "MACHINERY": "SEG_M"}
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_mask_customer(spark, sf_dir):
+    t = _tables(spark, sf_dir, "customer")
+    plan = _plan({
+        "name": "customer",
+        "transformers": _steps(
+            {"name": "Hash", "params": {"column": "c_name",
+                                        "function": "sha256", "salt": "pep"}},
+            {"name": "RandomInt", "params": {"column": "c_nationkey",
+                                             "min": 0, "max": 24}},
+            {"name": "RandomFloat", "params": {"column": "c_acctbal",
+                                               "min": 0.0, "max": 9999.99,
+                                               "decimal": 2}},
+            {"name": "Dict", "params": {"column": "c_mktsegment",
+                                        "values": SEGMENT_MAP,
+                                        "default": "SEG_X"}},
+        ),
+    })
+    return apply_plan(t["customer"], plan).orderBy("c_custkey")
+
+
+def _oracle_mask_customer() -> str:
+    nk = _uix("c_nationkey", 0, 24)
+    u = _udb("c_acctbal")
+    bal = (f"round(CAST(0.0 AS DOUBLE) + {u} * "
+           f"(CAST(9999.99 AS DOUBLE) - CAST(0.0 AS DOUBLE)), 2)")
+    seg_case = " ".join(
+        f"WHEN c_mktsegment = '{k}' THEN '{v}'" for k, v in SEGMENT_MAP.items()
+    )
+    return f"""
+    SELECT c_custkey,
+           sha256('pep' || c_name) AS c_name,
+           CAST({nk} AS INTEGER) AS c_nationkey,
+           CAST({bal} AS DOUBLE) AS c_acctbal,
+           CASE {seg_case} ELSE 'SEG_X' END AS c_mktsegment
+    FROM customer ORDER BY c_custkey
+    """
+
+
+def q_t_random_int(spark, sf_dir):
+    t = _tables(spark, sf_dir, "part")
+    plan = _plan({"name": "part", "transformers": _steps(
+        {"name": "RandomInt", "params": {"column": "p_size", "min": 1, "max": 50}})})
+    return apply_plan(t["part"], plan).select("p_partkey", "p_size").orderBy("p_partkey")
+
+
+def _oracle_t_random_int() -> str:
+    return (f"SELECT p_partkey, CAST({_uix('p_size', 1, 50)} AS INTEGER) AS p_size "
+            f"FROM part ORDER BY p_partkey")
+
+
+def q_t_hash(spark, sf_dir):
+    t = _tables(spark, sf_dir, "supplier")
+    plan = _plan({"name": "supplier", "transformers": _steps(
+        {"name": "Hash", "params": {"column": "s_name", "function": "sha256",
+                                    "salt": "pep", "max_length": 16}})})
+    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name").orderBy("s_suppkey")
+
+
+def _oracle_t_hash() -> str:
+    return ("SELECT s_suppkey, substr(sha256('pep' || s_name), 1, 16) AS s_name "
+            "FROM supplier ORDER BY s_suppkey")
+
+
+def q_t_replace_setnull(spark, sf_dir):
+    t = _tables(spark, sf_dir, "orders")
+    plan = _plan({"name": "orders", "transformers": _steps(
+        {"name": "Replace", "params": {"column": "o_orderstatus", "value": "X",
+                                       "keep_null": False}},
+        {"name": "SetNull", "params": {"column": "o_orderpriority"}})})
+    return apply_plan(t["orders"], plan).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority").orderBy("o_orderkey")
+
+
+def _oracle_t_replace_setnull() -> str:
+    return ("SELECT o_orderkey, 'X' AS o_orderstatus, "
+            "CAST(NULL AS VARCHAR) AS o_orderpriority "
+            "FROM orders ORDER BY o_orderkey")
+
+
+def q_t_masking(spark, sf_dir):
+    t = _tables(spark, sf_dir, "customer")
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "Masking", "params": {"column": "c_name", "type": "default"}})})
+    return apply_plan(t["customer"], plan).select("c_custkey", "c_name").orderBy("c_custkey")
+
+
+def _oracle_t_masking() -> str:
+    return ("SELECT c_custkey, repeat('*', length(c_name)) AS c_name "
+            "FROM customer ORDER BY c_custkey")
+
+
+def q_t_regexp_replace(spark, sf_dir):
+    t = _tables(spark, sf_dir, "part")
+    plan = _plan({"name": "part", "transformers": _steps(
+        {"name": "RegexpReplace", "params": {"column": "p_name",
+                                             "regexp": "[aeiou]",
+                                             "replace": "_"}})})
+    return apply_plan(t["part"], plan).select("p_partkey", "p_name").orderBy("p_partkey")
+
+
+def _oracle_t_regexp_replace() -> str:
+    return ("SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '_', 'g') AS p_name "
+            "FROM part ORDER BY p_partkey")
+
+
+def q_t_random_choice(spark, sf_dir):
+    t = _tables(spark, sf_dir, "orders")
+    plan = _plan({"name": "orders", "transformers": _steps(
+        {"name": "RandomChoice", "params": {"column": "o_orderpriority",
+                                            "values": PRIORITIES}})})
+    return apply_plan(t["orders"], plan).select(
+        "o_orderkey", "o_orderpriority").orderBy("o_orderkey")
+
+
+def _oracle_t_random_choice() -> str:
+    idx = _uix("o_orderpriority", 0, len(PRIORITIES) - 1)
+    return (f"SELECT o_orderkey, {_duck_pick(PRIORITIES, idx)} AS o_orderpriority "
+            f"FROM orders ORDER BY o_orderkey")
+
+
+def q_t_random_date(spark, sf_dir):
+    t = _tables(spark, sf_dir, "orders")
+    plan = _plan({"name": "orders", "transformers": _steps(
+        {"name": "RandomDate", "params": {"column": "o_orderdate",
+                                          "min": "1995-01-01",
+                                          "max": "2005-12-31",
+                                          "truncate": "day"}})})
+    return apply_plan(t["orders"], plan).select(
+        "o_orderkey", "o_orderdate").orderBy("o_orderkey")
+
+
+def _oracle_t_random_date() -> str:
+    import datetime as dt
+
+    lo = int(dt.datetime(1995, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    hi = int(dt.datetime(2005, 12, 31, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    ms = _uix("o_orderdate", lo, hi)
+    return (f"SELECT o_orderkey, CAST(date_trunc('day', epoch_ms({ms})) AS TIMESTAMP)"
+            f" AS o_orderdate FROM orders ORDER BY o_orderkey")
+
+
+def q_t_noise_int(spark, sf_dir):
+    t = _tables(spark, sf_dir, "part")
+    plan = _plan({"name": "part", "transformers": _steps(
+        {"name": "NoiseInt", "params": {"column": "p_size",
+                                        "min_ratio": 0.0, "max_ratio": 0.2}})})
+    return apply_plan(t["part"], plan).select("p_partkey", "p_size").orderBy("p_partkey")
+
+
+def _noise_sql(value_sql: str, minr: float, maxr: float) -> str:
+    u = _udb(value_sql, draw=0)
+    sign_bit = _uix(value_sql, 0, 1, draw=1)
+    sign = f"(CASE WHEN ({sign_bit}) = 1 THEN 1.0 ELSE -1.0 END)"
+    v = f"CAST({value_sql} AS DOUBLE)"
+    ratio = (f"(CAST({minr} AS DOUBLE) + {u} * "
+             f"(CAST({maxr} AS DOUBLE) - CAST({minr} AS DOUBLE)))")
+    return f"({v} + {v} * {ratio} * {sign})"
+
+
+def _oracle_t_noise_int() -> str:
+    return (f"SELECT p_partkey, CAST(round({_noise_sql('p_size', 0.0, 0.2)}, 0) "
+            f"AS INTEGER) AS p_size FROM part ORDER BY p_partkey")
+
+
+def q_t_noise_float(spark, sf_dir):
+    t = _tables(spark, sf_dir, "supplier")
+    plan = _plan({"name": "supplier", "transformers": _steps(
+        {"name": "NoiseFloat", "params": {"column": "s_acctbal",
+                                          "min_ratio": 0.0, "max_ratio": 0.1,
+                                          "decimal": 2}})})
+    return apply_plan(t["supplier"], plan).select(
+        "s_suppkey", "s_acctbal").orderBy("s_suppkey")
+
+
+def _oracle_t_noise_float() -> str:
+    return (f"SELECT s_suppkey, CAST(round({_noise_sql('s_acctbal', 0.0, 0.1)}, 2) "
+            f"AS DOUBLE) AS s_acctbal FROM supplier ORDER BY s_suppkey")
+
+
+def q_t_random_uuid(spark, sf_dir):
+    t = _tables(spark, sf_dir, "customer")
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "RandomUuid", "params": {"column": "c_name"}})})
+    return apply_plan(t["customer"], plan).select("c_custkey", "c_name").orderBy("c_custkey")
+
+
+def _oracle_t_random_uuid() -> str:
+    h = kernel.duck_salted_hex("c_name", SALT)
+    return (f"SELECT c_custkey, (substr({h},1,8) || '-' || substr({h},9,4) || '-4' || "
+            f"substr({h},14,3) || '-a' || substr({h},18,3) || '-' || substr({h},21,12))"
+            f" AS c_name FROM customer ORDER BY c_custkey")
+
+
+def q_t_random_ip(spark, sf_dir):
+    t = _tables(spark, sf_dir, "supplier")
+    plan = _plan({"name": "supplier", "transformers": _steps(
+        {"name": "RandomIp", "params": {"column": "s_name",
+                                        "subnet": "10.0.0.0/16"}})})
+    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name").orderBy("s_suppkey")
+
+
+def _oracle_t_random_ip() -> str:
+    base = 10 * (1 << 24)  # 10.0.0.0
+    off = _uix("s_name", 1, 65534)
+    n = f"({base} + {off})"
+    return (f"SELECT s_suppkey, "
+            f"(CAST(({n} >> 24) & 255 AS VARCHAR) || '.' || "
+            f"CAST(({n} >> 16) & 255 AS VARCHAR) || '.' || "
+            f"CAST(({n} >> 8) & 255 AS VARCHAR) || '.' || "
+            f"CAST({n} & 255 AS VARCHAR)) AS s_name "
+            f"FROM supplier ORDER BY s_suppkey")
+
+
+def q_t_random_email(spark, sf_dir):
+    t = _tables(spark, sf_dir, "customer")
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "RandomEmail", "params": {"column": "c_name",
+                                           "local_part_length": 16}})})
+    return apply_plan(t["customer"], plan).select("c_custkey", "c_name").orderBy("c_custkey")
+
+
+def _oracle_t_random_email() -> str:
+    from greenmask_spark.transformers.network import RandomEmail
+
+    h = kernel.duck_salted_hex("c_name", SALT)
+    doms = list(RandomEmail.DOMAINS)
+    idx = _uix("c_name", 0, len(doms) - 1, draw=1)
+    return (f"SELECT c_custkey, (substr({h},1,16) || '@' || "
+            f"list_extract({_sql_list(doms)}, CAST({idx} AS INTEGER) + 1)) AS c_name "
+            f"FROM customer ORDER BY c_custkey")
+
+
+def q_t_random_person(spark, sf_dir):
+    t = _tables(spark, sf_dir, "customer")
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "RandomPerson", "params": {"columns": [
+            {"name": "c_name", "template": "{{ .FirstName }}"}]}})})
+    return apply_plan(t["customer"], plan).select("c_custkey", "c_name").orderBy("c_custkey")
+
+
+def _oracle_t_random_person() -> str:
+    idx = _uix("c_name", 0, 10**9)
+    male = _duck_pick(lex.FIRST_NAMES_MALE, idx)
+    female = _duck_pick(lex.FIRST_NAMES_FEMALE, idx)
+    return (f"SELECT c_custkey, CASE WHEN ({idx}) % 2 = 0 THEN {male} "
+            f"ELSE {female} END AS c_name FROM customer ORDER BY c_custkey")
+
+
+def q_t_random_company(spark, sf_dir):
+    t = _tables(spark, sf_dir, "supplier")
+    plan = _plan({"name": "supplier", "transformers": _steps(
+        {"name": "RandomCompany", "params": {"columns": [
+            {"name": "s_name", "template": "{{ .FullCompanyName }}"}]}})})
+    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name").orderBy("s_suppkey")
+
+
+def _oracle_t_random_company() -> str:
+    idx = _uix("s_name", 0, 10**9)
+    name = _duck_pick(lex.COMPANY_NAMES, idx)
+    suffix = _duck_pick(lex.COMPANY_SUFFIXES, idx)
+    return (f"SELECT s_suppkey, ({name} || ' ' || {suffix}) AS s_name "
+            f"FROM supplier ORDER BY s_suppkey")
+
+
+def q_t_faker_phone(spark, sf_dir):
+    t = _tables(spark, sf_dir, "customer")
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "RandomPhoneNumber", "params": {"column": "c_name"}})})
+    return apply_plan(t["customer"], plan).select("c_custkey", "c_name").orderBy("c_custkey")
+
+
+def _oracle_t_faker_phone() -> str:
+    a = _uix("c_name", 200, 999, draw=0)
+    b = _uix("c_name", 200, 999, draw=1)
+    c = _uix("c_name", 0, 9999, draw=2)
+    return (f"SELECT c_custkey, ('(' || CAST({a} AS VARCHAR) || ') ' || "
+            f"CAST({b} AS VARCHAR) || '-' || lpad(CAST({c} AS VARCHAR), 4, '0')) "
+            f"AS c_name FROM customer ORDER BY c_custkey")
+
+
+def q_t_when_condition(spark, sf_dir):
+    """Conditional transformation: only negative balances masked."""
+    t = _tables(spark, sf_dir, "customer")
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "Replace", "params": {"column": "c_mktsegment", "value": "NEG",
+                                       "keep_null": False},
+         "when": "c_acctbal < 0"})})
+    return apply_plan(t["customer"], plan).select(
+        "c_custkey", "c_mktsegment").orderBy("c_custkey")
+
+
+def _oracle_t_when_condition() -> str:
+    return ("SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'NEG' "
+            "ELSE c_mktsegment END AS c_mktsegment FROM customer ORDER BY c_custkey")
+
+
+def q_t_dynamic_param(spark, sf_dir):
+    """Dynamic parameter: RandomInt upper bound read from another column."""
+    t = _tables(spark, sf_dir, "part")
+    plan = _plan({"name": "part", "transformers": _steps(
+        {"name": "RandomInt", "params": {"column": "p_size", "min": 0,
+                                         "max": {"column": "p_partkey"}}})})
+    return apply_plan(t["part"], plan).select("p_partkey", "p_size").orderBy("p_partkey")
+
+
+def _oracle_t_dynamic_param() -> str:
+    v = kernel.duck_uniform_int("p_size", "0", "p_partkey", salt=SALT)
+    return (f"SELECT p_partkey, CAST({v} AS INTEGER) AS p_size "
+            f"FROM part ORDER BY p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# subset queries
+# ---------------------------------------------------------------------------
+
+
+def _subset_plan(spark, sf_dir):
+    from greenmask_spark.subset import FKGraph, Reference, SubsetPlanner
+
+    t = _tables(spark, sf_dir, "customer", "orders", "lineitem")
+    g = FKGraph(
+        tables=["customer", "orders", "lineitem"],
+        references=[
+            Reference("orders", "customer", ("o_custkey",), ("c_custkey",)),
+            Reference("lineitem", "orders", ("l_orderkey",), ("o_orderkey",)),
+        ],
+    )
+    planner = SubsetPlanner(g, conditions={"customer": "c_acctbal > 9000"})
+    return planner.plan(t)
+
+
+def q_subset_orders(spark, sf_dir):
+    return _subset_plan(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus").orderBy("o_orderkey")
+
+
+def _oracle_subset_orders() -> str:
+    return """
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    ORDER BY o_orderkey
+    """
+
+
+def q_subset_lineitem(spark, sf_dir):
+    return _subset_plan(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_quantity").orderBy("l_orderkey", "l_linenumber")
+
+
+def _oracle_subset_lineitem() -> str:
+    return """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000))
+    ORDER BY l_orderkey, l_linenumber
+    """
+
+
+# ---------------------------------------------------------------------------
+# analytics (Spark-native aggregation surface; bench anchors)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = _tables(spark, sf_dir, "lineitem")["lineitem"]
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double").alias("sum_disc_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+                  * (F.lit(1) + dec("l_tax"))).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _oracle_q1() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def q_q3_shipping_priority(spark, sf_dir):
+    t = _tables(spark, sf_dir, "customer", "orders", "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("o_orderdate") < "1995-03-15")
+                & (F.col("l_shipdate") > "1995-03-15"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+             .cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(20)
+    )
+
+
+def _oracle_q3() -> str:
+    return """
+    SELECT l_orderkey, o_orderdate,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 20
+    """
+
+
+def q_q5_region_revenue(spark, sf_dir):
+    t = _tables(spark, sf_dir, "region", "nation", "customer", "orders",
+                "lineitem", "supplier")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        t["region"].filter(F.col("r_name") == "ASIA")
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+             .cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def _oracle_q5() -> str:
+    return """
+    SELECT n_name,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """
+
+
+def q_events_daily(spark, sf_dir):
+    ev = _tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(F.col("user_id"), F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+def _oracle_events_daily() -> str:
+    return """
+    SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id, CAST(ts AS DATE) ORDER BY user_id, day
+    """
+
+
+def q_events_json(spark, sf_dir):
+    ev = _tables(spark, sf_dir, "events")["events"]
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    ).orderBy("event_id")
+
+
+def _oracle_events_json() -> str:
+    return ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) "
+            "AS k FROM events ORDER BY event_id")
+
+
+# ---------------------------------------------------------------------------
+# training-data operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from greenmask_spark.functions.dedup import dedup_exact
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return dedup_exact(docs).select("doc_id", "n_chars").orderBy("doc_id")
+
+
+def _oracle_dedup_exact() -> str:
+    return """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+      FROM documents) WHERE doc_id = keeper ORDER BY doc_id
+    """
+
+
+_DUCK_TOKENS = "list_distinct(string_split_regex(trim(lower(text)), '\\s+'))"
+_DUCK_TOKENS_RAW = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def _duck_stop_hits(lang: str) -> str:
+    from greenmask_spark.functions.text_analysis import STOPWORDS
+
+    return (f"len(list_filter({_DUCK_TOKENS_RAW}, "
+            f"t -> list_contains({_sql_list(STOPWORDS[lang])}, t)))")
+
+
+def q_text_profile(spark, sf_dir):
+    from greenmask_spark.functions.text_analysis import analyze
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return analyze(docs).select(
+        "doc_id", "n_tokens", "sw_ratio", "p_ratio", "quality", "lang_pred", "fp"
+    ).orderBy("doc_id")
+
+
+def _oracle_text_profile() -> str:
+    ntok = (f"CASE WHEN length(trim(text)) = 0 THEN 0 "
+            f"ELSE len({_DUCK_TOKENS_RAW}) END")
+    sw_en = _duck_stop_hits("en")
+    sw = f"(CASE WHEN {ntok} = 0 THEN 0.0 ELSE {sw_en} / CAST({ntok} AS DOUBLE) END)"
+    pr = ("(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - "
+          "length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
+          "/ CAST(length(text) AS DOUBLE) END)")
+    mwl = (f"(CASE WHEN {ntok} = 0 THEN 0.0 ELSE "
+           f"length(regexp_replace(trim(text), '\\s+', '', 'g')) "
+           f"/ CAST({ntok} AS DOUBLE) END)")
+    quality = (f"round(0.4 * least(CAST(1.0 AS DOUBLE), {sw} / 0.4) "
+               f"+ 0.3 * (CAST(1.0 AS DOUBLE) - {pr}) "
+               f"+ CASE WHEN {mwl} >= 3.0 AND {mwl} <= 10.0 THEN 0.3 ELSE 0.0 END, 4)")
+    hits = {lg: _duck_stop_hits(lg) for lg in ("en", "de", "fr", "es")}
+    lang = (f"CASE WHEN {hits['en']} > 0 AND {hits['en']} >= {hits['de']} AND "
+            f"{hits['en']} >= {hits['fr']} AND {hits['en']} >= {hits['es']} THEN 'en' "
+            f"WHEN {hits['de']} > 0 AND {hits['de']} >= {hits['fr']} AND "
+            f"{hits['de']} >= {hits['es']} THEN 'de' "
+            f"WHEN {hits['fr']} > 0 AND {hits['fr']} >= {hits['es']} THEN 'fr' "
+            f"WHEN {hits['es']} > 0 THEN 'es' ELSE 'und' END")
+    fp = "sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+    return (f"SELECT doc_id, {ntok} AS n_tokens, round({sw}, 4) AS sw_ratio, "
+            f"round({pr}, 4) AS p_ratio, {quality} AS quality, "
+            f"{lang} AS lang_pred, {fp} AS fp FROM documents ORDER BY doc_id")
+
+
+_SHINGLE_K = 5
+_NUM_PERM = 16
+_BANDS = 4
+
+_DUCK_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_DUCK_SHINGLES = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(length({_DUCK_NORM}) - {_SHINGLE_K} + 1, 1) + 1), "
+    f"i -> substr({_DUCK_NORM}, CAST(i AS INTEGER), {_SHINGLE_K})))"
+)
+
+
+def _duck_shingle_hash(var: str = "s") -> str:
+    h = f"CAST(('0x' || substr(sha256({var}), 1, 15)) AS BIGINT)"
+    return f"({h} % 2147483647)"
+
+
+def _duck_minhash_sig() -> str:
+    from greenmask_spark.functions.dedup import perm_constants
+
+    hs = f"list_transform({_DUCK_SHINGLES}, s -> {_duck_shingle_hash('s')})"
+    mins = [
+        f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % 2147483647))"
+        for a, b in perm_constants(_NUM_PERM)
+    ]
+    parts = " || '_' || ".join(f"CAST({m} AS VARCHAR)" for m in mins)
+    return f"({parts})"
+
+
+def q_minhash_sigs(spark, sf_dir):
+    from greenmask_spark.functions.dedup import minhash_signature
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    sig = minhash_signature(F.col("text"), _NUM_PERM, _SHINGLE_K)
+    return docs.select(
+        "doc_id",
+        F.concat_ws("_", F.transform(sig, lambda x: x.cast("string"))).alias("sig"),
+    ).orderBy("doc_id")
+
+
+def _oracle_minhash_sigs() -> str:
+    return (f"SELECT doc_id, {_duck_minhash_sig()} AS sig "
+            f"FROM documents ORDER BY doc_id")
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from greenmask_spark.functions.dedup import minhash_candidates
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return minhash_candidates(
+        docs, num_perm=_NUM_PERM, bands=_BANDS, k=_SHINGLE_K
+    ).orderBy("id_a", "id_b")
+
+
+def _oracle_minhash_pairs() -> str:
+    from greenmask_spark.functions.dedup import perm_constants
+
+    hs = f"list_transform({_DUCK_SHINGLES}, s -> {_duck_shingle_hash('s')})"
+    mins = [
+        f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % 2147483647))"
+        for a, b in perm_constants(_NUM_PERM)
+    ]
+    rows_per_band = _NUM_PERM // _BANDS
+    band_exprs = []
+    for b in range(_BANDS):
+        parts = [f"'{b}'"] + [
+            f"CAST({mins[b * rows_per_band + r]} AS VARCHAR)"
+            for r in range(rows_per_band)
+        ]
+        band_exprs.append("(" + " || '_' || ".join(parts) + ")")
+    bands_list = "[" + ", ".join(band_exprs) + "]"
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id AS id, unnest({bands_list}) AS bk FROM documents
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.id < b.id
+    ORDER BY id_a, id_b
+    """
+
+
+_SIMHASH_BITS = 16
+
+
+def q_simhash(spark, sf_dir):
+    from greenmask_spark.functions.dedup import simhash
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id", simhash(F.col("text"), _SIMHASH_BITS).alias("sh")
+    ).orderBy("doc_id")
+
+
+def _oracle_simhash() -> str:
+    hs = f"list_transform({_DUCK_TOKENS}, t -> {_duck_shingle_hash('t')})"
+    bits = []
+    for j in range(_SIMHASH_BITS):
+        vote = (f"CAST(list_sum(list_transform({hs}, "
+                f"h -> ((h >> {j}) & 1) * 2 - 1)) AS BIGINT)")
+        bits.append(f"CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END")
+    acc = " + ".join(bits)
+    return f"SELECT doc_id, CAST({acc} AS INTEGER) AS sh FROM documents ORDER BY doc_id"
+
+
+_ANN_K = 5
+_ANN_NQUERY = 10
+
+
+def q_ann_topk(spark, sf_dir):
+    from greenmask_spark.functions.similarity import cosine_topk
+
+    emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < _ANN_NQUERY)
+    return cosine_topk(emb, queries, k=_ANN_K).orderBy("query_id", "rank")
+
+
+def _oracle_ann_topk() -> str:
+    dot = ("list_sum(list_transform(list_zip(CAST(q.embedding AS DOUBLE[]), "
+           "CAST(c.embedding AS DOUBLE[])), x -> x[1] * x[2]))")
+    nrm = (
+        "sqrt(list_sum(list_transform(CAST({v}.embedding AS DOUBLE[]), x -> x*x)))"
+    )
+    cos = f"round({dot} / ({nrm.format(v='q')} * {nrm.format(v='c')}), 4)"
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {_ANN_NQUERY}
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+    WHERE rank <= {_ANN_K} ORDER BY query_id, rank
+    """
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """Approximate ANN via random-hyperplane LSH buckets (scale path).
+    Not SQL-expressible compactly → rows-only check."""
+    from greenmask_spark.functions.similarity import cosine_topk_lsh
+
+    emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < _ANN_NQUERY)
+    return cosine_topk_lsh(emb, queries, k=_ANN_K, dim=64).orderBy(
+        "query_id", "rank")
+
+
+def q_validate_diff(spark, sf_dir):
+    """Validate mode: diff original vs transformed rows keyed by PK
+    (reference cmd/validate.go) — counts changed columns per row."""
+    from greenmask_spark.validate import diff_report
+
+    t = _tables(spark, sf_dir, "customer")
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "Hash", "params": {"column": "c_name", "function": "sha256",
+                                    "salt": "pep"}},
+        {"name": "RandomInt", "params": {"column": "c_nationkey",
+                                         "min": 0, "max": 24}})})
+    masked = apply_plan(t["customer"], plan)
+    return diff_report(
+        t["customer"], masked, pk=["c_custkey"],
+        columns=["c_name", "c_nationkey"],
+    ).orderBy("c_custkey")
+
+
+def _oracle_validate_diff() -> str:
+    nk = _uix("c_nationkey", 0, 24)
+    return f"""
+    SELECT c_custkey,
+      CAST((CASE WHEN c_name != sha256('pep' || c_name) THEN 1 ELSE 0 END) +
+      (CASE WHEN c_nationkey != CAST({nk} AS INTEGER) THEN 1 ELSE 0 END)
+      AS INTEGER) AS n_changed,
+      CAST(c_name != sha256('pep' || c_name) AS BOOLEAN) AS chg_c_name,
+      CAST(c_nationkey != CAST({nk} AS INTEGER) AS BOOLEAN) AS chg_c_nationkey
+    FROM customer ORDER BY c_custkey
+    """
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "mask_customer": q_mask_customer,
+        "t_random_int": q_t_random_int,
+        "t_hash": q_t_hash,
+        "t_replace_setnull": q_t_replace_setnull,
+        "t_masking": q_t_masking,
+        "t_regexp_replace": q_t_regexp_replace,
+        "t_random_choice": q_t_random_choice,
+        "t_random_date": q_t_random_date,
+        "t_noise_int": q_t_noise_int,
+        "t_noise_float": q_t_noise_float,
+        "t_random_uuid": q_t_random_uuid,
+        "t_random_ip": q_t_random_ip,
+        "t_random_email": q_t_random_email,
+        "t_random_person": q_t_random_person,
+        "t_random_company": q_t_random_company,
+        "t_faker_phone": q_t_faker_phone,
+        "t_when_condition": q_t_when_condition,
+        "t_dynamic_param": q_t_dynamic_param,
+        "subset_orders": q_subset_orders,
+        "subset_lineitem": q_subset_lineitem,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_region_revenue": q_q5_region_revenue,
+        "events_daily": q_events_daily,
+        "events_json": q_events_json,
+        "dedup_exact": q_dedup_exact,
+        "text_profile": q_text_profile,
+        "minhash_sigs": q_minhash_sigs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "validate_diff": q_validate_diff,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "mask_customer": _oracle_mask_customer(),
+        "t_random_int": _oracle_t_random_int(),
+        "t_hash": _oracle_t_hash(),
+        "t_replace_setnull": _oracle_t_replace_setnull(),
+        "t_masking": _oracle_t_masking(),
+        "t_regexp_replace": _oracle_t_regexp_replace(),
+        "t_random_choice": _oracle_t_random_choice(),
+        "t_random_date": _oracle_t_random_date(),
+        "t_noise_int": _oracle_t_noise_int(),
+        "t_noise_float": _oracle_t_noise_float(),
+        "t_random_uuid": _oracle_t_random_uuid(),
+        "t_random_ip": _oracle_t_random_ip(),
+        "t_random_email": _oracle_t_random_email(),
+        "t_random_person": _oracle_t_random_person(),
+        "t_random_company": _oracle_t_random_company(),
+        "t_faker_phone": _oracle_t_faker_phone(),
+        "t_when_condition": _oracle_t_when_condition(),
+        "t_dynamic_param": _oracle_t_dynamic_param(),
+        "subset_orders": _oracle_subset_orders(),
+        "subset_lineitem": _oracle_subset_lineitem(),
+        "q1_pricing_summary": _oracle_q1(),
+        "q3_shipping_priority": _oracle_q3(),
+        "q5_region_revenue": _oracle_q5(),
+        "events_daily": _oracle_events_daily(),
+        "events_json": _oracle_events_json(),
+        "dedup_exact": _oracle_dedup_exact(),
+        "text_profile": _oracle_text_profile(),
+        "minhash_sigs": _oracle_minhash_sigs(),
+        "minhash_pairs": _oracle_minhash_pairs(),
+        "simhash": _oracle_simhash(),
+        "ann_topk": _oracle_ann_topk(),
+        # ann_topk_lsh: intentionally no oracle (rows-only check)
+        "validate_diff": _oracle_validate_diff(),
+    }

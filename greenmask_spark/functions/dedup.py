@@ -52,10 +52,12 @@ def _shingle_hash(s: Column) -> Column:
 def minhash_signature(text: Column, num_perm: int = 16, k: int = 5) -> Column:
     """Array of num_perm MinHash values (bigint) — pure expression."""
     hs = F.transform(shingles(text, k), _shingle_hash)
+
+    def perm_fn(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE))
+
     sig = [
-        F.array_min(
-            F.transform(hs, lambda h, a=a, b=b: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE)))
-        )
+        F.array_min(F.transform(hs, perm_fn(a, b)))
         for a, b in perm_constants(num_perm)
     ]
     return F.array(*sig)
@@ -115,9 +117,15 @@ def minhash_candidates(
     """
     rows_per_band = num_perm // bands
     sig = minhash_signature(F.col(text_col), num_perm, k)
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(band_keys(sig, bands, rows_per_band)).alias("bk"),
+    # Exchange barrier between signature computation and band-key explode:
+    # without it CollapseProject inlines the (large) signature expression
+    # into every band key and it gets recomputed num_perm× per row.
+    sigs = df.select(F.col(id_col).alias("id"), sig.alias("sig")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    keyed = sigs.select(
+        "id",
+        F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
@@ -165,14 +173,14 @@ def simhash(text: Column, bits: int = 16) -> Column:
 
     toks = F.array_distinct(tokens(text))
     hs = F.transform(toks, _shingle_hash)
+    def vote_fn(j: int):
+        return lambda s, h: s + (
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("int")
+
     acc = F.lit(0)
     for j in range(bits):
-        vote = F.aggregate(
-            hs,
-            F.lit(0),
-            lambda s, h, j=j: s
-            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
-        )
+        vote = F.aggregate(hs, F.lit(0), vote_fn(j))
         acc = acc + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return acc
 

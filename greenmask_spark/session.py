@@ -78,8 +78,7 @@ def load_tables(
             ):
                 # nanos-as-long → microsecond timestamp (matches DuckDB's
                 # ns→µs truncation of the same file)
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("bigint"))
-                )
+                # integer `div`, not `/`: ns epochs overflow double mantissa
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             out[name] = df
     return out

@@ -68,6 +68,14 @@ def load_tables(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # The driver may hand us a session built without our defaults; the
+    # nanos-timestamp conf is runtime-settable, so set it defensively
+    # (events.parquet is TIMESTAMP(NANOS) and unreadable otherwise).
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -1,0 +1,160 @@
+"""Training-data operator tests: dedup, similarity, text analysis,
+multimodal plumbing, validate diff."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),  # exact dup
+        Row(doc_id=3, text="the quick brown fox jumped over the lazy dog"),  # near dup
+        Row(doc_id=4, text="completely different content about spark engines"),
+        Row(doc_id=5, text="der hund und die katze sind nicht zu hause"),
+        Row(doc_id=6, text=""),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(docs):
+    from greenmask_spark.functions.dedup import dedup_exact, exact_duplicates
+
+    kept = {r.doc_id for r in dedup_exact(docs).collect()}
+    assert kept == {1, 3, 4, 5, 6}
+    pairs = [(r.canonical_id, r.dup_id) for r in exact_duplicates(docs).collect()]
+    assert pairs == [(1, 2)]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from greenmask_spark.functions.dedup import minhash_candidates, ngram_jaccard
+
+    pairs = minhash_candidates(docs, num_perm=16, bands=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got          # identical docs always collide
+    assert (1, 3) in got or (2, 3) in got  # near dup should collide in ≥1 band
+    verified = ngram_jaccard(docs, pairs)
+    j = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert j[(1, 2)] == 1.0
+    if (1, 3) in j:
+        assert 0.5 < j[(1, 3)] < 1.0
+
+
+def test_simhash_near_dups(docs):
+    from greenmask_spark.functions.dedup import simhash_near_dups
+
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           simhash_near_dups(docs, bits=16, max_hamming=4).collect()}
+    assert got.get((1, 2)) == 0  # identical text → identical simhash
+
+
+def test_text_analysis(docs):
+    from greenmask_spark.functions.text_analysis import analyze
+
+    out = {r.doc_id: r for r in analyze(docs).collect()}
+    assert out[1].n_tokens == 9
+    assert out[1].lang_pred == "en"
+    assert out[5].lang_pred == "de"
+    assert out[6].n_tokens == 0 and out[6].lang_pred == "und"
+    assert out[1].fp == out[2].fp  # identical normalized text
+    assert 0.0 <= out[4].quality <= 1.0
+
+
+def test_cosine_topk(spark):
+    from greenmask_spark.functions.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+            Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),
+        ]
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    out = cosine_topk(emb, q, k=2).collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+    assert out[0].cos_sim > 0.99
+
+
+def test_cosine_lsh_recall(tables):
+    """LSH top-k should recover most of the exact top-k on real embeddings."""
+    from greenmask_spark.functions.similarity import cosine_topk, cosine_topk_lsh
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id): r.cos_sim
+             for r in cosine_topk(emb, q, k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id): r.cos_sim
+              for r in cosine_topk_lsh(emb, q, k=3, dim=64, n_planes=2).collect()}
+    # testdata embeddings are near-random (best cos ≈ 0.37), so hyperplane
+    # LSH recall is inherently modest; with 2 planes P(bucket match) ≈ 0.38
+    # per true neighbor → P(zero overlap of 15) < 0.1%. Check the overlap
+    # exists AND that scores agree exactly where both found the pair.
+    hits = set(exact) & set(approx)
+    assert hits, "LSH found none of the exact top-3 neighbors"
+    for pair in hits:
+        assert exact[pair] == approx[pair]
+
+
+def test_multimodal_plumbing(spark):
+    from greenmask_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        sample_frames,
+    )
+
+    rows = [
+        (1, "image", "image/png", b"\x89PNG fake bytes", 64, 64, None),
+        (2, "video", "video/mp4", b"\x00\x00ftyp fake", None, None, 3500),
+        (3, "image", "image/png", None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(df, dim=4, fake=True).collect()}
+    assert len(feats[1].feature) == 4
+    assert feats[1].n_bytes == 15
+    assert feats[3].feature is None
+    frames = sample_frames(df, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from greenmask_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
+
+    df = spark.createDataFrame(
+        [(1, "image", "image/png", b"x", None, None, None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|image/audio"):
+        extract_features(df, fake=False).collect()
+
+
+def test_validate_diff_and_schema_diff(spark):
+    from pyspark.sql import types as T
+
+    from greenmask_spark.validate import diff_report, schema_diff
+    from greenmask_spark.validate.diff import implicit_changes
+
+    orig = spark.createDataFrame(
+        [Row(id=1, a="x", b=10), Row(id=2, a="y", b=None)]
+    )
+    masked = spark.createDataFrame(
+        [Row(id=1, a="MASKED", b=10), Row(id=2, a="y", b=None)]
+    )
+    d = diff_report(orig, masked, pk=["id"])
+    rows = {r.id: r for r in d.collect()}
+    assert rows[1].n_changed == 1 and rows[1].chg_a and not rows[1].chg_b
+    assert rows[2].n_changed == 0  # null == null (null-safe)
+    assert implicit_changes(d, declared_affected=[]) == ["a"]
+    assert implicit_changes(d, declared_affected=["a"]) == []
+
+    before = T.StructType([T.StructField("a", T.StringType()),
+                           T.StructField("b", T.IntegerType())])
+    after = T.StructType([T.StructField("a", T.LongType()),
+                          T.StructField("c", T.StringType())])
+    events = schema_diff(before, after)
+    kinds = {(e["event"], e["column"]) for e in events}
+    assert ("column_removed", "b") in kinds
+    assert ("column_added", "c") in kinds
+    assert ("column_type_changed", "a") in kinds

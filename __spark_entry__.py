@@ -105,7 +105,7 @@ def q_mask_customer(spark, sf_dir):
                                         "default": "SEG_X"}},
         ),
     })
-    return apply_plan(t["customer"], plan).orderBy("c_custkey")
+    return apply_plan(t["customer"], plan)
 
 
 def _oracle_mask_customer() -> str:
@@ -122,7 +122,7 @@ def _oracle_mask_customer() -> str:
            CAST({nk} AS INTEGER) AS c_nationkey,
            CAST({bal} AS DOUBLE) AS c_acctbal,
            CASE {seg_case} ELSE 'SEG_X' END AS c_mktsegment
-    FROM customer ORDER BY c_custkey
+    FROM customer
     """
 
 
@@ -130,12 +130,12 @@ def q_t_random_int(spark, sf_dir):
     t = _tables(spark, sf_dir, "part")
     plan = _plan({"name": "part", "transformers": _steps(
         {"name": "RandomInt", "params": {"column": "p_size", "min": 1, "max": 50}})})
-    return apply_plan(t["part"], plan).select("p_partkey", "p_size").orderBy("p_partkey")
+    return apply_plan(t["part"], plan).select("p_partkey", "p_size")
 
 
 def _oracle_t_random_int() -> str:
     return (f"SELECT p_partkey, CAST({_uix('p_size', 1, 50)} AS INTEGER) AS p_size "
-            f"FROM part ORDER BY p_partkey")
+            f"FROM part")
 
 
 def q_t_hash(spark, sf_dir):
@@ -143,12 +143,12 @@ def q_t_hash(spark, sf_dir):
     plan = _plan({"name": "supplier", "transformers": _steps(
         {"name": "Hash", "params": {"column": "s_name", "function": "sha256",
                                     "salt": "pep", "max_length": 16}})})
-    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name").orderBy("s_suppkey")
+    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name")
 
 
 def _oracle_t_hash() -> str:
     return ("SELECT s_suppkey, substr(sha256('pep' || s_name), 1, 16) AS s_name "
-            "FROM supplier ORDER BY s_suppkey")
+            "FROM supplier")
 
 
 def q_t_replace_setnull(spark, sf_dir):
@@ -158,25 +158,25 @@ def q_t_replace_setnull(spark, sf_dir):
                                        "keep_null": False}},
         {"name": "SetNull", "params": {"column": "o_orderpriority"}})})
     return apply_plan(t["orders"], plan).select(
-        "o_orderkey", "o_orderstatus", "o_orderpriority").orderBy("o_orderkey")
+        "o_orderkey", "o_orderstatus", "o_orderpriority")
 
 
 def _oracle_t_replace_setnull() -> str:
     return ("SELECT o_orderkey, 'X' AS o_orderstatus, "
             "CAST(NULL AS VARCHAR) AS o_orderpriority "
-            "FROM orders ORDER BY o_orderkey")
+            "FROM orders")
 
 
 def q_t_masking(spark, sf_dir):
     t = _tables(spark, sf_dir, "customer")
     plan = _plan({"name": "customer", "transformers": _steps(
         {"name": "Masking", "params": {"column": "c_name", "type": "default"}})})
-    return apply_plan(t["customer"], plan).select("c_custkey", "c_name").orderBy("c_custkey")
+    return apply_plan(t["customer"], plan).select("c_custkey", "c_name")
 
 
 def _oracle_t_masking() -> str:
     return ("SELECT c_custkey, repeat('*', length(c_name)) AS c_name "
-            "FROM customer ORDER BY c_custkey")
+            "FROM customer")
 
 
 def q_t_regexp_replace(spark, sf_dir):
@@ -185,12 +185,12 @@ def q_t_regexp_replace(spark, sf_dir):
         {"name": "RegexpReplace", "params": {"column": "p_name",
                                              "regexp": "[aeiou]",
                                              "replace": "_"}})})
-    return apply_plan(t["part"], plan).select("p_partkey", "p_name").orderBy("p_partkey")
+    return apply_plan(t["part"], plan).select("p_partkey", "p_name")
 
 
 def _oracle_t_regexp_replace() -> str:
     return ("SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '_', 'g') AS p_name "
-            "FROM part ORDER BY p_partkey")
+            "FROM part")
 
 
 def q_t_random_choice(spark, sf_dir):
@@ -199,13 +199,13 @@ def q_t_random_choice(spark, sf_dir):
         {"name": "RandomChoice", "params": {"column": "o_orderpriority",
                                             "values": PRIORITIES}})})
     return apply_plan(t["orders"], plan).select(
-        "o_orderkey", "o_orderpriority").orderBy("o_orderkey")
+        "o_orderkey", "o_orderpriority")
 
 
 def _oracle_t_random_choice() -> str:
     idx = _uix("o_orderpriority", 0, len(PRIORITIES) - 1)
     return (f"SELECT o_orderkey, {_duck_pick(PRIORITIES, idx)} AS o_orderpriority "
-            f"FROM orders ORDER BY o_orderkey")
+            f"FROM orders")
 
 
 def q_t_random_date(spark, sf_dir):
@@ -216,7 +216,7 @@ def q_t_random_date(spark, sf_dir):
                                           "max": "2005-12-31",
                                           "truncate": "day"}})})
     return apply_plan(t["orders"], plan).select(
-        "o_orderkey", "o_orderdate").orderBy("o_orderkey")
+        "o_orderkey", "o_orderdate")
 
 
 def _oracle_t_random_date() -> str:
@@ -226,7 +226,7 @@ def _oracle_t_random_date() -> str:
     hi = int(dt.datetime(2005, 12, 31, tzinfo=dt.timezone.utc).timestamp() * 1000)
     ms = _uix("o_orderdate", lo, hi)
     return (f"SELECT o_orderkey, CAST(date_trunc('day', epoch_ms({ms})) AS TIMESTAMP)"
-            f" AS o_orderdate FROM orders ORDER BY o_orderkey")
+            f" AS o_orderdate FROM orders")
 
 
 def q_t_noise_int(spark, sf_dir):
@@ -234,7 +234,7 @@ def q_t_noise_int(spark, sf_dir):
     plan = _plan({"name": "part", "transformers": _steps(
         {"name": "NoiseInt", "params": {"column": "p_size",
                                         "min_ratio": 0.0, "max_ratio": 0.2}})})
-    return apply_plan(t["part"], plan).select("p_partkey", "p_size").orderBy("p_partkey")
+    return apply_plan(t["part"], plan).select("p_partkey", "p_size")
 
 
 def _noise_sql(value_sql: str, minr: float, maxr: float) -> str:
@@ -249,7 +249,7 @@ def _noise_sql(value_sql: str, minr: float, maxr: float) -> str:
 
 def _oracle_t_noise_int() -> str:
     return (f"SELECT p_partkey, CAST(round({_noise_sql('p_size', 0.0, 0.2)}, 0) "
-            f"AS INTEGER) AS p_size FROM part ORDER BY p_partkey")
+            f"AS INTEGER) AS p_size FROM part")
 
 
 def q_t_noise_float(spark, sf_dir):
@@ -259,26 +259,26 @@ def q_t_noise_float(spark, sf_dir):
                                           "min_ratio": 0.0, "max_ratio": 0.1,
                                           "decimal": 2}})})
     return apply_plan(t["supplier"], plan).select(
-        "s_suppkey", "s_acctbal").orderBy("s_suppkey")
+        "s_suppkey", "s_acctbal")
 
 
 def _oracle_t_noise_float() -> str:
     return (f"SELECT s_suppkey, CAST(round({_noise_sql('s_acctbal', 0.0, 0.1)}, 2) "
-            f"AS DOUBLE) AS s_acctbal FROM supplier ORDER BY s_suppkey")
+            f"AS DOUBLE) AS s_acctbal FROM supplier")
 
 
 def q_t_random_uuid(spark, sf_dir):
     t = _tables(spark, sf_dir, "customer")
     plan = _plan({"name": "customer", "transformers": _steps(
         {"name": "RandomUuid", "params": {"column": "c_name"}})})
-    return apply_plan(t["customer"], plan).select("c_custkey", "c_name").orderBy("c_custkey")
+    return apply_plan(t["customer"], plan).select("c_custkey", "c_name")
 
 
 def _oracle_t_random_uuid() -> str:
     h = kernel.duck_salted_hex("c_name", SALT)
     return (f"SELECT c_custkey, (substr({h},1,8) || '-' || substr({h},9,4) || '-4' || "
             f"substr({h},14,3) || '-a' || substr({h},18,3) || '-' || substr({h},21,12))"
-            f" AS c_name FROM customer ORDER BY c_custkey")
+            f" AS c_name FROM customer")
 
 
 def q_t_random_ip(spark, sf_dir):
@@ -286,7 +286,7 @@ def q_t_random_ip(spark, sf_dir):
     plan = _plan({"name": "supplier", "transformers": _steps(
         {"name": "RandomIp", "params": {"column": "s_name",
                                         "subnet": "10.0.0.0/16"}})})
-    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name").orderBy("s_suppkey")
+    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name")
 
 
 def _oracle_t_random_ip() -> str:
@@ -298,7 +298,7 @@ def _oracle_t_random_ip() -> str:
             f"CAST(({n} >> 16) & 255 AS VARCHAR) || '.' || "
             f"CAST(({n} >> 8) & 255 AS VARCHAR) || '.' || "
             f"CAST({n} & 255 AS VARCHAR)) AS s_name "
-            f"FROM supplier ORDER BY s_suppkey")
+            f"FROM supplier")
 
 
 def q_t_random_email(spark, sf_dir):
@@ -306,7 +306,7 @@ def q_t_random_email(spark, sf_dir):
     plan = _plan({"name": "customer", "transformers": _steps(
         {"name": "RandomEmail", "params": {"column": "c_name",
                                            "local_part_length": 16}})})
-    return apply_plan(t["customer"], plan).select("c_custkey", "c_name").orderBy("c_custkey")
+    return apply_plan(t["customer"], plan).select("c_custkey", "c_name")
 
 
 def _oracle_t_random_email() -> str:
@@ -317,7 +317,7 @@ def _oracle_t_random_email() -> str:
     idx = _uix("c_name", 0, len(doms) - 1, draw=1)
     return (f"SELECT c_custkey, (substr({h},1,16) || '@' || "
             f"list_extract({_sql_list(doms)}, CAST({idx} AS INTEGER) + 1)) AS c_name "
-            f"FROM customer ORDER BY c_custkey")
+            f"FROM customer")
 
 
 def q_t_random_person(spark, sf_dir):
@@ -325,7 +325,7 @@ def q_t_random_person(spark, sf_dir):
     plan = _plan({"name": "customer", "transformers": _steps(
         {"name": "RandomPerson", "params": {"columns": [
             {"name": "c_name", "template": "{{ .FirstName }}"}]}})})
-    return apply_plan(t["customer"], plan).select("c_custkey", "c_name").orderBy("c_custkey")
+    return apply_plan(t["customer"], plan).select("c_custkey", "c_name")
 
 
 def _oracle_t_random_person() -> str:
@@ -333,7 +333,7 @@ def _oracle_t_random_person() -> str:
     male = _duck_pick(lex.FIRST_NAMES_MALE, idx)
     female = _duck_pick(lex.FIRST_NAMES_FEMALE, idx)
     return (f"SELECT c_custkey, CASE WHEN ({idx}) % 2 = 0 THEN {male} "
-            f"ELSE {female} END AS c_name FROM customer ORDER BY c_custkey")
+            f"ELSE {female} END AS c_name FROM customer")
 
 
 def q_t_random_company(spark, sf_dir):
@@ -341,7 +341,7 @@ def q_t_random_company(spark, sf_dir):
     plan = _plan({"name": "supplier", "transformers": _steps(
         {"name": "RandomCompany", "params": {"columns": [
             {"name": "s_name", "template": "{{ .FullCompanyName }}"}]}})})
-    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name").orderBy("s_suppkey")
+    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name")
 
 
 def _oracle_t_random_company() -> str:
@@ -349,14 +349,14 @@ def _oracle_t_random_company() -> str:
     name = _duck_pick(lex.COMPANY_NAMES, idx)
     suffix = _duck_pick(lex.COMPANY_SUFFIXES, idx)
     return (f"SELECT s_suppkey, ({name} || ' ' || {suffix}) AS s_name "
-            f"FROM supplier ORDER BY s_suppkey")
+            f"FROM supplier")
 
 
 def q_t_faker_phone(spark, sf_dir):
     t = _tables(spark, sf_dir, "customer")
     plan = _plan({"name": "customer", "transformers": _steps(
         {"name": "RandomPhoneNumber", "params": {"column": "c_name"}})})
-    return apply_plan(t["customer"], plan).select("c_custkey", "c_name").orderBy("c_custkey")
+    return apply_plan(t["customer"], plan).select("c_custkey", "c_name")
 
 
 def _oracle_t_faker_phone() -> str:
@@ -365,7 +365,7 @@ def _oracle_t_faker_phone() -> str:
     c = _uix("c_name", 0, 9999, draw=2)
     return (f"SELECT c_custkey, ('(' || CAST({a} AS VARCHAR) || ') ' || "
             f"CAST({b} AS VARCHAR) || '-' || lpad(CAST({c} AS VARCHAR), 4, '0')) "
-            f"AS c_name FROM customer ORDER BY c_custkey")
+            f"AS c_name FROM customer")
 
 
 def q_t_when_condition(spark, sf_dir):
@@ -376,12 +376,12 @@ def q_t_when_condition(spark, sf_dir):
                                        "keep_null": False},
          "when": "c_acctbal < 0"})})
     return apply_plan(t["customer"], plan).select(
-        "c_custkey", "c_mktsegment").orderBy("c_custkey")
+        "c_custkey", "c_mktsegment")
 
 
 def _oracle_t_when_condition() -> str:
     return ("SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'NEG' "
-            "ELSE c_mktsegment END AS c_mktsegment FROM customer ORDER BY c_custkey")
+            "ELSE c_mktsegment END AS c_mktsegment FROM customer")
 
 
 def q_t_dynamic_param(spark, sf_dir):
@@ -390,13 +390,13 @@ def q_t_dynamic_param(spark, sf_dir):
     plan = _plan({"name": "part", "transformers": _steps(
         {"name": "RandomInt", "params": {"column": "p_size", "min": 0,
                                          "max": {"column": "p_partkey"}}})})
-    return apply_plan(t["part"], plan).select("p_partkey", "p_size").orderBy("p_partkey")
+    return apply_plan(t["part"], plan).select("p_partkey", "p_size")
 
 
 def _oracle_t_dynamic_param() -> str:
     v = kernel.duck_uniform_int("p_size", "0", "p_partkey", salt=SALT)
     return (f"SELECT p_partkey, CAST({v} AS INTEGER) AS p_size "
-            f"FROM part ORDER BY p_partkey")
+            f"FROM part")
 
 
 # ---------------------------------------------------------------------------
@@ -421,20 +421,19 @@ def _subset_plan(spark, sf_dir):
 
 def q_subset_orders(spark, sf_dir):
     return _subset_plan(spark, sf_dir)["orders"].select(
-        "o_orderkey", "o_custkey", "o_orderstatus").orderBy("o_orderkey")
+        "o_orderkey", "o_custkey", "o_orderstatus")
 
 
 def _oracle_subset_orders() -> str:
     return """
     SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
-    ORDER BY o_orderkey
     """
 
 
 def q_subset_lineitem(spark, sf_dir):
     return _subset_plan(spark, sf_dir)["lineitem"].select(
-        "l_orderkey", "l_linenumber", "l_quantity").orderBy("l_orderkey", "l_linenumber")
+        "l_orderkey", "l_linenumber", "l_quantity")
 
 
 def _oracle_subset_lineitem() -> str:
@@ -443,7 +442,6 @@ def _oracle_subset_lineitem() -> str:
     WHERE l_orderkey IN (
       SELECT o_orderkey FROM orders WHERE o_custkey IN (
         SELECT c_custkey FROM customer WHERE c_acctbal > 9000))
-    ORDER BY l_orderkey, l_linenumber
     """
 
 
@@ -561,7 +559,7 @@ def q_events_daily(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
-        .orderBy("user_id", "day")
+        
     )
 
 
@@ -569,7 +567,7 @@ def _oracle_events_daily() -> str:
     return """
     SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY user_id, CAST(ts AS DATE) ORDER BY user_id, day
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
     """
 
 
@@ -578,12 +576,12 @@ def q_events_json(spark, sf_dir):
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
-    ).orderBy("event_id")
+    )
 
 
 def _oracle_events_json() -> str:
     return ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) "
-            "AS k FROM events ORDER BY event_id")
+            "AS k FROM events")
 
 
 # ---------------------------------------------------------------------------
@@ -595,7 +593,7 @@ def q_dedup_exact(spark, sf_dir):
     from greenmask_spark.functions.dedup import dedup_exact
 
     docs = _tables(spark, sf_dir, "documents")["documents"]
-    return dedup_exact(docs).select("doc_id", "n_chars").orderBy("doc_id")
+    return dedup_exact(docs).select("doc_id", "n_chars")
 
 
 def _oracle_dedup_exact() -> str:
@@ -603,7 +601,7 @@ def _oracle_dedup_exact() -> str:
     SELECT doc_id, n_chars FROM (
       SELECT doc_id, n_chars,
              min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
-      FROM documents) WHERE doc_id = keeper ORDER BY doc_id
+      FROM documents) WHERE doc_id = keeper
     """
 
 
@@ -624,7 +622,7 @@ def q_text_profile(spark, sf_dir):
     docs = _tables(spark, sf_dir, "documents")["documents"]
     return analyze(docs).select(
         "doc_id", "n_tokens", "sw_ratio", "p_ratio", "quality", "lang_pred", "fp"
-    ).orderBy("doc_id")
+    )
 
 
 def _oracle_text_profile() -> str:
@@ -651,7 +649,7 @@ def _oracle_text_profile() -> str:
     fp = "sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
     return (f"SELECT doc_id, {ntok} AS n_tokens, round({sw}, 4) AS sw_ratio, "
             f"round({pr}, 4) AS p_ratio, {quality} AS quality, "
-            f"{lang} AS lang_pred, {fp} AS fp FROM documents ORDER BY doc_id")
+            f"{lang} AS lang_pred, {fp} AS fp FROM documents")
 
 
 _SHINGLE_K = 5
@@ -691,12 +689,12 @@ def q_minhash_sigs(spark, sf_dir):
     return docs.select(
         "doc_id",
         F.concat_ws("_", F.transform(sig, lambda x: x.cast("string"))).alias("sig"),
-    ).orderBy("doc_id")
+    )
 
 
 def _oracle_minhash_sigs() -> str:
     return (f"SELECT doc_id, {_duck_minhash_sig()} AS sig "
-            f"FROM documents ORDER BY doc_id")
+            f"FROM documents")
 
 
 def q_minhash_pairs(spark, sf_dir):
@@ -705,7 +703,7 @@ def q_minhash_pairs(spark, sf_dir):
     docs = _tables(spark, sf_dir, "documents")["documents"]
     return minhash_candidates(
         docs, num_perm=_NUM_PERM, bands=_BANDS, k=_SHINGLE_K
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def _oracle_minhash_pairs() -> str:
@@ -731,7 +729,6 @@ def _oracle_minhash_pairs() -> str:
     )
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.id < b.id
-    ORDER BY id_a, id_b
     """
 
 
@@ -744,7 +741,7 @@ def q_simhash(spark, sf_dir):
     docs = _tables(spark, sf_dir, "documents")["documents"]
     return docs.select(
         "doc_id", simhash(F.col("text"), _SIMHASH_BITS).alias("sh")
-    ).orderBy("doc_id")
+    )
 
 
 def _oracle_simhash() -> str:
@@ -755,7 +752,7 @@ def _oracle_simhash() -> str:
                 f"h -> ((h >> {j}) & 1) * 2 - 1)) AS BIGINT)")
         bits.append(f"CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END")
     acc = " + ".join(bits)
-    return f"SELECT doc_id, CAST({acc} AS INTEGER) AS sh FROM documents ORDER BY doc_id"
+    return f"SELECT doc_id, CAST({acc} AS INTEGER) AS sh FROM documents"
 
 
 _ANN_K = 5
@@ -767,7 +764,7 @@ def q_ann_topk(spark, sf_dir):
 
     emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < _ANN_NQUERY)
-    return cosine_topk(emb, queries, k=_ANN_K).orderBy("query_id", "rank")
+    return cosine_topk(emb, queries, k=_ANN_K)
 
 
 def _oracle_ann_topk() -> str:
@@ -800,8 +797,7 @@ def q_ann_topk_lsh(spark, sf_dir):
 
     emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < _ANN_NQUERY)
-    return cosine_topk_lsh(emb, queries, k=_ANN_K, dim=64).orderBy(
-        "query_id", "rank")
+    return cosine_topk_lsh(emb, queries, k=_ANN_K, dim=64)
 
 
 def q_validate_diff(spark, sf_dir):
@@ -819,7 +815,7 @@ def q_validate_diff(spark, sf_dir):
     return diff_report(
         t["customer"], masked, pk=["c_custkey"],
         columns=["c_name", "c_nationkey"],
-    ).orderBy("c_custkey")
+    )
 
 
 def _oracle_validate_diff() -> str:
@@ -831,7 +827,7 @@ def _oracle_validate_diff() -> str:
       AS INTEGER) AS n_changed,
       CAST(c_name != sha256('pep' || c_name) AS BOOLEAN) AS chg_c_name,
       CAST(c_nationkey != CAST({nk} AS INTEGER) AS BOOLEAN) AS chg_c_nationkey
-    FROM customer ORDER BY c_custkey
+    FROM customer
     """
 
 

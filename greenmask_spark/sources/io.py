@@ -1,0 +1,133 @@
+"""Readers/writers: the dump/restore data path.
+
+Reference mapping (SURVEY §2.1):
+- COPY-to-gzip per table (dumpers/table.go)      → df.write.parquet (codec
+  built in; partitioned output replaces the single gzip stream — at 100 TB
+  the writer parallelism IS the partition count)
+- storage backends dir/s3/azure (internal/storages/) → Hadoop FS URIs:
+  file://, s3a://, abfss:// — same API, no code difference here
+- restore via COPY/INSERT (restorers/)            → df.write.jdbc append,
+  parents-first via manifest restore_order
+- JDBC source with numPartitions/partitionColumn  → intra-table parallel
+  scan (the reference has NO intra-table parallelism; this is the Spark
+  win at scale)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from greenmask_spark.sources.manifest import Manifest, build_manifest, write_manifest
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    return spark.read.format(fmt).load(path)
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    query: str | None = None,
+    properties: dict | None = None,
+) -> DataFrame:
+    """Partitioned JDBC scan. With a numeric partition_column Spark issues
+    num_partitions range-bounded queries in parallel — intra-table
+    parallelism the reference lacks (its COPY is single-streamed per
+    table, dumpers/table.go:121-182)."""
+    reader = spark.read.format("jdbc").option("url", url)
+    if query:
+        reader = reader.option("query", query)
+    else:
+        reader = reader.option("dbtable", table)
+    if partition_column:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10000,
+    properties: dict | None = None,
+) -> None:
+    """Restore sink (reference restorers/table.go COPY / INSERT path).
+    Conflict-skip (ON CONFLICT DO NOTHING) is not expressible through the
+    stock JDBC sink — documented gap (SURVEY §2.1); use a foreachPartition
+    writer with a dialect-specific upsert when needed."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def write_dump(
+    tables: dict[str, DataFrame],
+    out_dir: str,
+    graph=None,
+    primary_keys: dict[str, list[str]] | None = None,
+    sequences: dict[str, str] | None = None,
+    transformations: list[dict] | None = None,
+    salt: str = "",
+    seed: int | None = None,
+    fmt: str = "parquet",
+    compression: str = "zstd",
+    partition_by: dict[str, list[str]] | None = None,
+) -> Manifest:
+    """Write a full dump directory: per-table parquet + _manifest.json.
+
+    ``partition_by`` maps table → partition columns for hive-style layout
+    (enables partition pruning on restore-side reads)."""
+    os.makedirs(out_dir, exist_ok=True)
+    for name, df in tables.items():
+        writer = df.write.mode("overwrite").format(fmt).option(
+            "compression", compression
+        )
+        pb = (partition_by or {}).get(name)
+        if pb:
+            writer = writer.partitionBy(*pb)
+        writer.save(os.path.join(out_dir, name))
+    manifest = build_manifest(
+        tables,
+        graph=graph,
+        primary_keys=primary_keys,
+        sequences=sequences,
+        transformations=transformations,
+        salt=salt,
+        seed=seed,
+    )
+    write_manifest(manifest, out_dir)
+    return manifest
+
+
+def read_dump(spark: SparkSession, dump_dir: str) -> dict[str, DataFrame]:
+    from greenmask_spark.sources.manifest import read_manifest
+
+    manifest = read_manifest(dump_dir)
+    return {
+        t.name: spark.read.parquet(os.path.join(dump_dir, t.name))
+        for t in manifest.tables
+    }

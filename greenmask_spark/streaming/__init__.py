@@ -1,0 +1,5 @@
+from greenmask_spark.streaming.pipeline import (  # noqa: F401
+    masked_stream,
+    stream_events_from_dir,
+    windowed_event_counts,
+)

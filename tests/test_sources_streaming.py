@@ -1,0 +1,115 @@
+"""Dump/restore round-trip with manifest; streaming masking + windows."""
+
+import os
+import tempfile
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_dump_roundtrip_with_manifest(spark, tables):
+    from greenmask_spark.sources.io import read_dump, write_dump
+    from greenmask_spark.sources.manifest import read_manifest
+    from greenmask_spark.subset import FKGraph, Reference
+
+    g = FKGraph(
+        tables=["customer", "orders"],
+        references=[Reference("orders", "customer", ("o_custkey",),
+                              ("c_custkey",))],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "dump1")
+        manifest = write_dump(
+            {"customer": tables["customer"], "orders": tables["orders"]},
+            out,
+            graph=g,
+            primary_keys={"customer": ["c_custkey"], "orders": ["o_orderkey"]},
+            sequences={"orders": "o_orderkey"},
+            transformations=[{"table": "customer", "transformer": "Hash",
+                              "column": "c_name"}],
+            salt="s42",
+        )
+        # parents-first restore order
+        assert manifest.restore_order.index("customer") \
+            < manifest.restore_order.index("orders")
+        m2 = read_manifest(out)
+        assert m2.salt == "s42"
+        assert m2.fk_graph().references[0].child == "orders"
+        seq = {t.name: t.sequence_next for t in m2.tables}
+        assert seq["orders"] == tables["orders"].agg(
+            F.max("o_orderkey")).collect()[0][0] + 1
+        back = read_dump(spark, out)
+        assert back["customer"].count() == tables["customer"].count()
+        assert back["orders"].schema == tables["orders"].schema
+
+
+def test_masked_streaming_pipeline(spark, sf_dir, tmp_path):
+    """The same masking plan applied to a stream: file-source → memory sink."""
+    from greenmask_spark.plan import build_plan
+    from greenmask_spark.streaming import masked_stream
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    src = str(tmp_path / "cust_stream_src")
+    batch.write.parquet(src)  # file stream source must be a directory
+    batch = spark.read.parquet(src)
+    plan = build_plan({"tables": [{
+        "name": "customer",
+        "transformers": [
+            {"name": "Hash", "salt": "",
+             "params": {"column": "c_name", "function": "sha256"}},
+            {"name": "RandomInt", "salt": "",
+             "params": {"column": "c_nationkey", "min": 0, "max": 24}},
+        ],
+    }]})[0]
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    masked = masked_stream(stream, plan)
+    assert masked.isStreaming
+    q = (
+        masked.writeStream.format("memory")
+        .queryName("masked_customers")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM masked_customers").collect()
+    assert len(got) == batch.count()
+    import re
+
+    assert all(re.fullmatch(r"[0-9a-f]{64}", r.c_name) for r in got[:20])
+    assert all(0 <= r.c_nationkey <= 24 for r in got)
+    # stream output equals batch output (same deterministic plan)
+    from greenmask_spark.plan import apply_plan
+
+    batch_out = {r.c_custkey: r.c_name
+                 for r in apply_plan(batch, plan).collect()}
+    assert all(batch_out[r.c_custkey] == r.c_name for r in got[:50])
+
+
+def test_windowed_event_counts_batch_parity(spark, tables):
+    """Windowed agg runs identically on batch input (oracle-checkable)."""
+    from greenmask_spark.streaming import windowed_event_counts
+
+    out = windowed_event_counts(tables["events"], window="1 day")
+    rows = out.collect()
+    assert rows and all(r.window_end > r.window_start for r in rows)
+    total = sum(r.n_events for r in rows)
+    assert total == tables["events"].count()
+
+
+def test_stateful_stream_windows(spark, tables, tmp_path):
+    """Streaming windowed counts with watermark over a file stream."""
+    from greenmask_spark.streaming import stream_events_from_dir, windowed_event_counts
+
+    src = str(tmp_path / "stream_src")
+    tables["events"].limit(1000).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = stream_events_from_dir(spark, src, schema)
+    agg = windowed_event_counts(stream, window="6 hours", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("win_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n_events) s FROM win_counts").collect()[0].s
+    assert got == 1000

@@ -94,19 +94,42 @@ class RandomUnixTimestamp(Transformer):
     allowed_types = ("int4", "int8")
     defaults = {"min_unit": "sec", "max_unit": "sec", "unit": "sec", "keep_null": True}
 
+    @staticmethod
+    def _to_ms(col: Column, unit: str) -> Column:
+        """Exact integer conversion unit → milliseconds (never via double:
+        ns epochs overflow the double mantissa)."""
+        if unit == "sec":
+            return col * F.lit(1000)
+        if unit == "milli":
+            return col
+        if unit == "micro":
+            return (col / F.lit(1000)).cast("bigint")  # int div on bigint
+        if unit == "nano":
+            return (col / F.lit(1000000)).cast("bigint")
+        raise ValueError(f"unknown unit {unit!r}")
+
+    @staticmethod
+    def _from_ms(ms: Column, unit: str) -> Column:
+        if unit == "sec":
+            return (ms / F.lit(1000)).cast("bigint")
+        if unit == "milli":
+            return ms
+        if unit == "micro":
+            return ms * F.lit(1000)
+        if unit == "nano":
+            return ms * F.lit(1000000)
+        raise ValueError(f"unknown unit {unit!r}")
+
     def build(self, ctx: BuildContext) -> Column:
         p = ctx.params
-        lo_ms = (
-            ctx.param_col("min", 0).cast("bigint")
-            * F.lit(_UNIT_TO_MS[p.get("min_unit", "sec")])
-        ).cast("bigint")
-        hi_ms = (
-            ctx.param_col("max", 4102444800).cast("bigint")
-            * F.lit(_UNIT_TO_MS[p.get("max_unit", "sec")])
-        ).cast("bigint")
+        lo_ms = self._to_ms(
+            ctx.param_col("min", 0).cast("bigint"), p.get("min_unit", "sec")
+        )
+        hi_ms = self._to_ms(
+            ctx.param_col("max", 4102444800).cast("bigint"), p.get("max_unit", "sec")
+        )
         ms = ctx.engine.uniform_int(ctx.col(), lo_ms, hi_ms)
-        out_unit = p.get("unit", "sec")
-        out = (ms * F.lit(_MS_FROM_UNIT[out_unit])).cast(ctx.spark_type)
+        out = self._from_ms(ms, p.get("unit", "sec")).cast(ctx.spark_type)
         return keep_null_guard(ctx.col(), out, p.get("keep_null", True))
 
 

@@ -832,6 +832,155 @@ def _oracle_validate_diff() -> str:
 
 
 # ---------------------------------------------------------------------------
+# transformer coverage, batch 2 (SURVEY §2.3 completeness)
+# ---------------------------------------------------------------------------
+
+
+def q_t_random_float(spark, sf_dir):
+    t = _tables(spark, sf_dir, "customer")
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "RandomFloat", "params": {"column": "c_acctbal",
+                                           "min": 100.0, "max": 200.0,
+                                           "decimal": 3}})})
+    return apply_plan(t["customer"], plan).select("c_custkey", "c_acctbal")
+
+
+def _oracle_t_random_float() -> str:
+    u = _udb("c_acctbal")
+    v = (f"round(CAST(100.0 AS DOUBLE) + {u} * "
+         f"(CAST(200.0 AS DOUBLE) - CAST(100.0 AS DOUBLE)), 3)")
+    return f"SELECT c_custkey, CAST({v} AS DOUBLE) AS c_acctbal FROM customer"
+
+
+def q_t_random_numeric(spark, sf_dir):
+    """RandomNumeric over a DecimalType column (arbitrary-precision family)."""
+    t = _tables(spark, sf_dir, "lineitem")
+    df = t["lineitem"].withColumn(
+        "l_qty_dec", F.col("l_quantity").cast("decimal(18,4)"))
+    plan = _plan({"name": "lineitem", "transformers": _steps(
+        {"name": "RandomNumeric", "params": {"column": "l_qty_dec",
+                                             "min": 0, "max": 1000,
+                                             "decimal": 2}})})
+    return apply_plan(df, plan).select("l_orderkey", "l_linenumber", "l_qty_dec")
+
+
+def _oracle_t_random_numeric() -> str:
+    key = "CAST(l_quantity AS DECIMAL(18,4))"
+    draw = kernel.duck_uniform_int(key, "0", "100000", salt=SALT)
+    return (f"SELECT l_orderkey, l_linenumber, "
+            f"CAST(({draw}) / 100.0 AS DECIMAL(38,2)) AS l_qty_dec "
+            f"FROM lineitem")
+
+
+def q_t_random_bool(spark, sf_dir):
+    t = _tables(spark, sf_dir, "events")
+    df = t["events"].withColumn("flag", F.col("value") > 25)
+    plan = _plan({"name": "events", "transformers": _steps(
+        {"name": "RandomBool", "params": {"column": "flag"}})})
+    return apply_plan(df, plan).select("event_id", "flag")
+
+
+def _oracle_t_random_bool() -> str:
+    bit = _uix("value > 25", 0, 1)
+    return f"SELECT event_id, (({bit}) = 1) AS flag FROM events"
+
+
+def q_t_random_unix_timestamp(spark, sf_dir):
+    t = _tables(spark, sf_dir, "events")
+    plan = _plan({"name": "events", "transformers": _steps(
+        {"name": "RandomUnixTimestamp", "params": {
+            "column": "user_id", "min": 0, "max": 4102444800,
+            "min_unit": "sec", "max_unit": "sec", "unit": "sec"}})})
+    return apply_plan(t["events"], plan).select("event_id", "user_id")
+
+
+def _oracle_t_random_unix_timestamp() -> str:
+    ms = kernel.duck_uniform_int("user_id", "0", "4102444800000", salt=SALT)
+    return (f"SELECT event_id, CAST(floor(({ms}) / 1000.0) AS BIGINT) AS user_id "
+            f"FROM events")
+
+
+_RS_SYMBOLS = "abc123"
+
+
+def q_t_random_string(spark, sf_dir):
+    t = _tables(spark, sf_dir, "part")
+    plan = _plan({"name": "part", "transformers": _steps(
+        {"name": "RandomString", "params": {"column": "p_brand",
+                                            "min_length": 4, "max_length": 8,
+                                            "symbols": _RS_SYMBOLS}})})
+    return apply_plan(t["part"], plan).select("p_partkey", "p_brand")
+
+
+def _oracle_t_random_string() -> str:
+    syms = _sql_list(list(_RS_SYMBOLS))
+    length = _uix("p_brand", 4, 8, draw=0)
+    chars = []
+    for i in range(8):
+        idx = _uix("p_brand", 0, len(_RS_SYMBOLS) - 1, draw=1 + i)
+        chars.append(
+            f"(CASE WHEN {i} < ({length}) THEN "
+            f"list_extract({syms}, CAST({idx} AS INTEGER) + 1) ELSE '' END)"
+        )
+    out = " || ".join(chars)
+    return f"SELECT p_partkey, ({out}) AS p_brand FROM part"
+
+
+def q_t_random_mac(spark, sf_dir):
+    t = _tables(spark, sf_dir, "supplier")
+    plan = _plan({"name": "supplier", "transformers": _steps(
+        {"name": "RandomMac", "params": {"column": "s_name"}})})
+    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name")
+
+
+def _oracle_t_random_mac() -> str:
+    h = kernel.duck_salted_hex("s_name", SALT)
+    o0 = (f"printf('%02x', ((CAST(('0x' || substr({h}, 1, 2)) AS INTEGER) "
+          f"& 252) | 2))")
+    rest = " || ':' || ".join(f"substr({h}, {3 + 2 * i}, 2)" for i in range(5))
+    return (f"SELECT s_suppkey, ({o0} || ':' || {rest}) AS s_name "
+            f"FROM supplier")
+
+
+def q_t_noise_numeric(spark, sf_dir):
+    t = _tables(spark, sf_dir, "orders")
+    df = t["orders"].withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,4)"))
+    plan = _plan({"name": "orders", "transformers": _steps(
+        {"name": "NoiseNumeric", "params": {"column": "price_dec",
+                                            "min_ratio": 0.0,
+                                            "max_ratio": 0.1,
+                                            "decimal": 2}})})
+    return apply_plan(df, plan).select("o_orderkey", "price_dec")
+
+
+def _oracle_t_noise_numeric() -> str:
+    key = "CAST(o_totalprice AS DECIMAL(18,4))"
+    noise = _noise_sql(key, 0.0, 0.1)
+    return (f"SELECT o_orderkey, CAST(round({noise}, 2) AS DECIMAL(38,2)) "
+            f"AS price_dec FROM orders")
+
+
+def q_t_noise_date(spark, sf_dir):
+    t = _tables(spark, sf_dir, "orders")
+    plan = _plan({"name": "orders", "transformers": _steps(
+        {"name": "NoiseDate", "params": {"column": "o_orderdate",
+                                         "max_interval": "P30D",
+                                         "truncate": "day"}})})
+    return apply_plan(t["orders"], plan).select("o_orderkey", "o_orderdate")
+
+
+def _oracle_t_noise_date() -> str:
+    u = _udb("o_orderdate", draw=0)
+    sign_bit = _uix("o_orderdate", 0, 1, draw=1)
+    sign = f"(CASE WHEN ({sign_bit}) = 1 THEN 1 ELSE -1 END)"
+    off = f"(CAST(floor({u} * 2592000000) AS BIGINT) * {sign})"
+    return (f"SELECT o_orderkey, CAST(date_trunc('day', "
+            f"epoch_ms(epoch_ms(o_orderdate) + {off})) AS TIMESTAMP) "
+            f"AS o_orderdate FROM orders")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -856,6 +1005,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_faker_phone": q_t_faker_phone,
         "t_when_condition": q_t_when_condition,
         "t_dynamic_param": q_t_dynamic_param,
+        "t_random_float": q_t_random_float,
+        "t_random_numeric": q_t_random_numeric,
+        "t_random_bool": q_t_random_bool,
+        "t_random_unix_timestamp": q_t_random_unix_timestamp,
+        "t_random_string": q_t_random_string,
+        "t_random_mac": q_t_random_mac,
+        "t_noise_numeric": q_t_noise_numeric,
+        "t_noise_date": q_t_noise_date,
         "subset_orders": q_subset_orders,
         "subset_lineitem": q_subset_lineitem,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -894,6 +1051,14 @@ def oracle_sql() -> dict[str, str]:
         "t_faker_phone": _oracle_t_faker_phone(),
         "t_when_condition": _oracle_t_when_condition(),
         "t_dynamic_param": _oracle_t_dynamic_param(),
+        "t_random_float": _oracle_t_random_float(),
+        "t_random_numeric": _oracle_t_random_numeric(),
+        "t_random_bool": _oracle_t_random_bool(),
+        "t_random_unix_timestamp": _oracle_t_random_unix_timestamp(),
+        "t_random_string": _oracle_t_random_string(),
+        "t_random_mac": _oracle_t_random_mac(),
+        "t_noise_numeric": _oracle_t_noise_numeric(),
+        "t_noise_date": _oracle_t_noise_date(),
         "subset_orders": _oracle_subset_orders(),
         "subset_lineitem": _oracle_subset_lineitem(),
         "q1_pricing_summary": _oracle_q1(),

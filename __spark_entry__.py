@@ -981,6 +981,456 @@ def _oracle_t_noise_date() -> str:
 
 
 # ---------------------------------------------------------------------------
+# faker family (22 transformers, grouped) + multi-column + UDF-tier
+# ---------------------------------------------------------------------------
+
+
+def q_t_faker_temporal(spark, sf_dir):
+    """RandomMonthName/DayOfWeek/DayOfMonth/YearString/Century/Timezone."""
+    t = _tables(spark, sf_dir, "customer")
+    df = t["customer"]
+    for c in ("mn", "dw", "dom", "yr", "cen", "tz"):
+        df = df.withColumn(c, F.col("c_name"))
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "RandomMonthName", "params": {"column": "mn"}},
+        {"name": "RandomDayOfWeek", "params": {"column": "dw"}},
+        {"name": "RandomDayOfMonth", "params": {"column": "dom"}},
+        {"name": "RandomYearString", "params": {"column": "yr"}},
+        {"name": "RandomCentury", "params": {"column": "cen"}},
+        {"name": "RandomTimezone", "params": {"column": "tz"}})})
+    return apply_plan(df, plan).select(
+        "c_custkey", "mn", "dw", "dom", "yr", "cen", "tz")
+
+
+def _oracle_t_faker_temporal() -> str:
+    from greenmask_spark.transformers.faker_like import RandomCentury
+
+    mn = _duck_pick(lex.MONTH_NAMES, _uix("c_name", 0, 11))
+    dw = _duck_pick(lex.DAY_NAMES, _uix("c_name", 0, 6))
+    dom = f"CAST({_uix('c_name', 1, 28)} AS VARCHAR)"
+    yr = f"CAST({_uix('c_name', 1950, 2049)} AS VARCHAR)"
+    cen = _duck_pick(RandomCentury._ROMAN, _uix("c_name", 0, 20))
+    tz = _duck_pick(lex.TIMEZONES, _uix("c_name", 0, len(lex.TIMEZONES) - 1))
+    return (f"SELECT c_custkey, {mn} AS mn, {dw} AS dw, {dom} AS dom, "
+            f"{yr} AS yr, {cen} AS cen, {tz} AS tz FROM customer")
+
+
+def q_t_faker_internet(spark, sf_dir):
+    """RandomDomainName/URL/Username/Password."""
+    t = _tables(spark, sf_dir, "customer")
+    df = t["customer"]
+    for c in ("dom", "url", "usr", "pwd"):
+        df = df.withColumn(c, F.col("c_name"))
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "RandomDomainName", "params": {"column": "dom"}},
+        {"name": "RandomURL", "params": {"column": "url"}},
+        {"name": "RandomUsername", "params": {"column": "usr"}},
+        {"name": "RandomPassword", "params": {"column": "pwd", "length": 6}})})
+    return apply_plan(df, plan).select("c_custkey", "dom", "url", "usr", "pwd")
+
+
+def _oracle_t_faker_internet() -> str:
+    key = "c_name"
+    dom = (f"({_duck_pick(lex.DOMAIN_WORDS, _uix(key, 0, 10**6, draw=0))} || "
+           f"{_duck_pick(lex.DOMAIN_WORDS, _uix(key, 0, 10**6, draw=1))} || '.' || "
+           f"{_duck_pick(lex.TLDS, _uix(key, 0, len(lex.TLDS) - 1, draw=2))})")
+    url = (f"('https://' || {_duck_pick(lex.DOMAIN_WORDS, _uix(key, 0, 10**6, draw=0))}"
+           f" || '.' || {_duck_pick(lex.TLDS, _uix(key, 0, len(lex.TLDS) - 1, draw=1))}"
+           f" || '/' || {_duck_pick(lex.WORDS, _uix(key, 0, 10**6, draw=2))})")
+    usr = (f"({_duck_pick(lex.WORDS, _uix(key, 0, 10**6, draw=0))} || '_' || "
+           f"CAST({_uix(key, 10, 9999, draw=1)} AS VARCHAR))")
+    syms = _sql_list(list(lex.PASSWORD_SYMBOLS))
+    pwd_chars = [
+        f"list_extract({syms}, CAST({_uix(key, 0, len(lex.PASSWORD_SYMBOLS) - 1, draw=i)} AS INTEGER) + 1)"
+        for i in range(6)
+    ]
+    pwd = "(" + " || ".join(pwd_chars) + ")"
+    return (f"SELECT c_custkey, {dom} AS dom, {url} AS url, {usr} AS usr, "
+            f"{pwd} AS pwd FROM customer")
+
+
+def q_t_faker_finance(spark, sf_dir):
+    """RandomCCType/CCNumber/Currency/AmountWithCurrency."""
+    t = _tables(spark, sf_dir, "customer")
+    df = t["customer"]
+    for c in ("cct", "ccn", "cur", "amt"):
+        df = df.withColumn(c, F.col("c_name"))
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "RandomCCType", "params": {"column": "cct"}},
+        {"name": "RandomCCNumber", "params": {"column": "ccn"}},
+        {"name": "RandomCurrency", "params": {"column": "cur"}},
+        {"name": "RandomAmountWithCurrency", "params": {"column": "amt"}})})
+    return apply_plan(df, plan).select("c_custkey", "cct", "ccn", "cur", "amt")
+
+
+def _oracle_t_faker_finance() -> str:
+    key = "c_name"
+    cct = _duck_pick(lex.CC_TYPES, _uix(key, 0, len(lex.CC_TYPES) - 1))
+    ccn = (f"('4' || lpad(CAST({_uix(key, 0, 10**7 - 1, draw=0)} AS VARCHAR), 7, '0')"
+           f" || lpad(CAST({_uix(key, 0, 10**8 - 1, draw=1)} AS VARCHAR), 8, '0'))")
+    cur = _duck_pick(lex.CURRENCIES, _uix(key, 0, len(lex.CURRENCIES) - 1))
+    amt = (f"(CAST(round({_udb(key, draw=0)} * 10000.0, 2) AS VARCHAR) || ' ' || "
+           f"{_duck_pick(lex.CURRENCIES, _uix(key, 0, len(lex.CURRENCIES) - 1, draw=1))})")
+    return (f"SELECT c_custkey, {cct} AS cct, {ccn} AS ccn, {cur} AS cur, "
+            f"{amt} AS amt FROM customer")
+
+
+def _duck_sentence(key: str, n_words: int, base_draw: int = 0) -> str:
+    parts = [
+        _duck_pick(lex.WORDS, _uix(key, 0, 10**6, draw=base_draw + i))
+        for i in range(n_words)
+    ]
+    body = "(" + " || ' ' || ".join(parts) + ")"
+    return f"(upper(substr({body}, 1, 1)) || substr({body}, 2) || '.')"
+
+
+def q_t_faker_text(spark, sf_dir):
+    """RandomWord/Sentence/Paragraph."""
+    t = _tables(spark, sf_dir, "part")
+    df = t["part"]
+    for c in ("w", "sent", "para"):
+        df = df.withColumn(c, F.col("p_name"))
+    plan = _plan({"name": "part", "transformers": _steps(
+        {"name": "RandomWord", "params": {"column": "w"}},
+        {"name": "RandomSentence", "params": {"column": "sent", "words": 4}},
+        {"name": "RandomParagraph", "params": {"column": "para",
+                                               "sentences": 2, "words": 3}})})
+    return apply_plan(df, plan).select("p_partkey", "w", "sent", "para")
+
+
+def _oracle_t_faker_text() -> str:
+    key = "p_name"
+    w = _duck_pick(lex.WORDS, _uix(key, 0, 10**6))
+    sent = _duck_sentence(key, 4)
+    para = f"({_duck_sentence(key, 3, 0)} || ' ' || {_duck_sentence(key, 3, 3)})"
+    return (f"SELECT p_partkey, {w} AS w, {sent} AS sent, {para} AS para "
+            f"FROM part")
+
+
+def q_t_faker_geo(spark, sf_dir):
+    """RandomLatitude/Longitude."""
+    t = _tables(spark, sf_dir, "customer")
+    df = (t["customer"].withColumn("lat", F.col("c_acctbal"))
+          .withColumn("lon", F.col("c_acctbal")))
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "RandomLatitude", "params": {"column": "lat"}},
+        {"name": "RandomLongitude", "params": {"column": "lon"}})})
+    return apply_plan(df, plan).select("c_custkey", "lat", "lon")
+
+
+def _oracle_t_faker_geo() -> str:
+    u = _udb("c_acctbal")
+    return (f"SELECT c_custkey, round({u} * 180.0 - 90.0, 6) AS lat, "
+            f"round({u} * 360.0 - 180.0, 6) AS lon FROM customer")
+
+
+def q_t_faker_phone2(spark, sf_dir):
+    """RandomTollFreePhoneNumber/E164PhoneNumber."""
+    t = _tables(spark, sf_dir, "customer")
+    df = (t["customer"].withColumn("tf", F.col("c_name"))
+          .withColumn("e164", F.col("c_name")))
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "RandomTollFreePhoneNumber", "params": {"column": "tf"}},
+        {"name": "RandomE164PhoneNumber", "params": {"column": "e164"}})})
+    return apply_plan(df, plan).select("c_custkey", "tf", "e164")
+
+
+def _oracle_t_faker_phone2() -> str:
+    key = "c_name"
+    prefixes = ["800", "833", "844", "855", "866", "877", "888"]
+    tf = (f"('(' || {_duck_pick(prefixes, _uix(key, 0, 6, draw=0))} || ') ' || "
+          f"lpad(CAST({_uix(key, 200, 999, draw=1)} AS VARCHAR), 3, '0') || '-' || "
+          f"lpad(CAST({_uix(key, 0, 9999, draw=2)} AS VARCHAR), 4, '0'))")
+    e164 = (f"('+1' || lpad(CAST({_uix(key, 200, 999, draw=0)} AS VARCHAR), 3, '0')"
+            f" || lpad(CAST({_uix(key, 200, 999, draw=1)} AS VARCHAR), 3, '0')"
+            f" || lpad(CAST({_uix(key, 0, 9999, draw=2)} AS VARCHAR), 4, '0'))")
+    return f"SELECT c_custkey, {tf} AS tf, {e164} AS e164 FROM customer"
+
+
+def q_t_real_address(spark, sf_dir):
+    """RealAddress: correlated City + StateAbbr from one shared persona draw."""
+    t = _tables(spark, sf_dir, "customer")
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "RealAddress", "params": {"columns": [
+            {"name": "c_name", "attribute": "City"},
+            {"name": "c_mktsegment", "attribute": "StateAbbr"}]}})})
+    return apply_plan(t["customer"], plan).select(
+        "c_custkey", "c_name", "c_mktsegment")
+
+
+def _oracle_t_real_address() -> str:
+    key = "(c_name || chr(31) || c_mktsegment)"
+    idx = _uix(key, 0, 10**9)
+    city = _duck_pick(lex.CITIES, idx)
+    abbr = _duck_pick([a for _, a in lex.STATES], idx)
+    return (f"SELECT c_custkey, {city} AS c_name, {abbr} AS c_mktsegment "
+            f"FROM customer")
+
+
+def q_t_json_ops(spark, sf_dir):
+    """Json transformer: ordered set+delete path ops over a JSON column."""
+    t = _tables(spark, sf_dir, "events")
+    plan = _plan({"name": "events", "transformers": _steps(
+        {"name": "Json", "params": {"column": "props", "operations": [
+            {"operation": "set", "path": "tag", "value": "masked"},
+            {"operation": "delete", "path": "k"}]}})})
+    out = apply_plan(t["events"], plan)
+    return out.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.tag").alias("tag"),
+    )
+
+
+def _oracle_t_json_ops() -> str:
+    return ("SELECT event_id, CAST(NULL AS INTEGER) AS k, 'masked' AS tag "
+            "FROM events")
+
+
+def q_t_template(spark, sf_dir):
+    """Template transformer (Jinja2 dialect) rendering one cell from the row."""
+    t = _tables(spark, sf_dir, "customer")
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "Template", "params": {
+            "column": "c_name",
+            "template": "{{ record['c_name'] | upper }} <{{ record['c_custkey'] }}>",
+        }})})
+    return apply_plan(t["customer"], plan).select("c_custkey", "c_name")
+
+
+def _oracle_t_template() -> str:
+    return ("SELECT c_custkey, (upper(c_name) || ' <' || "
+            "CAST(c_custkey AS VARCHAR) || '>') AS c_name FROM customer")
+
+
+def q_t_template_record(spark, sf_dir):
+    """TemplateRecord: whole-record mutation via set() calls."""
+    t = _tables(spark, sf_dir, "supplier")
+    plan = _plan({"name": "supplier", "transformers": _steps(
+        {"name": "TemplateRecord", "params": {
+            "template": ("{{ set('s_name', record['s_name'] | lower) }}"
+                         "{{ set('s_acctbal', record['s_acctbal'] * 2) }}"),
+        }})})
+    return apply_plan(t["supplier"], plan).select(
+        "s_suppkey", "s_name", "s_acctbal")
+
+
+def _oracle_t_template_record() -> str:
+    return ("SELECT s_suppkey, lower(s_name) AS s_name, "
+            "s_acctbal * 2 AS s_acctbal FROM supplier")
+
+
+def q_t_cmd(spark, sf_dir):
+    """Cmd transformer: external subprocess over the text line protocol."""
+    import sys as _sys
+
+    t = _tables(spark, sf_dir, "customer")
+    plan = _plan({"name": "customer", "transformers": _steps(
+        {"name": "Cmd", "params": {
+            "executable": _sys.executable,
+            "args": ["-u", "-c",
+                     "import sys\n"
+                     "for line in sys.stdin:\n"
+                     "    print(line.rstrip('\\n').upper(), flush=True)"],
+            "driver": "text",
+            "columns": ["c_name"],
+        }})})
+    return apply_plan(t["customer"], plan).select("c_custkey", "c_name")
+
+
+def _oracle_t_cmd() -> str:
+    return "SELECT c_custkey, upper(c_name) AS c_name FROM customer"
+
+
+# ---------------------------------------------------------------------------
+# pipeline operators: inheritance, cyclic subset, dedup verify, ANN, media
+# ---------------------------------------------------------------------------
+
+
+def q_t_apply_for_references(spark, sf_dir):
+    """apply_for_references: a hash-engine mask on customer.c_custkey is
+    propagated over the FK graph onto orders.o_custkey (reference:
+    context/config_builder.go:244-335). FK-consistency proof: joining on
+    the MASKED keys reproduces the original relationships."""
+    from greenmask_spark.plan import apply_plans
+    from greenmask_spark.plan.inheritance import expand_references
+    from greenmask_spark.subset import FKGraph, Reference
+
+    t = _tables(spark, sf_dir, "customer", "orders")
+    plans = build_plan({"tables": [{"name": "customer", "transformers": _steps(
+        {"name": "RandomInt", "params": {"column": "c_custkey", "min": 0,
+                                         "max": 10**9,
+                                         "apply_for_references": True}})}]})
+    g = FKGraph(
+        tables=["customer", "orders"],
+        references=[Reference("orders", "customer",
+                              ("o_custkey",), ("c_custkey",))],
+    )
+    masked = apply_plans(t, expand_references(plans, g))
+    c = masked["customer"].select(F.col("c_custkey").alias("k"), "c_nationkey")
+    o = masked["orders"].select("o_orderkey", "o_custkey")
+    return o.join(c, o["o_custkey"] == c["k"]).select(
+        "o_orderkey", "o_custkey", "c_nationkey")
+
+
+def _oracle_t_apply_for_references() -> str:
+    mk = lambda col: _uix(col, 0, 10**9)  # noqa: E731
+    return f"""
+    SELECT o_orderkey, {mk('o_custkey')} AS o_custkey, c_nationkey
+    FROM orders JOIN customer ON ({mk('o_custkey')}) = ({mk('c_custkey')})
+    """
+
+
+def q_subset_cycle(spark, sf_dir):
+    """Cyclic subset: events.user_id → events.event_id self-reference.
+    The deflationary fixpoint (reference's recursive-CTE semantics,
+    subset/graph.go:396-520) drops rows whose ancestor chain hits a
+    filtered-out row."""
+    from greenmask_spark.subset import FKGraph, Reference, SubsetPlanner
+
+    t = _tables(spark, sf_dir, "events")
+    g = FKGraph(
+        tables=["events"],
+        references=[Reference("events", "events",
+                              ("user_id",), ("event_id",))],
+    )
+    planner = SubsetPlanner(g, conditions={"events": "event_type <> 'error'"})
+    return planner.plan(t)["events"].select("event_id", "user_id", "event_type")
+
+
+def _oracle_subset_cycle() -> str:
+    return """
+    WITH RECURSIVE dead AS (
+      SELECT event_id FROM events WHERE event_type = 'error'
+      UNION
+      SELECT e.event_id FROM events e JOIN dead d ON e.user_id = d.event_id
+    )
+    SELECT event_id, user_id, event_type FROM events
+    WHERE event_id NOT IN (SELECT event_id FROM dead)
+    """
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """LSH candidates verified by exact k-shingle Jaccard (two-stage dedup)."""
+    from greenmask_spark.functions.dedup import minhash_candidates, ngram_jaccard
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    pairs = minhash_candidates(docs, num_perm=_NUM_PERM, bands=_BANDS,
+                               k=_SHINGLE_K)
+    return ngram_jaccard(docs, pairs, k=_SHINGLE_K)
+
+
+def _oracle_ngram_jaccard() -> str:
+    from greenmask_spark.functions.dedup import perm_constants
+
+    hs = f"list_transform({_DUCK_SHINGLES}, s -> {_duck_shingle_hash('s')})"
+    mins = [
+        f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % 2147483647))"
+        for a, b in perm_constants(_NUM_PERM)
+    ]
+    rows_per_band = _NUM_PERM // _BANDS
+    band_exprs = []
+    for b in range(_BANDS):
+        parts = [f"'{b}'"] + [
+            f"CAST({mins[b * rows_per_band + r]} AS VARCHAR)"
+            for r in range(rows_per_band)
+        ]
+        band_exprs.append("(" + " || '_' || ".join(parts) + ")")
+    bands_list = "[" + ", ".join(band_exprs) + "]"
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id AS id, unnest({bands_list}) AS bk FROM documents
+    ), pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.id < b.id
+    ), sh AS (
+      SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents
+    )
+    SELECT p.id_a, p.id_b,
+      round(len(list_intersect(a.sh, b.sh)) /
+            CAST(len(list_distinct(list_cat(a.sh, b.sh))) AS DOUBLE), 4)
+        AS jaccard
+    FROM pairs p JOIN sh a ON a.id = p.id_a JOIN sh b ON b.id = p.id_b
+    """
+
+
+_NEAR_DUP_COS = 0.45
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact baseline; the LSH-bucketed
+    variant is ann_topk_lsh — the 100 TB path)."""
+    from greenmask_spark.functions.similarity import cosine
+
+    emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos_sim") >= _NEAR_DUP_COS)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def _oracle_embedding_near_dup() -> str:
+    dot = ("list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))")
+    nrm = "sqrt(list_sum(list_transform({t}.v, x -> x * x)))"
+    cos = f"round({dot} / ({nrm.format(t='a')} * {nrm.format(t='b')}), 4)"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {cos} >= {_NEAR_DUP_COS}
+    """
+
+
+def _media_from_events(ev: DataFrame) -> DataFrame:
+    """Deterministic media table derived from events (documents the media
+    schema contract; payloads live elsewhere at scale)."""
+    return ev.select(
+        F.col("event_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("event_id") % 3).cast("int") + 1,
+        ).alias("kind"),
+        ((F.col("event_id") % 10) * 3000).alias("duration_ms"),
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling: metadata explode (the real-video-pipeline plan
+    shape, minus codec)."""
+    from greenmask_spark.functions.multimodal import sample_frames
+
+    ev = _tables(spark, sf_dir, "events")["events"]
+    return sample_frames(_media_from_events(ev), every_ms=1000)
+
+
+def _oracle_multimodal_frames() -> str:
+    return """
+    SELECT event_id AS media_id,
+           unnest(generate_series(0, (event_id % 10) * 3000, 1000))
+             AS frame_ts_ms
+    FROM events WHERE event_id % 3 = 2
+    """
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction through mapInPandas (deterministic
+    fake decoder — real codecs are stubbed; Spark plumbing is real).
+    Not SQL-expressible → rows-only check."""
+    from greenmask_spark.functions.multimodal import extract_features
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_features(media, dim=4, fake=True)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1013,7 +1463,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_random_mac": q_t_random_mac,
         "t_noise_numeric": q_t_noise_numeric,
         "t_noise_date": q_t_noise_date,
+        "t_faker_temporal": q_t_faker_temporal,
+        "t_faker_internet": q_t_faker_internet,
+        "t_faker_finance": q_t_faker_finance,
+        "t_faker_text": q_t_faker_text,
+        "t_faker_geo": q_t_faker_geo,
+        "t_faker_phone2": q_t_faker_phone2,
+        "t_real_address": q_t_real_address,
+        "t_json_ops": q_t_json_ops,
+        "t_template": q_t_template,
+        "t_template_record": q_t_template_record,
+        "t_cmd": q_t_cmd,
+        "t_apply_for_references": q_t_apply_for_references,
         "subset_orders": q_subset_orders,
+        "subset_cycle": q_subset_cycle,
         "subset_lineitem": q_subset_lineitem,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
@@ -1027,6 +1490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
         "validate_diff": q_validate_diff,
     }
 
@@ -1059,7 +1526,20 @@ def oracle_sql() -> dict[str, str]:
         "t_random_mac": _oracle_t_random_mac(),
         "t_noise_numeric": _oracle_t_noise_numeric(),
         "t_noise_date": _oracle_t_noise_date(),
+        "t_faker_temporal": _oracle_t_faker_temporal(),
+        "t_faker_internet": _oracle_t_faker_internet(),
+        "t_faker_finance": _oracle_t_faker_finance(),
+        "t_faker_text": _oracle_t_faker_text(),
+        "t_faker_geo": _oracle_t_faker_geo(),
+        "t_faker_phone2": _oracle_t_faker_phone2(),
+        "t_real_address": _oracle_t_real_address(),
+        "t_json_ops": _oracle_t_json_ops(),
+        "t_template": _oracle_t_template(),
+        "t_template_record": _oracle_t_template_record(),
+        "t_cmd": _oracle_t_cmd(),
+        "t_apply_for_references": _oracle_t_apply_for_references(),
         "subset_orders": _oracle_subset_orders(),
+        "subset_cycle": _oracle_subset_cycle(),
         "subset_lineitem": _oracle_subset_lineitem(),
         "q1_pricing_summary": _oracle_q1(),
         "q3_shipping_priority": _oracle_q3(),
@@ -1073,5 +1553,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _oracle_simhash(),
         "ann_topk": _oracle_ann_topk(),
         # ann_topk_lsh: intentionally no oracle (rows-only check)
+        "ngram_jaccard": _oracle_ngram_jaccard(),
+        "embedding_near_dup": _oracle_embedding_near_dup(),
+        "multimodal_frames": _oracle_multimodal_frames(),
+        # multimodal_features: FNV fake-decoder loop — not SQL-expressible
         "validate_diff": _oracle_validate_diff(),
     }

@@ -1344,7 +1344,10 @@ def _oracle_ngram_jaccard() -> str:
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.id < b.id
     ), sh AS (
-      SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents
+      SELECT doc_id AS id,
+             list_distinct(list_transform({_DUCK_SHINGLES},
+                                          s -> {_duck_shingle_hash('s')})) AS sh
+      FROM documents
     )
     SELECT p.id_a, p.id_b,
       round(len(list_intersect(a.sh, b.sh)) /
@@ -1358,19 +1361,13 @@ _NEAR_DUP_COS = 0.45
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact baseline; the LSH-bucketed
-    variant is ann_topk_lsh — the 100 TB path)."""
-    from greenmask_spark.functions.similarity import cosine
+    """Embedding-cosine near-duplicate pairs via numpy block products in
+    mapInPandas (vectorized-UDF tier; the LSH-bucketed variant is
+    ann_topk_lsh — the 100 TB path)."""
+    from greenmask_spark.functions.similarity import cosine_pairs_blocked
 
     emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
-        .filter(F.col("cos_sim") >= _NEAR_DUP_COS)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    return cosine_pairs_blocked(emb, _NEAR_DUP_COS)
 
 
 def _oracle_embedding_near_dup() -> str:

@@ -143,13 +143,26 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     k: int = 5,
 ) -> DataFrame:
-    """Exact k-shingle Jaccard for candidate pairs (verification stage)."""
+    """Exact hashed-k-shingle Jaccard for candidate pairs (verification).
+
+    Shingle sets travel as distinct int hash arrays (≈8× smaller than the
+    string shingles) and the doc→hash-set map is BROADCAST, so the pair
+    stream never shuffles arrays — the naive plan re-shuffles the first
+    joined array set on the second join key (hundreds of MB at sf0.1).
+    When the corpus outgrows broadcast, verify via explode +
+    count-common-hashes aggregation instead of per-pair arrays.
+    """
     sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), k), _shingle_hash)
+        ).alias("sh"),
     )
     return (
-        pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        pairs.join(F.broadcast(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})),
+                   "id_a")
+        .join(F.broadcast(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})),
+              "id_b")
         .select(
             "id_a",
             "id_b",

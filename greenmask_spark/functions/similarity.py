@@ -63,6 +63,65 @@ def cosine_topk(
     )
 
 
+def cosine_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold, via numpy block
+    products inside mapInPandas.
+
+    Per-pair JVM expressions (zip_with + aggregate) run the 64-dim dot as
+    ~64 interpreted lambda calls → O(n²·dim) scalar ops; a BLAS matmul does
+    the same block in vectorized batches ~100× faster. The corpus matrix is
+    broadcast (n·dim·8 B — fine up to ~10⁷×64); beyond that, LSH-bucket
+    first (``lsh_bucket``) and run this within buckets.
+
+    Rounding policy: BLAS pairwise summation can differ from a sequential
+    fold in the last ulp; results are rounded to 4 decimals, where the
+    difference is invisible except exactly on a .00005 boundary.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    src = df.select(id_col, vec_col)
+    pdf = src.toPandas()
+    ids0 = pdf[id_col].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids0, mat, norms))
+
+    schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+
+    def run(it):
+        ids_c, mat_c, n_c = bc.value
+        for p in it:
+            if not len(p):
+                continue
+            block = np.array([np.asarray(v, dtype=np.float64) for v in p[vec_col]])
+            bid = p[id_col].to_numpy()
+            bn = np.sqrt((block * block).sum(axis=1))
+            sims = np.round(
+                (block @ mat_c.T) / (bn[:, None] * n_c[None, :]), 4
+            )
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = bid[ii] < ids_c[jj]
+            yield pd.DataFrame({
+                "id_a": bid[ii][keep],
+                "id_b": ids_c[jj][keep],
+                "cos_sim": sims[ii, jj][keep],
+            })
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes without numpy RNG state
     ambiguity: values from a hash-derived uniform in [-1, 1]."""

@@ -135,20 +135,54 @@ class SubsetPlanner:
             for r in self.graph.references
             if r.child in members and r.parent in members
         ]
-        for it in range(self.max_iterations):
+
+        # Iterate on KEY PROJECTIONS, not full rows: a row's survival is a
+        # function of its FK values only, and its effect on others is its PK
+        # values only — so the fixpoint runs over (pk ∪ fk) columns. Each
+        # iteration is eagerly checkpointed: the per-iteration cost stays
+        # O(|keys|) instead of re-executing an ever-growing join lineage
+        # (the O(k²) trap of naive loop-unrolled plans).
+        proj_cols: dict[str, list[str]] = {}
+        for t in members:
+            cols: set[str] = set()
+            for r in internal_refs:
+                if r.parent == t:
+                    cols.update(r.pk_columns)
+                if r.child == t:
+                    cols.update(r.fk_columns)
+            proj_cols[t] = sorted(cols)
+
+        keys = {
+            t: out[t].select(*proj_cols[t]).localCheckpoint(eager=True)
+            for t in members
+        }
+        counts = {t: keys[t].count() for t in members}
+
+        for _ in range(self.max_iterations):
+            new_keys = {}
             changed = False
             for t in members:
-                before = out[t]
-                df = before
+                df = keys[t]
                 for ref in internal_refs:
                     if ref.child != t:
                         continue
-                    df = self._integrity_filter(df, out[ref.parent], ref)
-                if self.checkpoint_every and (it + 1) % self.checkpoint_every == 0:
-                    df = df.localCheckpoint(eager=True)
-                # cheap fixpoint test: count delta (rows only ever shrink)
-                if df is not before and df.count() != before.count():
+                    df = self._integrity_filter(df, keys[ref.parent], ref)
+                df = df.localCheckpoint(eager=True)
+                n = df.count()
+                if n != counts[t]:
                     changed = True
-                out[t] = df
+                counts[t] = n
+                new_keys[t] = df
+            keys = new_keys
             if not changed:
                 break
+
+        # final pass: one integrity semi-join of the full seed rows against
+        # the converged parent key sets
+        for t in members:
+            df = out[t]
+            for ref in internal_refs:
+                if ref.child != t:
+                    continue
+                df = self._integrity_filter(df, keys[ref.parent], ref)
+            out[t] = df

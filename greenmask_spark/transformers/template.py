@@ -67,12 +67,21 @@ def template_functions() -> dict[str, Any]:
     }
 
 
-def render_template(tpl: str, record: dict[str, Any]) -> Any:
+def compile_template(tpl: str):
+    """Compile once (plan time / per executor), render per row. Compiling in
+    ``render_template`` per row costs ~10× the render itself."""
     if _JINJA is not None:
         t = _JINJA.from_string(tpl)
-        return t.render(record=record, **template_functions())
+        funcs = template_functions()
+        return lambda record, **kw: t.render(record=record, **funcs, **kw)
     # fallback mini-dialect: '{col}' substitution only
-    return tpl.format(**{k: ("" if v is None else v) for k, v in record.items()})
+    return lambda record, **kw: tpl.format(
+        **{k: ("" if v is None else v) for k, v in record.items()}
+    )
+
+
+def render_template(tpl: str, record: dict[str, Any]) -> Any:
+    return compile_template(tpl)(record)
 
 
 @register
@@ -91,9 +100,10 @@ class Template(Transformer):
         cols = df.columns
 
         def _render(it):
+            render = compile_template(tpl)
             for pdf in it:
                 rendered = [
-                    render_template(tpl, dict(zip(cols, row)))
+                    render(dict(zip(cols, row)))
                     for row in pdf[cols].itertuples(index=False, name=None)
                 ]
                 pdf[target] = pd.Series(rendered, index=pdf.index).astype(object)
@@ -122,6 +132,7 @@ class TemplateRecord(Transformer):
         schema = df.schema
 
         def _render(it):
+            render = compile_template(tpl)
             for pdf in it:
                 new_rows = []
                 for row in pdf[cols].itertuples(index=False, name=None):
@@ -132,9 +143,7 @@ class TemplateRecord(Transformer):
                         _u[k] = v
                         return ""
 
-                    if _JINJA is not None:
-                        t = _JINJA.from_string(tpl)
-                        t.render(record=rec, set=_set, **template_functions())
+                    render(rec, set=_set)
                     rec.update(updates)
                     new_rows.append(rec)
                 yield pd.DataFrame(new_rows, columns=cols)

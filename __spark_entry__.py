@@ -320,6 +320,31 @@ def _oracle_t_random_email() -> str:
             f"FROM customer")
 
 
+def q_t_query_override(spark, sf_dir):
+    """Custom per-table `query` override replaces the scan (reference:
+    entries/table.go:150-152) — restricts which rows are dumped, then the
+    transformer chain applies on top."""
+    t = _tables(spark, sf_dir, "orders")
+    plan = _plan({
+        "name": "orders",
+        "query": ("SELECT o_orderkey, o_totalprice FROM orders "
+                  "WHERE o_totalprice > 150000"),
+        "transformers": _steps(
+            {"name": "RandomFloat", "params": {"column": "o_totalprice",
+                                               "min": 0.0, "max": 100.0,
+                                               "decimal": 2}}),
+    })
+    return apply_plan(t["orders"], plan)
+
+
+def _oracle_t_query_override() -> str:
+    u = _udb("o_totalprice")
+    v = (f"round(CAST(0.0 AS DOUBLE) + {u} * "
+         f"(CAST(100.0 AS DOUBLE) - CAST(0.0 AS DOUBLE)), 2)")
+    return (f"SELECT o_orderkey, CAST({v} AS DOUBLE) AS o_totalprice "
+            f"FROM orders WHERE o_totalprice > 150000")
+
+
 def q_t_random_person(spark, sf_dir):
     t = _tables(spark, sf_dir, "customer")
     plan = _plan({"name": "customer", "transformers": _steps(
@@ -861,14 +886,21 @@ def q_t_random_numeric(spark, sf_dir):
         {"name": "RandomNumeric", "params": {"column": "l_qty_dec",
                                              "min": 0, "max": 1000,
                                              "decimal": 2}})})
-    return apply_plan(df, plan).select("l_orderkey", "l_linenumber", "l_qty_dec")
+    # Compare in double space: the decimal VALUE is exact on both sides
+    # (integer draw / 100), but decimal dtypes round-trip differently
+    # through the two collectors (pandas object vs float64) — the r1
+    # hash-parity failure. Decimal → double is correctly rounded, so
+    # identical rationals give identical bits.
+    return apply_plan(df, plan).select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_qty_dec").cast("double").alias("l_qty_dec"))
 
 
 def _oracle_t_random_numeric() -> str:
     key = "CAST(l_quantity AS DECIMAL(18,4))"
     draw = kernel.duck_uniform_int(key, "0", "100000", salt=SALT)
     return (f"SELECT l_orderkey, l_linenumber, "
-            f"CAST(({draw}) / 100.0 AS DECIMAL(38,2)) AS l_qty_dec "
+            f"CAST({draw} AS DOUBLE) / 100.0 AS l_qty_dec "
             f"FROM lineitem")
 
 
@@ -951,13 +983,25 @@ def q_t_noise_numeric(spark, sf_dir):
                                             "min_ratio": 0.0,
                                             "max_ratio": 0.1,
                                             "decimal": 2}})})
-    return apply_plan(df, plan).select("o_orderkey", "price_dec")
+    # double-space compare; see q_t_random_numeric for why
+    return apply_plan(df, plan).select(
+        "o_orderkey", F.col("price_dec").cast("double").alias("price_dec"))
 
 
 def _oracle_t_noise_numeric() -> str:
+    # Twin of NoiseNumeric's scaled-bigint path: value·10^4 exact, noise =
+    # floor(vs·ratio), half-up integer rescale 4 → 2 digits, double output.
     key = "CAST(o_totalprice AS DECIMAL(18,4))"
-    noise = _noise_sql(key, 0.0, 0.1)
-    return (f"SELECT o_orderkey, CAST(round({noise}, 2) AS DECIMAL(38,2)) "
+    u = _udb(key, draw=0)
+    sign_bit = _uix(key, 0, 1, draw=1)
+    sign = f"(CASE WHEN ({sign_bit}) = 1 THEN 1 ELSE -1 END)"
+    ratio = (f"(CAST(0.0 AS DOUBLE) + {u} * "
+             f"(CAST(0.1 AS DOUBLE) - CAST(0.0 AS DOUBLE)))")
+    vs = f"CAST({key} * 10000 AS BIGINT)"
+    noise = f"CAST(floor(CAST({vs} AS DOUBLE) * {ratio}) AS BIGINT)"
+    noised = f"({vs} + {sign} * {noise})"
+    rescaled = f"CAST(floor(({noised} + 50) / 100.0) AS BIGINT)"
+    return (f"SELECT o_orderkey, CAST({rescaled} AS DOUBLE) / 100.0 "
             f"AS price_dec FROM orders")
 
 

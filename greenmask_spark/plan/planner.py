@@ -21,6 +21,8 @@ branching in Python.
 
 from __future__ import annotations
 
+import fnmatch
+import re
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -75,8 +77,19 @@ def build_plan(
     ``{"tables": [{"name", "when", "subset_conds", "query", "transformers":
     [{"name", "params": {...}, "when", "engine"}]}]}``.
     """
+    include = config.get("include_tables")
+    exclude = config.get("exclude_tables", [])
+    exclude_data = config.get("exclude_table_data", [])
     plans = []
     for tcfg in config.get("tables", []):
+        name = tcfg["name"]
+        # pg_dump-style table filters (reference:
+        # internal/db/postgres/pgdump/pgdump.go:67-76,187-226) — glob
+        # patterns; exclude wins over include.
+        if include and not any(fnmatch.fnmatch(name, p) for p in include):
+            continue
+        if any(fnmatch.fnmatch(name, p) for p in exclude):
+            continue
         plan = TablePlan(
             table=tcfg["name"],
             when=tcfg.get("when"),
@@ -84,6 +97,10 @@ def build_plan(
             query=tcfg.get("query"),
             limit=tcfg.get("rows_limit"),
         )
+        if any(fnmatch.fnmatch(name, p) for p in exclude_data):
+            # --exclude-table-data: table stays in the plan (schema/manifest)
+            # but dumps zero rows
+            plan.limit = 0
         for step in tcfg.get("transformers", []):
             t = registry.get(step["name"])
             params = {**t.defaults, **step.get("params", {})}
@@ -102,24 +119,76 @@ def build_plan(
     return plans
 
 
-def _guard(original: Column, transformed: Column, *whens: str | None) -> Column:
+def _guard(original: Column, transformed: Column,
+           *conds: Column | None) -> Column:
     cond = None
-    for w in whens:
-        if w:
-            c = F.expr(w)
+    for c in conds:
+        if c is not None:
             cond = c if cond is None else (cond & c)
     if cond is None:
         return transformed
     return F.when(cond, transformed).otherwise(original)
 
 
+#: helper column holding the table-level ``when`` verdict, computed ONCE
+#: against the ORIGINAL record before any transformer runs (reference:
+#: dumpers/transformation_pipeline.go:165-175) — so mid-chain flushes can
+#: never leak transformed values into the table condition.
+_TABLE_WHEN = "__gm_table_when__"
+
+
+def _step_reads(step: BoundTransformer,
+                df_columns: list[str]) -> set[str]:
+    """Columns a step READS beyond its target: dynamic params
+    ({"column": ...} anywhere in the param tree), multi-column member
+    inputs, and identifiers in ``when`` conditions. Used to decide when a
+    fused projection must flush so this step sees prior steps' outputs
+    (reference applies transformers sequentially over the record —
+    dumpers/transformation_pipeline.go:130-145)."""
+    reads: set[str] = set()
+
+    def scan(obj):
+        if isinstance(obj, dict):
+            c = obj.get("column")
+            if isinstance(c, str):
+                reads.add(c)
+            for v in obj.values():
+                scan(v)
+        elif isinstance(obj, (list, tuple)):
+            for v in obj:
+                scan(v)
+
+    scan(step.params)
+    if step.is_multi_column:
+        reads.update(
+            c["name"] if isinstance(c, dict) else c
+            for c in step.params.get("columns", [])
+        )
+    colset = set(df_columns)
+    if step.when:
+        for tok in re.findall(r"[A-Za-z_][A-Za-z_0-9]*", step.when):
+            if tok in colset:
+                reads.add(tok)
+    return reads
+
+
 def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
     """Execute a table plan. Consecutive expression steps fuse into single
     projections; table-level steps (Template/Cmd) break the chain."""
+    if plan.query:
+        # Custom per-table SQL override replaces the plain scan (reference:
+        # entries/table.go:150-152 — COPY (<query>) TO STDOUT). The input
+        # DataFrame is registered under the table name so the override can
+        # reference it; Catalyst still pushes filters/pruning into the scan.
+        df.createOrReplaceTempView(plan.table)
+        df = df.sparkSession.sql(plan.query)
     if plan.subset_cond:
         df = df.filter(plan.subset_cond)
     if plan.limit is not None:
         df = df.limit(plan.limit)
+    if plan.when:
+        df = df.withColumn(_TABLE_WHEN, F.expr(plan.when))
+    table_cond = F.col(_TABLE_WHEN) if plan.when else None
 
     pending: dict[str, Column] = {}
 
@@ -135,6 +204,12 @@ def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
 
     for step in plan.steps:
         engine = make_engine(step.engine_name, salt=step.salt, seed=step.seed)
+        if not step.is_table_level and pending and (
+            _step_reads(step, df.columns) & set(pending)
+        ):
+            # this step READS a column with a pending transform — flush so
+            # it sees that step's output, not the original value
+            df = flush(df)
         if step.is_table_level:
             df = flush(df)
             ctx = BuildContext(
@@ -159,6 +234,7 @@ def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
                 df_columns=df.columns,
             )
             exprs = step.transformer.build_multi(ctx)
+            step_cond = F.expr(step.when) if step.when else None
             for cname, expr in exprs.items():
                 base = pending.get(cname, F.col(cname))
                 # re-target: expressions reference original columns; chain by
@@ -166,7 +242,7 @@ def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
                 if cname in pending:
                     df = flush(df)
                     base = F.col(cname)
-                pending[cname] = _guard(base, expr, plan.when, step.when)
+                pending[cname] = _guard(base, expr, table_cond, step_cond)
             continue
 
         cname = step.column
@@ -186,9 +262,13 @@ def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
             df_columns=df.columns,
         )
         expr = step.transformer.build(ctx)
-        pending[cname] = _guard(F.col(cname), expr, plan.when, step.when)
+        step_cond = F.expr(step.when) if step.when else None
+        pending[cname] = _guard(F.col(cname), expr, table_cond, step_cond)
 
-    return flush(df)
+    out = flush(df)
+    if plan.when:
+        out = out.drop(_TABLE_WHEN)
+    return out
 
 
 def apply_plans(

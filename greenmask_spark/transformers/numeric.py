@@ -156,7 +156,53 @@ class NoiseNumeric(Transformer):
     defaults = {"min_ratio": 0.0, "max_ratio": 0.1, "decimal": 4, "keep_null": True}
 
     def build(self, ctx: BuildContext) -> Column:
+        """Noise in scaled-bigint space (never value-through-double):
+
+        vs       = value · 10^S           (exact: decimal × int → bigint)
+        noise    = floor(vs · ratio)      (double product of exact operands —
+                                           bit-identical across engines)
+        noised   = vs ± noise, clamped
+        rescale  = half-up integer rounding S → dec digits
+        out      = noised / 10^dec as DECIMAL(38,dec), exact division
+
+        This keeps every rounding step an integer op shared verbatim with
+        the DuckDB oracle twin — the r1 hash-parity failure was the old
+        cast("double") path re-rounding differently on each side
+        (reference core: generators/transformers/noise_numeric.go works in
+        decimal space for the same reason)."""
+        from pyspark.sql import types as T
+
         dec = int(ctx.params.get("decimal", 4))
-        noised = _noise_core(ctx, ctx.col().cast("double"))
-        out = F.round(noised, dec).cast(f"decimal(38,{max(dec, 0)})")
+        src_scale = (
+            ctx.spark_type.scale
+            if isinstance(ctx.spark_type, T.DecimalType)
+            else dec
+        )
+        s = max(src_scale, dec)
+        minr = ctx.param_col("min_ratio", 0.0).cast("double")
+        maxr = ctx.param_col("max_ratio", 0.1).cast("double")
+        u = ctx.engine.uniform_double(ctx.col(), draw=0)
+        sign_bit = ctx.engine.uniform_int(ctx.col(), F.lit(0), F.lit(1), draw=1)
+        sign = F.when(sign_bit == 1, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+        ratio = minr + u * (maxr - minr)
+
+        vs = (ctx.col() * F.lit(10**s)).cast("bigint")
+        noise = F.floor(vs.cast("double") * ratio).cast("bigint")
+        noised = vs + sign * noise
+        if ctx.params.get("min") is not None:
+            lo = (ctx.param_col("min").cast(f"decimal(38,{s})")
+                  * F.lit(10**s)).cast("bigint")
+            noised = F.greatest(noised, lo)
+        if ctx.params.get("max") is not None:
+            hi = (ctx.param_col("max").cast(f"decimal(38,{s})")
+                  * F.lit(10**s)).cast("bigint")
+            noised = F.least(noised, hi)
+        if s > dec:
+            div = 10 ** (s - dec)
+            noised = F.floor((noised + F.lit(div // 2)) / F.lit(float(div))).cast(
+                "bigint"
+            )
+        out = (noised.cast(f"decimal(38,{dec})") / F.lit(10**dec)).cast(
+            f"decimal(38,{dec})"
+        )
         return keep_null_guard(ctx.col(), out, ctx.params.get("keep_null", True))

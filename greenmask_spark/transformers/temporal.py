@@ -95,7 +95,16 @@ class RandomUnixTimestamp(Transformer):
     defaults = {"min_unit": "sec", "max_unit": "sec", "unit": "sec", "keep_null": True}
 
     @staticmethod
-    def _to_ms(col: Column, unit: str) -> Column:
+    def _idiv(col: Column, divisor: int) -> Column:
+        """Exact integer division for epoch magnitudes where ``/`` (always
+        double in Spark SQL) would round: a nano epoch ~1.7e18 exceeds the
+        2^53 double mantissa. Decimal division keeps ≥6 fractional digits
+        (exact for power-of-ten divisors ≤10^6); the bigint cast truncates
+        toward zero like SQL ``div``."""
+        return (col.cast("decimal(38,0)") / F.lit(divisor)).cast("bigint")
+
+    @classmethod
+    def _to_ms(cls, col: Column, unit: str) -> Column:
         """Exact integer conversion unit → milliseconds (never via double:
         ns epochs overflow the double mantissa)."""
         if unit == "sec":
@@ -103,15 +112,15 @@ class RandomUnixTimestamp(Transformer):
         if unit == "milli":
             return col
         if unit == "micro":
-            return (col / F.lit(1000)).cast("bigint")  # int div on bigint
+            return cls._idiv(col, 1000)
         if unit == "nano":
-            return (col / F.lit(1000000)).cast("bigint")
+            return cls._idiv(col, 1000000)
         raise ValueError(f"unknown unit {unit!r}")
 
-    @staticmethod
-    def _from_ms(ms: Column, unit: str) -> Column:
+    @classmethod
+    def _from_ms(cls, ms: Column, unit: str) -> Column:
         if unit == "sec":
-            return (ms / F.lit(1000)).cast("bigint")
+            return cls._idiv(ms, 1000)
         if unit == "milli":
             return ms
         if unit == "micro":

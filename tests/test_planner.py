@@ -1,0 +1,134 @@
+"""Planner semantics: sequential visibility, table-when snapshot, custom
+query override, include/exclude filters.
+
+Reference semantics under test:
+- transformers apply sequentially over the record, so a dynamic param /
+  transformer-level ``when`` reads PRIOR steps' outputs
+  (dumpers/transformation_pipeline.go:130-145);
+- the table-level ``when`` is evaluated once per record against the
+  ORIGINAL row (transformation_pipeline.go:165-175);
+- a custom ``query`` replaces the table scan (entries/table.go:150-152);
+- pg_dump-style include/exclude filters (pgdump/pgdump.go:67-76,187-226).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from greenmask_spark.plan import apply_plan, build_plan
+
+
+def _one_plan(cfg):
+    plans = build_plan(cfg)
+    assert len(plans) == 1
+    return plans[0]
+
+
+def test_dynamic_param_sees_prior_step_output(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id int, bound int")
+    # step 1 replaces bound with 5; step 2's dynamic max reads bound and
+    # must see 5 (not the original 10/20) → result in [0, 5]
+    plan = _one_plan({"tables": [{"name": "t", "transformers": [
+        {"name": "Replace", "params": {"column": "bound", "value": 5,
+                                       "keep_null": False}, "salt": ""},
+        {"name": "RandomInt", "params": {"column": "id", "min": 0,
+                                         "max": {"column": "bound"}},
+         "salt": ""},
+    ]}]})
+    rows = apply_plan(df, plan).collect()
+    assert all(r.bound == 5 for r in rows)
+    assert all(0 <= r.id <= 5 for r in rows)
+
+
+def test_step_when_sees_prior_step_output(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, tag string")
+    # step 1 rewrites tag to 'z'; step 2's when reads tag — sequential
+    # semantics means the condition sees 'z', so every id gets masked
+    plan = _one_plan({"tables": [{"name": "t", "transformers": [
+        {"name": "Replace", "params": {"column": "tag", "value": "z",
+                                       "keep_null": False}, "salt": ""},
+        {"name": "Replace", "params": {"column": "id", "value": 0,
+                                       "keep_null": False},
+         "when": "tag = 'z'", "salt": ""},
+    ]}]})
+    rows = apply_plan(df, plan).collect()
+    assert all(r.id == 0 for r in rows)
+
+
+def test_table_when_sees_original_row(spark):
+    df = spark.createDataFrame([(1, 1), (2, 0)], "id int, flag int")
+    # table-when reads flag; step 1 zeroes flag. The table condition must
+    # be snapshotted from the ORIGINAL record, so id is still masked for
+    # the flag=1 row even though flag is 0 by the time step 2 runs.
+    plan = _one_plan({"tables": [{"name": "t", "when": "flag = 1",
+                                  "transformers": [
+        {"name": "Replace", "params": {"column": "flag", "value": 0,
+                                       "keep_null": False}, "salt": ""},
+        {"name": "Replace", "params": {"column": "id", "value": 99,
+                                       "keep_null": False}, "salt": ""},
+    ]}]})
+    rows = {r.id: r.flag for r in apply_plan(df, plan).collect()}
+    assert rows == {99: 0, 2: 0}
+    assert "__gm_table_when__" not in apply_plan(df, plan).columns
+
+
+def test_query_override_replaces_scan(spark):
+    df = spark.createDataFrame(
+        [(1, 100.0), (2, 5.0), (3, 200.0)], "id int, val double")
+    plan = _one_plan({"tables": [{
+        "name": "t",
+        "query": "SELECT id, val FROM t WHERE val > 50",
+        "transformers": [
+            {"name": "Replace", "params": {"column": "val", "value": 0.0,
+                                           "keep_null": False}, "salt": ""},
+        ]}]})
+    rows = apply_plan(df, plan).collect()
+    assert sorted(r.id for r in rows) == [1, 3]
+    assert all(r.val == 0.0 for r in rows)
+
+
+def test_include_exclude_filters():
+    cfg = {
+        "include_tables": ["cust*", "orders"],
+        "exclude_tables": ["customer_archive"],
+        "tables": [
+            {"name": "customer"},
+            {"name": "customer_archive"},
+            {"name": "orders"},
+            {"name": "lineitem"},
+        ],
+    }
+    names = [p.table for p in build_plan(cfg)]
+    assert names == ["customer", "orders"]
+
+
+def test_exclude_table_data_keeps_schema_drops_rows(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    cfg = {"exclude_table_data": ["t"], "tables": [{"name": "t"}]}
+    plan = build_plan(cfg)[0]
+    out = apply_plan(df, plan)
+    assert out.columns == ["id"]
+    assert out.count() == 0
+
+
+def test_unknown_transformer_raises():
+    with pytest.raises(KeyError):
+        build_plan({"tables": [{"name": "t", "transformers": [
+            {"name": "NoSuchTransformer"}]}]})
+
+
+def test_fused_chain_is_single_projection(spark):
+    """Non-conflicting expression steps must fuse into one projection —
+    the whole chain stays inside one WholeStageCodegen scan."""
+    df = spark.createDataFrame([(1, "a", 2.0)], "id int, s string, v double")
+    plan = _one_plan({"tables": [{"name": "t", "transformers": [
+        {"name": "Replace", "params": {"column": "s", "value": "x",
+                                       "keep_null": False}, "salt": ""},
+        {"name": "RandomInt", "params": {"column": "id", "min": 0, "max": 9},
+         "salt": ""},
+        {"name": "NoiseFloat", "params": {"column": "v", "min_ratio": 0.0,
+                                          "max_ratio": 0.1}, "salt": ""},
+    ]}]})
+    out = apply_plan(df, plan)
+    # one Project over the scan — no intermediate exchanges/projects
+    plan_str = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan_str.count("Project") == 1

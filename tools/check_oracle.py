@@ -23,7 +23,11 @@ from greenmask_spark.session import TABLES, get_spark  # noqa: E402
 
 def norm_cell(v):
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        # STRICT: keep decimals as exact strings — the driver's value hash
+        # does not normalize dtypes, so neither do we (r1 lesson: two
+        # queries passed here under float() normalization yet failed the
+        # driver's hash on representation drift).
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

@@ -127,14 +127,41 @@ def _oracle_mask_customer() -> str:
 
 
 def q_t_random_int(spark, sf_dir):
+    """RandomInt + NoiseInt + RandomString + RegexpReplace in one driver
+    row (part; ns is a p_size copy so NoiseInt keeps its own key)."""
     t = _tables(spark, sf_dir, "part")
+    df = t["part"].withColumn("ns", F.col("p_size"))
     plan = _plan({"name": "part", "transformers": _steps(
-        {"name": "RandomInt", "params": {"column": "p_size", "min": 1, "max": 50}})})
-    return apply_plan(t["part"], plan).select("p_partkey", "p_size")
+        {"name": "RandomInt", "params": {"column": "p_size",
+                                         "min": 1, "max": 50}},
+        {"name": "NoiseInt", "params": {"column": "ns",
+                                        "min_ratio": 0.0, "max_ratio": 0.2}},
+        {"name": "RandomString", "params": {"column": "p_brand",
+                                            "min_length": 4, "max_length": 8,
+                                            "symbols": _RS_SYMBOLS}},
+        {"name": "RegexpReplace", "params": {"column": "p_name",
+                                             "regexp": "[aeiou]",
+                                             "replace": "_"}})})
+    return apply_plan(df, plan).select(
+        "p_partkey", "p_size", "ns", "p_brand", "p_name")
 
 
 def _oracle_t_random_int() -> str:
-    return (f"SELECT p_partkey, CAST({_uix('p_size', 1, 50)} AS INTEGER) AS p_size "
+    syms = _sql_list(list(_RS_SYMBOLS))
+    length = _uix("p_brand", 4, 8, draw=0)
+    chars = []
+    for i in range(8):
+        idx = _uix("p_brand", 0, len(_RS_SYMBOLS) - 1, draw=1 + i)
+        chars.append(
+            f"(CASE WHEN {i} < ({length}) THEN "
+            f"list_extract({syms}, CAST({idx} AS INTEGER) + 1) ELSE '' END)"
+        )
+    rs = " || ".join(chars)
+    return (f"SELECT p_partkey, "
+            f"CAST({_uix('p_size', 1, 50)} AS INTEGER) AS p_size, "
+            f"CAST(round({_noise_sql('p_size', 0.0, 0.2)}, 0) AS INTEGER) AS ns, "
+            f"({rs}) AS p_brand, "
+            f"regexp_replace(p_name, '[aeiou]', '_', 'g') AS p_name "
             f"FROM part")
 
 
@@ -168,73 +195,72 @@ def _oracle_t_replace_setnull() -> str:
 
 
 def q_t_masking(spark, sf_dir):
+    """Masking + RandomUuid + RandomEmail in one driver row (all keyed on
+    c_name copies, so the per-transformer semantics are unchanged from the
+    standalone r1 queries)."""
     t = _tables(spark, sf_dir, "customer")
+    df = t["customer"]
+    for c in ("u", "e"):
+        df = df.withColumn(c, F.col("c_name"))
     plan = _plan({"name": "customer", "transformers": _steps(
-        {"name": "Masking", "params": {"column": "c_name", "type": "default"}})})
-    return apply_plan(t["customer"], plan).select("c_custkey", "c_name")
+        {"name": "Masking", "params": {"column": "c_name", "type": "default"}},
+        {"name": "RandomUuid", "params": {"column": "u"}},
+        {"name": "RandomEmail", "params": {"column": "e",
+                                           "local_part_length": 16}})})
+    return apply_plan(df, plan).select("c_custkey", "c_name", "u", "e")
 
 
 def _oracle_t_masking() -> str:
-    return ("SELECT c_custkey, repeat('*', length(c_name)) AS c_name "
-            "FROM customer")
+    from greenmask_spark.transformers.network import RandomEmail
+
+    h = kernel.duck_salted_hex("c_name", SALT)
+    uuid = (f"(substr({h},1,8) || '-' || substr({h},9,4) || '-4' || "
+            f"substr({h},14,3) || '-a' || substr({h},18,3) || '-' || "
+            f"substr({h},21,12))")
+    doms = list(RandomEmail.DOMAINS)
+    idx = _uix("c_name", 0, len(doms) - 1, draw=1)
+    email = (f"(substr({h},1,16) || '@' || "
+             f"list_extract({_sql_list(doms)}, CAST({idx} AS INTEGER) + 1))")
+    return (f"SELECT c_custkey, repeat('*', length(c_name)) AS c_name, "
+            f"{uuid} AS u, {email} AS e FROM customer")
 
 
-def q_t_regexp_replace(spark, sf_dir):
-    t = _tables(spark, sf_dir, "part")
-    plan = _plan({"name": "part", "transformers": _steps(
-        {"name": "RegexpReplace", "params": {"column": "p_name",
-                                             "regexp": "[aeiou]",
-                                             "replace": "_"}})})
-    return apply_plan(t["part"], plan).select("p_partkey", "p_name")
-
-
-def _oracle_t_regexp_replace() -> str:
-    return ("SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '_', 'g') AS p_name "
-            "FROM part")
-
-
-def q_t_random_choice(spark, sf_dir):
+def q_t_orders_temporal(spark, sf_dir):
+    """RandomChoice + RandomDate + NoiseDate in one driver row (orders;
+    nd is an o_orderdate copy so NoiseDate keeps its own key)."""
     t = _tables(spark, sf_dir, "orders")
+    df = t["orders"].withColumn("nd", F.col("o_orderdate"))
     plan = _plan({"name": "orders", "transformers": _steps(
         {"name": "RandomChoice", "params": {"column": "o_orderpriority",
-                                            "values": PRIORITIES}})})
-    return apply_plan(t["orders"], plan).select(
-        "o_orderkey", "o_orderpriority")
-
-
-def _oracle_t_random_choice() -> str:
-    idx = _uix("o_orderpriority", 0, len(PRIORITIES) - 1)
-    return (f"SELECT o_orderkey, {_duck_pick(PRIORITIES, idx)} AS o_orderpriority "
-            f"FROM orders")
-
-
-def q_t_random_date(spark, sf_dir):
-    t = _tables(spark, sf_dir, "orders")
-    plan = _plan({"name": "orders", "transformers": _steps(
+                                            "values": PRIORITIES}},
         {"name": "RandomDate", "params": {"column": "o_orderdate",
                                           "min": "1995-01-01",
                                           "max": "2005-12-31",
-                                          "truncate": "day"}})})
-    return apply_plan(t["orders"], plan).select(
-        "o_orderkey", "o_orderdate")
+                                          "truncate": "day"}},
+        {"name": "NoiseDate", "params": {"column": "nd",
+                                         "max_interval": "P30D",
+                                         "truncate": "day"}})})
+    return apply_plan(df, plan).select(
+        "o_orderkey", "o_orderpriority", "o_orderdate", "nd")
 
 
-def _oracle_t_random_date() -> str:
+def _oracle_t_orders_temporal() -> str:
     import datetime as dt
 
+    idx = _uix("o_orderpriority", 0, len(PRIORITIES) - 1)
+    pick = _duck_pick(PRIORITIES, idx)
     lo = int(dt.datetime(1995, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
     hi = int(dt.datetime(2005, 12, 31, tzinfo=dt.timezone.utc).timestamp() * 1000)
     ms = _uix("o_orderdate", lo, hi)
-    return (f"SELECT o_orderkey, CAST(date_trunc('day', epoch_ms({ms})) AS TIMESTAMP)"
-            f" AS o_orderdate FROM orders")
-
-
-def q_t_noise_int(spark, sf_dir):
-    t = _tables(spark, sf_dir, "part")
-    plan = _plan({"name": "part", "transformers": _steps(
-        {"name": "NoiseInt", "params": {"column": "p_size",
-                                        "min_ratio": 0.0, "max_ratio": 0.2}})})
-    return apply_plan(t["part"], plan).select("p_partkey", "p_size")
+    rd = f"CAST(date_trunc('day', epoch_ms({ms})) AS TIMESTAMP)"
+    u = _udb("o_orderdate", draw=0)
+    sign_bit = _uix("o_orderdate", 0, 1, draw=1)
+    sign = f"(CASE WHEN ({sign_bit}) = 1 THEN 1 ELSE -1 END)"
+    off = f"(CAST(floor({u} * 2592000000) AS BIGINT) * {sign})"
+    nd = (f"CAST(date_trunc('day', epoch_ms(epoch_ms(o_orderdate) + {off})) "
+          f"AS TIMESTAMP)")
+    return (f"SELECT o_orderkey, {pick} AS o_orderpriority, "
+            f"{rd} AS o_orderdate, {nd} AS nd FROM orders")
 
 
 def _noise_sql(value_sql: str, minr: float, maxr: float) -> str:
@@ -245,11 +271,6 @@ def _noise_sql(value_sql: str, minr: float, maxr: float) -> str:
     ratio = (f"(CAST({minr} AS DOUBLE) + {u} * "
              f"(CAST({maxr} AS DOUBLE) - CAST({minr} AS DOUBLE)))")
     return f"({v} + {v} * {ratio} * {sign})"
-
-
-def _oracle_t_noise_int() -> str:
-    return (f"SELECT p_partkey, CAST(round({_noise_sql('p_size', 0.0, 0.2)}, 0) "
-            f"AS INTEGER) AS p_size FROM part")
 
 
 def q_t_noise_float(spark, sf_dir):
@@ -265,59 +286,6 @@ def q_t_noise_float(spark, sf_dir):
 def _oracle_t_noise_float() -> str:
     return (f"SELECT s_suppkey, CAST(round({_noise_sql('s_acctbal', 0.0, 0.1)}, 2) "
             f"AS DOUBLE) AS s_acctbal FROM supplier")
-
-
-def q_t_random_uuid(spark, sf_dir):
-    t = _tables(spark, sf_dir, "customer")
-    plan = _plan({"name": "customer", "transformers": _steps(
-        {"name": "RandomUuid", "params": {"column": "c_name"}})})
-    return apply_plan(t["customer"], plan).select("c_custkey", "c_name")
-
-
-def _oracle_t_random_uuid() -> str:
-    h = kernel.duck_salted_hex("c_name", SALT)
-    return (f"SELECT c_custkey, (substr({h},1,8) || '-' || substr({h},9,4) || '-4' || "
-            f"substr({h},14,3) || '-a' || substr({h},18,3) || '-' || substr({h},21,12))"
-            f" AS c_name FROM customer")
-
-
-def q_t_random_ip(spark, sf_dir):
-    t = _tables(spark, sf_dir, "supplier")
-    plan = _plan({"name": "supplier", "transformers": _steps(
-        {"name": "RandomIp", "params": {"column": "s_name",
-                                        "subnet": "10.0.0.0/16"}})})
-    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name")
-
-
-def _oracle_t_random_ip() -> str:
-    base = 10 * (1 << 24)  # 10.0.0.0
-    off = _uix("s_name", 1, 65534)
-    n = f"({base} + {off})"
-    return (f"SELECT s_suppkey, "
-            f"(CAST(({n} >> 24) & 255 AS VARCHAR) || '.' || "
-            f"CAST(({n} >> 16) & 255 AS VARCHAR) || '.' || "
-            f"CAST(({n} >> 8) & 255 AS VARCHAR) || '.' || "
-            f"CAST({n} & 255 AS VARCHAR)) AS s_name "
-            f"FROM supplier")
-
-
-def q_t_random_email(spark, sf_dir):
-    t = _tables(spark, sf_dir, "customer")
-    plan = _plan({"name": "customer", "transformers": _steps(
-        {"name": "RandomEmail", "params": {"column": "c_name",
-                                           "local_part_length": 16}})})
-    return apply_plan(t["customer"], plan).select("c_custkey", "c_name")
-
-
-def _oracle_t_random_email() -> str:
-    from greenmask_spark.transformers.network import RandomEmail
-
-    h = kernel.duck_salted_hex("c_name", SALT)
-    doms = list(RandomEmail.DOMAINS)
-    idx = _uix("c_name", 0, len(doms) - 1, draw=1)
-    return (f"SELECT c_custkey, (substr({h},1,16) || '@' || "
-            f"list_extract({_sql_list(doms)}, CAST({idx} AS INTEGER) + 1)) AS c_name "
-            f"FROM customer")
 
 
 def q_t_query_override(spark, sf_dir):
@@ -361,36 +329,40 @@ def _oracle_t_random_person() -> str:
             f"ELSE {female} END AS c_name FROM customer")
 
 
-def q_t_random_company(spark, sf_dir):
+def q_t_net_company(spark, sf_dir):
+    """RandomIp + RandomMac + RandomCompany in one driver row (supplier;
+    ip/mac keyed on s_name copies, identical to the r1 standalone queries)."""
     t = _tables(spark, sf_dir, "supplier")
+    df = t["supplier"]
+    for c in ("ip", "mac"):
+        df = df.withColumn(c, F.col("s_name"))
     plan = _plan({"name": "supplier", "transformers": _steps(
+        {"name": "RandomIp", "params": {"column": "ip",
+                                        "subnet": "10.0.0.0/16"}},
+        {"name": "RandomMac", "params": {"column": "mac"}},
         {"name": "RandomCompany", "params": {"columns": [
             {"name": "s_name", "template": "{{ .FullCompanyName }}"}]}})})
-    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name")
+    return apply_plan(df, plan).select("s_suppkey", "s_name", "ip", "mac")
 
 
-def _oracle_t_random_company() -> str:
+def _oracle_t_net_company() -> str:
     idx = _uix("s_name", 0, 10**9)
     name = _duck_pick(lex.COMPANY_NAMES, idx)
     suffix = _duck_pick(lex.COMPANY_SUFFIXES, idx)
-    return (f"SELECT s_suppkey, ({name} || ' ' || {suffix}) AS s_name "
-            f"FROM supplier")
-
-
-def q_t_faker_phone(spark, sf_dir):
-    t = _tables(spark, sf_dir, "customer")
-    plan = _plan({"name": "customer", "transformers": _steps(
-        {"name": "RandomPhoneNumber", "params": {"column": "c_name"}})})
-    return apply_plan(t["customer"], plan).select("c_custkey", "c_name")
-
-
-def _oracle_t_faker_phone() -> str:
-    a = _uix("c_name", 200, 999, draw=0)
-    b = _uix("c_name", 200, 999, draw=1)
-    c = _uix("c_name", 0, 9999, draw=2)
-    return (f"SELECT c_custkey, ('(' || CAST({a} AS VARCHAR) || ') ' || "
-            f"CAST({b} AS VARCHAR) || '-' || lpad(CAST({c} AS VARCHAR), 4, '0')) "
-            f"AS c_name FROM customer")
+    base = 10 * (1 << 24)  # 10.0.0.0
+    off = _uix("s_name", 1, 65534)
+    n = f"({base} + {off})"
+    ip = (f"(CAST(({n} >> 24) & 255 AS VARCHAR) || '.' || "
+          f"CAST(({n} >> 16) & 255 AS VARCHAR) || '.' || "
+          f"CAST(({n} >> 8) & 255 AS VARCHAR) || '.' || "
+          f"CAST({n} & 255 AS VARCHAR))")
+    h = kernel.duck_salted_hex("s_name", SALT)
+    o0 = (f"printf('%02x', ((CAST(('0x' || substr({h}, 1, 2)) AS INTEGER) "
+          f"& 252) | 2))")
+    rest = " || ':' || ".join(f"substr({h}, {3 + 2 * i}, 2)" for i in range(5))
+    mac = f"({o0} || ':' || {rest})"
+    return (f"SELECT s_suppkey, ({name} || ' ' || {suffix}) AS s_name, "
+            f"{ip} AS ip, {mac} AS mac FROM supplier")
 
 
 def q_t_when_condition(spark, sf_dir):
@@ -905,73 +877,26 @@ def _oracle_t_random_numeric() -> str:
 
 
 def q_t_random_bool(spark, sf_dir):
+    """RandomBool + RandomUnixTimestamp in one driver row (events)."""
     t = _tables(spark, sf_dir, "events")
     df = t["events"].withColumn("flag", F.col("value") > 25)
     plan = _plan({"name": "events", "transformers": _steps(
-        {"name": "RandomBool", "params": {"column": "flag"}})})
-    return apply_plan(df, plan).select("event_id", "flag")
+        {"name": "RandomBool", "params": {"column": "flag"}},
+        {"name": "RandomUnixTimestamp", "params": {
+            "column": "user_id", "min": 0, "max": 4102444800,
+            "min_unit": "sec", "max_unit": "sec", "unit": "sec"}})})
+    return apply_plan(df, plan).select("event_id", "flag", "user_id")
 
 
 def _oracle_t_random_bool() -> str:
     bit = _uix("value > 25", 0, 1)
-    return f"SELECT event_id, (({bit}) = 1) AS flag FROM events"
-
-
-def q_t_random_unix_timestamp(spark, sf_dir):
-    t = _tables(spark, sf_dir, "events")
-    plan = _plan({"name": "events", "transformers": _steps(
-        {"name": "RandomUnixTimestamp", "params": {
-            "column": "user_id", "min": 0, "max": 4102444800,
-            "min_unit": "sec", "max_unit": "sec", "unit": "sec"}})})
-    return apply_plan(t["events"], plan).select("event_id", "user_id")
-
-
-def _oracle_t_random_unix_timestamp() -> str:
     ms = kernel.duck_uniform_int("user_id", "0", "4102444800000", salt=SALT)
-    return (f"SELECT event_id, CAST(floor(({ms}) / 1000.0) AS BIGINT) AS user_id "
+    return (f"SELECT event_id, (({bit}) = 1) AS flag, "
+            f"CAST(floor(({ms}) / 1000.0) AS BIGINT) AS user_id "
             f"FROM events")
 
 
 _RS_SYMBOLS = "abc123"
-
-
-def q_t_random_string(spark, sf_dir):
-    t = _tables(spark, sf_dir, "part")
-    plan = _plan({"name": "part", "transformers": _steps(
-        {"name": "RandomString", "params": {"column": "p_brand",
-                                            "min_length": 4, "max_length": 8,
-                                            "symbols": _RS_SYMBOLS}})})
-    return apply_plan(t["part"], plan).select("p_partkey", "p_brand")
-
-
-def _oracle_t_random_string() -> str:
-    syms = _sql_list(list(_RS_SYMBOLS))
-    length = _uix("p_brand", 4, 8, draw=0)
-    chars = []
-    for i in range(8):
-        idx = _uix("p_brand", 0, len(_RS_SYMBOLS) - 1, draw=1 + i)
-        chars.append(
-            f"(CASE WHEN {i} < ({length}) THEN "
-            f"list_extract({syms}, CAST({idx} AS INTEGER) + 1) ELSE '' END)"
-        )
-    out = " || ".join(chars)
-    return f"SELECT p_partkey, ({out}) AS p_brand FROM part"
-
-
-def q_t_random_mac(spark, sf_dir):
-    t = _tables(spark, sf_dir, "supplier")
-    plan = _plan({"name": "supplier", "transformers": _steps(
-        {"name": "RandomMac", "params": {"column": "s_name"}})})
-    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name")
-
-
-def _oracle_t_random_mac() -> str:
-    h = kernel.duck_salted_hex("s_name", SALT)
-    o0 = (f"printf('%02x', ((CAST(('0x' || substr({h}, 1, 2)) AS INTEGER) "
-          f"& 252) | 2))")
-    rest = " || ':' || ".join(f"substr({h}, {3 + 2 * i}, 2)" for i in range(5))
-    return (f"SELECT s_suppkey, ({o0} || ':' || {rest}) AS s_name "
-            f"FROM supplier")
 
 
 def q_t_noise_numeric(spark, sf_dir):
@@ -1005,35 +930,19 @@ def _oracle_t_noise_numeric() -> str:
             f"AS price_dec FROM orders")
 
 
-def q_t_noise_date(spark, sf_dir):
-    t = _tables(spark, sf_dir, "orders")
-    plan = _plan({"name": "orders", "transformers": _steps(
-        {"name": "NoiseDate", "params": {"column": "o_orderdate",
-                                         "max_interval": "P30D",
-                                         "truncate": "day"}})})
-    return apply_plan(t["orders"], plan).select("o_orderkey", "o_orderdate")
-
-
-def _oracle_t_noise_date() -> str:
-    u = _udb("o_orderdate", draw=0)
-    sign_bit = _uix("o_orderdate", 0, 1, draw=1)
-    sign = f"(CASE WHEN ({sign_bit}) = 1 THEN 1 ELSE -1 END)"
-    off = f"(CAST(floor({u} * 2592000000) AS BIGINT) * {sign})"
-    return (f"SELECT o_orderkey, CAST(date_trunc('day', "
-            f"epoch_ms(epoch_ms(o_orderdate) + {off})) AS TIMESTAMP) "
-            f"AS o_orderdate FROM orders")
-
-
 # ---------------------------------------------------------------------------
 # faker family (22 transformers, grouped) + multi-column + UDF-tier
 # ---------------------------------------------------------------------------
 
 
-def q_t_faker_temporal(spark, sf_dir):
-    """RandomMonthName/DayOfWeek/DayOfMonth/YearString/Century/Timezone."""
+def q_t_faker_a(spark, sf_dir):
+    """Faker family A (10 of the 22 faker transformers, one driver row):
+    RandomMonthName/DayOfWeek/DayOfMonth/YearString/Century/Timezone +
+    RandomDomainName/URL/Username/Password."""
     t = _tables(spark, sf_dir, "customer")
     df = t["customer"]
-    for c in ("mn", "dw", "dom", "yr", "cen", "tz"):
+    for c in ("mn", "dw", "dom", "yr", "cen", "tz", "webdom", "url", "usr",
+              "pwd"):
         df = df.withColumn(c, F.col("c_name"))
     plan = _plan({"name": "customer", "transformers": _steps(
         {"name": "RandomMonthName", "params": {"column": "mn"}},
@@ -1041,43 +950,29 @@ def q_t_faker_temporal(spark, sf_dir):
         {"name": "RandomDayOfMonth", "params": {"column": "dom"}},
         {"name": "RandomYearString", "params": {"column": "yr"}},
         {"name": "RandomCentury", "params": {"column": "cen"}},
-        {"name": "RandomTimezone", "params": {"column": "tz"}})})
-    return apply_plan(df, plan).select(
-        "c_custkey", "mn", "dw", "dom", "yr", "cen", "tz")
-
-
-def _oracle_t_faker_temporal() -> str:
-    from greenmask_spark.transformers.faker_like import RandomCentury
-
-    mn = _duck_pick(lex.MONTH_NAMES, _uix("c_name", 0, 11))
-    dw = _duck_pick(lex.DAY_NAMES, _uix("c_name", 0, 6))
-    dom = f"CAST({_uix('c_name', 1, 28)} AS VARCHAR)"
-    yr = f"CAST({_uix('c_name', 1950, 2049)} AS VARCHAR)"
-    cen = _duck_pick(RandomCentury._ROMAN, _uix("c_name", 0, 20))
-    tz = _duck_pick(lex.TIMEZONES, _uix("c_name", 0, len(lex.TIMEZONES) - 1))
-    return (f"SELECT c_custkey, {mn} AS mn, {dw} AS dw, {dom} AS dom, "
-            f"{yr} AS yr, {cen} AS cen, {tz} AS tz FROM customer")
-
-
-def q_t_faker_internet(spark, sf_dir):
-    """RandomDomainName/URL/Username/Password."""
-    t = _tables(spark, sf_dir, "customer")
-    df = t["customer"]
-    for c in ("dom", "url", "usr", "pwd"):
-        df = df.withColumn(c, F.col("c_name"))
-    plan = _plan({"name": "customer", "transformers": _steps(
-        {"name": "RandomDomainName", "params": {"column": "dom"}},
+        {"name": "RandomTimezone", "params": {"column": "tz"}},
+        {"name": "RandomDomainName", "params": {"column": "webdom"}},
         {"name": "RandomURL", "params": {"column": "url"}},
         {"name": "RandomUsername", "params": {"column": "usr"}},
         {"name": "RandomPassword", "params": {"column": "pwd", "length": 6}})})
-    return apply_plan(df, plan).select("c_custkey", "dom", "url", "usr", "pwd")
+    return apply_plan(df, plan).select(
+        "c_custkey", "mn", "dw", "dom", "yr", "cen", "tz",
+        "webdom", "url", "usr", "pwd")
 
 
-def _oracle_t_faker_internet() -> str:
+def _oracle_t_faker_a() -> str:
+    from greenmask_spark.transformers.faker_like import RandomCentury
+
     key = "c_name"
-    dom = (f"({_duck_pick(lex.DOMAIN_WORDS, _uix(key, 0, 10**6, draw=0))} || "
-           f"{_duck_pick(lex.DOMAIN_WORDS, _uix(key, 0, 10**6, draw=1))} || '.' || "
-           f"{_duck_pick(lex.TLDS, _uix(key, 0, len(lex.TLDS) - 1, draw=2))})")
+    mn = _duck_pick(lex.MONTH_NAMES, _uix(key, 0, 11))
+    dw = _duck_pick(lex.DAY_NAMES, _uix(key, 0, 6))
+    dom = f"CAST({_uix(key, 1, 28)} AS VARCHAR)"
+    yr = f"CAST({_uix(key, 1950, 2049)} AS VARCHAR)"
+    cen = _duck_pick(RandomCentury._ROMAN, _uix(key, 0, 20))
+    tz = _duck_pick(lex.TIMEZONES, _uix(key, 0, len(lex.TIMEZONES) - 1))
+    webdom = (f"({_duck_pick(lex.DOMAIN_WORDS, _uix(key, 0, 10**6, draw=0))} || "
+              f"{_duck_pick(lex.DOMAIN_WORDS, _uix(key, 0, 10**6, draw=1))} || '.' || "
+              f"{_duck_pick(lex.TLDS, _uix(key, 0, len(lex.TLDS) - 1, draw=2))})")
     url = (f"('https://' || {_duck_pick(lex.DOMAIN_WORDS, _uix(key, 0, 10**6, draw=0))}"
            f" || '.' || {_duck_pick(lex.TLDS, _uix(key, 0, len(lex.TLDS) - 1, draw=1))}"
            f" || '/' || {_duck_pick(lex.WORDS, _uix(key, 0, 10**6, draw=2))})")
@@ -1089,25 +984,43 @@ def _oracle_t_faker_internet() -> str:
         for i in range(6)
     ]
     pwd = "(" + " || ".join(pwd_chars) + ")"
-    return (f"SELECT c_custkey, {dom} AS dom, {url} AS url, {usr} AS usr, "
-            f"{pwd} AS pwd FROM customer")
+    return (f"SELECT c_custkey, {mn} AS mn, {dw} AS dw, {dom} AS dom, "
+            f"{yr} AS yr, {cen} AS cen, {tz} AS tz, {webdom} AS webdom, "
+            f"{url} AS url, {usr} AS usr, {pwd} AS pwd FROM customer")
 
 
-def q_t_faker_finance(spark, sf_dir):
-    """RandomCCType/CCNumber/Currency/AmountWithCurrency."""
+def q_t_faker_b(spark, sf_dir):
+    """Faker family B (the other 12 faker transformers, one driver row):
+    RandomCCType/CCNumber/Currency/AmountWithCurrency +
+    RandomPhoneNumber/TollFreePhoneNumber/E164PhoneNumber +
+    RandomWord/Sentence/Paragraph + RandomLatitude/Longitude."""
     t = _tables(spark, sf_dir, "customer")
     df = t["customer"]
-    for c in ("cct", "ccn", "cur", "amt"):
+    for c in ("cct", "ccn", "cur", "amt", "ph", "tf", "e164", "w", "sent",
+              "para"):
         df = df.withColumn(c, F.col("c_name"))
+    df = df.withColumn("lat", F.col("c_acctbal")).withColumn(
+        "lon", F.col("c_acctbal"))
     plan = _plan({"name": "customer", "transformers": _steps(
         {"name": "RandomCCType", "params": {"column": "cct"}},
         {"name": "RandomCCNumber", "params": {"column": "ccn"}},
         {"name": "RandomCurrency", "params": {"column": "cur"}},
-        {"name": "RandomAmountWithCurrency", "params": {"column": "amt"}})})
-    return apply_plan(df, plan).select("c_custkey", "cct", "ccn", "cur", "amt")
+        {"name": "RandomAmountWithCurrency", "params": {"column": "amt"}},
+        {"name": "RandomPhoneNumber", "params": {"column": "ph"}},
+        {"name": "RandomTollFreePhoneNumber", "params": {"column": "tf"}},
+        {"name": "RandomE164PhoneNumber", "params": {"column": "e164"}},
+        {"name": "RandomWord", "params": {"column": "w"}},
+        {"name": "RandomSentence", "params": {"column": "sent", "words": 4}},
+        {"name": "RandomParagraph", "params": {"column": "para",
+                                               "sentences": 2, "words": 3}},
+        {"name": "RandomLatitude", "params": {"column": "lat"}},
+        {"name": "RandomLongitude", "params": {"column": "lon"}})})
+    return apply_plan(df, plan).select(
+        "c_custkey", "cct", "ccn", "cur", "amt", "ph", "tf", "e164",
+        "w", "sent", "para", "lat", "lon")
 
 
-def _oracle_t_faker_finance() -> str:
+def _oracle_t_faker_b() -> str:
     key = "c_name"
     cct = _duck_pick(lex.CC_TYPES, _uix(key, 0, len(lex.CC_TYPES) - 1))
     ccn = (f"('4' || lpad(CAST({_uix(key, 0, 10**7 - 1, draw=0)} AS VARCHAR), 7, '0')"
@@ -1115,8 +1028,28 @@ def _oracle_t_faker_finance() -> str:
     cur = _duck_pick(lex.CURRENCIES, _uix(key, 0, len(lex.CURRENCIES) - 1))
     amt = (f"(CAST(round({_udb(key, draw=0)} * 10000.0, 2) AS VARCHAR) || ' ' || "
            f"{_duck_pick(lex.CURRENCIES, _uix(key, 0, len(lex.CURRENCIES) - 1, draw=1))})")
+    pa = _uix(key, 200, 999, draw=0)
+    pb = _uix(key, 200, 999, draw=1)
+    pc = _uix(key, 0, 9999, draw=2)
+    ph = (f"('(' || CAST({pa} AS VARCHAR) || ') ' || "
+          f"CAST({pb} AS VARCHAR) || '-' || lpad(CAST({pc} AS VARCHAR), 4, '0'))")
+    tollpre = ["800", "833", "844", "855", "866", "877", "888"]
+    tf = (f"('(' || {_duck_pick(tollpre, _uix(key, 0, 6, draw=0))} || ') ' || "
+          f"lpad(CAST({_uix(key, 200, 999, draw=1)} AS VARCHAR), 3, '0') || '-' || "
+          f"lpad(CAST({_uix(key, 0, 9999, draw=2)} AS VARCHAR), 4, '0'))")
+    e164 = (f"('+1' || lpad(CAST({_uix(key, 200, 999, draw=0)} AS VARCHAR), 3, '0')"
+            f" || lpad(CAST({_uix(key, 200, 999, draw=1)} AS VARCHAR), 3, '0')"
+            f" || lpad(CAST({_uix(key, 0, 9999, draw=2)} AS VARCHAR), 4, '0'))")
+    w = _duck_pick(lex.WORDS, _uix(key, 0, 10**6))
+    sent = _duck_sentence(key, 4)
+    para = f"({_duck_sentence(key, 3, 0)} || ' ' || {_duck_sentence(key, 3, 3)})"
+    u = _udb("c_acctbal")
+    lat = f"round({u} * 180.0 - 90.0, 6)"
+    lon = f"round({u} * 360.0 - 180.0, 6)"
     return (f"SELECT c_custkey, {cct} AS cct, {ccn} AS ccn, {cur} AS cur, "
-            f"{amt} AS amt FROM customer")
+            f"{amt} AS amt, {ph} AS ph, {tf} AS tf, {e164} AS e164, "
+            f"{w} AS w, {sent} AS sent, {para} AS para, "
+            f"{lat} AS lat, {lon} AS lon FROM customer")
 
 
 def _duck_sentence(key: str, n_words: int, base_draw: int = 0) -> str:
@@ -1126,69 +1059,6 @@ def _duck_sentence(key: str, n_words: int, base_draw: int = 0) -> str:
     ]
     body = "(" + " || ' ' || ".join(parts) + ")"
     return f"(upper(substr({body}, 1, 1)) || substr({body}, 2) || '.')"
-
-
-def q_t_faker_text(spark, sf_dir):
-    """RandomWord/Sentence/Paragraph."""
-    t = _tables(spark, sf_dir, "part")
-    df = t["part"]
-    for c in ("w", "sent", "para"):
-        df = df.withColumn(c, F.col("p_name"))
-    plan = _plan({"name": "part", "transformers": _steps(
-        {"name": "RandomWord", "params": {"column": "w"}},
-        {"name": "RandomSentence", "params": {"column": "sent", "words": 4}},
-        {"name": "RandomParagraph", "params": {"column": "para",
-                                               "sentences": 2, "words": 3}})})
-    return apply_plan(df, plan).select("p_partkey", "w", "sent", "para")
-
-
-def _oracle_t_faker_text() -> str:
-    key = "p_name"
-    w = _duck_pick(lex.WORDS, _uix(key, 0, 10**6))
-    sent = _duck_sentence(key, 4)
-    para = f"({_duck_sentence(key, 3, 0)} || ' ' || {_duck_sentence(key, 3, 3)})"
-    return (f"SELECT p_partkey, {w} AS w, {sent} AS sent, {para} AS para "
-            f"FROM part")
-
-
-def q_t_faker_geo(spark, sf_dir):
-    """RandomLatitude/Longitude."""
-    t = _tables(spark, sf_dir, "customer")
-    df = (t["customer"].withColumn("lat", F.col("c_acctbal"))
-          .withColumn("lon", F.col("c_acctbal")))
-    plan = _plan({"name": "customer", "transformers": _steps(
-        {"name": "RandomLatitude", "params": {"column": "lat"}},
-        {"name": "RandomLongitude", "params": {"column": "lon"}})})
-    return apply_plan(df, plan).select("c_custkey", "lat", "lon")
-
-
-def _oracle_t_faker_geo() -> str:
-    u = _udb("c_acctbal")
-    return (f"SELECT c_custkey, round({u} * 180.0 - 90.0, 6) AS lat, "
-            f"round({u} * 360.0 - 180.0, 6) AS lon FROM customer")
-
-
-def q_t_faker_phone2(spark, sf_dir):
-    """RandomTollFreePhoneNumber/E164PhoneNumber."""
-    t = _tables(spark, sf_dir, "customer")
-    df = (t["customer"].withColumn("tf", F.col("c_name"))
-          .withColumn("e164", F.col("c_name")))
-    plan = _plan({"name": "customer", "transformers": _steps(
-        {"name": "RandomTollFreePhoneNumber", "params": {"column": "tf"}},
-        {"name": "RandomE164PhoneNumber", "params": {"column": "e164"}})})
-    return apply_plan(df, plan).select("c_custkey", "tf", "e164")
-
-
-def _oracle_t_faker_phone2() -> str:
-    key = "c_name"
-    prefixes = ["800", "833", "844", "855", "866", "877", "888"]
-    tf = (f"('(' || {_duck_pick(prefixes, _uix(key, 0, 6, draw=0))} || ') ' || "
-          f"lpad(CAST({_uix(key, 200, 999, draw=1)} AS VARCHAR), 3, '0') || '-' || "
-          f"lpad(CAST({_uix(key, 0, 9999, draw=2)} AS VARCHAR), 4, '0'))")
-    e164 = (f"('+1' || lpad(CAST({_uix(key, 200, 999, draw=0)} AS VARCHAR), 3, '0')"
-            f" || lpad(CAST({_uix(key, 200, 999, draw=1)} AS VARCHAR), 3, '0')"
-            f" || lpad(CAST({_uix(key, 0, 9999, draw=2)} AS VARCHAR), 4, '0'))")
-    return f"SELECT c_custkey, {tf} AS tf, {e164} AS e164 FROM customer"
 
 
 def q_t_real_address(spark, sf_dir):
@@ -1286,6 +1156,78 @@ def _oracle_t_cmd() -> str:
     return "SELECT c_custkey, upper(c_name) AS c_name FROM customer"
 
 
+_CSV_CHILD = """\
+import sys, csv, io
+r = csv.reader(sys.stdin)
+w = csv.writer(sys.stdout, lineterminator="\\n")
+for row in r:
+    row[1] = row[1][::-1]
+    w.writerow(row)
+    sys.stdout.flush()
+"""
+
+
+def q_t_cmd_csv(spark, sf_dir):
+    """Cmd transformer, csv protocol driver (pkg/toolkit/csv_api.go): the
+    whole record travels as one CSV line; the child rewrites s_name (field
+    index 1) and only affected columns are copied back."""
+    import sys as _sys
+
+    t = _tables(spark, sf_dir, "supplier")
+    plan = _plan({"name": "supplier", "transformers": _steps(
+        {"name": "Cmd", "params": {
+            "executable": _sys.executable,
+            "args": ["-u", "-c", _CSV_CHILD],
+            "driver": "csv",
+            "columns": ["s_name"],
+        }})})
+    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name")
+
+
+def _oracle_t_cmd_csv() -> str:
+    return "SELECT s_suppkey, reverse(s_name) AS s_name FROM supplier"
+
+
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_ROT13_FROM = _LOWER + _LOWER.upper()
+_ROT13_TO = (_LOWER[13:] + _LOWER[:13]) + (_LOWER[13:] + _LOWER[:13]).upper()
+
+_PLUGIN_CHILD = (
+    "import sys, json, codecs\n"
+    "if '--print-definition' in sys.argv:\n"
+    "    print(json.dumps({'name': 'Rot13', 'description': 'rot13 text',\n"
+    "                      'driver': {'name': 'text'},\n"
+    "                      'parameters': [{'name': 'columns',\n"
+    "                                      'required': True}]}))\n"
+    "    sys.exit(0)\n"
+    "for line in sys.stdin:\n"
+    "    print(codecs.encode(line.rstrip('\\n'), 'rot13'), flush=True)\n"
+)
+
+
+def q_t_custom_plugin(spark, sf_dir):
+    """Custom transformer plugin: the executable self-describes via the
+    --print-definition handshake (custom/custom_cmd.go:44-305,
+    pkg/toolkit/definition.go:86) and is registered under its declared
+    name, then used like any built-in transformer."""
+    import sys as _sys
+
+    from greenmask_spark.transformers.custom import load_custom_transformers
+
+    load_custom_transformers(
+        [{"executable": _sys.executable, "args": ["-c", _PLUGIN_CHILD]}])
+    t = _tables(spark, sf_dir, "nation")
+    plan = _plan({"name": "nation", "transformers": _steps(
+        {"name": "Rot13", "params": {"columns": ["n_name"]}})})
+    return apply_plan(t["nation"], plan).select("n_nationkey", "n_name")
+
+
+def _oracle_t_custom_plugin() -> str:
+    return (f"SELECT n_nationkey, "
+            f"translate(n_name, '{_ROT13_FROM}', '{_ROT13_TO}') AS n_name "
+            f"FROM nation")
+
+
 # ---------------------------------------------------------------------------
 # pipeline operators: inheritance, cyclic subset, dedup verify, ANN, media
 # ---------------------------------------------------------------------------
@@ -1351,6 +1293,33 @@ def _oracle_subset_cycle() -> str:
     )
     SELECT event_id, user_id, event_type FROM events
     WHERE event_id NOT IN (SELECT event_id FROM dead)
+    """
+
+
+def q_subset_polymorphic(spark, sf_dir):
+    """Polymorphic/virtual reference subset: events.user_id references
+    customer.c_custkey ONLY for event_type='purchase' rows (reference:
+    domains/virtual_references.go polymorphic_exprs; integrity semantics
+    graph.go:993-1001 — non-matching rows are unconstrained)."""
+    from greenmask_spark.subset import FKGraph, Reference, SubsetPlanner
+
+    t = _tables(spark, sf_dir, "customer", "events")
+    g = FKGraph(
+        tables=["customer", "events"],
+        references=[Reference("events", "customer",
+                              ("user_id",), ("c_custkey",),
+                              condition="event_type = 'purchase'")],
+    )
+    planner = SubsetPlanner(g, conditions={"customer": "c_acctbal > 0"})
+    return planner.plan(t)["events"].select(
+        "event_id", "user_id", "event_type")
+
+
+def _oracle_subset_polymorphic() -> str:
+    return """
+    SELECT event_id, user_id, event_type FROM events
+    WHERE NOT (event_type = 'purchase')
+       OR user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
     """
 
 
@@ -1477,48 +1446,42 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """≤50 entries so EVERY operator family gets a driver CORRECTNESS row
+    (the r1 harness checked only the first 50). Single-transformer queries
+    from r1 are consolidated into same-table family queries — each merged
+    transformer keeps its original key/params, so per-transformer semantics
+    are unchanged; the docstring of each family query lists its members."""
     return {
         "mask_customer": q_mask_customer,
-        "t_random_int": q_t_random_int,
+        "t_random_int": q_t_random_int,          # +NoiseInt/RandomString/RegexpReplace
         "t_hash": q_t_hash,
         "t_replace_setnull": q_t_replace_setnull,
-        "t_masking": q_t_masking,
-        "t_regexp_replace": q_t_regexp_replace,
-        "t_random_choice": q_t_random_choice,
-        "t_random_date": q_t_random_date,
-        "t_noise_int": q_t_noise_int,
+        "t_masking": q_t_masking,                # +RandomUuid/RandomEmail
+        "t_orders_temporal": q_t_orders_temporal,  # RandomChoice/RandomDate/NoiseDate
         "t_noise_float": q_t_noise_float,
-        "t_random_uuid": q_t_random_uuid,
-        "t_random_ip": q_t_random_ip,
-        "t_random_email": q_t_random_email,
-        "t_random_person": q_t_random_person,
-        "t_random_company": q_t_random_company,
-        "t_faker_phone": q_t_faker_phone,
-        "t_when_condition": q_t_when_condition,
-        "t_dynamic_param": q_t_dynamic_param,
         "t_random_float": q_t_random_float,
         "t_random_numeric": q_t_random_numeric,
-        "t_random_bool": q_t_random_bool,
-        "t_random_unix_timestamp": q_t_random_unix_timestamp,
-        "t_random_string": q_t_random_string,
-        "t_random_mac": q_t_random_mac,
         "t_noise_numeric": q_t_noise_numeric,
-        "t_noise_date": q_t_noise_date,
-        "t_faker_temporal": q_t_faker_temporal,
-        "t_faker_internet": q_t_faker_internet,
-        "t_faker_finance": q_t_faker_finance,
-        "t_faker_text": q_t_faker_text,
-        "t_faker_geo": q_t_faker_geo,
-        "t_faker_phone2": q_t_faker_phone2,
+        "t_random_bool": q_t_random_bool,        # +RandomUnixTimestamp
+        "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
+        "t_random_person": q_t_random_person,
         "t_real_address": q_t_real_address,
+        "t_faker_a": q_t_faker_a,                # 10 faker transformers
+        "t_faker_b": q_t_faker_b,                # 12 faker transformers
+        "t_when_condition": q_t_when_condition,
+        "t_dynamic_param": q_t_dynamic_param,
+        "t_query_override": q_t_query_override,
         "t_json_ops": q_t_json_ops,
         "t_template": q_t_template,
         "t_template_record": q_t_template_record,
         "t_cmd": q_t_cmd,
+        "t_cmd_csv": q_t_cmd_csv,
+        "t_custom_plugin": q_t_custom_plugin,
         "t_apply_for_references": q_t_apply_for_references,
         "subset_orders": q_subset_orders,
         "subset_cycle": q_subset_cycle,
         "subset_lineitem": q_subset_lineitem,
+        "subset_polymorphic": q_subset_polymorphic,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_region_revenue": q_q5_region_revenue,
@@ -1546,42 +1509,31 @@ def oracle_sql() -> dict[str, str]:
         "t_hash": _oracle_t_hash(),
         "t_replace_setnull": _oracle_t_replace_setnull(),
         "t_masking": _oracle_t_masking(),
-        "t_regexp_replace": _oracle_t_regexp_replace(),
-        "t_random_choice": _oracle_t_random_choice(),
-        "t_random_date": _oracle_t_random_date(),
-        "t_noise_int": _oracle_t_noise_int(),
+        "t_orders_temporal": _oracle_t_orders_temporal(),
         "t_noise_float": _oracle_t_noise_float(),
-        "t_random_uuid": _oracle_t_random_uuid(),
-        "t_random_ip": _oracle_t_random_ip(),
-        "t_random_email": _oracle_t_random_email(),
-        "t_random_person": _oracle_t_random_person(),
-        "t_random_company": _oracle_t_random_company(),
-        "t_faker_phone": _oracle_t_faker_phone(),
-        "t_when_condition": _oracle_t_when_condition(),
-        "t_dynamic_param": _oracle_t_dynamic_param(),
         "t_random_float": _oracle_t_random_float(),
         "t_random_numeric": _oracle_t_random_numeric(),
-        "t_random_bool": _oracle_t_random_bool(),
-        "t_random_unix_timestamp": _oracle_t_random_unix_timestamp(),
-        "t_random_string": _oracle_t_random_string(),
-        "t_random_mac": _oracle_t_random_mac(),
         "t_noise_numeric": _oracle_t_noise_numeric(),
-        "t_noise_date": _oracle_t_noise_date(),
-        "t_faker_temporal": _oracle_t_faker_temporal(),
-        "t_faker_internet": _oracle_t_faker_internet(),
-        "t_faker_finance": _oracle_t_faker_finance(),
-        "t_faker_text": _oracle_t_faker_text(),
-        "t_faker_geo": _oracle_t_faker_geo(),
-        "t_faker_phone2": _oracle_t_faker_phone2(),
+        "t_random_bool": _oracle_t_random_bool(),
+        "t_net_company": _oracle_t_net_company(),
+        "t_random_person": _oracle_t_random_person(),
         "t_real_address": _oracle_t_real_address(),
+        "t_faker_a": _oracle_t_faker_a(),
+        "t_faker_b": _oracle_t_faker_b(),
+        "t_when_condition": _oracle_t_when_condition(),
+        "t_dynamic_param": _oracle_t_dynamic_param(),
+        "t_query_override": _oracle_t_query_override(),
         "t_json_ops": _oracle_t_json_ops(),
         "t_template": _oracle_t_template(),
         "t_template_record": _oracle_t_template_record(),
         "t_cmd": _oracle_t_cmd(),
+        "t_cmd_csv": _oracle_t_cmd_csv(),
+        "t_custom_plugin": _oracle_t_custom_plugin(),
         "t_apply_for_references": _oracle_t_apply_for_references(),
         "subset_orders": _oracle_subset_orders(),
         "subset_cycle": _oracle_subset_cycle(),
         "subset_lineitem": _oracle_subset_lineitem(),
+        "subset_polymorphic": _oracle_subset_polymorphic(),
         "q1_pricing_summary": _oracle_q1(),
         "q3_shipping_priority": _oracle_q3(),
         "q5_region_revenue": _oracle_q5(),

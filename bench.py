@@ -24,7 +24,7 @@ from greenmask_spark.session import get_spark  # noqa: E402
 #: aggregation anchors, dedup/similarity/text at scale
 HEADLINE = [
     "mask_customer",
-    "t_random_date",
+    "t_orders_temporal",
     "t_noise_float",
     "subset_lineitem",
     "q1_pricing_summary",

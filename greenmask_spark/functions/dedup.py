@@ -142,15 +142,23 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    strategy: str = "auto",
+    broadcast_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact hashed-k-shingle Jaccard for candidate pairs (verification).
 
-    Shingle sets travel as distinct int hash arrays (≈8× smaller than the
-    string shingles) and the doc→hash-set map is BROADCAST, so the pair
-    stream never shuffles arrays — the naive plan re-shuffles the first
-    joined array set on the second join key (hundreds of MB at sf0.1).
-    When the corpus outgrows broadcast, verify via explode +
-    count-common-hashes aggregation instead of per-pair arrays.
+    Two physical strategies with identical results:
+
+    - ``broadcast`` (small corpus): the doc→hash-set map is broadcast so
+      the pair stream never shuffles arrays. Only valid while the whole
+      shingle map fits a broadcast — NOT the 100 TB path.
+    - ``agg`` (scale path, default above ``broadcast_max_rows`` docs):
+      explode to (doc, hash) rows, count common hashes per candidate pair
+      via two id-keyed joins, then |A∩B| / (|A|+|B|−|A∩B|). The shuffles
+      carry only (id, int) rows — no arrays — so this survives corpora
+      where the broadcast variant OOMs.
+
+    ``auto`` counts the corpus once (single scalar aggregate) to pick.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -158,17 +166,50 @@ def ngram_jaccard(
             F.transform(shingles(F.col(text_col), k), _shingle_hash)
         ).alias("sh"),
     )
+    if strategy == "auto":
+        strategy = "broadcast" if df.count() <= broadcast_max_rows else "agg"
+    if strategy == "broadcast":
+        return (
+            pairs.join(
+                F.broadcast(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})),
+                "id_a")
+            .join(F.broadcast(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})),
+                  "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                    4,
+                ).alias("jaccard"),
+            )
+        )
+    if strategy != "agg":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    ex = sh.select("id", F.explode("sh").alias("h"))
+    ex_a = ex.select(F.col("id").alias("id_a"), "h")
+    ex_b = ex.select(F.col("id").alias("id_b"), "h")
+    inter = (
+        pairs.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     return (
-        pairs.join(F.broadcast(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})),
-                   "id_a")
-        .join(F.broadcast(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})),
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+              "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
               "id_b")
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
                 4,
             ).alias("jaccard"),
         )

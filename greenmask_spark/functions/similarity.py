@@ -68,31 +68,50 @@ def cosine_pairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine ≥ threshold, via numpy block
-    products inside mapInPandas.
+    """All pairs (id_a < id_b) with cosine ≥ threshold — exact, fully
+    distributed via matrix-product tiling.
 
-    Per-pair JVM expressions (zip_with + aggregate) run the 64-dim dot as
-    ~64 interpreted lambda calls → O(n²·dim) scalar ops; a BLAS matmul does
-    the same block in vectorized batches ~100× faster. The corpus matrix is
-    broadcast (n·dim·8 B — fine up to ~10⁷×64); beyond that, LSH-bucket
-    first (``lsh_bucket``) and run this within buckets.
+    Plan shape (no driver materialization — the r1 version collected the
+    whole corpus with ``toPandas()``, which OOMs the driver long before
+    scale): rows hash into ``n_blocks`` blocks; the n×n similarity matrix
+    is tiled into block-pairs (p ≤ q); each row is replicated to the
+    tiles it participates in (≈ n_blocks× replication, the standard
+    distributed-matmul tradeoff) and one ``applyInPandas`` task per tile
+    runs a BLAS block product. Every unordered pair lands in exactly one
+    tile, so results match the all-pairs oracle exactly.
 
-    Rounding policy: BLAS pairwise summation can differ from a sequential
-    fold in the last ulp; results are rounded to 4 decimals, where the
-    difference is invisible except exactly on a .00005 boundary.
+    Per-pair JVM expressions (zip_with + aggregate) would run the 64-dim
+    dot as ~64 interpreted lambda calls; the BLAS matmul is ~100× faster.
+    At 100 TB, exact all-pairs is O(n²) by definition — raise n_blocks so
+    tiles fit executor memory, or use the LSH path (``cosine_topk_lsh``)
+    when approximate recall is acceptable.
+
+    Rounding policy: results round to 4 decimals before thresholding,
+    matching the oracle.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    spark = df.sparkSession
-    src = df.select(id_col, vec_col)
-    pdf = src.toPandas()
-    ids0 = pdf[id_col].to_numpy()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids0, mat, norms))
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    blk = src.withColumn("b", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
+    tile_ids = F.array(*[F.lit(i) for i in range(n_blocks)])
+    # row in block b participates in tile (p,q), p<=q: as side 0 when p=b,
+    # side 1 when q=b; diagonal tiles keep side 0 only (self-pairs handled
+    # in-tile).
+    left = (
+        blk.withColumn("q", F.explode(tile_ids))
+        .filter(F.col("q") >= F.col("b"))
+        .select(F.col("b").alias("p"), "q", F.lit(0).alias("side"), "id", "vec")
+    )
+    right = (
+        blk.withColumn("p", F.explode(tile_ids))
+        .filter(F.col("p") < F.col("b"))
+        .select("p", F.col("b").alias("q"), F.lit(1).alias("side"), "id", "vec")
+    )
+    tiles = left.unionByName(right)
 
     schema = T.StructType([
         T.StructField("id_a", T.LongType()),
@@ -100,26 +119,39 @@ def cosine_pairs_blocked(
         T.StructField("cos_sim", T.DoubleType()),
     ])
 
-    def run(it):
-        ids_c, mat_c, n_c = bc.value
-        for p in it:
-            if not len(p):
-                continue
-            block = np.array([np.asarray(v, dtype=np.float64) for v in p[vec_col]])
-            bid = p[id_col].to_numpy()
-            bn = np.sqrt((block * block).sum(axis=1))
-            sims = np.round(
-                (block @ mat_c.T) / (bn[:, None] * n_c[None, :]), 4
+    def run_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        p, q = key
+        a = pdf[pdf["side"] == 0]
+        ids_a = a["id"].to_numpy()
+        mat_a = np.array([np.asarray(v, dtype=np.float64) for v in a["vec"]])
+        if p == q:
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            b = pdf[pdf["side"] == 1]
+            ids_b = b["id"].to_numpy()
+            mat_b = np.array([np.asarray(v, dtype=np.float64) for v in b["vec"]])
+        if not len(ids_a) or not len(ids_b):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
             )
-            ii, jj = np.nonzero(sims >= threshold)
-            keep = bid[ii] < ids_c[jj]
-            yield pd.DataFrame({
-                "id_a": bid[ii][keep],
-                "id_b": ids_c[jj][keep],
-                "cos_sim": sims[ii, jj][keep],
-            })
+        na = np.sqrt((mat_a * mat_a).sum(axis=1))
+        nb = np.sqrt((mat_b * mat_b).sum(axis=1))
+        sims = np.round((mat_a @ mat_b.T) / (na[:, None] * nb[None, :]), 4)
+        ii, jj = np.nonzero(sims >= threshold)
+        if p == q:
+            # diagonal tile scores both (i,j) and (j,i): keep one orientation
+            keep = ids_a[ii] < ids_b[jj]
+        else:
+            # off-diagonal: each unordered pair appears exactly once
+            keep = np.ones(len(ii), dtype=bool)
+        lo, hi = ids_a[ii][keep], ids_b[jj][keep]
+        return pd.DataFrame({
+            "id_a": np.minimum(lo, hi),
+            "id_b": np.maximum(lo, hi),
+            "cos_sim": sims[ii, jj][keep],
+        })
 
-    return src.mapInPandas(run, schema=schema)
+    return tiles.groupBy("p", "q").applyInPandas(run_tile, schema=schema)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

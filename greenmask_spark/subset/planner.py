@@ -56,7 +56,21 @@ class SubsetPlanner:
         child: DataFrame, parent: DataFrame, ref: Reference
     ) -> DataFrame:
         """Keep child rows referentially intact w.r.t. the (already
-        filtered) parent. Key-projection semi-join, not a full-row join."""
+        filtered) parent. Key-projection semi-join, not a full-row join.
+
+        ``ref.condition`` is a polymorphic/virtual-reference discriminator
+        (reference: domains/virtual_references.go, polymorphic_exprs in
+        subset/query.go:37-42): rows NOT of this polymorphic type are
+        unconstrained by the edge — the reference's integrity check is
+        ``fk IS NULL OR pk IS NOT NULL OR NOT (poly_exprs)``
+        (graph.go:993-1001). The condition must be child-side evaluable.
+        Rows where the condition is NULL follow SQL three-valued logic:
+        they never match the join, so they survive only via a NULL FK on a
+        nullable edge."""
+        rest = None
+        if ref.condition:
+            rest = child.filter(F.expr(f"NOT ({ref.condition})"))
+            child = child.filter(F.expr(f"({ref.condition}) IS NOT FALSE"))
         pkeys = parent.select(
             *[F.col(c).alias(f"__pk_{i}") for i, c in enumerate(ref.pk_columns)]
         ).distinct()
@@ -67,14 +81,16 @@ class SubsetPlanner:
         if ref.condition:
             cond = cond & F.expr(ref.condition)
         if not ref.nullable:
-            return child.join(pkeys, cond, "left_semi")
+            kept = child.join(pkeys, cond, "left_semi")
+            return kept if rest is None else kept.unionByName(rest)
         # nullable: survive when any FK col is NULL or the parent matched
         null_any = None
         for fk in ref.fk_columns:
             c = child[fk].isNull()
             null_any = c if null_any is None else (null_any | c)
         matched = child.join(pkeys, cond, "left_semi")
-        return child.filter(null_any).unionByName(matched)
+        kept = child.filter(null_any).unionByName(matched)
+        return kept if rest is None else kept.unionByName(rest)
 
     # -- main entry ---------------------------------------------------------
 

@@ -26,3 +26,7 @@ from greenmask_spark.transformers import (  # noqa: F401,E402
     temporal,
     text,
 )
+from greenmask_spark.transformers.custom import (  # noqa: F401,E402
+    load_custom_transformers,
+    register_python_transformer,
+)

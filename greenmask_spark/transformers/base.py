@@ -94,10 +94,49 @@ class Transformer:
     def build(self, ctx: BuildContext) -> Column:  # pragma: no cover
         raise NotImplementedError
 
-    def validate_params(self, params: dict[str, Any]) -> list[str]:
+    def validate_params(
+        self, params: dict[str, Any], spark_type: T.DataType | None = None
+    ) -> list[str]:
         """Return a list of warning strings (reference:
-        pkg/toolkit/validation_warning.go)."""
+        pkg/toolkit/validation_warning.go); ``spark_type`` is the target
+        column's type when known (for range/encode checks)."""
         return []
+
+
+def can_encode(value: Any, spark_type: T.DataType | None) -> bool:
+    """Static encode-check: can ``value`` round-trip into the column type?
+    (reference: replace.go / random_choice.go ``validate`` parameter runs
+    the PG text-format encoder against the declared column type)."""
+    if value is None or spark_type is None:
+        return True
+    s = spark_type.simpleString()
+    try:
+        if s in ("tinyint", "smallint", "int", "integer", "bigint"):
+            int(value)
+        elif s in ("float", "double") or s.startswith("decimal"):
+            float(value)
+        elif s == "boolean":
+            if not isinstance(value, bool) and str(value).lower() not in (
+                "true", "false", "t", "f", "0", "1"
+            ):
+                return False
+        elif s in ("date", "timestamp", "timestamp_ntz"):
+            import datetime
+
+            if not isinstance(value, (datetime.date, datetime.datetime)):
+                datetime.datetime.fromisoformat(str(value))
+        return True
+    except (ValueError, TypeError):
+        return False
+
+
+_INT_TYPE_BOUNDS = {
+    "smallint": (-(1 << 15), (1 << 15) - 1),
+    "tinyint": (-(1 << 7), (1 << 7) - 1),
+    "int": (-(1 << 31), (1 << 31) - 1),
+    "integer": (-(1 << 31), (1 << 31) - 1),
+    "bigint": (-(1 << 63), (1 << 63) - 1),
+}
 
 
 class TransformerRegistry:

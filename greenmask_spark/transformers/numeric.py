@@ -58,6 +58,25 @@ class RandomInt(Transformer):
         out = ctx.engine.uniform_int(ctx.col(), lo, hi).cast(ctx.spark_type)
         return keep_null_guard(ctx.col(), out, ctx.params.get("keep_null", True))
 
+    def validate_params(self, params, spark_type=None):
+        from greenmask_spark.transformers.base import _INT_TYPE_BOUNDS
+
+        w = []
+        lo, hi = params.get("min"), params.get("max")
+        nums = isinstance(lo, (int, float)) and isinstance(hi, (int, float))
+        if nums and lo > hi:
+            w.append(f"RandomInt: min ({lo}) is greater than max ({hi})")
+        if spark_type is not None:
+            tlo, thi = _INT_TYPE_BOUNDS.get(
+                spark_type.simpleString(), (None, None))
+            if tlo is not None:
+                for name, v in (("min", lo), ("max", hi)):
+                    if isinstance(v, (int, float)) and not tlo <= v <= thi:
+                        w.append(
+                            f"RandomInt: {name} ({v}) is out of range of "
+                            f"{spark_type.simpleString()} [{tlo}, {thi}]")
+        return w
+
 
 @register
 class RandomFloat(Transformer):
@@ -72,6 +91,13 @@ class RandomFloat(Transformer):
         out = F.round(lo + u * (hi - lo), int(ctx.params.get("decimal", 4)))
         out = out.cast(ctx.spark_type)
         return keep_null_guard(ctx.col(), out, ctx.params.get("keep_null", True))
+
+    def validate_params(self, params, spark_type=None):
+        lo, hi = params.get("min"), params.get("max")
+        if (isinstance(lo, (int, float)) and isinstance(hi, (int, float))
+                and lo > hi):
+            return [f"RandomFloat: min ({lo}) is greater than max ({hi})"]
+        return []
 
 
 @register

@@ -67,6 +67,17 @@ class Replace(Transformer):
         out = ctx.param_col("value").cast(ctx.spark_type)
         return keep_null_guard(ctx.col(), out, ctx.params.get("keep_null", True))
 
+    def validate_params(self, params, spark_type=None):
+        from greenmask_spark.transformers.base import can_encode
+
+        v = params.get("value")
+        if isinstance(v, dict) and "column" in v:  # dynamic — checked at run
+            return []
+        if not can_encode(v, spark_type):
+            return [f"Replace: value {v!r} cannot be encoded into column "
+                    f"type {spark_type.simpleString()}"]
+        return []
+
 
 @register
 class SetNull(Transformer):
@@ -170,6 +181,16 @@ class Masking(Transformer):
             raise ValueError(f"unknown masking type {style!r}")
         return keep_null_guard(c, out, ctx.params.get("keep_null", True))
 
+    _STYLES = ("default", "password", "name", "email", "mobile", "tel",
+               "id", "credit_card", "url", "addr", "postcode")
+
+    def validate_params(self, params, spark_type=None):
+        style = params.get("type", "default")
+        if style not in self._STYLES:
+            return [f"Masking: unknown masking type {style!r} "
+                    f"(known: {list(self._STYLES)})"]
+        return []
+
 
 @register
 class RandomString(Transformer):
@@ -208,6 +229,17 @@ class RandomString(Transformer):
         out = F.concat(*chars)
         return keep_null_guard(ctx.col(), out, p.get("keep_null", True))
 
+    def validate_params(self, params, spark_type=None):
+        w = []
+        lo = int(params.get("min_length", 1))
+        hi = int(params.get("max_length", 10))
+        if lo > hi:
+            w.append(f"RandomString: min_length ({lo}) is greater than "
+                     f"max_length ({hi})")
+        if not params.get("symbols", _DEFAULT_SYMBOLS):
+            w.append("RandomString: symbols alphabet is empty")
+        return w
+
 
 @register
 class RandomUuid(Transformer):
@@ -244,3 +276,16 @@ class RandomChoice(Transformer):
         arr = F.array(*[F.lit(v) for v in values])
         out = F.element_at(arr, idx.cast("int") + 1).cast(ctx.spark_type)
         return keep_null_guard(ctx.col(), out, ctx.params.get("keep_null", True))
+
+    def validate_params(self, params, spark_type=None):
+        from greenmask_spark.transformers.base import can_encode
+
+        values = params.get("values")
+        if not values:
+            return ["RandomChoice: values list is empty"]
+        return [
+            f"RandomChoice: value {v!r} cannot be encoded into column type "
+            f"{spark_type.simpleString()}"
+            for v in values
+            if not can_encode(v, spark_type)
+        ]

@@ -42,6 +42,48 @@ def test_minhash_lsh_finds_near_dups(docs):
         assert 0.5 < j[(1, 3)] < 1.0
 
 
+def test_ngram_jaccard_agg_path_matches_broadcast(docs):
+    """The scale-safe explode+count-common-hashes strategy must produce
+    exactly the broadcast strategy's results (forced via threshold=0)."""
+    from greenmask_spark.functions.dedup import minhash_candidates, ngram_jaccard
+
+    pairs = minhash_candidates(docs, num_perm=16, bands=8)
+    bc = {(r.id_a, r.id_b): r.jaccard
+          for r in ngram_jaccard(docs, pairs, strategy="broadcast").collect()}
+    agg = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard(docs, pairs, strategy="agg").collect()}
+    auto_small = {(r.id_a, r.id_b): r.jaccard
+                  for r in ngram_jaccard(docs, pairs, strategy="auto",
+                                         broadcast_max_rows=0).collect()}
+    assert bc == agg == auto_small
+    assert bc, "no candidate pairs produced"
+
+
+def test_cosine_pairs_blocked_distributed(spark):
+    """Tiled all-pairs cosine: every qualifying pair exactly once, matching
+    a brute-force numpy computation; no driver-side corpus collection."""
+    import numpy as np
+
+    from greenmask_spark.functions.similarity import cosine_pairs_blocked
+
+    rng = [(i, [float(((i * 37 + d * 11) % 19) - 9) for d in range(8)])
+           for i in range(40)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b): r.cos_sim
+           for r in cosine_pairs_blocked(df, 0.5, n_blocks=4).collect()}
+
+    mat = np.array([v for _, v in rng])
+    n = np.sqrt((mat * mat).sum(axis=1))
+    sims = np.round((mat @ mat.T) / (n[:, None] * n[None, :]), 4)
+    want = {}
+    for i in range(len(rng)):
+        for j in range(i + 1, len(rng)):
+            if sims[i, j] >= 0.5:
+                want[(i, j)] = sims[i, j]
+    assert got == want
+    assert len(got) > 0
+
+
 def test_simhash_near_dups(docs):
     from greenmask_spark.functions.dedup import simhash_near_dups
 

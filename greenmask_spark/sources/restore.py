@@ -1,0 +1,144 @@
+"""Restore INSERT path: row-format restore with conflict-skip.
+
+Reference: internal/db/postgres/restorers/table_insert_format.go:88-278 —
+the INSERT restorer builds ``INSERT INTO t (cols) [OVERRIDING SYSTEM
+VALUE] VALUES (...) [ON CONFLICT DO NOTHING]`` statements, commits in
+batches, and consults config exclusion lists (internal/domains/
+config.go:115-130) to SKIP rows whose insert fails with a listed error
+code or constraint name instead of aborting the restore.
+
+Spark-first: the writer runs inside ``mapInPandas`` — one DB-API
+connection per partition, executemany batches, per-row fallback on batch
+failure so excluded errors skip exactly the offending rows. Returns a
+summary DataFrame (inserted/skipped per partition) so the driver can
+report restore totals without a side channel. Works with any DB-API
+driver (psycopg, sqlite3, duckdb); the ``connection_factory`` must be a
+top-level picklable callable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+#: dialect → (placeholder, conflict-skip clause position/style)
+_DIALECTS = {
+    "postgresql": {"placeholder": "%s", "ignore": "suffix"},   # ON CONFLICT
+    "sqlite": {"placeholder": "?", "ignore": "or_ignore"},     # INSERT OR IGNORE
+    "duckdb": {"placeholder": "?", "ignore": "suffix"},
+}
+
+
+@dataclass
+class ErrorExclusions:
+    """Restore error exclusion lists (domains/config.go:115-130): an
+    insert failure is SKIPPED (not fatal) when its error code or violated
+    constraint name is listed."""
+
+    error_codes: list[str] = field(default_factory=list)
+    constraints: list[str] = field(default_factory=list)
+
+    def matches(self, exc: BaseException) -> bool:
+        code = getattr(exc, "pgcode", None) or getattr(exc, "sqlstate", None)
+        if code and code in self.error_codes:
+            return True
+        msg = str(exc)
+        return any(c in msg for c in self.constraints) or any(
+            c in msg for c in self.error_codes
+        )
+
+
+def build_insert_sql(
+    table: str,
+    columns: list[str],
+    dialect: str = "postgresql",
+    on_conflict_do_nothing: bool = False,
+    overriding_system_value: bool = False,
+) -> str:
+    """The reference's statement shape (table_insert_format.go:88-150)."""
+    d = _DIALECTS[dialect]
+    verb = "INSERT"
+    if on_conflict_do_nothing and d["ignore"] == "or_ignore":
+        verb = "INSERT OR IGNORE"
+    cols = ", ".join(columns)
+    vals = ", ".join([d["placeholder"]] * len(columns))
+    overriding = " OVERRIDING SYSTEM VALUE" if (
+        overriding_system_value and dialect == "postgresql") else ""
+    sql = f"{verb} INTO {table} ({cols}){overriding} VALUES ({vals})"
+    if on_conflict_do_nothing and d["ignore"] == "suffix":
+        sql += " ON CONFLICT DO NOTHING"
+    return sql
+
+
+def restore_insert(
+    df: DataFrame,
+    connection_factory: Callable[[], Any],
+    table: str,
+    dialect: str = "sqlite",
+    on_conflict_do_nothing: bool = False,
+    overriding_system_value: bool = False,
+    batch_size: int = 1000,
+    exclusions: ErrorExclusions | None = None,
+) -> DataFrame:
+    """Distributed INSERT restore. Returns a summary DataFrame
+    (one row per partition: inserted, skipped) — call ``.agg(sum(...))``
+    or ``collect`` to report totals. Execution is lazy like any Spark
+    job; trigger it by consuming the summary."""
+    import pandas as pd
+
+    columns = list(df.columns)
+    sql = build_insert_sql(table, columns, dialect,
+                           on_conflict_do_nothing, overriding_system_value)
+    excl = exclusions or ErrorExclusions()
+
+    def _write(it):
+        conn = connection_factory()
+        inserted = skipped = 0
+        try:
+            cur = conn.cursor()
+            batch: list[tuple] = []
+
+            def flush():
+                nonlocal inserted, skipped
+                if not batch:
+                    return
+                try:
+                    cur.executemany(sql, batch)
+                    n = cur.rowcount if cur.rowcount and cur.rowcount > 0 else 0
+                    inserted += n
+                    skipped += len(batch) - n
+                except Exception:
+                    conn.rollback()
+                    # batch failed: replay row-by-row so excluded errors
+                    # skip exactly the offending rows
+                    # (table_insert_format.go error-exclusion behavior)
+                    for row in batch:
+                        try:
+                            cur.execute(sql, row)
+                            inserted += max(cur.rowcount, 0)
+                            skipped += 1 - max(cur.rowcount, 0)
+                        except Exception as row_exc:
+                            conn.rollback()
+                            if excl.matches(row_exc):
+                                skipped += 1
+                            else:
+                                raise
+                conn.commit()
+                batch.clear()
+
+            for pdf in it:
+                for row in pdf[columns].itertuples(index=False, name=None):
+                    batch.append(tuple(row))
+                    if len(batch) >= batch_size:
+                        flush()
+            flush()
+        finally:
+            try:
+                conn.close()
+            except Exception:
+                pass
+        yield pd.DataFrame({"inserted": [inserted], "skipped": [skipped]})
+
+    return df.mapInPandas(_write, schema="inserted long, skipped long")

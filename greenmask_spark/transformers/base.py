@@ -61,17 +61,71 @@ def resolve_param(v: Any) -> Column:
     return F.lit(v)
 
 
-#: Cast helpers for dynamic params (reference:
-#: pkg/toolkit/type_caster_static_funtions.go — UnixSec↔Timestamp etc.).
+def _nano_idiv(c: Column, divisor: int) -> Column:
+    """Exact integer division for nano-epoch magnitudes (> 2^53, where
+    double `/` rounds): decimal division keeps ≥6 fractional digits, the
+    bigint cast truncates toward zero like SQL ``div``."""
+    return (c.cast("decimal(38,0)") / F.lit(divisor)).cast("bigint")
+
+
+def _unix_to_micros(c: Column, unit: str) -> Column:
+    if unit == "sec":
+        return c.cast("bigint") * F.lit(1_000_000)
+    if unit == "milli":
+        return c.cast("bigint") * F.lit(1000)
+    if unit == "micro":
+        return c.cast("bigint")
+    return _nano_idiv(c.cast("bigint"), 1000)  # nano
+
+
+def _micros_from_ts(c: Column, unit: str) -> Column:
+    us = F.unix_micros(c.cast("timestamp"))
+    if unit == "sec":
+        return _nano_idiv(us, 1_000_000)
+    if unit == "milli":
+        return _nano_idiv(us, 1000)
+    if unit == "micro":
+        return us
+    return us * F.lit(1000)  # nano
+
+
+def _unix_time_casts() -> dict[str, Callable[[Column], Column]]:
+    """The 24 Unix{Nano,Micro,Milli,Sec}↔{Date,Timestamp,TimestampTz}
+    helpers (pkg/toolkit/type_caster_static_funtions.go:18-44). Spark's
+    TimestampType is session-tz-aware, so the Tz variants share the
+    timestamp implementation (documented PG→Spark type-collapse,
+    SURVEY §1.4)."""
+    out: dict[str, Callable[[Column], Column]] = {}
+    for unit_name, unit in (("Nano", "nano"), ("Micro", "micro"),
+                            ("Milli", "milli"), ("Sec", "sec")):
+        def to_ts(c, u=unit):
+            return F.timestamp_micros(_unix_to_micros(c, u))
+
+        def to_date(c, u=unit):
+            return F.to_date(F.timestamp_micros(_unix_to_micros(c, u)))
+
+        def from_ts(c, u=unit):
+            return _micros_from_ts(c, u)
+
+        out[f"Unix{unit_name}ToDate"] = to_date
+        out[f"Unix{unit_name}ToTimestamp"] = to_ts
+        out[f"Unix{unit_name}ToTimestampTz"] = to_ts
+        out[f"DateToUnix{unit_name}"] = from_ts
+        out[f"TimestampToUnix{unit_name}"] = from_ts
+        out[f"TimestampTzToUnix{unit_name}"] = from_ts
+    return out
+
+
+#: Cast helpers for dynamic params — all 28 of the reference's
+#: CastFunctionsMap (pkg/toolkit/type_caster_static_funtions.go:46-…):
+#: 24 unix↔time makers + IntToBool/BoolToInt/CastFloatToInt/CastIntToFloat,
+#: plus a few string convenience casts (free in Spark).
 CAST_FUNCTIONS: dict[str, Callable[[Column], Column]] = {
-    "UnixSecToTimestamp": lambda c: F.timestamp_seconds(c.cast("bigint")),
-    "UnixMilliToTimestamp": lambda c: F.timestamp_millis(c.cast("bigint")),
-    "UnixMicroToTimestamp": lambda c: F.timestamp_micros(c.cast("bigint")),
-    "TimestampToUnixSec": lambda c: F.unix_timestamp(c),
-    "TimestampToUnixMilli": lambda c: F.unix_millis(c),
-    "TimestampToUnixMicro": lambda c: F.unix_micros(c),
-    "UnixSecToDate": lambda c: F.to_date(F.timestamp_seconds(c.cast("bigint"))),
-    "DateToUnixSec": lambda c: F.unix_timestamp(c.cast("timestamp")),
+    **_unix_time_casts(),
+    "IntToBool": lambda c: c.cast("bigint") != 0,
+    "BoolToInt": lambda c: c.cast("boolean").cast("int"),
+    "CastFloatToInt": lambda c: F.round(c.cast("double"), 0).cast("bigint"),
+    "CastIntToFloat": lambda c: c.cast("double"),
     "IntToString": lambda c: c.cast("string"),
     "StringToInt": lambda c: c.cast("bigint"),
     "FloatToString": lambda c: c.cast("string"),

@@ -37,34 +37,263 @@ except Exception:  # pragma: no cover - jinja2 not in container
     _JINJA = None
 
 
+def _truncate_date(part: str, dt):
+    return dt.replace(
+        **{
+            "year": dict(month=1, day=1, hour=0, minute=0, second=0, microsecond=0),
+            "month": dict(day=1, hour=0, minute=0, second=0, microsecond=0),
+            "day": dict(hour=0, minute=0, second=0, microsecond=0),
+            "hour": dict(minute=0, second=0, microsecond=0),
+            "minute": dict(second=0, microsecond=0),
+            "second": dict(microsecond=0),
+        }[part]
+    )
+
+
+def _json_path(doc: Any, path: str) -> list:
+    """Resolve a dotted gjson-style path into (parent, key) steps."""
+    return path.split(".") if path else []
+
+
+def _json_get(doc: Any, path: str, default=None):
+    cur = doc
+    for step in _json_path(doc, path):
+        if isinstance(cur, dict) and step in cur:
+            cur = cur[step]
+        elif isinstance(cur, list) and step.isdigit() and int(step) < len(cur):
+            cur = cur[int(step)]
+        else:
+            return default
+    return cur
+
+
+def _json_set(doc_str: str, path: str, value) -> str:
+    import json as _json
+
+    doc = _json.loads(doc_str)
+    steps = _json_path(doc, path)
+    cur = doc
+    for step in steps[:-1]:
+        cur = cur.setdefault(step, {})
+    cur[steps[-1]] = value
+    return _json.dumps(doc)
+
+
+def _json_delete(doc_str: str, path: str) -> str:
+    import json as _json
+
+    doc = _json.loads(doc_str)
+    steps = _json_path(doc, path)
+    cur = doc
+    for step in steps[:-1]:
+        if not isinstance(cur, dict) or step not in cur:
+            return _json.dumps(doc)
+        cur = cur[step]
+    if isinstance(cur, dict):
+        cur.pop(steps[-1], None)
+    return _json.dumps(doc)
+
+
+def _ts_modify(interval: str, dt):
+    """PG-interval arithmetic on a timestamp (reference tsModify /
+    noiseDatePgInterval use PG interval strings)."""
+    import datetime as _dt
+
+    from greenmask_spark.transformers.temporal import _interval_to_seconds
+
+    s = interval.strip()
+    sign = -1 if s.startswith("-") else 1
+    return dt + _dt.timedelta(seconds=sign * _interval_to_seconds(s.lstrip("+-")))
+
+
 def template_functions() -> dict[str, Any]:
-    """Analog of the reference FuncMap (template_functions.go:71-199)."""
+    """Analog of the reference FuncMap (template_functions.go:71-199) —
+    the full surface: null/json helpers, type predicates, masking/date
+    math, noise/random generators, the faker* family (lexicon-backed, no
+    external faker dependency), and unix-time conversion. Faker/random
+    functions are per-call random like go-faker in the reference — the
+    template tier is the random-engine tier."""
+    import datetime as _dt
+    import json as _json
+    import uuid as _uuid
+
+    from greenmask_spark.transformers import lexicons as lex
+
+    def pick(xs):
+        return xs[_random.randrange(len(xs))]
+
+    def random_string(n=10,
+                      syms="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"):
+        return "".join(pick(syms) for _ in range(int(n)))
+
+    def random_date(lo=None, hi=None):
+        lo = lo or _dt.datetime(2000, 1, 1)
+        hi = hi or _dt.datetime(2030, 1, 1)
+        return lo + _dt.timedelta(seconds=_random.uniform(
+            0, (hi - lo).total_seconds()))
+
+    def must_json_get(doc, path):
+        sentinel = object()
+        v = _json_get(_json.loads(doc) if isinstance(doc, str) else doc,
+                      path, sentinel)
+        if v is sentinel:
+            raise KeyError(f"json path {path!r} does not exist")
+        return v
+
+    def json_validate(doc):
+        _json.loads(doc)
+        return doc
+
+    def json_is_valid(doc):
+        try:
+            _json.loads(doc)
+            return True
+        except Exception:
+            return False
+
+    sentence = lambda n=6: (  # noqa: E731
+        " ".join(pick(lex.WORDS) for _ in range(int(n))).capitalize() + ".")
+
     return {
+        # -- null helpers ---------------------------------------------------
+        "null": None,
+        "isNull": lambda v: v is None,
+        "isNotNull": lambda v: v is not None,
+        "sqlCoalesce": lambda *vs: next((v for v in vs if v is not None), None),
+        "coalesce": lambda *vs: next((v for v in vs if v is not None), None),
+        # -- json helpers (dotted paths; gjson analog) ----------------------
+        "jsonExists": lambda doc, path: _json_get(
+            _json.loads(doc) if isinstance(doc, str) else doc, path,
+            _MISSING) is not _MISSING,
+        "jsonGet": lambda doc, path: _json_get(
+            _json.loads(doc) if isinstance(doc, str) else doc, path),
+        "jsonGetRaw": lambda doc, path: _json.dumps(_json_get(
+            _json.loads(doc) if isinstance(doc, str) else doc, path)),
+        "mustJsonGet": must_json_get,
+        "mustJsonGetRaw": lambda doc, path: _json.dumps(
+            must_json_get(doc, path)),
+        "jsonSet": _json_set,
+        "jsonSetRaw": lambda doc, path, raw: _json_set(
+            doc, path, _json.loads(raw)),
+        "jsonDelete": _json_delete,
+        "jsonValidate": json_validate,
+        "jsonIsValid": json_is_valid,
+        "toJsonRawValue": lambda v: _json.dumps(v),
+        # -- type predicates ------------------------------------------------
+        "isInt": lambda v: isinstance(v, int) and not isinstance(v, bool),
+        "isFloat": lambda v: isinstance(v, float),
+        "isNil": lambda v: v is None,
+        "isString": lambda v: isinstance(v, str),
+        "isMap": lambda v: isinstance(v, dict),
+        "isSlice": lambda v: isinstance(v, (list, tuple)),
+        "isBool": lambda v: isinstance(v, bool),
+        # -- masking / date math -------------------------------------------
         "masking": lambda s: "*" * len(s) if s else s,
-        "truncateDate": lambda part, dt: dt.replace(
-            **{
-                "year": dict(month=1, day=1, hour=0, minute=0, second=0, microsecond=0),
-                "month": dict(day=1, hour=0, minute=0, second=0, microsecond=0),
-                "day": dict(hour=0, minute=0, second=0, microsecond=0),
-                "hour": dict(minute=0, second=0, microsecond=0),
-                "minute": dict(second=0, microsecond=0),
-                "second": dict(microsecond=0),
-            }[part]
-        ),
+        "truncateDate": _truncate_date,
+        "tsModify": _ts_modify,
+        "noiseDatePgInterval": lambda interval, dt: _ts_modify(
+            ("-" if _random.random() < 0.5 else "+") + interval, dt),
+        "noiseDate": lambda interval, dt: _ts_modify(
+            ("-" if _random.random() < 0.5 else "+") + interval, dt),
+        "noiseFloat": lambda ratio, dec, v: round(
+            v * (1 + _random.uniform(-ratio, ratio)), int(dec)),
+        "noiseInt": lambda ratio, v: int(
+            v * (1 + _random.uniform(-ratio, ratio))),
+        # -- random generators ----------------------------------------------
+        "randomBool": lambda: _random.random() < 0.5,
+        "randomDate": random_date,
+        "randomFloat": lambda lo, hi: _random.uniform(lo, hi),
+        "randomInt": lambda lo, hi: _random.randint(lo, hi),
+        "randomString": random_string,
+        "roundFloat": lambda x, n: round(x, int(n)),
+        # -- faker family (lexicon-backed) ----------------------------------
+        "fakerRealAddress": lambda: (
+            f"{_random.randint(1, 9999)} {pick(lex.CITIES)}, "
+            f"{pick([a for _, a in lex.STATES])}"),
+        "fakerLatitude": lambda: round(_random.uniform(-90, 90), 6),
+        "fakerLongitude": lambda: round(_random.uniform(-180, 180), 6),
+        "fakerUnixTime": lambda: _random.randint(0, 4102444800),
+        "fakerDate": lambda: random_date().date().isoformat(),
+        "fakerTimeString": lambda: (
+            f"{_random.randint(0, 23):02d}:{_random.randint(0, 59):02d}"),
+        "fakerMonthName": lambda: pick(lex.MONTH_NAMES),
+        "fakerYearString": lambda: str(_random.randint(1950, 2049)),
+        "fakerDayOfWeek": lambda: pick(lex.DAY_NAMES),
+        "fakerDayOfMonth": lambda: str(_random.randint(1, 28)),
+        "fakerTimestamp": lambda: random_date().isoformat(sep=" "),
+        "fakerCentury": lambda: pick(
+            ["I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX", "X",
+             "XI", "XII", "XIII", "XIV", "XV", "XVI", "XVII", "XVIII",
+             "XIX", "XX", "XXI"]),
+        "fakerTimezone": lambda: pick(lex.TIMEZONES),
+        "fakerTimeperiod": lambda: pick(["AM", "PM"]),
+        "fakerEmail": lambda: (
+            f"{random_string(8, 'abcdefghijklmnopqrstuvwxyz')}@"
+            f"{pick(lex.DOMAIN_WORDS)}.{pick(lex.TLDS)}"),
+        "fakerMacAddress": lambda: ":".join(
+            f"{_random.randint(0, 255):02x}" for _ in range(6)),
+        "fakerDomainName": lambda: (
+            f"{pick(lex.DOMAIN_WORDS)}.{pick(lex.TLDS)}"),
+        "fakerURL": lambda: (
+            f"https://{pick(lex.DOMAIN_WORDS)}.{pick(lex.TLDS)}/"
+            f"{pick(lex.WORDS)}"),
+        "fakerUsername": lambda: (
+            f"{pick(lex.WORDS)}_{_random.randint(10, 9999)}"),
+        "fakerIPv4": lambda: ".".join(
+            str(_random.randint(0, 255)) for _ in range(4)),
+        "fakerIPv6": lambda: ":".join(
+            f"{_random.randint(0, 0xFFFF):04x}" for _ in range(8)),
+        "fakerPassword": lambda: random_string(12, lex.PASSWORD_SYMBOLS),
+        "fakerWord": lambda: pick(lex.WORDS),
+        "fakerSentence": sentence,
+        "fakerParagraph": lambda n=3: " ".join(sentence(5) for _ in range(int(n))),
+        "fakerCCType": lambda: pick(lex.CC_TYPES),
+        "fakerCCNumber": lambda: "4" + "".join(
+            str(_random.randint(0, 9)) for _ in range(15)),
+        "fakerCurrency": lambda: pick(lex.CURRENCIES),
+        "fakerAmountWithCurrency": lambda: (
+            f"{_random.uniform(0, 10000):.2f} {pick(lex.CURRENCIES)}"),
+        "fakerTitleMale": lambda: "Mr.",
+        "fakerTitleFemale": lambda: pick(["Ms.", "Mrs."]),
+        "fakerFirstName": lambda: pick(
+            lex.FIRST_NAMES_MALE + lex.FIRST_NAMES_FEMALE),
+        "fakerFirstNameMale": lambda: pick(lex.FIRST_NAMES_MALE),
+        "fakerFirstNameFemale": lambda: pick(lex.FIRST_NAMES_FEMALE),
+        "fakerFirstLastName": lambda: pick(lex.LAST_NAMES),
+        "fakerLastName": lambda: pick(lex.LAST_NAMES),
+        "fakerName": lambda: (
+            f"{pick(lex.FIRST_NAMES_MALE + lex.FIRST_NAMES_FEMALE)} "
+            f"{pick(lex.LAST_NAMES)}"),
+        "fakerPhoneNumber": lambda: (
+            f"({_random.randint(200, 999)}) {_random.randint(200, 999)}-"
+            f"{_random.randint(0, 9999):04d}"),
+        "fakerTollFreePhoneNumber": lambda: (
+            f"(800) {_random.randint(200, 999)}-{_random.randint(0, 9999):04d}"),
+        "fakerE164PhoneNumber": lambda: (
+            f"+1{_random.randint(200, 999)}{_random.randint(200, 999)}"
+            f"{_random.randint(0, 9999):04d}"),
+        "fakerUUID": lambda: str(_uuid.uuid4()),
+        "fakerUUIDDigit": lambda: _uuid.uuid4().hex,
+        # -- unix-time conversion -------------------------------------------
+        "timeToUnix": lambda dt: int(dt.timestamp()),
+        "unixToTime": lambda n: _dt.datetime.fromtimestamp(
+            int(n), _dt.timezone.utc).replace(tzinfo=None),
+        # -- general-purpose (sprig-core analog) ----------------------------
         "sha256": lambda s: hashlib.sha256(str(s).encode()).hexdigest(),
         "md5": lambda s: hashlib.md5(str(s).encode()).hexdigest(),
-        "randomInt": lambda lo, hi: _random.randint(lo, hi),
-        "randomFloat": lambda lo, hi: _random.uniform(lo, hi),
-        "roundFloat": lambda x, n: round(x, n),
         "abs": abs,
         "ceil": math.ceil,
         "floor": math.floor,
         "upper": lambda s: s.upper(),
         "lower": lambda s: s.lower(),
-        "isNull": lambda v: v is None,
-        "isNotNull": lambda v: v is not None,
-        "coalesce": lambda *vs: next((v for v in vs if v is not None), None),
+        "title": lambda s: s.title(),
+        "trim": lambda s: s.strip(),
+        "repeat": lambda n, s: s * int(n),
+        "default": lambda d, v: v if v not in (None, "") else d,
     }
+
+
+_MISSING = object()
 
 
 def compile_template(tpl: str):

@@ -1440,6 +1440,20 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, dim=4, fake=True)
 
 
+def q_copy_roundtrip(spark, sf_dir):
+    """PG COPY text-format codec (pgcopy/encoder.go + decoder.go): encode
+    the customer table to COPY lines, decode back. The oracle is the
+    identity — any escaping/serialization drift breaks the value hash."""
+    from greenmask_spark.sources.copy_format import copy_decode, copy_encode
+
+    cust = _tables(spark, sf_dir, "customer")["customer"]
+    return copy_decode(copy_encode(cust), cust.schema)
+
+
+def _oracle_copy_roundtrip() -> str:
+    return "SELECT * FROM customer"
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1499,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
         "validate_diff": q_validate_diff,
+        "copy_roundtrip": q_copy_roundtrip,
     }
 
 
@@ -1551,4 +1566,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": _oracle_multimodal_frames(),
         # multimodal_features: FNV fake-decoder loop — not SQL-expressible
         "validate_diff": _oracle_validate_diff(),
+        "copy_roundtrip": _oracle_copy_roundtrip(),
     }

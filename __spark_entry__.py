@@ -797,6 +797,19 @@ def q_ann_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, queries, k=_ANN_K, dim=64)
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """Approximate ANN via an IVF coarse quantizer (the FAISS-style scale
+    path: inverted lists by nearest centroid, n_probe lists scored per
+    query). Deterministic k-means, but float mean arithmetic is not
+    bit-reproducible in SQL → rows-only check; recall vs brute force is
+    pytest-asserted (tests/test_functions.py)."""
+    from greenmask_spark.functions.similarity import ivf_topk
+
+    emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < _ANN_NQUERY)
+    return ivf_topk(emb, queries, k=_ANN_K, n_centroids=16, n_probe=4)
+
+
 def q_validate_diff(spark, sf_dir):
     """Validate mode: diff original vs transformed rows keyed by PK
     (reference cmd/validate.go) — counts changed columns per row."""
@@ -1508,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_frames": q_multimodal_frames,

@@ -154,6 +154,134 @@ def cosine_pairs_blocked(
     return tiles.groupBy("p", "q").applyInPandas(run_tile, schema=schema)
 
 
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over squared L2 distance to literal centroids — pure
+    expression: array_min over (dist, idx) structs orders by dist first."""
+    entries = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        diff = F.zip_with(vec, carr, lambda a, b: (a.cast("double") - b) ** 2)
+        d = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*entries))["i"]
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    sample_mod: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: k-means over a hash-selected
+    training sample.
+
+    - init: the ``n_centroids`` sample vectors with smallest
+      ``xxhash64(seed, id)`` — stable under any partitioning (no RNG, no
+      ``sample()`` partition sensitivity).
+    - Lloyd iterations run distributively: assignment is an expression
+      (``_nearest_centroid``), the mean update is
+      ``posexplode(vec) → groupBy(cid, pos).avg`` whose shuffle rows are
+      (int, int, double) triples — never whole vectors. Only the k×dim
+      centroid matrix ever reaches the driver (a few KB).
+    - training reads only ``1/sample_mod`` of the corpus (hash-gated scan,
+      standard IVF practice); the full corpus is touched once at
+      assignment time in ``ivf_topk``.
+    """
+    sample = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.xxhash64(F.lit(seed), F.col(id_col)).alias("h"),
+    ).filter(F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
+
+    init = [
+        [float(x) for x in r.vec]
+        for r in sample.orderBy("h", "id").limit(n_centroids).collect()
+    ]
+    centroids = init
+    for _ in range(n_iters):
+        assigned = sample.withColumn(
+            "cid", _nearest_centroid(F.col("vec"), centroids)
+        )
+        means = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.m
+        centroids = [
+            [by_cid[i][p] for p in sorted(by_cid[i])] if i in by_cid
+            else centroids[i]  # empty cluster keeps its previous centroid
+            for i in range(n_centroids)
+        ]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors partition into inverted lists
+    by nearest centroid; each query probes its ``n_probe`` nearest lists.
+
+    Scale shape (the FAISS-IVF plan re-expressed relationally): the
+    centroid matrix is tiny and rides in the plan as literals; the corpus
+    is scanned once to tag ``cid`` (at 100 TB you'd persist that column —
+    it IS the index — and bucket the table by it so each probe touches
+    only matching buckets); queries explode to (query, cid) pairs and the
+    probe is an equi-join on ``cid``, so a query scores ~``n_probe/
+    n_centroids`` of the corpus instead of all of it."""
+    cents = centroids or train_ivf_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("cid", _nearest_centroid(F.col("cvec"), cents))
+
+    # per-query n_probe nearest centroids: sort the (dist, cid) struct
+    # array and slice — expression-only
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    dist_structs = []
+    for i, cvec in enumerate(cents):
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        diff = F.zip_with(
+            F.col("qvec"), carr, lambda a, b: (a.cast("double") - b) ** 2
+        )
+        d = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+        dist_structs.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    probes = F.slice(F.array_sort(F.array(*dist_structs)), 1, n_probe)
+    q = q.withColumn("cid", F.explode(probes["i"]))
+
+    scored = (
+        c.join(F.broadcast(q), on="cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes without numpy RNG state
     ambiguity: values from a hash-derived uniform in [-1, 1]."""

@@ -141,6 +141,51 @@ def test_cosine_lsh_recall(tables):
         assert exact[pair] == approx[pair]
 
 
+def test_ivf_recall_and_determinism(tables):
+    """IVF probe of 4/8 lists should recover a solid share of the exact
+    top-k, scores must agree exactly on hits, and training must be
+    deterministic (hash-gated sample + fixed init → same centroids)."""
+    from greenmask_spark.functions.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id): r.cos_sim
+             for r in cosine_topk(emb, q, k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id): r.cos_sim
+              for r in ivf_topk(emb, q, k=3, n_centroids=8, n_probe=4).collect()}
+    hits = set(exact) & set(approx)
+    # probing half the lists on near-random vectors: expect ≥ 1/3 recall
+    assert len(hits) >= len(exact) // 3, (len(hits), len(exact))
+    for pair in hits:
+        assert exact[pair] == approx[pair]
+
+    c1 = train_ivf_centroids(emb, n_centroids=8, n_iters=1)
+    c2 = train_ivf_centroids(emb.repartition(7), n_centroids=8, n_iters=1)
+    assert c1 == c2, "IVF training must not depend on partitioning"
+
+
+def test_ivf_partition_of_corpus(spark):
+    """Every corpus vector lands in exactly one inverted list; per-query
+    candidate set is the union of probed lists only."""
+    from greenmask_spark.functions.similarity import _nearest_centroid
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 3), float((i + 1) % 3)])
+         for i in range(30)]
+    )
+    cents = [[0.0, 1.0], [1.0, 2.0], [2.0, 0.0]]
+    out = df.withColumn("cid", _nearest_centroid(F.col("embedding"), cents))
+    cids = [r.cid for r in out.collect()]
+    assert all(c in (0, 1, 2) for c in cids)
+    # vectors equal to a centroid must map to it
+    exact = out.filter(F.col("embedding") == F.array(F.lit(0.0), F.lit(1.0)))
+    assert {r.cid for r in exact.collect()} == {0}
+
+
 def test_multimodal_plumbing(spark):
     from greenmask_spark.functions.multimodal import (
         MEDIA_SCHEMA,

@@ -1453,6 +1453,36 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, dim=4, fake=True)
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the applyInPandasWithState
+    streaming operator — identical semantics, one shuffle on user_id)."""
+    from greenmask_spark.streaming import sessionize_batch
+
+    ev = _tables(spark, sf_dir, "events")["events"]
+    return sessionize_batch(ev, gap_minutes=30)
+
+
+def _oracle_sessionize() -> str:
+    return """
+    WITH brk AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS b
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM brk
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, s
+    """
+
+
 def q_copy_roundtrip(spark, sf_dir):
     """PG COPY text-format codec (pgcopy/encoder.go + decoder.go): encode
     the customer table to COPY lines, decode back. The oracle is the
@@ -1528,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "validate_diff": q_validate_diff,
         "copy_roundtrip": q_copy_roundtrip,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1581,4 +1612,5 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features: FNV fake-decoder loop — not SQL-expressible
         "validate_diff": _oracle_validate_diff(),
         "copy_roundtrip": _oracle_copy_roundtrip(),
+        "sessionize": _oracle_sessionize(),
     }

@@ -1,5 +1,7 @@
 from greenmask_spark.streaming.pipeline import (  # noqa: F401
     masked_stream,
+    sessionize_batch,
+    sessionize_stream,
     stream_events_from_dir,
     windowed_event_counts,
 )

@@ -64,6 +64,136 @@ def windowed_event_counts(
     )
 
 
+#: sessionization output shape shared by the batch and stateful-stream paths
+_SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessions over a batch table — the oracle-checkable twin
+    of ``sessionize_stream`` (identical output on the same input).
+
+    Classic two-window plan: lag() marks a session break when the gap to
+    the previous event exceeds ``gap_minutes``; a running sum of break
+    flags numbers the sessions; then one groupBy. Both windows and the
+    aggregation share the same hash partitioning on ``user_col``, so the
+    whole thing is ONE shuffle (AQE reuses the exchange)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_us = gap_minutes * 60_000_000
+    prev = F.lag(ts_col).over(w)
+    brk = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = events.withColumn("__sess", F.sum(brk).over(w))
+    return (
+        sess.groupBy(F.col(user_col).alias("user_id"), F.col("__sess"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal-space sum → exact, engine-independent (same pattern as
+            # windowed_event_counts; a double sum's last ulp is order-dependent)
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+            .alias("sum_value"),
+        )
+        .drop("__sess")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the Spark-native arbitrary-state API).
+
+    Per-user state holds the open session (start, last_ts, count, sum);
+    each micro-batch folds its (time-sorted) events in, emitting a closed
+    session whenever a gap exceeds ``gap_minutes``; an event-time timeout
+    flushes the final session once the watermark passes last_ts + gap.
+    State is bounded: one open session per active user, regardless of
+    stream length — the watermark is what makes 100 TB/day sustainable.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user,) = key
+
+        def emit(sessions):
+            return pd.DataFrame({
+                "user_id": [user] * len(sessions),
+                "session_start": [pd.Timestamp(s, unit="us") for s, *_ in sessions],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, *_ in sessions],
+                "n_events": [n for *_, n, _sv in sessions],
+                "sum_value": [round(sv, 2) for *_, sv in sessions],
+            })
+
+        if state.hasTimedOut:
+            closed = [tuple(state.get)]
+            state.remove()
+            yield emit(closed)
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        # normalize to ns then µs ints — robust to datetime64[us] frames
+        ts_us = (
+            rows[ts_col].astype("datetime64[ns]").astype("int64") // 1_000
+        ).to_numpy()
+        vals = rows[value_col].to_numpy()
+        if state.exists:
+            start_us, last_us, n, sv = state.get
+        else:
+            start_us, last_us, n, sv = 0, 0, 0, 0.0
+        closed = []
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if n and t - last_us > gap_us:
+                closed.append((start_us, last_us, n, sv))
+                n, sv = 0, 0.0
+            if n == 0:
+                start_us, last_us = t, t
+            start_us = min(start_us, t)
+            last_us = max(last_us, t)
+            n += 1
+            sv += float(v)
+        state.update((start_us, last_us, n, sv))
+        state.setTimeoutTimestamp((last_us + gap_us) // 1_000)
+        if closed:
+            yield emit(closed)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType="start_ms long, last_ms long, n long, sv double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_events_from_dir(
     spark,
     path: str,

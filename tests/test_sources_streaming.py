@@ -97,6 +97,54 @@ def test_windowed_event_counts_batch_parity(spark, tables):
     assert total == tables["events"].count()
 
 
+def test_sessionize_stream_matches_batch(spark, tables, tmp_path):
+    """applyInPandasWithState sessionization: every session the stream
+    emits (gap-closed or watermark-timed-out) must be byte-identical to a
+    session of the batch twin on the same data."""
+    from greenmask_spark.streaming import sessionize_batch, sessionize_stream
+
+    ev = tables["events"].filter(F.col("user_id") < 40).select(
+        "user_id", "ts", "value"
+    )
+    # four time-ordered file drops → four micro-batches → advancing watermark
+    bounds = [r.q for r in ev.selectExpr(
+        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) qa"
+    ).selectExpr("explode(qa) q").collect()]
+    src = str(tmp_path / "sess_src")
+    lo = None
+    for hi in bounds + [None]:
+        sl = ev
+        if lo is not None:
+            sl = sl.filter(F.unix_micros("ts") > lo)
+        if hi is not None:
+            sl = sl.filter(F.unix_micros("ts") <= hi)
+        sl.coalesce(1).write.mode("append").parquet(src)
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="1 minute")
+    q = (
+        sessions.writeStream.format("memory").queryName("sessions_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM sessions_out").collect()
+    assert len(got) > 50, f"too few sessions emitted: {len(got)}"
+
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events): r.sum_value
+        for r in sessionize_batch(ev, gap_minutes=30).collect()
+    }
+    for r in got:
+        key = (r.user_id, r.session_start, r.session_end, r.n_events)
+        assert key in want, f"stream emitted a session batch never saw: {key}"
+        assert abs(r.sum_value - want[key]) < 0.011, (r, want[key])
+
+
 def test_stateful_stream_windows(spark, tables, tmp_path):
     """Streaming windowed counts with watermark over a file stream."""
     from greenmask_spark.streaming import stream_events_from_dir, windowed_event_counts

@@ -71,9 +71,14 @@ class SubsetPlanner:
         if ref.condition:
             rest = child.filter(F.expr(f"NOT ({ref.condition})"))
             child = child.filter(F.expr(f"({ref.condition}) IS NOT FALSE"))
+        # NO .distinct() here: pk_columns are the parent's key (unique by
+        # construction), left_semi semantics don't require a deduped build
+        # side, and broadcast HashedRelations dedup keys anyway — a
+        # distinct would add a full shuffle + aggregate per FK edge for
+        # nothing (measured: one Exchange per edge at sf0.1).
         pkeys = parent.select(
             *[F.col(c).alias(f"__pk_{i}") for i, c in enumerate(ref.pk_columns)]
-        ).distinct()
+        )
         cond = None
         for i, fk in enumerate(ref.fk_columns):
             c = child[fk] == pkeys[f"__pk_{i}"]

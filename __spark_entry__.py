@@ -618,7 +618,8 @@ def q_text_profile(spark, sf_dir):
 
     docs = _tables(spark, sf_dir, "documents")["documents"]
     return analyze(docs).select(
-        "doc_id", "n_tokens", "sw_ratio", "p_ratio", "quality", "lang_pred", "fp"
+        "doc_id", "n_tokens", "n_bpe_tokens", "sw_ratio", "p_ratio",
+        "quality", "lang_pred", "fp"
     )
 
 
@@ -644,7 +645,10 @@ def _oracle_text_profile() -> str:
             f"WHEN {hits['fr']} > 0 AND {hits['fr']} >= {hits['es']} THEN 'fr' "
             f"WHEN {hits['es']} > 0 THEN 'es' ELSE 'und' END")
     fp = "sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
-    return (f"SELECT doc_id, {ntok} AS n_tokens, round({sw}, 4) AS sw_ratio, "
+    bpe_pat = r"''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+    nbpe = f"len(regexp_extract_all(text, '{bpe_pat}'))"
+    return (f"SELECT doc_id, {ntok} AS n_tokens, {nbpe} AS n_bpe_tokens, "
+            f"round({sw}, 4) AS sw_ratio, "
             f"round({pr}, 4) AS p_ratio, {quality} AS quality, "
             f"{lang} AS lang_pred, {fp} AS fp FROM documents")
 

@@ -37,6 +37,21 @@ def token_count(text: Column) -> Column:
     )
 
 
+#: GPT-2-style pre-tokenizer pattern, restricted to syntax Java regex and
+#: RE2 match identically (no lookahead, ASCII classes): contractions,
+#: space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: the number of pre-tokenizer matches (the
+    unit actual BPE merges subdivide — a stable proxy for LLM token cost
+    without a vocab). Pure JVM regex, one pass."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0))
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
     words = STOPWORDS[lang]
     arr = F.array(*[F.lit(w) for w in words])
@@ -110,6 +125,7 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*",
         token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
         F.round(stopword_ratio(t), 4).alias("sw_ratio"),
         F.round(punct_ratio(t), 4).alias("p_ratio"),
         quality_score(t).alias("quality"),

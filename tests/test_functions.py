@@ -104,6 +104,20 @@ def test_text_analysis(docs):
     assert 0.0 <= out[4].quality <= 1.0
 
 
+def test_bpe_token_count(spark):
+    from greenmask_spark.functions.text_analysis import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("Hello, world!",),   # Hello | , | _world | ! → 4
+         ("don't",),           # don | 't → 2
+         ("a b 12",),          # a | _b | _12 → 3
+         ("",)],               # → 0
+        "s string",
+    )
+    got = [r.n for r in df.select(bpe_token_count(F.col("s")).alias("n")).collect()]
+    assert got == [4, 2, 3, 0]
+
+
 def test_cosine_topk(spark):
     from greenmask_spark.functions.similarity import cosine_topk
 

@@ -72,6 +72,82 @@ def build_insert_sql(
     return sql
 
 
+def restore_copy(
+    df: DataFrame,
+    connection_factory: Callable[[], Any],
+    table: str,
+    columns: list[str] | None = None,
+    buffer_rows: int = 10_000,
+) -> DataFrame:
+    """COPY-protocol restore (reference restorers/table.go: COPY ... FROM
+    STDIN replay of the dump stream) — the fast path next to
+    ``restore_insert``.
+
+    The row→COPY-text encoding runs JVM-side (``copy_encode`` expressions)
+    BEFORE mapInPandas, so Python only pipes already-encoded lines into
+    the driver's COPY stream — one ``copy_expert`` call per partition,
+    fed by a file-like that drains the Arrow batches incrementally
+    (never materializing a partition in memory). Works with any DB-API
+    cursor exposing psycopg2's ``copy_expert``; returns a summary frame
+    (rows_sent per partition)."""
+    import pandas as pd
+
+    from greenmask_spark.sources.copy_format import copy_encode
+
+    cols = columns or list(df.columns)
+    sql = f"COPY {table} ({', '.join(cols)}) FROM STDIN"
+    lines = copy_encode(df, cols)
+
+    def _write(it):
+        conn = connection_factory()
+        sent = 0
+
+        class _Feed:
+            """File-like over the incoming Arrow batches: read() hands the
+            COPY stream to the driver chunk by chunk."""
+
+            def __init__(self):
+                self._chunks = self._gen()
+                self._buf = ""
+
+            def _gen(self):
+                nonlocal sent
+                for pdf in it:
+                    if len(pdf):
+                        sent += len(pdf)
+                        yield "\n".join(pdf["line"]) + "\n"
+
+            def read(self, size: int = -1) -> str:
+                while size < 0 or len(self._buf) < size:
+                    nxt = next(self._chunks, None)
+                    if nxt is None:
+                        break
+                    self._buf += nxt
+                out = self._buf if size < 0 else self._buf[:size]
+                self._buf = self._buf[len(out):]
+                return out
+
+            readline = read
+
+        try:
+            cur = conn.cursor()
+            if not hasattr(cur, "copy_expert"):
+                raise NotImplementedError(
+                    "restore_copy needs a cursor with copy_expert "
+                    "(psycopg2-style); use restore_insert for plain DB-API"
+                )
+            cur.copy_expert(sql, _Feed())
+            conn.commit()
+        finally:
+            try:
+                conn.close()
+            except Exception:
+                pass
+        yield pd.DataFrame({"rows_sent": [sent]})
+
+    return lines.mapInPandas(_write, schema="rows_sent long")
+
+
 def restore_insert(
     df: DataFrame,
     connection_factory: Callable[[], Any],

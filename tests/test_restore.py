@@ -79,3 +79,69 @@ def test_restore_insert_unexcluded_error_is_fatal(spark, db):
             lambda: sqlite3.connect(db, timeout=30),
             "tgt", dialect="sqlite", on_conflict_do_nothing=False,
         ).agg(F.sum("inserted")).collect()
+
+
+def test_restore_copy_stream(spark, tmp_path):
+    """COPY restore: JVM-encoded lines piped through copy_expert must
+    decode back to exactly the source rows."""
+    from greenmask_spark.sources.copy_format import copy_decode
+    from greenmask_spark.sources.restore import restore_copy
+
+    out_dir = str(tmp_path / "copystream")
+    import os
+
+    os.makedirs(out_dir)
+
+    class _CopyCapture:
+        """psycopg2-shaped connection that captures the COPY stream to
+        disk (one file per connection; workers are separate processes —
+        local class → cloudpickle serializes it by value)."""
+
+        def __init__(self, out):
+            self.out = out
+
+        def cursor(self):
+            return self
+
+        def copy_expert(self, sql, f):
+            import uuid
+
+            assert sql.startswith("COPY ") and sql.endswith("FROM STDIN")
+            with open(os.path.join(self.out, f"{uuid.uuid4().hex}.copy"),
+                      "w") as fh:
+                fh.write(f.read())
+
+        def commit(self):
+            pass
+
+        def close(self):
+            pass
+    src = spark.createDataFrame(
+        [Row(id=1, name="a\tb"), Row(id=2, name=None),
+         Row(id=3, name="multi\nline"), Row(id=4, name="\\N")]
+    ).coalesce(2)
+
+    total = restore_copy(
+        src, lambda: _CopyCapture(out_dir), "tgt"
+    ).agg(F.sum("rows_sent").alias("n")).collect()[0].n
+    assert total == 4
+
+    lines = []
+    for fn in os.listdir(out_dir):
+        with open(os.path.join(out_dir, fn)) as fh:
+            lines += [ln for ln in fh.read().split("\n") if ln]
+    assert len(lines) == 4
+    back = copy_decode(
+        spark.createDataFrame([(ln,) for ln in lines], "line string"),
+        src.schema,
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_restore_copy_requires_copy_expert(spark, db):
+    from greenmask_spark.sources.restore import restore_copy
+
+    with pytest.raises(Exception, match="copy_expert"):
+        restore_copy(
+            _rows(spark), lambda: sqlite3.connect(db, timeout=30), "tgt"
+        ).collect()

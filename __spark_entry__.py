@@ -484,12 +484,18 @@ def _oracle_q1() -> str:
 def q_q3_shipping_priority(spark, sf_dir):
     t = _tables(spark, sf_dir, "customer", "orders", "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    # Fact-streams-dims-build: filtered orders⋈customer is the build side
+    # (~|orders|/10 after both filters) and lineitem streams — written the
+    # other way round, Catalyst broadcast the filtered lineitem itself.
+    ord_building = (
+        t["orders"].filter(F.col("o_orderdate") < "1995-03-15")
+        .join(t["customer"].filter(F.col("c_mktsegment") == "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
     return (
-        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter((F.col("o_orderdate") < "1995-03-15")
-                & (F.col("l_shipdate") > "1995-03-15"))
+        t["lineitem"].filter(F.col("l_shipdate") > "1995-03-15")
+        .join(ord_building, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
              .cast("double").alias("revenue"))
@@ -517,12 +523,23 @@ def q_q5_region_revenue(spark, sf_dir):
     t = _tables(spark, sf_dir, "region", "nation", "customer", "orders",
                 "lineitem", "supplier")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    return (
+    # Star-join shape: the FACT table (lineitem) is the stream side and
+    # every dimension arrives pre-reduced as a build side — written
+    # dims-first, Catalyst made the tiny chain the stream side and
+    # broadcast lineitem itself (measured at sf0.1). The region filter
+    # folds into the customer build (cust_asia ≈ |customer|/5 rows), so
+    # at 100 TB only orders is too big to broadcast and AQE falls back to
+    # one orderkey shuffle while everything else stays broadcast.
+    cust_asia = (
         t["region"].filter(F.col("r_name") == "ASIA")
         .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
         .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
         .join(t["supplier"], (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("s_nationkey") == F.col("c_nationkey")))
         .groupBy("n_name")

@@ -93,6 +93,36 @@ def test_customer_table_roundtrip(spark, tables):
     assert a == b
 
 
+def test_property_roundtrip_arbitrary_strings(spark):
+    """Property: COPY encode∘decode is the identity on arbitrary unicode
+    (tabs, newlines, backslashes, surrogate-free control chars, the \\N
+    marker itself). Batched: one Spark job checks a whole corpus of
+    generated examples."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # COPY text format cannot carry NUL (PostgreSQL text invariant, and
+    # our decoder uses it as the unescape sentinel) — exclude \x00 only.
+    texty = st.text(
+        alphabet=st.characters(
+            blacklist_characters="\x00", blacklist_categories=("Cs",)
+        ),
+        max_size=40,
+    )
+    schema = T.StructType([T.StructField("s", T.StringType())])
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(st.one_of(texty, st.none()), min_size=1, max_size=40))
+    def check(batch):
+        df = spark.createDataFrame([(s,) for s in batch], schema)
+        back = copy_decode(copy_encode(df), schema)
+        assert sorted([r.s for r in back.collect()], key=lambda x: (x is None, x)) \
+            == sorted(batch, key=lambda x: (x is None, x))
+
+    check()
+
+
 def test_expression_only_plan(spark):
     """Codec must stay JVM-side: no Python eval nodes in the plan."""
     df = spark.createDataFrame(ROWS, SCHEMA)

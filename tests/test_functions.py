@@ -259,3 +259,51 @@ def test_validate_diff_and_schema_diff(spark):
     assert ("column_removed", "b") in kinds
     assert ("column_added", "c") in kinds
     assert ("column_type_changed", "a") in kinds
+
+
+def test_salted_agg_matches_plain(tables):
+    """Skew-safe two-stage agg must equal the plain groupBy exactly."""
+    from greenmask_spark.functions.skew import salted_agg
+
+    li = tables["lineitem"]
+    plain = {
+        (r.l_returnflag,): (r.n, r.qmin, r.qmax)
+        for r in li.groupBy("l_returnflag").agg(
+            F.count("l_quantity").alias("n"),
+            F.min("l_quantity").alias("qmin"),
+            F.max("l_quantity").alias("qmax"),
+        ).collect()
+    }
+    salted = {
+        (r.l_returnflag,): (r.n, r.qmin, r.qmax)
+        for r in salted_agg(
+            li, ["l_returnflag"],
+            {"n": ("count", "l_quantity"),
+             "qmin": ("min", "l_quantity"),
+             "qmax": ("max", "l_quantity")},
+            buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_rejects_non_algebraic(tables):
+    import pytest as _pytest
+
+    from greenmask_spark.functions.skew import salted_agg
+
+    with _pytest.raises(ValueError, match="not algebraic"):
+        salted_agg(tables["lineitem"], ["l_returnflag"],
+                   {"a": ("avg", "l_quantity")})
+
+
+def test_replicate_skew_join_matches_plain(tables):
+    from greenmask_spark.functions.skew import replicate_skew_join
+
+    orders = tables["orders"].select("o_orderkey", "o_orderdate")
+    li = tables["lineitem"].select("l_orderkey", "l_quantity").withColumnRenamed(
+        "l_orderkey", "o_orderkey")
+    plain = li.join(orders, on=["o_orderkey"]).count()
+    salted = replicate_skew_join(li, orders, on=["o_orderkey"], buckets=4)
+    assert salted.count() == plain
+    assert set(salted.columns) == {"o_orderkey", "l_quantity", "o_orderdate"}

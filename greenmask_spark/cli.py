@@ -1,0 +1,246 @@
+"""Command-line interface: the reference's ``greenmask`` verbs on Spark.
+
+Reference: cmd/root.go + cmd/{dump,restore,validate}/ — ``greenmask
+--config config.yml dump|restore|validate|list-transformers``. The config
+file mirrors the reference YAML (internal/domains/config.go): a
+``tables`` list with transformer steps, optional subset references and
+conditions, include/exclude filters, salt/seed.
+
+Config shape (YAML or JSON):
+
+    source:
+      dir: /path/to/tables          # <name>.parquet per table
+      tables: [customer, orders]    # optional; default: all known
+    dump:
+      output: /path/to/dumpdir
+      format: parquet               # or "copy" (COPY text + gzip)
+    common: {salt: "s1", seed: 42}
+    tables:
+      - name: customer
+        transformers:
+          - name: Hash
+            params: {column: c_name, function: sha256}
+    subset:
+      conditions: {orders: "o_totalprice > 100"}
+      references:
+        - {child: orders, parent: customer,
+           fk: [o_custkey], pk: [c_custkey], nullable: false}
+    include_tables: []              # glob patterns
+    exclude_tables: []
+    exclude_table_data: []
+
+Every verb is a thin orchestration over the library: ``dump`` = load →
+subset → transform → write_dump(+manifest); ``restore`` = read_dump →
+topo order → per-table sink; ``validate`` = static warnings + per-table
+diff sample. All heavy lifting stays in Spark plans.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Any
+
+
+def load_config(path: str) -> dict[str, Any]:
+    with open(path) as fh:
+        text = fh.read()
+    if path.endswith(".json"):
+        return json.loads(text)
+    import yaml
+
+    return yaml.safe_load(text)
+
+
+def _spark(app: str):
+    from greenmask_spark.session import get_spark
+
+    return get_spark(app)
+
+
+def _load_source(spark, cfg: dict) -> dict:
+    src = cfg.get("source", {})
+    sdir = src["dir"]
+    names = src.get("tables")
+    if not names:
+        names = sorted(
+            f[: -len(".parquet")] for f in os.listdir(sdir)
+            if f.endswith(".parquet")
+        )
+    from greenmask_spark.session import load_tables
+
+    return load_tables(spark, sdir, tuple(names))
+
+
+def _fk_graph(cfg: dict, tables: dict):
+    from greenmask_spark.subset import FKGraph, Reference
+
+    sub = cfg.get("subset", {})
+    refs = [
+        Reference(
+            child=r["child"], parent=r["parent"],
+            fk_columns=tuple(r["fk"]), pk_columns=tuple(r["pk"]),
+            nullable=r.get("nullable", False),
+            condition=r.get("condition"),
+        )
+        for r in sub.get("references", [])
+    ]
+    return FKGraph(tables=list(tables), references=refs), sub.get(
+        "conditions", {}
+    )
+
+
+def cmd_dump(args) -> int:
+    from greenmask_spark.plan import apply_plans, build_plan
+    from greenmask_spark.sources.io import write_dump
+    from greenmask_spark.subset import SubsetPlanner
+
+    cfg = load_config(args.config)
+    spark = _spark("greenmask-spark-dump")
+    tables = _load_source(spark, cfg)
+    graph, conditions = _fk_graph(cfg, tables)
+    if conditions:
+        tables = SubsetPlanner(graph, conditions).plan(tables)
+    plans = build_plan(cfg)
+    tables = apply_plans(tables, plans)
+
+    out = args.output or cfg.get("dump", {}).get("output")
+    if not out:
+        print("dump: no output directory (--output or dump.output)",
+              file=sys.stderr)
+        return 2
+    common = cfg.get("common", {})
+    fmt = cfg.get("dump", {}).get("format", "parquet")
+    if fmt == "copy":
+        # COPY text + gzip per table (the reference's native format) +
+        # the same manifest
+        from greenmask_spark.sources.copy_format import write_copy
+        from greenmask_spark.sources.manifest import build_manifest, write_manifest
+
+        os.makedirs(out, exist_ok=True)
+        for name, df in tables.items():
+            write_copy(df, os.path.join(out, name))
+        manifest = build_manifest(
+            tables, graph=graph, salt=common.get("salt", ""),
+            seed=common.get("seed"),
+            transformations=[{"table": p.table} for p in plans],
+        )
+        write_manifest(manifest, out)
+    else:
+        write_dump(
+            tables, out, graph=graph, salt=common.get("salt", ""),
+            seed=common.get("seed"),
+            transformations=[{"table": p.table} for p in plans],
+        )
+    print(json.dumps({"dumped": sorted(tables), "output": out, "format": fmt}))
+    return 0
+
+
+def cmd_restore(args) -> int:
+    from greenmask_spark.sources.io import read_dump
+    from greenmask_spark.sources.manifest import read_manifest
+
+    spark = _spark("greenmask-spark-restore")
+    manifest = read_manifest(args.input)
+    tables = read_dump(spark, args.input)
+    order = [t for t in manifest.restore_order if t in tables] or sorted(tables)
+    os.makedirs(args.output, exist_ok=True)
+    restored = []
+    for name in order:  # parents-first, like restorers/ topo order
+        tables[name].write.mode("overwrite").parquet(
+            os.path.join(args.output, name)
+        )
+        restored.append(name)
+    print(json.dumps({"restored": restored, "order": order}))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from greenmask_spark.plan import apply_plan, build_plan
+    from greenmask_spark.validate import validate_plans
+    from greenmask_spark.validate.diff import diff_report
+
+    cfg = load_config(args.config)
+    spark = _spark("greenmask-spark-validate")
+    tables = _load_source(spark, cfg)
+    plans = build_plan(cfg)
+    pks = {
+        t["name"]: tuple(t.get("primary_key", ()))
+        for t in cfg.get("tables", [])
+    }
+    warns = validate_plans(
+        plans, {t: df.schema for t, df in tables.items()},
+        primary_keys=pks, resolved=cfg.get("resolved_warnings", ()),
+    )
+    report: dict[str, Any] = {
+        "warnings": [w.to_dict() for w in warns],
+        "tables": {},
+    }
+    fatal = any(w.severity == "error" for w in warns)
+    if not fatal:
+        limit = args.rows_limit
+        for plan in plans:
+            pk = list(pks.get(plan.table, ()))
+            if not pk:
+                continue
+            orig = tables[plan.table].limit(limit)
+            diff = diff_report(orig, apply_plan(orig, plan), pk)
+            changed = diff.filter("n_changed > 0")
+            report["tables"][plan.table] = {
+                "rows_checked": diff.count(),
+                "rows_changed": changed.count(),
+            }
+    print(json.dumps(report))
+    return 1 if fatal else 0
+
+
+def cmd_list_transformers(args) -> int:
+    from greenmask_spark.transformers import DEFAULT_REGISTRY
+
+    out = []
+    for name in sorted(DEFAULT_REGISTRY.names()):
+        t = DEFAULT_REGISTRY.get(name)
+        out.append({
+            "name": name,
+            "defaults": {k: v for k, v in t.defaults.items()
+                         if not callable(v)},
+            "doc": (t.__doc__ or "").strip().split("\n")[0],
+        })
+    print(json.dumps(out, indent=None if args.compact else 2, default=str))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="greenmask-spark",
+        description="PySpark-native anonymization/subsetting engine",
+    )
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    d = sub.add_parser("dump", help="transform + subset + write dump dir")
+    d.add_argument("--config", required=True)
+    d.add_argument("--output", default=None)
+    d.set_defaults(fn=cmd_dump)
+
+    r = sub.add_parser("restore", help="read dump dir, write tables in topo order")
+    r.add_argument("--input", required=True)
+    r.add_argument("--output", required=True)
+    r.set_defaults(fn=cmd_restore)
+
+    v = sub.add_parser("validate", help="static warnings + diff sample")
+    v.add_argument("--config", required=True)
+    v.add_argument("--rows-limit", type=int, default=100)
+    v.set_defaults(fn=cmd_validate)
+
+    lt = sub.add_parser("list-transformers", help="registry inventory")
+    lt.add_argument("--compact", action="store_true")
+    lt.set_defaults(fn=cmd_list_transformers)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

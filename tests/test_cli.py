@@ -1,0 +1,119 @@
+"""CLI verbs (reference cmd/{dump,restore,validate}, list-transformers)."""
+
+import json
+import os
+
+import yaml
+
+from greenmask_spark.cli import main
+
+
+def _cfg(sf_dir, out_dir):
+    return {
+        "source": {"dir": sf_dir, "tables": ["customer", "orders"]},
+        "dump": {"output": out_dir},
+        "common": {"salt": "cli-s1", "seed": 7},
+        "tables": [
+            {
+                "name": "customer",
+                "primary_key": ["c_custkey"],
+                "transformers": [
+                    {"name": "Hash", "salt": "cli-s1",
+                     "params": {"column": "c_name", "function": "sha256"}},
+                ],
+            },
+        ],
+        "subset": {
+            "conditions": {"customer": "c_acctbal > 0"},
+            "references": [
+                {"child": "orders", "parent": "customer",
+                 "fk": ["o_custkey"], "pk": ["c_custkey"]},
+            ],
+        },
+    }
+
+
+def test_cli_dump_restore_roundtrip(spark, sf_dir, tmp_path, capsys):
+    cfg_path = str(tmp_path / "cfg.yml")
+    dump_dir = str(tmp_path / "dumpout")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(_cfg(sf_dir, dump_dir), fh)
+
+    assert main(["dump", "--config", cfg_path]) == 0
+    dumped = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    assert dumped["dumped"] == ["customer", "orders"]
+    assert os.path.exists(os.path.join(dump_dir, "_manifest.json"))
+
+    # masked + subset applied
+    cust = spark.read.parquet(os.path.join(dump_dir, "customer"))
+    import re
+
+    rows = cust.limit(5).collect()
+    assert all(re.fullmatch(r"[0-9a-f]{64}", r.c_name) for r in rows)
+    assert cust.filter("c_acctbal <= 0").count() == 0
+    # orders referentially intact w.r.t. the subset customer set
+    orders = spark.read.parquet(os.path.join(dump_dir, "orders"))
+    keys = {r.c_custkey for r in cust.select("c_custkey").collect()}
+    assert all(r.o_custkey in keys
+               for r in orders.select("o_custkey").limit(200).collect())
+
+    restore_dir = str(tmp_path / "restored")
+    assert main(["restore", "--input", dump_dir,
+                 "--output", restore_dir]) == 0
+    restored = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    assert restored["order"].index("customer") \
+        < restored["order"].index("orders")
+    back = spark.read.parquet(os.path.join(restore_dir, "customer"))
+    assert back.count() == cust.count()
+
+
+def test_cli_dump_copy_format(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "copydump")
+    cfg = _cfg(sf_dir, out)
+    cfg["dump"]["format"] = "copy"
+    cfg.pop("subset")
+    cfg_path = str(tmp_path / "cfg_copy.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    assert main(["dump", "--config", cfg_path]) == 0
+    capsys.readouterr()
+    files = os.listdir(os.path.join(out, "customer"))
+    assert any(f.endswith(".gz") for f in files)
+
+    from greenmask_spark.session import load_tables
+    from greenmask_spark.sources.copy_format import read_copy
+
+    schema = load_tables(spark, sf_dir, ("customer",))["customer"].schema
+    back = read_copy(spark, os.path.join(out, "customer"), schema)
+    assert back.count() == load_tables(
+        spark, sf_dir, ("customer",))["customer"].count()
+
+
+def test_cli_validate(spark, sf_dir, tmp_path, capsys):
+    cfg = _cfg(sf_dir, str(tmp_path / "unused"))
+    cfg_path = str(tmp_path / "cfg_v.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    assert main(["validate", "--config", cfg_path, "--rows-limit", "50"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    assert rep["tables"]["customer"]["rows_changed"] > 0
+    assert rep["tables"]["customer"]["rows_checked"] <= 50
+
+
+def test_cli_validate_fatal_on_bad_column(spark, sf_dir, tmp_path, capsys):
+    cfg = _cfg(sf_dir, str(tmp_path / "unused"))
+    cfg["tables"][0]["transformers"][0]["params"]["column"] = "no_such_col"
+    cfg_path = str(tmp_path / "cfg_bad.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    assert main(["validate", "--config", cfg_path]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    assert any(w["severity"] == "error" for w in rep["warnings"])
+
+
+def test_cli_list_transformers(capsys):
+    assert main(["list-transformers", "--compact"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    names = {t["name"] for t in out}
+    assert {"Hash", "RandomInt", "Masking", "Template", "Cmd"} <= names
+    assert len(names) >= 51

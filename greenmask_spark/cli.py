@@ -196,6 +196,67 @@ def cmd_validate(args) -> int:
     return 1 if fatal else 0
 
 
+def _dump_dirs(root: str) -> list[str]:
+    return sorted(
+        d for d in os.listdir(root)
+        if os.path.exists(os.path.join(root, d, "_manifest.json"))
+    )
+
+
+def cmd_list_dumps(args) -> int:
+    """Reference cmd/list_dumps: one row per dump with table/row totals."""
+    from greenmask_spark.sources.manifest import read_manifest
+
+    out = []
+    for d in _dump_dirs(args.dir):
+        m = read_manifest(os.path.join(args.dir, d))
+        out.append({
+            "dump": d,
+            "tables": len(m.tables),
+            "rows": sum(t.row_count or 0 for t in m.tables),
+            "salted": bool(m.salt),
+        })
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_show_dump(args) -> int:
+    """Reference cmd/show_dump: the manifest (TOC analog), verbatim."""
+    with open(os.path.join(args.input, "_manifest.json")) as fh:
+        print(fh.read())
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """Reference cmd/delete: remove a dump directory (manifest-guarded so
+    an arbitrary path can't be deleted by typo)."""
+    import shutil
+
+    if not os.path.exists(os.path.join(args.input, "_manifest.json")):
+        print(f"delete: {args.input} is not a dump dir (no _manifest.json)",
+              file=sys.stderr)
+        return 2
+    shutil.rmtree(args.input)
+    print(json.dumps({"deleted": args.input}))
+    return 0
+
+
+def cmd_show_transformer(args) -> int:
+    """Reference cmd/show_transformer: one transformer's full parameters."""
+    from greenmask_spark.transformers import DEFAULT_REGISTRY
+
+    t = DEFAULT_REGISTRY.get(args.name)
+    print(json.dumps({
+        "name": t.name,
+        "defaults": {k: v for k, v in t.defaults.items() if not callable(v)},
+        "table_level": getattr(t, "table_level", False),
+        "multi_column": getattr(t, "multi_column", False),
+        "allowed_types": sorted(getattr(t, "allowed_types", ())),
+        "doc": (t.__doc__ or "").strip(),
+    }, default=str))
+    return 0
+
+
 def cmd_list_transformers(args) -> int:
     from greenmask_spark.transformers import DEFAULT_REGISTRY
 
@@ -237,6 +298,22 @@ def main(argv: list[str] | None = None) -> int:
     lt = sub.add_parser("list-transformers", help="registry inventory")
     lt.add_argument("--compact", action="store_true")
     lt.set_defaults(fn=cmd_list_transformers)
+
+    ld = sub.add_parser("list-dumps", help="dumps under a storage dir")
+    ld.add_argument("--dir", required=True)
+    ld.set_defaults(fn=cmd_list_dumps)
+
+    sd = sub.add_parser("show-dump", help="print a dump's manifest")
+    sd.add_argument("--input", required=True)
+    sd.set_defaults(fn=cmd_show_dump)
+
+    de = sub.add_parser("delete", help="delete a dump dir (manifest-guarded)")
+    de.add_argument("--input", required=True)
+    de.set_defaults(fn=cmd_delete)
+
+    st = sub.add_parser("show-transformer", help="one transformer's detail")
+    st.add_argument("name")
+    st.set_defaults(fn=cmd_show_transformer)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -117,3 +117,36 @@ def test_cli_list_transformers(capsys):
     names = {t["name"] for t in out}
     assert {"Hash", "RandomInt", "Masking", "Template", "Cmd"} <= names
     assert len(names) >= 51
+
+
+def test_cli_storage_verbs(spark, sf_dir, tmp_path, capsys):
+    """list-dumps / show-dump / delete over a storage directory."""
+    root = str(tmp_path / "storage")
+    dump_dir = os.path.join(root, "d1")
+    cfg = _cfg(sf_dir, dump_dir)
+    cfg.pop("subset")
+    cfg_path = str(tmp_path / "cfg_s.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    assert main(["dump", "--config", cfg_path]) == 0
+    capsys.readouterr()
+
+    assert main(["list-dumps", "--dir", root]) == 0
+    dumps = json.loads(capsys.readouterr().out.strip())
+    assert dumps and dumps[0]["dump"] == "d1" and dumps[0]["tables"] == 2
+
+    assert main(["show-dump", "--input", dump_dir]) == 0
+    manifest = json.loads(capsys.readouterr().out)
+    assert {t["name"] for t in manifest["tables"]} == {"customer", "orders"}
+
+    # delete refuses non-dump paths, removes real dumps
+    assert main(["delete", "--input", str(tmp_path)]) == 2
+    capsys.readouterr()
+    assert main(["delete", "--input", dump_dir]) == 0
+    assert not os.path.exists(dump_dir)
+
+
+def test_cli_show_transformer(capsys):
+    assert main(["show-transformer", "Masking"]) == 0
+    t = json.loads(capsys.readouterr().out)
+    assert t["name"] == "Masking" and "doc" in t

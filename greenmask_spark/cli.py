@@ -138,13 +138,32 @@ def cmd_dump(args) -> int:
     return 0
 
 
+def _read_dump_any(spark, dump_dir: str, manifest) -> dict:
+    """Read a dump directory in either storage format: parquet part dirs
+    or COPY text (.gz) decoded against the manifest's schema snapshot."""
+    from pyspark.sql import types as T
+
+    from greenmask_spark.sources.copy_format import read_copy
+
+    out = {}
+    for t in manifest.tables:
+        tdir = os.path.join(dump_dir, t.name)
+        if not os.path.isdir(tdir):
+            continue
+        if any(f.endswith(".parquet") for f in os.listdir(tdir)):
+            out[t.name] = spark.read.parquet(tdir)
+        else:
+            ddl = ", ".join(f"{c['name']} {c['type']}" for c in t.columns)
+            out[t.name] = read_copy(spark, tdir, T.StructType.fromDDL(ddl))
+    return out
+
+
 def cmd_restore(args) -> int:
-    from greenmask_spark.sources.io import read_dump
     from greenmask_spark.sources.manifest import read_manifest
 
     spark = _spark("greenmask-spark-restore")
     manifest = read_manifest(args.input)
-    tables = read_dump(spark, args.input)
+    tables = _read_dump_any(spark, args.input, manifest)
     order = [t for t in manifest.restore_order if t in tables] or sorted(tables)
     os.makedirs(args.output, exist_ok=True)
     restored = []

@@ -187,7 +187,7 @@ def sessionize_stream(
         .applyInPandasWithState(
             fold,
             outputStructType=_SESSION_SCHEMA,
-            stateStructType="start_ms long, last_ms long, n long, sv double",
+            stateStructType="start_us long, last_us long, n long, sv double",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -150,3 +150,28 @@ def test_cli_show_transformer(capsys):
     assert main(["show-transformer", "Masking"]) == 0
     t = json.loads(capsys.readouterr().out)
     assert t["name"] == "Masking" and "doc" in t
+
+
+def test_cli_restore_from_copy_dump(spark, sf_dir, tmp_path, capsys):
+    """restore must read COPY-format dumps too, decoding against the
+    manifest schema snapshot."""
+    out = str(tmp_path / "copydump2")
+    cfg = _cfg(sf_dir, out)
+    cfg["dump"]["format"] = "copy"
+    cfg.pop("subset")
+    cfg_path = str(tmp_path / "cfg_copy2.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    assert main(["dump", "--config", cfg_path]) == 0
+    capsys.readouterr()
+
+    restore_dir = str(tmp_path / "restored_copy")
+    assert main(["restore", "--input", out, "--output", restore_dir]) == 0
+    capsys.readouterr()
+    back = spark.read.parquet(os.path.join(restore_dir, "customer"))
+    from greenmask_spark.session import load_tables
+
+    src = load_tables(spark, sf_dir, ("customer",))["customer"]
+    assert back.count() == src.count()
+    assert {f.name for f in back.schema.fields} \
+        == {f.name for f in src.schema.fields}

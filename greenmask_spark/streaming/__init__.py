@@ -1,4 +1,5 @@
 from greenmask_spark.streaming.pipeline import (  # noqa: F401
+    dedup_stream,
     masked_stream,
     sessionize_batch,
     sessionize_stream,

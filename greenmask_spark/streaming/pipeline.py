@@ -64,6 +64,28 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for ingestion pipelines: keep the first
+    arrival per key within the watermark horizon.
+
+    ``dropDuplicates`` on a watermarked stream is Spark's bounded-state
+    dedup — state holds one entry per distinct key seen inside the
+    horizon and is evicted as the watermark advances, so an unbounded
+    stream runs in bounded memory (the batch analog is dedup_exact's
+    groupBy). On batch input the watermark is a no-op and this is plain
+    dropDuplicates over the keys."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 #: sessionization output shape shared by the batch and stateful-stream paths
 _SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "

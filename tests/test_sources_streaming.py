@@ -161,3 +161,32 @@ def test_stateful_stream_windows(spark, tables, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT sum(n_events) s FROM win_counts").collect()[0].s
     assert got == 1000
+
+
+def test_dedup_stream_drops_replayed_batch(spark, tables, tmp_path):
+    """Streaming dedup: a replayed (duplicate) file drop must not re-emit
+    rows already seen inside the watermark horizon."""
+    from greenmask_spark.streaming import dedup_stream
+
+    ev = tables["events"].limit(500).select("event_id", "ts", "value")
+    src = str(tmp_path / "dedup_src")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # exact replay
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    deduped = dedup_stream(stream, ["event_id"], watermark="10 days")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) c, count(DISTINCT event_id) d "
+                    "FROM dedup_out").collect()[0]
+    assert got.c == 500 and got.d == 500
+
+    # batch path: plain dropDuplicates
+    both = ev.unionAll(ev)
+    assert dedup_stream(both, ["event_id"]).count() == 500

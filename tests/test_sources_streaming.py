@@ -190,3 +190,28 @@ def test_dedup_stream_drops_replayed_batch(spark, tables, tmp_path):
     # batch path: plain dropDuplicates
     both = ev.unionAll(ev)
     assert dedup_stream(both, ["event_id"]).count() == 500
+
+
+def test_bucketed_join_has_no_shuffle(spark, tables, tmp_path):
+    """Tables bucketed on the join key must SortMergeJoin without any
+    Exchange — the co-located join that matters at 100 TB."""
+    from greenmask_spark.sources.io import write_bucketed
+
+    orders = tables["orders"].select("o_orderkey", "o_orderdate")
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8)
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], num_buckets=8)
+    try:
+        a = spark.table("b_orders")
+        b = spark.table("b_lineitem")
+        # disable broadcast so the join strategy is the bucketed SMJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

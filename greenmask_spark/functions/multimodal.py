@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The decode/feature-extraction kernels are STUBS (image/audio libraries are
-not available in this container — they raise NotImplementedError unless
-``fake=True`` substitutes a deterministic fake decoder). The Spark-side
-plumbing is real and tested: schemas, Arrow batch shapes, mapInPandas
-signatures, partition sizing — exactly what a 100 TB media pipeline needs
-before plugging in a real codec.
+The compressed-format decode kernels are STUBS (image/audio codec
+libraries are not available in this container — they raise
+NotImplementedError unless ``fake=True`` substitutes a deterministic fake
+decoder). Everything downstream of decode is real: raw-buffer
+nearest-neighbor resize (``resize_raw_images``, exact numpy pixel math),
+frame sampling, and the Spark-side plumbing — schemas, Arrow batch
+shapes, mapInPandas signatures, partition sizing — exactly what a 100 TB
+media pipeline needs before plugging in a codec.
 """
 
 from __future__ import annotations
@@ -89,6 +91,47 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Stub: real resize needs an image library. Plumbing: returns the same
     schema with width/height metadata updated; payload untouched."""
     return df.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
+
+
+def resize_raw_images(
+    df: DataFrame, out_w: int, out_h: int, channels: int = 3
+) -> DataFrame:
+    """REAL nearest-neighbor resize over raw-array payloads (no codec
+    needed: payload is an H×W×C uint8 buffer, dims from width/height
+    metadata — the post-decode representation every image pipeline
+    normalizes to). Compressed formats still need the stubbed decoder
+    first; this is the stage after it, implemented for real.
+
+    numpy fancy-indexing per Arrow batch: O(out pixels) per image,
+    vectorized, no Python per-pixel loops. Emits the resized buffer with
+    updated metadata; rows whose payload size does not match their
+    declared dims yield a null payload (corrupt-input policy: skip, not
+    fail — matches training-pipeline practice)."""
+    import numpy as np
+
+    out_fields = [f for f in MEDIA_SCHEMA.fields]
+    schema = T.StructType(out_fields)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                if p is None or w is None or h is None or \
+                        len(p) != int(w) * int(h) * channels:
+                    payloads.append(None)
+                    continue
+                img = np.frombuffer(bytes(p), dtype=np.uint8).reshape(
+                    int(h), int(w), channels)
+                yi = (np.arange(out_h) * int(h)) // out_h
+                xi = (np.arange(out_w) * int(w)) // out_w
+                payloads.append(img[yi[:, None], xi, :].tobytes())
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["width"] = out_w
+            out["height"] = out_h
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -307,3 +307,35 @@ def test_replicate_skew_join_matches_plain(tables):
     salted = replicate_skew_join(li, orders, on=["o_orderkey"], buckets=4)
     assert salted.count() == plain
     assert set(salted.columns) == {"o_orderkey", "l_quantity", "o_orderdate"}
+
+
+def test_resize_raw_images_exact(spark):
+    """Nearest-neighbor resize of a raw H×W×C buffer: exact pixel math,
+    corrupt payloads null out instead of failing."""
+    import numpy as np
+    from pyspark.sql import Row as R
+
+    from greenmask_spark.functions.multimodal import resize_raw_images
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    rows = [
+        R(media_id=1, kind="image", mime="raw", payload=img.tobytes(),
+          width=4, height=4, duration_ms=None),
+        R(media_id=2, kind="image", mime="raw", payload=b"\x00\x01",  # corrupt
+          width=4, height=4, duration_ms=None),
+    ]
+    from greenmask_spark.functions.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_raw_images(df, 2, 2).collect()}
+
+    want = img[[0, 2]][:, [0, 2], :]  # yi=xi=[0,2] for 4→2
+    got = np.frombuffer(out[1].payload, dtype=np.uint8).reshape(2, 2, 3)
+    assert (got == want).all()
+    assert out[1].width == 2 and out[1].height == 2
+    assert out[2].payload is None
+
+    # upsample 4→8 replicates pixels 2×
+    up = {r.media_id: r for r in resize_raw_images(df, 8, 8).collect()}
+    gup = np.frombuffer(up[1].payload, dtype=np.uint8).reshape(8, 8, 3)
+    assert (gup[::2, ::2] == img).all() and (gup[1::2, 1::2] == img).all()

@@ -74,7 +74,16 @@ def replicate_skew_join(
     deliberate cost — use broadcast() instead when medium fits).
 
     The big side's salt hashes ALL its columns so rows of one hot key
-    scatter; the medium side explodes a literal 0..buckets-1 array."""
+    scatter; the medium side explodes a literal 0..buckets-1 array.
+
+    Only join types where every output row is anchored to exactly one
+    big-side row are allowed: under right/full outer an unmatched medium
+    row would surface once per replica (``buckets``× duplicates)."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"replicate_skew_join: how={how!r} would duplicate unmatched "
+            f"replicated rows; use broadcast() for right/full outer"
+        )
     bcols = big.columns
     salted_big = big.withColumn(_SALT, _salt_col(bcols, buckets))
     replicated = medium.withColumn(

@@ -135,6 +135,12 @@ def _guard(original: Column, transformed: Column,
 #: dumpers/transformation_pipeline.go:165-175) — so mid-chain flushes can
 #: never leak transformed values into the table condition.
 _TABLE_WHEN = "__gm_table_when__"
+#: row-skip flag materialized for table-level (mapInPandas) steps whose
+#: combined when-condition is false/null for a row
+_SKIP = "__gm_skip__"
+#: per-column stash prefix used to restore skipped rows after a
+#: table-level step (its Python stage cannot express F.when itself)
+_STASH = "__gm_orig__"
 
 
 def _step_reads(step: BoundTransformer,
@@ -212,6 +218,27 @@ def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
             df = flush(df)
         if step.is_table_level:
             df = flush(df)
+            # Table-level steps honor when-conditions too (reference
+            # transformation_pipeline.go skips the transformer per record):
+            # materialize a skip flag + stash the visible columns, run the
+            # mapInPandas step, then restore stashed values on skipped
+            # rows. Internal columns (helper/skip/stash) are hidden from
+            # the transformer via ctx.df_columns so they never leak into a
+            # Cmd subprocess record or a template environment.
+            step_cond = F.expr(step.when) if step.when else None
+            guard = None
+            for c in (table_cond, step_cond):
+                if c is not None:
+                    guard = c if guard is None else (guard & c)
+            internal = {_TABLE_WHEN}
+            if guard is not None:
+                df = df.withColumn(_SKIP, ~F.coalesce(guard, F.lit(False)))
+                internal.add(_SKIP)
+            visible = [c for c in df.columns if c not in internal]
+            if guard is not None:
+                df = df.select(
+                    "*", *[F.col(c).alias(_STASH + c) for c in visible]
+                )
             ctx = BuildContext(
                 column=step.column or "",
                 spark_type=(
@@ -219,9 +246,18 @@ def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
                 ),
                 params=step.params,
                 engine=engine,
-                df_columns=df.columns,
+                df_columns=visible,
             )
             df = step.transformer.apply(df, ctx)
+            if guard is not None:
+                keep = [c for c in df.columns
+                        if c != _SKIP and not c.startswith(_STASH)]
+                df = df.select(*[
+                    F.when(F.col(_SKIP), F.col(_STASH + c))
+                    .otherwise(F.col(c)).alias(c)
+                    if c in visible else F.col(c)
+                    for c in keep
+                ])
             continue
 
         if step.is_multi_column:

@@ -64,7 +64,10 @@ def _to_pg_text(col: Column, dt: T.DataType) -> Column:
         # microseconds — COPY FROM accepts both, round-trip is exact
         return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     if isinstance(dt, T.BinaryType):
-        return F.concat(F.lit("\\x"), F.lower(F.hex(col)))
+        # bytea text form is \x<hex>; like any text it must then be
+        # COPY-escaped (pgcopy doubles the backslash → \\x on the wire,
+        # which COPY FROM unescapes back before the bytea parser runs)
+        return _encode_text(F.concat(F.lit("\\x"), F.lower(F.hex(col))))
     if isinstance(dt, T.StringType):
         return _encode_text(col)
     # ints / floats / decimals: SQL text cast is the PG text form
@@ -81,7 +84,7 @@ def _from_pg_text(col: Column, dt: T.DataType) -> Column:
     if isinstance(dt, T.TimestampNTZType):
         return F.to_timestamp_ntz(col)
     if isinstance(dt, T.BinaryType):
-        return F.unhex(F.substring(col, 3, 1 << 30))
+        return F.unhex(F.substring(_decode_text(col), 3, 1 << 30))
     if isinstance(dt, T.StringType):
         return _decode_text(col)
     return col.cast(dt)

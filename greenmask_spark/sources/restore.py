@@ -23,11 +23,18 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame
 
-#: dialect → (placeholder, conflict-skip clause position/style)
+#: dialect → placeholder, conflict-skip clause style, and whether the
+#: driver's ``rowcount`` after ``executemany`` is the TOTAL affected rows
+#: (sqlite3) or unreliable/last-statement-only (psycopg2 documents it as
+#: undefined; DB-API allows -1) — unreliable dialects count via per-row
+#: execute when conflict-skip accounting is needed.
 _DIALECTS = {
-    "postgresql": {"placeholder": "%s", "ignore": "suffix"},   # ON CONFLICT
-    "sqlite": {"placeholder": "?", "ignore": "or_ignore"},     # INSERT OR IGNORE
-    "duckdb": {"placeholder": "?", "ignore": "suffix"},
+    "postgresql": {"placeholder": "%s", "ignore": "suffix",
+                   "rowcount_total": False},
+    "sqlite": {"placeholder": "?", "ignore": "or_ignore",
+               "rowcount_total": True},
+    "duckdb": {"placeholder": "?", "ignore": "suffix",
+               "rowcount_total": False},
 }
 
 
@@ -176,25 +183,55 @@ def restore_insert(
             cur = conn.cursor()
             batch: list[tuple] = []
 
+            rowcount_total = _DIALECTS[dialect]["rowcount_total"]
+
             def flush():
                 nonlocal inserted, skipped
                 if not batch:
                     return
                 try:
-                    cur.executemany(sql, batch)
-                    n = cur.rowcount if cur.rowcount and cur.rowcount > 0 else 0
-                    inserted += n
-                    skipped += len(batch) - n
+                    if on_conflict_do_nothing and not rowcount_total:
+                        # conflict-skip accounting needs per-statement
+                        # rowcount (executemany rowcount is undefined for
+                        # this driver — psycopg2 reports the last
+                        # statement only)
+                        for row in batch:
+                            cur.execute(sql, row)
+                            rc = cur.rowcount
+                            if rc == 1:
+                                inserted += 1
+                            elif rc == 0:
+                                skipped += 1
+                            else:  # driver returns -1: cannot detect skips
+                                inserted += 1
+                    else:
+                        cur.executemany(sql, batch)
+                        if on_conflict_do_nothing:
+                            n = cur.rowcount if cur.rowcount and \
+                                cur.rowcount > 0 else 0
+                            inserted += n
+                            skipped += len(batch) - n
+                        else:
+                            # no conflict clause: success means every row
+                            # inserted (rowcount not consulted — DB-API
+                            # leaves it undefined after executemany)
+                            inserted += len(batch)
                 except Exception:
                     conn.rollback()
                     # batch failed: replay row-by-row so excluded errors
                     # skip exactly the offending rows
-                    # (table_insert_format.go error-exclusion behavior)
+                    # (table_insert_format.go error-exclusion behavior).
+                    # COMMIT per successful row: a later rollback must
+                    # never discard earlier successes that were already
+                    # counted (the reference commits per batch and
+                    # re-runs failed batches row-wise the same way)
                     for row in batch:
                         try:
                             cur.execute(sql, row)
-                            inserted += max(cur.rowcount, 0)
-                            skipped += 1 - max(cur.rowcount, 0)
+                            rc = cur.rowcount
+                            inserted += 1 if rc != 0 else 0
+                            skipped += 1 if rc == 0 else 0
+                            conn.commit()
                         except Exception as row_exc:
                             conn.rollback()
                             if excl.matches(row_exc):

@@ -64,9 +64,12 @@ class SubsetPlanner:
         unconstrained by the edge — the reference's integrity check is
         ``fk IS NULL OR pk IS NOT NULL OR NOT (poly_exprs)``
         (graph.go:993-1001). The condition must be child-side evaluable.
-        Rows where the condition is NULL follow SQL three-valued logic:
-        they never match the join, so they survive only via a NULL FK on a
-        nullable edge."""
+        Rows where the condition is NULL are CONSTRAINED like matching
+        rows: in the reference predicate ``NOT (poly)`` contributes NULL,
+        so survival reduces to ``fk IS NULL OR pk IS NOT NULL`` — which is
+        why the join must NOT re-AND the condition (a NULL discriminator
+        would nullify the join predicate and drop FK-matched rows the
+        reference keeps)."""
         rest = None
         if ref.condition:
             rest = child.filter(F.expr(f"NOT ({ref.condition})"))
@@ -83,8 +86,6 @@ class SubsetPlanner:
         for i, fk in enumerate(ref.fk_columns):
             c = child[fk] == pkeys[f"__pk_{i}"]
             cond = c if cond is None else (cond & c)
-        if ref.condition:
-            cond = cond & F.expr(ref.condition)
         if not ref.nullable:
             kept = child.join(pkeys, cond, "left_semi")
             return kept if rest is None else kept.unionByName(rest)

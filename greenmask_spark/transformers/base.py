@@ -61,11 +61,17 @@ def resolve_param(v: Any) -> Column:
     return F.lit(v)
 
 
-def _nano_idiv(c: Column, divisor: int) -> Column:
-    """Exact integer division for nano-epoch magnitudes (> 2^53, where
-    double `/` rounds): decimal division keeps ≥6 fractional digits, the
-    bigint cast truncates toward zero like SQL ``div``."""
-    return (c.cast("decimal(38,0)") / F.lit(divisor)).cast("bigint")
+def exact_floor_div(c: Column, divisor: int) -> Column:
+    """Exact FLOOR division for epoch magnitudes (> 2^53, where double
+    `/` rounds): decimal division keeps ≥6 fractional digits and
+    ``floor`` matches time semantics for pre-epoch values (Go
+    ``time.Unix()`` floors; a toward-zero truncation would shift negative
+    epochs with sub-unit fractions by one unit)."""
+    return F.floor(c.cast("decimal(38,0)") / F.lit(divisor)).cast("bigint")
+
+
+#: backwards-compat alias (old name implied nano-only use)
+_nano_idiv = exact_floor_div
 
 
 def _unix_to_micros(c: Column, unit: str) -> Column:

@@ -96,19 +96,25 @@ class Cmd(Transformer):
         ]
         skip_behaviour = p.get("skip_on_behaviour", "all")
         skip_on_null = bool(p.get("skip_on_null_input", False))
-        cols = df.columns
+        # protocol record = VISIBLE columns only (planner-internal helper/
+        # stash columns must never reach the subprocess)
+        cols = list(ctx.df_columns) or df.columns
         col_idx = {c: i for i, c in enumerate(cols)}
         schema = df.schema
-        casters = [_py_caster(f.dataType) for f in schema.fields]
+        casters = [_py_caster(schema[c].dataType) for c in cols]
 
         if driver not in ("json", "text", "csv"):
             raise ValueError(f"Cmd: unsupported driver {driver!r}")
 
         def _encode_csv(rec: list) -> str:
             buf = io.StringIO()
-            w = csv.writer(buf, lineterminator="")
+            # keep the default \r\n lineterminator: QUOTE_MINIMAL only
+            # quotes fields containing chars OF the terminator — with
+            # lineterminator="" a field's raw newline went out unquoted
+            # and silently split the record
+            w = csv.writer(buf, lineterminator="\r\n")
             w.writerow([_NULL if v is None else str(v) for v in rec])
-            return buf.getvalue()
+            return buf.getvalue().rstrip("\r\n")
 
         def _decode_csv(line: str) -> list[str]:
             return next(csv.reader(io.StringIO(line)))
@@ -171,8 +177,14 @@ class Cmd(Transformer):
                             # columns are copied into the output row.
                             proc.stdin.write(_encode_csv(rec) + "\n")
                             proc.stdin.flush()
-                            fields = _decode_csv(
-                                reader.readline(timeout).rstrip("\n"))
+                            # a quoted field may contain raw newlines → the
+                            # record spans physical lines; a record is
+                            # complete when its double-quotes balance
+                            line = reader.readline(timeout).rstrip("\n")
+                            while line.count('"') % 2 == 1:
+                                line += "\n" + reader.readline(
+                                    timeout).rstrip("\n")
+                            fields = _decode_csv(line)
                             for c in affected:
                                 i = col_idx[c]
                                 v = fields[i]
@@ -184,7 +196,13 @@ class Cmd(Transformer):
                             proc.stdin.flush()
                             rec[col_idx[c]] = reader.readline(timeout).rstrip("\n")
                         out_rows.append(rec)
-                    yield pd.DataFrame(out_rows, columns=cols)
+                    # rebuild only the visible columns; planner-internal
+                    # columns (skip/stash/when) pass through via pdf.copy
+                    out = pdf.copy()
+                    for i, c in enumerate(cols):
+                        out[c] = pd.Series([r[i] for r in out_rows],
+                                           index=pdf.index).astype(object)
+                    yield out
                 if proc is not None:
                     proc.stdin.close()
                     try:

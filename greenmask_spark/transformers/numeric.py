@@ -191,11 +191,17 @@ class NoiseNumeric(Transformer):
         rescale  = half-up integer rounding S → dec digits
         out      = noised / 10^dec as DECIMAL(38,dec), exact division
 
-        This keeps every rounding step an integer op shared verbatim with
-        the DuckDB oracle twin — the r1 hash-parity failure was the old
+        This keeps every rounding step an op shared verbatim with the
+        DuckDB oracle twin — the r1 hash-parity failure was the old
         cast("double") path re-rounding differently on each side
         (reference core: generators/transformers/noise_numeric.go works in
-        decimal space for the same reason)."""
+        decimal space for the same reason).
+
+        Domain bound: exactness holds for |value|·10^S < 2^63 (bigint) and
+        |scaled| < 2^53 (the noise product and rescale divide pass through
+        double by design — the SAME IEEE ops on both engines, so parity
+        holds beyond the bound, but absolute rounding may drift from pure
+        integer arithmetic there)."""
         from pyspark.sql import types as T
 
         dec = int(ctx.params.get("decimal", 4))

@@ -326,7 +326,9 @@ class Template(Transformer):
         tpl = ctx.params["template"]
         target = ctx.column
         target_type = ctx.spark_type
-        cols = df.columns
+        # the record context is the VISIBLE columns only — planner-internal
+        # helper/stash columns must not appear in the template environment
+        cols = list(ctx.df_columns) or df.columns
 
         def _render(it):
             render = compile_template(tpl)
@@ -357,13 +359,15 @@ class TemplateRecord(Transformer):
     def apply(self, df: DataFrame, ctx: BuildContext) -> DataFrame:
         tpl = ctx.params["template"]
         affected: list[str] = ctx.params.get("columns") or []
-        cols = df.columns
+        # record env = visible columns only; planner-internal columns pass
+        # through untouched (pdf.copy keeps them aligned)
+        cols = list(ctx.df_columns) or df.columns
         schema = df.schema
 
         def _render(it):
             render = compile_template(tpl)
             for pdf in it:
-                new_rows = []
+                recs = []
                 for row in pdf[cols].itertuples(index=False, name=None):
                     rec = dict(zip(cols, row))
                     updates: dict[str, Any] = {}
@@ -374,8 +378,12 @@ class TemplateRecord(Transformer):
 
                     render(rec, set=_set)
                     rec.update(updates)
-                    new_rows.append(rec)
-                yield pd.DataFrame(new_rows, columns=cols)
+                    recs.append(rec)
+                out = pdf.copy()
+                for c in cols:
+                    out[c] = pd.Series([r[c] for r in recs],
+                                       index=pdf.index).astype(object)
+                yield out
 
         _ = affected
         return df.mapInPandas(_render, schema=schema)

@@ -96,12 +96,13 @@ class RandomUnixTimestamp(Transformer):
 
     @staticmethod
     def _idiv(col: Column, divisor: int) -> Column:
-        """Exact integer division for epoch magnitudes where ``/`` (always
-        double in Spark SQL) would round: a nano epoch ~1.7e18 exceeds the
-        2^53 double mantissa. Decimal division keeps ≥6 fractional digits
-        (exact for power-of-ten divisors ≤10^6); the bigint cast truncates
-        toward zero like SQL ``div``."""
-        return (col.cast("decimal(38,0)") / F.lit(divisor)).cast("bigint")
+        """Exact floor division (shared helper — see base.exact_floor_div):
+        decimal-space division for epoch magnitudes where double ``/``
+        rounds, floor semantics so pre-epoch values convert like Go
+        ``time.Unix()``."""
+        from greenmask_spark.transformers.base import exact_floor_div
+
+        return exact_floor_div(col, divisor)
 
     @classmethod
     def _to_ms(cls, col: Column, unit: str) -> Column:

@@ -87,3 +87,51 @@ def test_cmd_unexpected_exit_code_raises(spark):
                          "expected_exit_code": 3})
     out = {r.id: r.name for r in apply_plan(_df(spark), ok_plan).collect()}
     assert out[1] == "alpha"
+
+
+def test_cmd_csv_multiline_values(spark):
+    """Quoted fields containing raw newlines span physical lines; the
+    parent must reassemble the full CSV record (quote balance), not read
+    one line and desync every following row."""
+    df = spark.createDataFrame([
+        Row(id=1, name="multi\nline"),
+        Row(id=2, name="plain"),
+        Row(id=3, name='quoted "x"\nplus'),
+    ])
+    plan = _plan_cmd({"executable": sys.executable,
+                      "args": ["-u", "-c", CSV_REVERSE],
+                      "driver": "csv", "columns": ["name"]})
+    out = {r.id: r.name for r in apply_plan(df, plan).collect()}
+    assert out == {1: "enil\nitlum", 2: "nialp", 3: 'sulp\n"x" detouq'}
+
+
+def test_cmd_honors_table_level_when(spark):
+    """Table-level when must gate table-level (subprocess) transformers
+    too, and the internal when-helper column must NOT reach the child:
+    the csv child asserts the exact field count."""
+    import textwrap
+
+    strict_child = textwrap.dedent("""
+        import sys, csv
+        r = csv.reader(sys.stdin)
+        w = csv.writer(sys.stdout, lineterminator='\\n')
+        for row in r:
+            assert len(row) == 3, f"leaked column: {row}"
+            row[1] = row[1].upper() if row[1] != '\\\\N' else row[1]
+            w.writerow(row)
+            sys.stdout.flush()
+    """)
+    plan = build_plan({"tables": [{
+        "name": "t",
+        "when": "id != 2",
+        "transformers": [
+            {"name": "Cmd", "salt": "",
+             "params": {"executable": sys.executable,
+                        "args": ["-u", "-c", strict_child],
+                        "driver": "csv", "columns": ["name"]}},
+        ],
+    }]})[0]
+    out = {r.id: r.name for r in apply_plan(_df(spark), plan).collect()}
+    assert out[1] == "ALPHA"
+    assert out[2] == "beta"        # when false → untouched
+    assert out[3] is None

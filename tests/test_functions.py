@@ -339,3 +339,26 @@ def test_resize_raw_images_exact(spark):
     up = {r.media_id: r for r in resize_raw_images(df, 8, 8).collect()}
     gup = np.frombuffer(up[1].payload, dtype=np.uint8).reshape(8, 8, 3)
     assert (gup[::2, ::2] == img).all() and (gup[1::2, 1::2] == img).all()
+
+
+def test_exact_floor_div_pre_epoch(spark):
+    """Floor (not truncate-toward-zero) for negative epochs — Go
+    time.Unix() semantics; and exact beyond the double mantissa."""
+    from greenmask_spark.transformers.base import exact_floor_div
+
+    df = spark.createDataFrame(
+        [(-500_000,), (500_000,), (1_700_000_000_123_456_789,),
+         (-1_000_001,)], "v long")
+    got = [r.o for r in df.select(
+        exact_floor_div(F.col("v"), 1_000_000).alias("o")).collect()]
+    assert got == [-1, 0, 1_700_000_000_123, -2]
+
+
+def test_replicate_skew_join_rejects_outer(tables):
+    import pytest as _pytest
+
+    from greenmask_spark.functions.skew import replicate_skew_join
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        replicate_skew_join(tables["orders"], tables["customer"],
+                            on=["o_custkey"], how="full")

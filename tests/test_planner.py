@@ -132,3 +132,47 @@ def test_fused_chain_is_single_projection(spark):
     # one Project over the scan — no intermediate exchanges/projects
     plan_str = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan_str.count("Project") == 1
+
+
+def test_template_honors_when_conditions(spark):
+    """Table-level transformers (Template) must honor table- and step-level
+    when: rows failing the condition keep their original values."""
+    from pyspark.sql import Row
+
+    from greenmask_spark.plan import apply_plan, build_plan
+
+    df = spark.createDataFrame([
+        Row(id=1, name="a"), Row(id=2, name="b"), Row(id=3, name="c")])
+    plan = build_plan({"tables": [{
+        "name": "t",
+        "when": "id != 1",
+        "transformers": [
+            {"name": "Template", "salt": "", "when": "id != 2",
+             "params": {"column": "name",
+                        "template": "X{{ record.id }}"}},
+        ],
+    }]})[0]
+    out = {r.id: r.name for r in apply_plan(df, plan).collect()}
+    assert out == {1: "a", 2: "b", 3: "X3"}
+
+
+def test_table_when_helper_hidden_from_template_env(spark):
+    """The internal when-helper column must not exist in the template
+    record environment (a template iterating the record would leak it)."""
+    from pyspark.sql import Row
+
+    from greenmask_spark.plan import apply_plan, build_plan
+
+    df = spark.createDataFrame([Row(id=1, name="a")])
+    plan = build_plan({"tables": [{
+        "name": "t",
+        "when": "id > 0",
+        "transformers": [
+            {"name": "TemplateRecord", "salt": "",
+             "params": {"columns": ["name"],
+                        "template":
+                        "{{ set('name', record.keys() | join(',')) }}"}},
+        ],
+    }]})[0]
+    out = apply_plan(df, plan).collect()[0]
+    assert out.name == "id,name", out.name

@@ -71,6 +71,14 @@ def test_restore_insert_error_exclusion(spark, db):
     ).agg(F.sum("inserted").alias("i"), F.sum("skipped").alias("s")).collect()[0]
     assert summary.i == 3 and summary.s == 1
 
+    # the rows inserted BEFORE the excluded failure must survive the
+    # rollback of the failing row (regression: a batch-wide rollback used
+    # to discard them while still counting them as inserted)
+    conn = sqlite3.connect(db)
+    rows = dict(conn.execute("SELECT id, name FROM tgt ORDER BY id"))
+    conn.close()
+    assert rows == {1: "a", 2: "existing", 3: "c", 4: "d"}
+
 
 def test_restore_insert_unexcluded_error_is_fatal(spark, db):
     with pytest.raises(Exception, match="UNIQUE|IntegrityError"):

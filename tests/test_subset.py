@@ -163,3 +163,29 @@ def test_subset_two_hop_vs_duckdb(tables, sf_dir):
         """
     ).fetchall()
     assert got == [tuple(r) for r in exp]
+
+
+def test_polymorphic_null_discriminator(spark):
+    """Reference truth table for `fk IS NULL OR pk IS NOT NULL OR NOT(poly)`:
+    poly NULL rows are CONSTRAINED (kept iff FK matches), poly FALSE rows
+    are unconstrained, poly TRUE rows are constrained."""
+    from pyspark.sql import Row
+
+    from greenmask_spark.subset import FKGraph, Reference, SubsetPlanner
+
+    parents = spark.createDataFrame([Row(pid=1), Row(pid=2)])
+    children = spark.createDataFrame([
+        Row(cid=1, fk=1, kind="x"),     # poly TRUE, matched → keep
+        Row(cid=2, fk=9, kind="x"),     # poly TRUE, unmatched → drop
+        Row(cid=3, fk=9, kind="y"),     # poly FALSE → unconstrained, keep
+        Row(cid=4, fk=1, kind=None),    # poly NULL, matched → keep
+        Row(cid=5, fk=9, kind=None),    # poly NULL, unmatched → drop
+    ])
+    g = FKGraph(
+        tables=["p", "c"],
+        references=[Reference("c", "p", ("fk",), ("pid",),
+                              condition="kind = 'x'")],
+    )
+    out = SubsetPlanner(g, {"p": "pid <= 2"}).plan({"p": parents,
+                                                    "c": children})
+    assert {r.cid for r in out["c"].collect()} == {1, 3, 4}

@@ -92,6 +92,21 @@ def _fk_graph(cfg: dict, tables: dict):
     )
 
 
+def _table_metadata(cfg: dict) -> tuple[dict, dict]:
+    """Per-table primary_key / sequence declarations from config →
+    manifest metadata (the restore side builds conflict clauses and
+    setval analogs from these)."""
+    pks = {
+        t["name"]: list(t["primary_key"])
+        for t in cfg.get("tables", []) if t.get("primary_key")
+    }
+    seqs = {
+        t["name"]: t["sequence"]
+        for t in cfg.get("tables", []) if t.get("sequence")
+    }
+    return pks, seqs
+
+
 def cmd_dump(args) -> int:
     from greenmask_spark.plan import apply_plans, build_plan
     from greenmask_spark.sources.io import write_dump
@@ -104,7 +119,13 @@ def cmd_dump(args) -> int:
     if conditions:
         tables = SubsetPlanner(graph, conditions).plan(tables)
     plans = build_plan(cfg)
+    unknown = sorted({p.table for p in plans} - set(tables))
+    if unknown:
+        print(f"dump: config references unknown tables {unknown} "
+              f"(loaded: {sorted(tables)})", file=sys.stderr)
+        return 2
     tables = apply_plans(tables, plans)
+    pks, seqs = _table_metadata(cfg)
 
     out = args.output or cfg.get("dump", {}).get("output")
     if not out:
@@ -123,47 +144,28 @@ def cmd_dump(args) -> int:
         for name, df in tables.items():
             write_copy(df, os.path.join(out, name))
         manifest = build_manifest(
-            tables, graph=graph, salt=common.get("salt", ""),
-            seed=common.get("seed"),
+            tables, graph=graph, primary_keys=pks, sequences=seqs,
+            salt=common.get("salt", ""), seed=common.get("seed"),
             transformations=[{"table": p.table} for p in plans],
         )
         write_manifest(manifest, out)
     else:
         write_dump(
-            tables, out, graph=graph, salt=common.get("salt", ""),
-            seed=common.get("seed"),
+            tables, out, graph=graph, primary_keys=pks, sequences=seqs,
+            salt=common.get("salt", ""), seed=common.get("seed"),
             transformations=[{"table": p.table} for p in plans],
         )
     print(json.dumps({"dumped": sorted(tables), "output": out, "format": fmt}))
     return 0
 
 
-def _read_dump_any(spark, dump_dir: str, manifest) -> dict:
-    """Read a dump directory in either storage format: parquet part dirs
-    or COPY text (.gz) decoded against the manifest's schema snapshot."""
-    from pyspark.sql import types as T
-
-    from greenmask_spark.sources.copy_format import read_copy
-
-    out = {}
-    for t in manifest.tables:
-        tdir = os.path.join(dump_dir, t.name)
-        if not os.path.isdir(tdir):
-            continue
-        if any(f.endswith(".parquet") for f in os.listdir(tdir)):
-            out[t.name] = spark.read.parquet(tdir)
-        else:
-            ddl = ", ".join(f"{c['name']} {c['type']}" for c in t.columns)
-            out[t.name] = read_copy(spark, tdir, T.StructType.fromDDL(ddl))
-    return out
-
-
 def cmd_restore(args) -> int:
+    from greenmask_spark.sources.io import read_dump
     from greenmask_spark.sources.manifest import read_manifest
 
     spark = _spark("greenmask-spark-restore")
     manifest = read_manifest(args.input)
-    tables = _read_dump_any(spark, args.input, manifest)
+    tables = read_dump(spark, args.input, manifest=manifest)
     order = [t for t in manifest.restore_order if t in tables] or sorted(tables)
     os.makedirs(args.output, exist_ok=True)
     restored = []
@@ -202,7 +204,9 @@ def cmd_validate(args) -> int:
         limit = args.rows_limit
         for plan in plans:
             pk = list(pks.get(plan.table, ()))
-            if not pk:
+            # unknown table already produced an ERROR warning above; if
+            # that hash was listed as resolved we must still not KeyError
+            if not pk or plan.table not in tables:
                 continue
             orig = tables[plan.table].limit(limit)
             diff = diff_report(orig, apply_plan(orig, plan), pk)

@@ -199,6 +199,14 @@ def train_ivf_centroids(
         [float(x) for x in r.vec]
         for r in sample.orderBy("h", "id").limit(n_centroids).collect()
     ]
+    if not init:
+        raise ValueError(
+            "train_ivf_centroids: empty training sample — lower sample_mod "
+            "or check the corpus"
+        )
+    # a sample smaller than n_centroids degrades to fewer centroids
+    # (every list still non-empty) instead of indexing past init
+    n_centroids = min(n_centroids, len(init))
     centroids = init
     for _ in range(n_iters):
         assigned = sample.withColumn(

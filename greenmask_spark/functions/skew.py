@@ -46,12 +46,20 @@ def salted_agg(
 
     ``salt_on`` defaults to every non-key column used by the aggs — any
     expression over non-key columns spreads a hot key's rows uniformly.
+    If the aggs only reference key columns the salt would be constant per
+    group (no mitigation at all) — pass ``salt_on`` explicitly then.
     """
     combiner = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
     for name, (fn, _) in aggs.items():
         if fn not in combiner:
             raise ValueError(f"{name}: {fn} is not algebraic-combinable")
-    salt_src = salt_on or sorted({c for _, c in aggs.values()})
+    salt_src = salt_on or sorted({c for _, c in aggs.values()} - set(keys))
+    if not salt_src:
+        raise ValueError(
+            "salted_agg: aggs reference only key columns, so the derived "
+            "salt would be constant within each group; pass salt_on with "
+            "non-key columns"
+        )
     salted = df.withColumn(_SALT, _salt_col(salt_src, buckets))
     partial = salted.groupBy(*keys, _SALT).agg(*[
         getattr(F, fn)(c).alias(name) for name, (fn, c) in aggs.items()

@@ -48,8 +48,9 @@ BPE_PRETOKEN_PATTERN = (
 def bpe_token_count(text: Column) -> Column:
     """BPE-ish token estimate: the number of pre-tokenizer matches (the
     unit actual BPE merges subdivide — a stable proxy for LLM token cost
-    without a vocab). Pure JVM regex, one pass."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0))
+    without a vocab). Pure JVM regex, one pass; regexp_count counts
+    without materializing the matched-substring array."""
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_PATTERN))
 
 
 def stopword_hits(text: Column, lang: str) -> Column:

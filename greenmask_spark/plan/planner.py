@@ -235,9 +235,21 @@ def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
                 df = df.withColumn(_SKIP, ~F.coalesce(guard, F.lit(False)))
                 internal.add(_SKIP)
             visible = [c for c in df.columns if c not in internal]
+            # stash only the columns the step can WRITE (its target /
+            # declared columns; all visible if undeclared) — the stash is
+            # the type-exact restore for skipped rows, and keeping it
+            # narrow avoids doubling the Arrow payload of wide tables
+            writable = []
             if guard is not None:
+                if step.column:
+                    writable = [step.column]
+                else:
+                    writable = [
+                        c["name"] if isinstance(c, dict) else c
+                        for c in step.params.get("columns", [])
+                    ] or list(visible)
                 df = df.select(
-                    "*", *[F.col(c).alias(_STASH + c) for c in visible]
+                    "*", *[F.col(c).alias(_STASH + c) for c in writable]
                 )
             ctx = BuildContext(
                 column=step.column or "",
@@ -247,6 +259,7 @@ def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
                 params=step.params,
                 engine=engine,
                 df_columns=visible,
+                skip_col=_SKIP if guard is not None else None,
             )
             df = step.transformer.apply(df, ctx)
             if guard is not None:
@@ -255,7 +268,7 @@ def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
                 df = df.select(*[
                     F.when(F.col(_SKIP), F.col(_STASH + c))
                     .otherwise(F.col(c)).alias(c)
-                    if c in visible else F.col(c)
+                    if c in writable else F.col(c)
                     for c in keep
                 ])
             continue

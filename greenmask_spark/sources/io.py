@@ -147,11 +147,29 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def read_dump(spark: SparkSession, dump_dir: str) -> dict[str, DataFrame]:
+def read_dump(
+    spark: SparkSession, dump_dir: str, manifest=None
+) -> dict[str, DataFrame]:
+    """Read a dump directory in either storage format: parquet part dirs,
+    or COPY text (.gz) decoded against the manifest's schema snapshot.
+    Tables listed in the manifest but absent on disk (e.g. a partial
+    restore source) are skipped rather than raised."""
+    from pyspark.sql import types as T
+
     from greenmask_spark.sources.manifest import read_manifest
 
-    manifest = read_manifest(dump_dir)
-    return {
-        t.name: spark.read.parquet(os.path.join(dump_dir, t.name))
-        for t in manifest.tables
-    }
+    if manifest is None:
+        manifest = read_manifest(dump_dir)
+    out: dict[str, DataFrame] = {}
+    for t in manifest.tables:
+        tdir = os.path.join(dump_dir, t.name)
+        if not os.path.isdir(tdir):
+            continue
+        if any(f.endswith(".parquet") for f in os.listdir(tdir)):
+            out[t.name] = spark.read.parquet(tdir)
+        else:
+            from greenmask_spark.sources.copy_format import read_copy
+
+            ddl = ", ".join(f"{c['name']} {c['type']}" for c in t.columns)
+            out[t.name] = read_copy(spark, tdir, T.StructType.fromDDL(ddl))
+    return out

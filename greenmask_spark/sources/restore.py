@@ -84,7 +84,6 @@ def restore_copy(
     connection_factory: Callable[[], Any],
     table: str,
     columns: list[str] | None = None,
-    buffer_rows: int = 10_000,
 ) -> DataFrame:
     """COPY-protocol restore (reference restorers/table.go: COPY ... FROM
     STDIN replay of the dump stream) — the fast path next to
@@ -189,6 +188,11 @@ def restore_insert(
                 nonlocal inserted, skipped
                 if not batch:
                     return
+                # batch-local counters: globals update only AFTER the
+                # batch commits — a mid-batch failure rolls back work that
+                # must not have been counted (the replay path recounts
+                # from scratch)
+                b_ins = b_skip = 0
                 try:
                     if on_conflict_do_nothing and not rowcount_total:
                         # conflict-skip accounting needs per-statement
@@ -198,24 +202,27 @@ def restore_insert(
                         for row in batch:
                             cur.execute(sql, row)
                             rc = cur.rowcount
-                            if rc == 1:
-                                inserted += 1
-                            elif rc == 0:
-                                skipped += 1
-                            else:  # driver returns -1: cannot detect skips
-                                inserted += 1
+                            if rc == 0:
+                                b_skip += 1
+                            else:  # 1, or -1 when undetectable
+                                b_ins += 1
                     else:
                         cur.executemany(sql, batch)
                         if on_conflict_do_nothing:
                             n = cur.rowcount if cur.rowcount and \
                                 cur.rowcount > 0 else 0
-                            inserted += n
-                            skipped += len(batch) - n
+                            b_ins = n
+                            b_skip = len(batch) - n
                         else:
                             # no conflict clause: success means every row
                             # inserted (rowcount not consulted — DB-API
                             # leaves it undefined after executemany)
-                            inserted += len(batch)
+                            b_ins = len(batch)
+                    conn.commit()
+                    inserted += b_ins
+                    skipped += b_skip
+                    batch.clear()
+                    return
                 except Exception:
                     conn.rollback()
                     # batch failed: replay row-by-row so excluded errors

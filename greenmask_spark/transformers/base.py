@@ -35,6 +35,10 @@ class BuildContext:
     params: dict[str, Any]            # static params (already defaulted)
     engine: Any                       # HashEngine | RandomEngine
     df_columns: list[str] = field(default_factory=list)
+    #: boolean column marking rows a when-condition EXCLUDES: table-level
+    #: transformers must pass those rows through untouched and must not
+    #: expose them to subprocesses / template environments
+    skip_col: str | None = None
 
     def col(self) -> Column:
         return F.col(self.column)

@@ -142,8 +142,22 @@ class Cmd(Transformer):
             try:
                 for pdf in it:
                     out_rows = []
-                    for row in pdf[cols].itertuples(index=False, name=None):
+                    # when-condition skip flags (planner-materialized):
+                    # excluded rows must NOT be serialized to the
+                    # subprocess at all — the when may exist precisely to
+                    # withhold those rows from the external program
+                    when_skip = (
+                        pdf[ctx.skip_col].tolist()
+                        if ctx.skip_col and ctx.skip_col in pdf.columns
+                        else None
+                    )
+                    for rowno, row in enumerate(
+                        pdf[cols].itertuples(index=False, name=None)
+                    ):
                         rec = list(row)
+                        if when_skip is not None and when_skip[rowno]:
+                            out_rows.append(rec)
+                            continue
                         nulls = [rec[col_idx[c]] is None for c in affected]
                         skip = (
                             skip_on_null

@@ -123,6 +123,7 @@ class CustomCmdTransformer(Transformer):
             },
             engine=ctx.engine,
             df_columns=ctx.df_columns,
+            skip_col=ctx.skip_col,
         )
         return Cmd().apply(df, cmd_ctx)
 

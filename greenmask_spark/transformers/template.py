@@ -329,13 +329,21 @@ class Template(Transformer):
         # the record context is the VISIBLE columns only — planner-internal
         # helper/stash columns must not appear in the template environment
         cols = list(ctx.df_columns) or df.columns
+        skip_col = ctx.skip_col
 
         def _render(it):
             render = compile_template(tpl)
             for pdf in it:
+                skips = (pdf[skip_col].tolist()
+                         if skip_col and skip_col in pdf.columns else None)
                 rendered = [
-                    render(dict(zip(cols, row)))
-                    for row in pdf[cols].itertuples(index=False, name=None)
+                    # when-excluded rows are never rendered (their value
+                    # here is a placeholder; the planner restores the
+                    # type-exact original from the stash)
+                    None if skips is not None and skips[i]
+                    else render(dict(zip(cols, row)))
+                    for i, row in enumerate(
+                        pdf[cols].itertuples(index=False, name=None))
                 ]
                 pdf[target] = pd.Series(rendered, index=pdf.index).astype(object)
                 yield pdf
@@ -362,14 +370,23 @@ class TemplateRecord(Transformer):
         # record env = visible columns only; planner-internal columns pass
         # through untouched (pdf.copy keeps them aligned)
         cols = list(ctx.df_columns) or df.columns
+        skip_col = ctx.skip_col
         schema = df.schema
 
         def _render(it):
             render = compile_template(tpl)
             for pdf in it:
+                skips = (pdf[skip_col].tolist()
+                         if skip_col and skip_col in pdf.columns else None)
                 recs = []
-                for row in pdf[cols].itertuples(index=False, name=None):
+                for i, row in enumerate(
+                    pdf[cols].itertuples(index=False, name=None)
+                ):
                     rec = dict(zip(cols, row))
+                    if skips is not None and skips[i]:
+                        # when-excluded: never evaluated by the template
+                        recs.append(rec)
+                        continue
                     updates: dict[str, Any] = {}
 
                     def _set(k, v, _u=updates):

@@ -155,9 +155,11 @@ def validate_plans(
     resolved = set(resolved)
     for plan in plans:
         if plan.table not in schemas:
-            out.append(ValidationWarning(
+            w = ValidationWarning(
                 f"table {plan.table!r} not found", ERROR,
-                {"TableName": plan.table}))
+                {"TableName": plan.table})
+            if w.hash not in resolved:
+                out.append(w)
             continue
         for w in validate_plan(plan, schemas[plan.table],
                                primary_keys.get(plan.table, ())):

@@ -146,6 +146,82 @@ def test_cli_storage_verbs(spark, sf_dir, tmp_path, capsys):
     assert not os.path.exists(dump_dir)
 
 
+def test_cli_dump_manifest_carries_pk_and_rejects_unknown_table(
+    spark, sf_dir, tmp_path, capsys
+):
+    """Config-declared primary_key must land in the dump manifest (the
+    restore side builds conflict clauses from it), and a config table
+    absent from the source must fail cleanly, not KeyError."""
+    dump_dir = str(tmp_path / "pkdump")
+    cfg = _cfg(sf_dir, dump_dir)
+    cfg.pop("subset")
+    cfg_path = str(tmp_path / "cfg_pk.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    assert main(["dump", "--config", cfg_path]) == 0
+    capsys.readouterr()
+    with open(os.path.join(dump_dir, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    pk_by_table = {t["name"]: t.get("primary_key") for t in manifest["tables"]}
+    assert pk_by_table["customer"] == ["c_custkey"]
+
+    cfg["tables"].append({
+        "name": "no_such_table",
+        "transformers": [{"name": "SetNull", "params": {"column": "x"}}],
+    })
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    assert main(["dump", "--config", cfg_path]) == 2
+    assert "no_such_table" in capsys.readouterr().err
+
+
+def test_cli_validate_unknown_table_resolved_hash(spark, sf_dir, tmp_path,
+                                                  capsys):
+    """An unknown-table ERROR suppressed via resolved_warnings must not
+    crash the diff loop with a KeyError — the table is skipped."""
+    cfg = _cfg(sf_dir, str(tmp_path / "unused"))
+    cfg["tables"].append({
+        "name": "ghost",
+        "primary_key": ["g_id"],
+        "transformers": [{"name": "SetNull", "params": {"column": "g_id"}}],
+    })
+    from greenmask_spark.validate import ValidationWarning
+
+    ghost_hash = ValidationWarning(
+        "table 'ghost' not found", "error", {"TableName": "ghost"}
+    ).hash
+    cfg["resolved_warnings"] = [ghost_hash]
+    cfg_path = str(tmp_path / "cfg_ghost.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    assert main(["validate", "--config", cfg_path]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    assert "ghost" not in rep["tables"]
+    assert rep["tables"]["customer"]["rows_changed"] > 0
+
+
+def test_read_dump_reads_copy_format(spark, sf_dir, tmp_path, capsys):
+    """Library read_dump (not just the CLI) must handle COPY dumps."""
+    out = str(tmp_path / "copydump3")
+    cfg = _cfg(sf_dir, out)
+    cfg["dump"]["format"] = "copy"
+    cfg.pop("subset")
+    cfg_path = str(tmp_path / "cfg_copy3.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    assert main(["dump", "--config", cfg_path]) == 0
+    capsys.readouterr()
+
+    from greenmask_spark.session import load_tables
+    from greenmask_spark.sources.io import read_dump
+
+    back = read_dump(spark, out)
+    src = load_tables(spark, sf_dir, ("customer",))["customer"]
+    assert back["customer"].count() == src.count()
+    assert {f.name for f in back["customer"].schema.fields} \
+        == {f.name for f in src.schema.fields}
+
+
 def test_cli_show_transformer(capsys):
     assert main(["show-transformer", "Masking"]) == 0
     t = json.loads(capsys.readouterr().out)

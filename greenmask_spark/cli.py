@@ -147,6 +147,7 @@ def cmd_dump(args) -> int:
             tables, graph=graph, primary_keys=pks, sequences=seqs,
             salt=common.get("salt", ""), seed=common.get("seed"),
             transformations=[{"table": p.table} for p in plans],
+            data_format="copy",
         )
         write_manifest(manifest, out)
     else:

@@ -87,7 +87,11 @@ def replicate_skew_join(
     Only join types where every output row is anchored to exactly one
     big-side row are allowed: under right/full outer an unmatched medium
     row would surface once per replica (``buckets``× duplicates)."""
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+    # normalize Spark's alias spellings (leftouter/leftsemi/semi/anti/…)
+    # before the safety check so valid left-anchored aliases aren't rejected
+    norm = how.lower().replace("_", "")
+    if norm not in ("inner", "left", "leftouter", "leftsemi", "semi",
+                    "leftanti", "anti"):
         raise ValueError(
             f"replicate_skew_join: how={how!r} would duplicate unmatched "
             f"replicated rows; use broadcast() for right/full outer"

@@ -119,12 +119,20 @@ def build_plan(
     return plans
 
 
-def _guard(original: Column, transformed: Column,
-           *conds: Column | None) -> Column:
+def _fold_conds(*conds: Column | None) -> Column | None:
+    """AND together the non-None when-conditions (table-level ∧ step-level)
+    — the single definition of how guards combine, shared by the
+    column-expression and table-level (mapInPandas) paths."""
     cond = None
     for c in conds:
         if c is not None:
             cond = c if cond is None else (cond & c)
+    return cond
+
+
+def _guard(original: Column, transformed: Column,
+           *conds: Column | None) -> Column:
+    cond = _fold_conds(*conds)
     if cond is None:
         return transformed
     return F.when(cond, transformed).otherwise(original)
@@ -226,10 +234,7 @@ def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
             # the transformer via ctx.df_columns so they never leak into a
             # Cmd subprocess record or a template environment.
             step_cond = F.expr(step.when) if step.when else None
-            guard = None
-            for c in (table_cond, step_cond):
-                if c is not None:
-                    guard = c if guard is None else (guard & c)
+            guard = _fold_conds(table_cond, step_cond)
             internal = {_TABLE_WHEN}
             if guard is not None:
                 df = df.withColumn(_SKIP, ~F.coalesce(guard, F.lit(False)))

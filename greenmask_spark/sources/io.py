@@ -118,6 +118,7 @@ def write_dump(
         transformations=transformations,
         salt=salt,
         seed=seed,
+        data_format=fmt,
     )
     write_manifest(manifest, out_dir)
     return manifest
@@ -150,10 +151,14 @@ def write_bucketed(
 def read_dump(
     spark: SparkSession, dump_dir: str, manifest=None
 ) -> dict[str, DataFrame]:
-    """Read a dump directory in either storage format: parquet part dirs,
-    or COPY text (.gz) decoded against the manifest's schema snapshot.
-    Tables listed in the manifest but absent on disk (e.g. a partial
-    restore source) are skipped rather than raised."""
+    """Read a dump directory in either storage format: parquet part dirs
+    (flat or hive-partitioned), or COPY text (.gz) decoded against the
+    manifest's schema snapshot. The format comes from the manifest's
+    ``data_format`` field — no directory sniffing, so remote FS URIs
+    (s3a://, abfss://) and partitioned layouts work the same as local
+    flat dirs. Tables listed in the manifest but absent on disk (e.g. a
+    partial restore source) are skipped rather than raised."""
+    from pyspark.errors import AnalysisException
     from pyspark.sql import types as T
 
     from greenmask_spark.sources.manifest import read_manifest
@@ -163,13 +168,18 @@ def read_dump(
     out: dict[str, DataFrame] = {}
     for t in manifest.tables:
         tdir = os.path.join(dump_dir, t.name)
-        if not os.path.isdir(tdir):
-            continue
-        if any(f.endswith(".parquet") for f in os.listdir(tdir)):
-            out[t.name] = spark.read.parquet(tdir)
-        else:
-            from greenmask_spark.sources.copy_format import read_copy
+        try:
+            if manifest.data_format == "copy":
+                from greenmask_spark.sources.copy_format import read_copy
 
-            ddl = ", ".join(f"{c['name']} {c['type']}" for c in t.columns)
-            out[t.name] = read_copy(spark, tdir, T.StructType.fromDDL(ddl))
+                ddl = ", ".join(f"{c['name']} {c['type']}" for c in t.columns)
+                df = read_copy(spark, tdir, T.StructType.fromDDL(ddl))
+            else:
+                df = spark.read.parquet(tdir)
+            # force path resolution now so a missing table surfaces here,
+            # not at first downstream action
+            df.schema
+        except AnalysisException:
+            continue
+        out[t.name] = df
     return out

@@ -40,6 +40,10 @@ class Manifest:
     salt: str = ""
     seed: int | None = None
     created_at: float = 0.0
+    #: per-table storage format ("parquet" | "copy"); read_dump dispatches
+    #: on this instead of sniffing the directory (hive-partitioned parquet
+    #: has no top-level .parquet file, and remote FS URIs can't be listed)
+    data_format: str = "parquet"
 
     def to_json(self) -> str:
         return json.dumps(
@@ -51,6 +55,7 @@ class Manifest:
                 "salt": self.salt,
                 "seed": self.seed,
                 "created_at": self.created_at,
+                "data_format": self.data_format,
             },
             indent=2,
         )
@@ -66,6 +71,7 @@ class Manifest:
             salt=d.get("salt", ""),
             seed=d.get("seed"),
             created_at=d.get("created_at", 0.0),
+            data_format=d.get("data_format", "parquet"),
         )
 
     def fk_graph(self) -> FKGraph:
@@ -94,6 +100,7 @@ def build_manifest(
     salt: str = "",
     seed: int | None = None,
     with_counts: bool = False,
+    data_format: str = "parquet",
 ) -> Manifest:
     """Snapshot schema + metadata. ``sequences`` maps table → serial column;
     the next value is max(col)+1 (reference dumpers/sequence.go:27-41)."""
@@ -144,6 +151,7 @@ def build_manifest(
         salt=salt,
         seed=seed,
         created_at=time.time(),
+        data_format=data_format,
     )
 
 

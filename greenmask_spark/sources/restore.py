@@ -37,6 +37,10 @@ _DIALECTS = {
                "rowcount_total": False},
 }
 
+#: cap on bind parameters per multi-row INSERT (PostgreSQL's extended
+#: protocol limit is 65535; stay well under it)
+_MAX_PARAMS = 30000
+
 
 @dataclass
 class ErrorExclusions:
@@ -63,17 +67,22 @@ def build_insert_sql(
     dialect: str = "postgresql",
     on_conflict_do_nothing: bool = False,
     overriding_system_value: bool = False,
+    num_rows: int = 1,
 ) -> str:
-    """The reference's statement shape (table_insert_format.go:88-150)."""
+    """The reference's statement shape (table_insert_format.go:88-150).
+    ``num_rows`` > 1 emits a multi-row VALUES list — one round trip per
+    batch, and (on drivers that report it) a single rowcount that is the
+    exact inserted total under ON CONFLICT DO NOTHING."""
     d = _DIALECTS[dialect]
     verb = "INSERT"
     if on_conflict_do_nothing and d["ignore"] == "or_ignore":
         verb = "INSERT OR IGNORE"
     cols = ", ".join(columns)
-    vals = ", ".join([d["placeholder"]] * len(columns))
+    group = "(" + ", ".join([d["placeholder"]] * len(columns)) + ")"
+    vals = ", ".join([group] * num_rows)
     overriding = " OVERRIDING SYSTEM VALUE" if (
         overriding_system_value and dialect == "postgresql") else ""
-    sql = f"{verb} INTO {table} ({cols}){overriding} VALUES ({vals})"
+    sql = f"{verb} INTO {table} ({cols}){overriding} VALUES {vals}"
     if on_conflict_do_nothing and d["ignore"] == "suffix":
         sql += " ON CONFLICT DO NOTHING"
     return sql
@@ -195,17 +204,34 @@ def restore_insert(
                 b_ins = b_skip = 0
                 try:
                     if on_conflict_do_nothing and not rowcount_total:
-                        # conflict-skip accounting needs per-statement
-                        # rowcount (executemany rowcount is undefined for
-                        # this driver — psycopg2 reports the last
-                        # statement only)
-                        for row in batch:
-                            cur.execute(sql, row)
+                        # executemany rowcount is undefined for this
+                        # driver (psycopg2 reports the last statement
+                        # only), so batch via multi-row VALUES — the
+                        # reference's statement shape — where a SINGLE
+                        # statement's rowcount is the exact inserted
+                        # total: one round trip per chunk instead of one
+                        # per row
+                        group = max(1, _MAX_PARAMS // max(1, len(columns)))
+                        for i in range(0, len(batch), group):
+                            chunk = batch[i:i + group]
+                            cur.execute(
+                                build_insert_sql(
+                                    table, columns, dialect,
+                                    on_conflict_do_nothing,
+                                    overriding_system_value,
+                                    num_rows=len(chunk),
+                                ),
+                                [v for row in chunk for v in row],
+                            )
                             rc = cur.rowcount
-                            if rc == 0:
-                                b_skip += 1
-                            else:  # 1, or -1 when undetectable
-                                b_ins += 1
+                            if rc is not None and rc >= 0:
+                                b_ins += rc
+                                b_skip += len(chunk) - rc
+                            else:
+                                # driver doesn't report rowcount: same
+                                # optimistic accounting the per-row path
+                                # used for rc=-1
+                                b_ins += len(chunk)
                     else:
                         cur.executemany(sql, batch)
                         if on_conflict_do_nothing:

@@ -309,6 +309,26 @@ def test_replicate_skew_join_matches_plain(tables):
     assert set(salted.columns) == {"o_orderkey", "l_quantity", "o_orderdate"}
 
 
+def test_replicate_skew_join_alias_spellings(tables):
+    """Spark's no-underscore aliases (leftouter/leftsemi/…) are valid
+    left-anchored spellings and must pass the safety check; right/full
+    outer stay rejected under any spelling."""
+    import pytest as _pytest
+
+    from greenmask_spark.functions.skew import replicate_skew_join
+
+    orders = tables["orders"].select("o_orderkey", "o_orderdate")
+    li = tables["lineitem"].select("l_orderkey", "l_quantity").withColumnRenamed(
+        "l_orderkey", "o_orderkey")
+    plain = li.join(orders, on=["o_orderkey"], how="leftouter").count()
+    assert replicate_skew_join(
+        li, orders, on=["o_orderkey"], buckets=4, how="leftouter"
+    ).count() == plain
+    for bad in ("rightouter", "right_outer", "full", "fullouter", "cross"):
+        with _pytest.raises(ValueError, match="duplicate unmatched"):
+            replicate_skew_join(li, orders, on=["o_orderkey"], how=bad)
+
+
 def test_resize_raw_images_exact(spark):
     """Nearest-neighbor resize of a raw H×W×C buffer: exact pixel math,
     corrupt payloads null out instead of failing."""

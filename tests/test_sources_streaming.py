@@ -43,6 +43,35 @@ def test_dump_roundtrip_with_manifest(spark, tables):
         assert back["orders"].schema == tables["orders"].schema
 
 
+def test_dump_roundtrip_hive_partitioned(spark, tables):
+    """partition_by dumps have NO top-level .parquet file (only hive
+    key=value subdirs); read_dump must dispatch on the manifest's
+    data_format, not directory sniffing."""
+    from pyspark.sql import functions as F
+
+    from greenmask_spark.sources.io import read_dump, write_dump
+
+    orders = tables["orders"]
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "dump_part")
+        write_dump(
+            {"orders": orders}, out,
+            partition_by={"orders": ["o_orderpriority"]},
+        )
+        assert not any(
+            f.endswith(".parquet")
+            for f in os.listdir(os.path.join(out, "orders"))
+        ), "precondition: partitioned layout has no top-level part files"
+        back = read_dump(spark, out)
+        assert back["orders"].count() == orders.count()
+        assert set(back["orders"].columns) == set(orders.columns)
+        # partition pruning works on the restored read
+        pri = orders.select("o_orderpriority").first()[0]
+        assert back["orders"].filter(
+            F.col("o_orderpriority") == pri
+        ).count() == orders.filter(F.col("o_orderpriority") == pri).count()
+
+
 def test_masked_streaming_pipeline(spark, sf_dir, tmp_path):
     """The same masking plan applied to a stream: file-source → memory sink."""
     from greenmask_spark.plan import build_plan

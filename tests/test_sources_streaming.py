@@ -72,6 +72,23 @@ def test_dump_roundtrip_hive_partitioned(spark, tables):
         ).count() == orders.filter(F.col("o_orderpriority") == pri).count()
 
 
+def test_read_dump_skips_absent_tables(spark, tables):
+    """A table listed in the manifest but missing on disk (partial
+    restore source) is skipped, not raised."""
+    import shutil
+
+    from greenmask_spark.sources.io import read_dump, write_dump
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "dump_partial")
+        write_dump(
+            {"customer": tables["customer"], "orders": tables["orders"]}, out
+        )
+        shutil.rmtree(os.path.join(out, "orders"))
+        back = read_dump(spark, out)
+        assert set(back) == {"customer"}
+
+
 def test_masked_streaming_pipeline(spark, sf_dir, tmp_path):
     """The same masking plan applied to a stream: file-source → memory sink."""
     from greenmask_spark.plan import build_plan

@@ -1463,7 +1463,9 @@ def _oracle_multimodal_frames() -> str:
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction through mapInPandas (deterministic
     fake decoder — real codecs are stubbed; Spark plumbing is real).
-    Not SQL-expressible → rows-only check."""
+    The FNV fold is not SQL-expressible → rows-only check. The feature
+    vector is projected to scalar columns (driver's canonicalizer hashes
+    scalars, not arrays)."""
     from greenmask_spark.functions.multimodal import extract_features
 
     docs = _tables(spark, sf_dir, "documents")["documents"]
@@ -1471,7 +1473,15 @@ def q_multimodal_features(spark, sf_dir):
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    return extract_features(media, dim=4, fake=True)
+    feats = extract_features(media, dim=4, fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        *[
+            F.round(F.element_at("feature", i + 1), 6).alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
 
 
 def q_sessionize(spark, sf_dir):

@@ -111,11 +111,12 @@ def sessionize_batch(
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap_us = gap_minutes * 60_000_000
     prev = F.lag(ts_col).over(w)
+    # interval comparison works on both TIMESTAMP and TIMESTAMP_NTZ columns
+    # (unix_micros rejects NTZ, and an NTZ→TZ cast would shift across DST)
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")
     brk = F.when(
-        prev.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_us),
+        prev.isNull() | ((F.col(ts_col) - prev) > gap),
         F.lit(1),
     ).otherwise(F.lit(0))
     sess = events.withColumn("__sess", F.sum(brk).over(w))

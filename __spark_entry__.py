@@ -810,25 +810,106 @@ def _oracle_ann_topk() -> str:
 
 def q_ann_topk_lsh(spark, sf_dir):
     """Approximate ANN via random-hyperplane LSH buckets (scale path).
-    Not SQL-expressible compactly → rows-only check."""
+    Hyperplanes are sha256-derived → exactly reproducible in the DuckDB
+    oracle as literal arrays."""
     from greenmask_spark.functions.similarity import cosine_topk_lsh
 
     emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < _ANN_NQUERY)
-    return cosine_topk_lsh(emb, queries, k=_ANN_K, dim=64)
+    return cosine_topk_lsh(emb, queries, k=_ANN_K, dim=64, n_planes=8)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+
+
+def _sql_arr(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _sql_rank_topk(scored_cte: str) -> str:
+    """Shared tail: rank bucket/probe-scored candidates per query and keep
+    top-k (ties broken by neighbor_id on both engines)."""
+    return f"""{scored_cte}, ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+    WHERE rank <= {_ANN_K}
+    """
+
+
+def _oracle_ann_topk_lsh() -> str:
+    from greenmask_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=42)
+    bucket = " + ".join(
+        f"(CASE WHEN {_sql_dot('v', _sql_arr(p))} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    nrm = "sqrt(list_sum(list_transform({t}.v, x -> x * x)))"
+    cos = (f"round({_sql_dot('q.v', 'c.v')} / "
+           f"({nrm.format(t='q')} * {nrm.format(t='c')}), 4)")
+    return _sql_rank_topk(f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
+      FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+      WHERE q.vec_id < {_ANN_NQUERY}
+    )""")
 
 
 def q_ann_topk_ivf(spark, sf_dir):
     """Approximate ANN via an IVF coarse quantizer (the FAISS-style scale
     path: inverted lists by nearest centroid, n_probe lists scored per
-    query). Deterministic k-means, but float mean arithmetic is not
-    bit-reproducible in SQL → rows-only check; recall vs brute force is
-    pytest-asserted (tests/test_functions.py)."""
-    from greenmask_spark.functions.similarity import ivf_topk
+    query). This entry uses sha256-derived centroids so the DuckDB oracle
+    can replicate the assignment bit-for-bit; the trained-k-means path
+    (train_ivf_centroids — float means are not cross-engine reproducible)
+    is recall-asserted in tests/test_functions.py."""
+    from greenmask_spark.functions.similarity import hash_centroids, ivf_topk
 
     emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < _ANN_NQUERY)
-    return ivf_topk(emb, queries, k=_ANN_K, n_centroids=16, n_probe=4)
+    return ivf_topk(
+        emb, queries, k=_ANN_K, n_probe=4,
+        centroids=hash_centroids(64, 16, seed=42),
+    )
+
+
+def _oracle_ann_topk_ivf() -> str:
+    from greenmask_spark.functions.similarity import hash_centroids
+
+    cents = hash_centroids(64, 16, seed=42)
+    values = ", ".join(
+        f"({i}, CAST({_sql_arr(c)} AS DOUBLE[]))" for i, c in enumerate(cents)
+    )
+    sqd = ("list_sum(list_transform(list_zip(e.v, cent.c), "
+           "x -> (x[1] - x[2]) * (x[1] - x[2])))")
+    nrm = "sqrt(list_sum(list_transform({t}, x -> x * x)))"
+    cos = (f"round({_sql_dot('p.qv', 'a.v')} / "
+           f"({nrm.format(t='p.qv')} * {nrm.format(t='a.v')}), 4)")
+    return _sql_rank_topk(f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    cent(i, c) AS (SELECT * FROM (VALUES {values})),
+    ed AS (
+      SELECT e.vec_id, e.v, cent.i, {sqd} AS d,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {sqd}, cent.i) AS rn
+      FROM e CROSS JOIN cent
+    ),
+    assigned AS (SELECT vec_id, v, i AS cid FROM ed WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, i AS cid FROM ed
+      WHERE vec_id < {_ANN_NQUERY} AND rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {cos} AS cos_sim
+      FROM probes p JOIN assigned a
+        ON a.cid = p.cid AND a.vec_id != p.query_id
+    )""")
 
 
 def q_validate_diff(spark, sf_dir):
@@ -1636,7 +1717,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _oracle_minhash_pairs(),
         "simhash": _oracle_simhash(),
         "ann_topk": _oracle_ann_topk(),
-        # ann_topk_lsh: intentionally no oracle (rows-only check)
+        "ann_topk_lsh": _oracle_ann_topk_lsh(),
+        "ann_topk_ivf": _oracle_ann_topk_ivf(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "multimodal_frames": _oracle_multimodal_frames(),

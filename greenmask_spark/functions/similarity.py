@@ -154,16 +154,39 @@ def cosine_pairs_blocked(
     return tiles.groupBy("p", "q").applyInPandas(run_tile, schema=schema)
 
 
+def _sqdiff(a: Column, b: Column) -> Column:
+    # explicit product, not **2: pow(x, 2.0) is not guaranteed bit-equal to
+    # x*x across engines, and the DuckDB oracle computes (x1-x2)*(x1-x2)
+    d = a.cast("double") - b
+    return d * d
+
+
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """argmin over squared L2 distance to literal centroids — pure
     expression: array_min over (dist, idx) structs orders by dist first."""
     entries = []
     for i, c in enumerate(centroids):
         carr = F.array(*[F.lit(float(x)) for x in c])
-        diff = F.zip_with(vec, carr, lambda a, b: (a.cast("double") - b) ** 2)
+        diff = F.zip_with(vec, carr, _sqdiff)
         d = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
         entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
     return F.array_min(F.array(*entries))["i"]
+
+
+def hash_centroids(
+    dim: int, n_centroids: int, seed: int = 42, scale: float = 0.25
+) -> list[list[float]]:
+    """Deterministic data-independent coarse centroids (same sha256-derived
+    uniforms as ``_hyperplanes``, scaled to the expected component range).
+
+    Trained k-means centroids (``train_ivf_centroids``) give better recall,
+    but float mean arithmetic is not bit-reproducible across engines; these
+    are exactly reproducible anywhere — including inside an ANSI-SQL oracle
+    as literal arrays — so the IVF probe/assignment machinery itself can be
+    hash-verified cross-engine."""
+    return [
+        [x * scale for x in row] for row in _hyperplanes(dim, n_centroids, seed)
+    ]
 
 
 def train_ivf_centroids(
@@ -265,9 +288,7 @@ def ivf_topk(
     dist_structs = []
     for i, cvec in enumerate(cents):
         carr = F.array(*[F.lit(float(x)) for x in cvec])
-        diff = F.zip_with(
-            F.col("qvec"), carr, lambda a, b: (a.cast("double") - b) ** 2
-        )
+        diff = F.zip_with(F.col("qvec"), carr, _sqdiff)
         d = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
         dist_structs.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
     probes = F.slice(F.array_sort(F.array(*dist_structs)), 1, n_probe)

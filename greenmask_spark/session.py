@@ -73,6 +73,9 @@ def load_tables(
     # (events.parquet is TIMESTAMP(NANOS) and unreadable otherwise).
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # keep the NTZ→TIMESTAMP cast below a wall-clock identity even on a
+        # session built without our defaults
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
 
@@ -88,5 +91,13 @@ def load_tables(
                 # ns→µs truncation of the same file)
                 # integer `div`, not `/`: ns epochs overflow double mantissa
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if name == "events" and isinstance(
+                df.schema["ts"].dataType, T.TimestampNTZType
+            ):
+                # micros-without-UTC-adjustment parquet reads as NTZ; with the
+                # session pinned to UTC this cast is wall-clock-identity and
+                # restores TIMESTAMP for event-time ops (withWatermark and
+                # unix_micros reject NTZ)
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             out[name] = df
     return out

@@ -20,6 +20,17 @@ from pyspark.sql import functions as F
 from greenmask_spark.plan.planner import TablePlan, apply_plan
 
 
+def _tz_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """withWatermark / event-time state require TIMESTAMP; a NTZ event-time
+    column (parquet micros without UTC adjustment) casts over — wall-clock
+    identity under a fixed session timezone."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def masked_stream(stream_df: DataFrame, plan: TablePlan) -> DataFrame:
     """Apply a batch masking plan to a streaming DataFrame.
 
@@ -43,7 +54,7 @@ def windowed_event_counts(
 
     Works on both batch and streaming inputs (batch ignores the watermark,
     which lets the DuckDB oracle check the same aggregation logic)."""
-    df = events
+    df = _tz_event_time(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     w = F.window(F.col(ts_col), window, slide or window)
@@ -79,7 +90,7 @@ def dedup_stream(
     stream runs in bounded memory (the batch analog is dedup_exact's
     groupBy). On batch input the watermark is a no-op and this is plain
     dropDuplicates over the keys."""
-    df = events
+    df = _tz_event_time(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
         return df.dropDuplicatesWithinWatermark(keys)
@@ -205,7 +216,7 @@ def sessionize_stream(
             yield emit(closed)
 
     return (
-        events.withWatermark(ts_col, watermark)
+        _tz_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(user_col)
         .applyInPandasWithState(
             fold,

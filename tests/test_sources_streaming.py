@@ -153,17 +153,18 @@ def test_sessionize_stream_matches_batch(spark, tables, tmp_path):
         "user_id", "ts", "value"
     )
     # four time-ordered file drops → four micro-batches → advancing watermark
-    bounds = [r.q for r in ev.selectExpr(
-        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) qa"
-    ).selectExpr("explode(qa) q").collect()]
+    # (quartile split via collected timestamps + string-literal comparison:
+    # works on both TIMESTAMP and TIMESTAMP_NTZ columns, unlike unix_micros)
+    ts_sorted = [r.ts for r in ev.select("ts").orderBy("ts").collect()]
+    bounds = [str(ts_sorted[int(len(ts_sorted) * f)]) for f in (0.25, 0.5, 0.75)]
     src = str(tmp_path / "sess_src")
     lo = None
     for hi in bounds + [None]:
         sl = ev
         if lo is not None:
-            sl = sl.filter(F.unix_micros("ts") > lo)
+            sl = sl.filter(F.col("ts") > F.lit(lo))
         if hi is not None:
-            sl = sl.filter(F.unix_micros("ts") <= hi)
+            sl = sl.filter(F.col("ts") <= F.lit(hi))
         sl.coalesce(1).write.mode("append").parquet(src)
         lo = hi
 

@@ -636,7 +636,7 @@ def q_text_profile(spark, sf_dir):
     docs = _tables(spark, sf_dir, "documents")["documents"]
     return analyze(docs).select(
         "doc_id", "n_tokens", "n_bpe_tokens", "sw_ratio", "p_ratio",
-        "quality", "lang_pred", "fp"
+        "quality", "lang_pred", "fp", "n_wfp", "wfp_digest"
     )
 
 
@@ -664,10 +664,27 @@ def _oracle_text_profile() -> str:
     fp = "sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
     bpe_pat = r"''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
     nbpe = f"len(regexp_extract_all(text, '{bpe_pat}'))"
+    # winnowing (k=5 grams, w=4 windows): positional hashes → window minima
+    # → sorted distinct set; digest canonicalizes the set to one sha256.
+    # hs materializes in a subquery — inlining it into the window lambda
+    # would re-evaluate the whole hash array per window (O(n²) sha256s).
+    norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    gram = f"substr({norm}, CAST(i AS INTEGER), 5)"
+    hs = (f"list_transform(range(1, greatest(length({norm}) - 4, 1) + 1), "
+          f"i -> {_duck_shingle_hash(gram)})")
+    wins = ("list_transform(range(1, greatest(len(hs) - 3, 1) + 1), "
+            "i -> list_min(list_slice(hs, CAST(i AS INTEGER), "
+            "CAST(i + 3 AS INTEGER))))")
+    wfp = f"list_sort(list_distinct({wins}))"
+    n_wfp = f"CAST(len({wfp}) AS INTEGER)"
+    wdig = (f"sha256(array_to_string(list_transform({wfp}, "
+            f"x -> CAST(x AS VARCHAR)), ','))")
     return (f"SELECT doc_id, {ntok} AS n_tokens, {nbpe} AS n_bpe_tokens, "
             f"round({sw}, 4) AS sw_ratio, "
             f"round({pr}, 4) AS p_ratio, {quality} AS quality, "
-            f"{lang} AS lang_pred, {fp} AS fp FROM documents")
+            f"{lang} AS lang_pred, {fp} AS fp, "
+            f"{n_wfp} AS n_wfp, {wdig} AS wfp_digest "
+            f"FROM (SELECT *, {hs} AS hs FROM documents)")
 
 
 _SHINGLE_K = 5

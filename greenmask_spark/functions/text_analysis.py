@@ -120,6 +120,80 @@ def fingerprint(text: Column) -> Column:
     return F.sha2(norm, 256)
 
 
+def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing rolling-hash fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS local document fingerprint): hash every
+    positional k-gram, take the minimum of each w-hash window, return the
+    sorted distinct selection. Robust to insertions/edits in a way the
+    whole-document ``fingerprint`` is not: an edit perturbs only the
+    windows overlapping it, so near-duplicate documents share most of
+    their fingerprint sets.
+
+    Pure expression (transform + slice + array_min over the positional
+    hash array) — scan+project, no shuffle, no Python. Uses the same
+    portable sha256-slice-mod-prime shingle hash as the dedup operators
+    so a SQL oracle can replay it exactly."""
+    from functools import reduce
+
+    from greenmask_spark.functions.dedup import _shingle_hash
+
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    # positional (NOT distinct) hashes — window selection needs positions
+    hs = F.transform(idx, lambda i: _shingle_hash(norm.substr(i, F.lit(k))))
+    # window minima as an element-wise least over w shifted slices.
+    # CRITICAL for cost: referencing ``hs`` inside a transform() lambda
+    # re-evaluates the whole hash array per element — O(n²) sha256 calls
+    # per document. Slices are ordinary child expressions (evaluated once),
+    # so this stays O(n·w). zip_with pads the shorter side with null and
+    # least() skips nulls, which makes short-text windows clamp correctly.
+    m = F.size(hs)
+    span = F.greatest(m - w + 1, F.lit(1))
+    shifted = [F.slice(hs, j + 1, span) for j in range(w)]
+    wins = reduce(
+        lambda a, b: F.zip_with(a, b, lambda x, y: F.least(x, y)), shifted
+    )
+    return F.array_sort(F.array_distinct(wins))
+
+
+def winnow_digest(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Order-canonical sha256 of the winnow fingerprint set — a scalar
+    that equality-checks the whole set (cross-engine verifiable)."""
+    fps = winnow_fingerprints(text, k, w)
+    return F.sha2(
+        F.concat_ws(",", F.transform(fps, lambda x: x.cast("string"))), 256
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Near-duplicate candidate pairs: documents sharing ≥ ``min_shared``
+    winnow fingerprints. Scale shape mirrors MinHash-LSH candidates: the
+    fingerprint arrays explode to (id, fp) rows so the self-join shuffles
+    only int pairs, never document bodies; the groupBy counts shared
+    fingerprints per pair."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(F.col(text_col), k, w)).alias("h"),
+    )
+    a = ex.select(F.col("id").alias("id_a"), "h")
+    b = ex.select(F.col("id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text profile of a documents table."""
     t = F.col(text_col)
@@ -132,4 +206,6 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
+        F.size(winnow_fingerprints(t)).alias("n_wfp"),
+        winnow_digest(t).alias("wfp_digest"),
     )

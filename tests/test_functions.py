@@ -104,6 +104,53 @@ def test_text_analysis(docs):
     assert 0.0 <= out[4].quality <= 1.0
 
 
+def test_winnow_fingerprints(docs, spark):
+    from greenmask_spark.functions.text_analysis import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    out = {
+        r.doc_id: r.wfp
+        for r in docs.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("wfp")
+        ).collect()
+    }
+    # identical docs → identical fingerprint sets
+    assert out[1] == out[2] and len(out[1]) > 0
+    # sets are sorted distinct
+    assert out[1] == sorted(set(out[1]))
+    # near-dup (one-word edit) shares most fingerprints; unrelated text few
+    inter_near = len(set(out[1]) & set(out[3]))
+    inter_far = len(set(out[1]) & set(out[4]))
+    assert inter_near / len(out[1]) > 0.5
+    assert inter_far < inter_near
+    # brute-force reference on one doc: min of each w-window of k-gram
+    # hashes (positional), distinct+sorted
+    import hashlib
+
+    def ref(text, k=5, w=4):
+        norm = " ".join(text.lower().strip().split())
+        grams = [norm[i:i + k] for i in range(max(len(norm) - k + 1, 1))]
+        hs = [
+            int(hashlib.sha256(g.encode()).hexdigest()[:15], 16) % 2147483647
+            for g in grams
+        ]
+        wins = [
+            min(hs[i:i + w]) for i in range(max(len(hs) - w + 1, 1))
+        ]
+        return sorted(set(wins))
+
+    assert out[3] == ref("the quick brown fox jumped over the lazy dog")
+    # candidate pairs: the exact+near dups pair up, unrelated don't
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_pairs(docs, min_shared=2).collect()
+    }
+    assert (1, 2) in got and (1, 3) in got
+    assert (1, 4) not in got
+
+
 def test_bpe_token_count(spark):
     from greenmask_spark.functions.text_analysis import bpe_token_count
 

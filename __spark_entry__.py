@@ -1067,15 +1067,20 @@ def _oracle_t_noise_numeric() -> str:
 # ---------------------------------------------------------------------------
 
 
-def q_t_faker_a(spark, sf_dir):
-    """Faker family A (10 of the 22 faker transformers, one driver row):
+def q_t_faker(spark, sf_dir):
+    """ALL 22 faker transformers in one plan (one driver row):
     RandomMonthName/DayOfWeek/DayOfMonth/YearString/Century/Timezone +
-    RandomDomainName/URL/Username/Password."""
+    RandomDomainName/URL/Username/Password + RandomCCType/CCNumber/
+    Currency/AmountWithCurrency + RandomPhoneNumber/TollFree/E164 +
+    RandomWord/Sentence/Paragraph + RandomLatitude/Longitude."""
     t = _tables(spark, sf_dir, "customer")
     df = t["customer"]
     for c in ("mn", "dw", "dom", "yr", "cen", "tz", "webdom", "url", "usr",
-              "pwd"):
+              "pwd", "cct", "ccn", "cur", "amt", "ph", "tf", "e164", "w",
+              "sent", "para"):
         df = df.withColumn(c, F.col("c_name"))
+    df = df.withColumn("lat", F.col("c_acctbal")).withColumn(
+        "lon", F.col("c_acctbal"))
     plan = _plan({"name": "customer", "transformers": _steps(
         {"name": "RandomMonthName", "params": {"column": "mn"}},
         {"name": "RandomDayOfWeek", "params": {"column": "dw"}},
@@ -1086,13 +1091,33 @@ def q_t_faker_a(spark, sf_dir):
         {"name": "RandomDomainName", "params": {"column": "webdom"}},
         {"name": "RandomURL", "params": {"column": "url"}},
         {"name": "RandomUsername", "params": {"column": "usr"}},
-        {"name": "RandomPassword", "params": {"column": "pwd", "length": 6}})})
+        {"name": "RandomPassword", "params": {"column": "pwd", "length": 6}},
+        {"name": "RandomCCType", "params": {"column": "cct"}},
+        {"name": "RandomCCNumber", "params": {"column": "ccn"}},
+        {"name": "RandomCurrency", "params": {"column": "cur"}},
+        {"name": "RandomAmountWithCurrency", "params": {"column": "amt"}},
+        {"name": "RandomPhoneNumber", "params": {"column": "ph"}},
+        {"name": "RandomTollFreePhoneNumber", "params": {"column": "tf"}},
+        {"name": "RandomE164PhoneNumber", "params": {"column": "e164"}},
+        {"name": "RandomWord", "params": {"column": "w"}},
+        {"name": "RandomSentence", "params": {"column": "sent", "words": 4}},
+        {"name": "RandomParagraph", "params": {"column": "para",
+                                               "sentences": 2, "words": 3}},
+        {"name": "RandomLatitude", "params": {"column": "lat"}},
+        {"name": "RandomLongitude", "params": {"column": "lon"}})})
     return apply_plan(df, plan).select(
         "c_custkey", "mn", "dw", "dom", "yr", "cen", "tz",
-        "webdom", "url", "usr", "pwd")
+        "webdom", "url", "usr", "pwd", "cct", "ccn", "cur", "amt",
+        "ph", "tf", "e164", "w", "sent", "para", "lat", "lon")
 
 
-def _oracle_t_faker_a() -> str:
+def _oracle_t_faker() -> str:
+    a = _oracle_t_faker_a_cols()
+    b = _oracle_t_faker_b_cols()
+    return f"SELECT c_custkey, {a}, {b} FROM customer"
+
+
+def _oracle_t_faker_a_cols() -> str:
     from greenmask_spark.transformers.faker_like import RandomCentury
 
     key = "c_name"
@@ -1116,43 +1141,12 @@ def _oracle_t_faker_a() -> str:
         for i in range(6)
     ]
     pwd = "(" + " || ".join(pwd_chars) + ")"
-    return (f"SELECT c_custkey, {mn} AS mn, {dw} AS dw, {dom} AS dom, "
+    return (f"{mn} AS mn, {dw} AS dw, {dom} AS dom, "
             f"{yr} AS yr, {cen} AS cen, {tz} AS tz, {webdom} AS webdom, "
-            f"{url} AS url, {usr} AS usr, {pwd} AS pwd FROM customer")
+            f"{url} AS url, {usr} AS usr, {pwd} AS pwd")
 
 
-def q_t_faker_b(spark, sf_dir):
-    """Faker family B (the other 12 faker transformers, one driver row):
-    RandomCCType/CCNumber/Currency/AmountWithCurrency +
-    RandomPhoneNumber/TollFreePhoneNumber/E164PhoneNumber +
-    RandomWord/Sentence/Paragraph + RandomLatitude/Longitude."""
-    t = _tables(spark, sf_dir, "customer")
-    df = t["customer"]
-    for c in ("cct", "ccn", "cur", "amt", "ph", "tf", "e164", "w", "sent",
-              "para"):
-        df = df.withColumn(c, F.col("c_name"))
-    df = df.withColumn("lat", F.col("c_acctbal")).withColumn(
-        "lon", F.col("c_acctbal"))
-    plan = _plan({"name": "customer", "transformers": _steps(
-        {"name": "RandomCCType", "params": {"column": "cct"}},
-        {"name": "RandomCCNumber", "params": {"column": "ccn"}},
-        {"name": "RandomCurrency", "params": {"column": "cur"}},
-        {"name": "RandomAmountWithCurrency", "params": {"column": "amt"}},
-        {"name": "RandomPhoneNumber", "params": {"column": "ph"}},
-        {"name": "RandomTollFreePhoneNumber", "params": {"column": "tf"}},
-        {"name": "RandomE164PhoneNumber", "params": {"column": "e164"}},
-        {"name": "RandomWord", "params": {"column": "w"}},
-        {"name": "RandomSentence", "params": {"column": "sent", "words": 4}},
-        {"name": "RandomParagraph", "params": {"column": "para",
-                                               "sentences": 2, "words": 3}},
-        {"name": "RandomLatitude", "params": {"column": "lat"}},
-        {"name": "RandomLongitude", "params": {"column": "lon"}})})
-    return apply_plan(df, plan).select(
-        "c_custkey", "cct", "ccn", "cur", "amt", "ph", "tf", "e164",
-        "w", "sent", "para", "lat", "lon")
-
-
-def _oracle_t_faker_b() -> str:
+def _oracle_t_faker_b_cols() -> str:
     key = "c_name"
     cct = _duck_pick(lex.CC_TYPES, _uix(key, 0, len(lex.CC_TYPES) - 1))
     ccn = (f"('4' || lpad(CAST({_uix(key, 0, 10**7 - 1, draw=0)} AS VARCHAR), 7, '0')"
@@ -1178,10 +1172,10 @@ def _oracle_t_faker_b() -> str:
     u = _udb("c_acctbal")
     lat = f"round({u} * 180.0 - 90.0, 6)"
     lon = f"round({u} * 360.0 - 180.0, 6)"
-    return (f"SELECT c_custkey, {cct} AS cct, {ccn} AS ccn, {cur} AS cur, "
+    return (f"{cct} AS cct, {ccn} AS ccn, {cur} AS cur, "
             f"{amt} AS amt, {ph} AS ph, {tf} AS tf, {e164} AS e164, "
             f"{w} AS w, {sent} AS sent, {para} AS para, "
-            f"{lat} AS lat, {lon} AS lon FROM customer")
+            f"{lat} AS lat, {lon} AS lon")
 
 
 def _duck_sentence(key: str, n_words: int, base_draw: int = 0) -> str:
@@ -1582,6 +1576,29 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_train_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split + per-language
+    stratified sample of the training set — the reproducible-assignment
+    ops every training-data pipeline needs (hash-gated, not rand(): same
+    row → same split on every run and partitioning)."""
+    from greenmask_spark.functions.sampling import hash_split
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return hash_split(docs, key_col="doc_id").select("doc_id", "split")
+
+
+def _oracle_train_split() -> str:
+    u = ("(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)) "
+         "AS BIGINT) % 1000000)")
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {u} < 800000 THEN 'train'
+                WHEN {u} < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (batch twin of the applyInPandasWithState
     streaming operator — identical semantics, one shuffle on user_id)."""
@@ -1652,8 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
         "t_random_person": q_t_random_person,
         "t_real_address": q_t_real_address,
-        "t_faker_a": q_t_faker_a,                # 10 faker transformers
-        "t_faker_b": q_t_faker_b,                # 12 faker transformers
+        "t_faker": q_t_faker,                    # all 22 faker transformers
         "t_when_condition": q_t_when_condition,
         "t_dynamic_param": q_t_dynamic_param,
         "t_query_override": q_t_query_override,
@@ -1688,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_diff": q_validate_diff,
         "copy_roundtrip": q_copy_roundtrip,
         "sessionize": q_sessionize,
+        "train_split": q_train_split,
     }
 
 
@@ -1707,8 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         "t_net_company": _oracle_t_net_company(),
         "t_random_person": _oracle_t_random_person(),
         "t_real_address": _oracle_t_real_address(),
-        "t_faker_a": _oracle_t_faker_a(),
-        "t_faker_b": _oracle_t_faker_b(),
+        "t_faker": _oracle_t_faker(),
         "t_when_condition": _oracle_t_when_condition(),
         "t_dynamic_param": _oracle_t_dynamic_param(),
         "t_query_override": _oracle_t_query_override(),
@@ -1743,4 +1759,5 @@ def oracle_sql() -> dict[str, str]:
         "validate_diff": _oracle_validate_diff(),
         "copy_roundtrip": _oracle_copy_roundtrip(),
         "sessionize": _oracle_sessionize(),
+        "train_split": _oracle_train_split(),
     }

@@ -151,6 +151,52 @@ def test_winnow_fingerprints(docs, spark):
     assert (1, 4) not in got
 
 
+def test_hash_split_and_sample(tables):
+    from greenmask_spark.functions.sampling import (
+        hash_sample,
+        hash_split,
+        stratified_hash_sample,
+    )
+
+    docs = tables["documents"]
+    n = docs.count()
+    out = hash_split(docs, key_col="doc_id")
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == n
+    # proportions hold within hash-binomial tolerance
+    assert abs(counts["train"] / n - 0.8) < 0.1
+    # deterministic: same assignment on re-run
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, key_col="doc_id").collect()}
+    assert a == b
+    # sample: subset, deterministic, composable fractions
+    s = hash_sample(docs, 0.5, key_col="doc_id")
+    ids = {r.doc_id for r in s.select("doc_id").collect()}
+    assert ids <= {r.doc_id for r in docs.select("doc_id").collect()}
+    s2 = hash_sample(s, 0.5, key_col="doc_id", seed=7)
+    assert {r.doc_id for r in s2.select("doc_id").collect()} <= ids
+    # stratified: only listed strata survive, each hash-gated
+    lang_counts = {r.lang: r.n for r in
+                   docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                   .collect()} if "lang" in docs.columns else {}
+    if lang_counts:
+        pick = sorted(lang_counts)[0]
+        st = stratified_hash_sample(
+            docs, {pick: 1.0}, strata_col="lang", key_col="doc_id")
+        got = {r.lang for r in st.select("lang").collect()}
+        assert got == {pick}
+        assert st.count() == lang_counts[pick]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(docs, {"a": 0.5, "b": 0.6}, key_col="doc_id")
+    with _pytest.raises(ValueError):
+        hash_sample(docs, 1.5, key_col="doc_id")
+
+
 def test_bpe_token_count(spark):
     from greenmask_spark.functions.text_analysis import bpe_token_count
 

@@ -1554,10 +1554,9 @@ def _oracle_multimodal_frames() -> str:
 
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction through mapInPandas (deterministic
-    fake decoder — real codecs are stubbed; Spark plumbing is real).
-    The FNV fold is not SQL-expressible → rows-only check. The feature
-    vector is projected to scalar columns (driver's canonicalizer hashes
-    scalars, not arrays)."""
+    fake decoder — real codecs are stubbed; Spark plumbing is real). The
+    feature vector projects to scalar columns (hashable cross-engine) and
+    the FNV fold replays in the DuckDB oracle via list_reduce."""
     from greenmask_spark.functions.multimodal import extract_features
 
     docs = _tables(spark, sf_dir, "documents")["documents"]
@@ -1566,14 +1565,42 @@ def q_multimodal_features(spark, sf_dir):
         F.encode("text", "utf-8").alias("payload"),
     )
     feats = extract_features(media, dim=4, fake=True)
+    # cast float32 → double BEFORE rounding: round-6 of the widened value
+    # recovers the exact 6-decimal feature (float32 error ≪ 5e-7), which
+    # is what the double-precision oracle computes
     return feats.select(
         "media_id",
         "n_bytes",
         *[
-            F.round(F.element_at("feature", i + 1), 6).alias(f"f{i}")
+            F.round(F.element_at("feature", i + 1).cast("double"), 6)
+            .alias(f"f{i}")
             for i in range(4)
         ],
     )
+
+
+def _oracle_multimodal_features() -> str:
+    """The FNV fold over stride-i bytes IS SQL-expressible here: documents
+    are pure ASCII, so unicode(char) == utf-8 byte, and list_reduce
+    replays the stateful fold (the hash carries across dimensions)."""
+    dim = 4
+    prev = "2166136261"
+    layers = "documents"
+    for i in range(dim):
+        bts = (f"list_transform(range({i + 1}, length(text) + 1, {dim}), "
+               f"j -> unicode(substr(text, CAST(j AS INTEGER), 1)))")
+        bts = f"(CASE WHEN len({bts}) = 0 THEN [0] ELSE {bts} END)"
+        fold = (f"list_reduce(list_prepend(CAST({prev} AS BIGINT), {bts}), "
+                f"(acc, b) -> (xor(acc, b) * 16777619) % 4294967296)")
+        layers = f"(SELECT *, {fold} AS h{i} FROM {layers})"
+        prev = f"h{i}"
+    feats = ", ".join(
+        f"round(CAST((h{i} % 1000000) AS DOUBLE) / 1000000, 6) AS f{i}"
+        for i in range(dim)
+    )
+    return (f"SELECT doc_id AS media_id, "
+            f"CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            f"{feats} FROM {layers}")
 
 
 def q_train_split(spark, sf_dir):
@@ -1755,7 +1782,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "multimodal_frames": _oracle_multimodal_frames(),
-        # multimodal_features: FNV fake-decoder loop — not SQL-expressible
+        "multimodal_features": _oracle_multimodal_features(),
         "validate_diff": _oracle_validate_diff(),
         "copy_roundtrip": _oracle_copy_roundtrip(),
         "sessionize": _oracle_sessionize(),

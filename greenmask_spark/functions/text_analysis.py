@@ -195,9 +195,14 @@ def winnow_pairs(
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass text profile of a documents table."""
+    """One-pass text profile of a documents table.
+
+    The winnow set materializes in an intermediate projection: size and
+    digest both read it, and CollapseProject keeps a multiply-referenced
+    non-cheap alias as its own project, so the O(n·w) hash pipeline runs
+    once per row instead of once per consumer."""
     t = F.col(text_col)
-    return df.select(
+    staged = df.select(
         "*",
         token_count(t).alias("n_tokens"),
         bpe_token_count(t).alias("n_bpe_tokens"),
@@ -206,6 +211,13 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
-        F.size(winnow_fingerprints(t)).alias("n_wfp"),
-        winnow_digest(t).alias("wfp_digest"),
+        winnow_fingerprints(t).alias("__wfp"),
     )
+    wfp = F.col("__wfp")
+    return staged.select(
+        "*",
+        F.size(wfp).alias("n_wfp"),
+        F.sha2(
+            F.concat_ws(",", F.transform(wfp, lambda x: x.cast("string"))), 256
+        ).alias("wfp_digest"),
+    ).drop("__wfp")

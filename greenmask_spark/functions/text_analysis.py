@@ -194,6 +194,45 @@ def winnow_pairs(
     )
 
 
+#: PII patterns for free-text scrubbing — the training-corpus analog of
+#: the reference's column transformers (emails → RandomEmail, phones →
+#: RandomPhoneNumber, …, but for PII embedded INSIDE document text).
+#: Restricted to regex syntax Java and RE2 interpret identically (no
+#: lookarounds, no backrefs) so a SQL oracle can replay the scrub.
+#: Ordered: more-specific patterns run first (cards before generic
+#: digit runs, emails before bare domains).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("credit_card", r"\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b",
+     "[CARD]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    ("phone", r"\(?\b[0-9]{3}\)?[- .][0-9]{3}[- .][0-9]{4}\b", "[PHONE]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+]
+
+
+def scrub_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Redact PII inside free text: each pattern rewrites to its typed
+    placeholder, in PII_PATTERNS order. Pure chained regexp_replace —
+    codegen'd, shuffle-free, and replayable in any RE2-compatible SQL
+    engine."""
+    out = text
+    for name, pat, repl in PII_PATTERNS:
+        if kinds is None or name in kinds:
+            out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_hits(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Total count of PII matches across the selected patterns (corpus
+    QA signal: rank documents by leakage before filtering/scrubbing)."""
+    total = F.lit(0)
+    for name, pat, _repl in PII_PATTERNS:
+        if kinds is None or name in kinds:
+            total = total + F.regexp_count(text, F.lit(pat))
+    return total
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text profile of a documents table.
 

@@ -151,6 +151,32 @@ def test_winnow_fingerprints(docs, spark):
     assert (1, 4) not in got
 
 
+def test_scrub_pii(spark):
+    from greenmask_spark.functions.text_analysis import pii_hits, scrub_pii
+
+    rows = [
+        ("contact bob.smith+x@corp.example.com or (555) 123-4567 now",),
+        ("card 4111 1111 1111 1111 ssn 123-45-6789 host 10.0.0.1",),
+        ("no pii here at all",),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    got = df.select(
+        scrub_pii(F.col("s")).alias("t"),
+        pii_hits(F.col("s")).alias("n"),
+    ).collect()
+    assert got[0].t == "contact [EMAIL] or [PHONE] now"
+    assert got[0].n == 2
+    assert got[1].t == "card [CARD] ssn [SSN] host [IP]"
+    assert got[1].n == 3
+    assert got[2].t == "no pii here at all" and got[2].n == 0
+    assert got[3].t == "" and got[3].n == 0
+    # kind selection: scrub only emails, leave the phone
+    only_email = df.select(
+        scrub_pii(F.col("s"), kinds=("email",)).alias("t")).collect()
+    assert only_email[0].t == "contact [EMAIL] or (555) 123-4567 now"
+
+
 def test_hash_split_and_sample(tables):
     from greenmask_spark.functions.sampling import (
         hash_sample,

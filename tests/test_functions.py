@@ -151,6 +151,58 @@ def test_winnow_fingerprints(docs, spark):
     assert (1, 4) not in got
 
 
+def test_quantize_embeddings(tables):
+    from greenmask_spark.functions.quantize import (
+        dequantize_vec,
+        quantize_embeddings,
+        quantize_vec,
+    )
+
+    emb = tables["embeddings"].limit(50)
+    q = quantize_embeddings(emb)
+    schema = dict(q.dtypes)
+    assert schema["qvec"] == "struct<q:array<tinyint>,scale:double>"
+    # round-trip error bounded by scale/254 per component (half a quantum)
+    err = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            quantize_vec(F.col("embedding")).alias("qs"),
+        )
+        .select(
+            "v",
+            F.col("qs.scale").alias("s"),
+            dequantize_vec(F.col("qs")).alias("vhat"),
+        )
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    "v", "vhat", lambda a, b: F.abs(a.cast("double") - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("max_err"),
+            "s",
+        )
+        .collect()
+    )
+    for r in err:
+        assert r.max_err <= r.s / 254.0 + 1e-9, (r.max_err, r.s)
+    # zero vector → zeros with scale 0
+    import pyspark.sql.types as T
+
+    spark = emb.sparkSession
+    z = spark.createDataFrame(
+        [(1, [0.0] * 4)],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]),
+    )
+    got = z.select(quantize_vec(F.col("embedding")).alias("qs")).collect()[0].qs
+    assert got.scale == 0.0 and list(got.q) == [0, 0, 0, 0]
+
+
 def test_scrub_pii(spark):
     from greenmask_spark.functions.text_analysis import pii_hits, scrub_pii
 

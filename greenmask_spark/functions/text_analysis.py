@@ -233,6 +233,34 @@ def pii_hits(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
     return total
 
 
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", top_k: int | None = None
+) -> DataFrame:
+    """Corpus-wide term and document frequencies: (term, tf, df_docs).
+
+    The wordcount shape done right at scale: explode(tokens) shuffles
+    (term, 1) rows with map-side partial aggregation, so even stopword
+    skew (the/and/of dominating) arrives at reducers pre-combined.
+    df_docs counts each term once per document (distinct within doc
+    BEFORE the shuffle — dedup happens map-side in the token array).
+    ``top_k`` orders by (tf desc, term) and limits — a final
+    single-partition top-k, fine for the head of a vocabulary."""
+    t = F.col(text_col)
+    ex = df.select(
+        F.explode(tokens(t)).alias("term"),
+        F.lit(1).alias("one"),
+    ).filter(F.col("term") != "")
+    docs_ex = df.select(
+        F.explode(F.array_distinct(tokens(t))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = ex.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = docs_ex.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    out = tf.join(dfreq, "term")
+    if top_k is not None:
+        out = out.orderBy(F.desc("tf"), F.asc("term")).limit(top_k)
+    return out
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text profile of a documents table.
 

@@ -151,6 +151,21 @@ def test_winnow_fingerprints(docs, spark):
     assert (1, 4) not in got
 
 
+def test_term_frequencies(spark):
+    from greenmask_spark.functions.text_analysis import term_frequencies
+
+    df = spark.createDataFrame(
+        [("the cat and the hat",), ("the dog",), ("",)], "text string"
+    )
+    got = {r.term: (r.tf, r.df_docs)
+           for r in term_frequencies(df).collect()}
+    assert got["the"] == (3, 2)
+    assert got["cat"] == (1, 1)
+    assert got["dog"] == (1, 1)
+    top = term_frequencies(df, top_k=1).collect()
+    assert len(top) == 1 and top[0].term == "the"
+
+
 def test_quantize_embeddings(tables):
     from greenmask_spark.functions.quantize import (
         dequantize_vec,

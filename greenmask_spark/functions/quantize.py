@@ -24,12 +24,17 @@ def _max_abs(vec: Column) -> Column:
     )
 
 
-def quantize_vec(vec: Column) -> Column:
+def quantize_vec(vec: Column, scale: Column | None = None) -> Column:
     """array<float> → struct(q: array<tinyint>, scale: double).
 
     q_i = round(v_i / scale · 127) clamped to [-127, 127]; scale is the
-    vector's max-abs (zero vectors quantize to zeros with scale 0)."""
-    amax = _max_abs(vec)
+    vector's max-abs (zero vectors quantize to zeros with scale 0).
+
+    Pass a pre-computed ``scale`` column when quantizing a DataFrame —
+    an inline aggregate referenced inside the transform() lambda
+    re-evaluates the whole max-abs fold per element (O(dim²) per row;
+    ``quantize_embeddings`` stages it for you)."""
+    amax = _max_abs(vec) if scale is None else scale
     q = F.transform(
         vec,
         lambda v: F.when(amax == 0.0, F.lit(0)).otherwise(
@@ -57,5 +62,15 @@ def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
 ) -> DataFrame:
     """Add a quantized column; drop the float column to realize the 4×
-    storage cut (callers keep it by selecting both)."""
-    return df.withColumn(out_col, quantize_vec(F.col(vec_col))).drop(vec_col)
+    storage cut (callers keep it by selecting both).
+
+    The max-abs scale stages in its own projection so the per-element
+    lambda reads a column (one fold per row), not an inline aggregate
+    (one fold per element)."""
+    staged = df.withColumn("__scale", _max_abs(F.col(vec_col)))
+    return (
+        staged.withColumn(
+            out_col, quantize_vec(F.col(vec_col), scale=F.col("__scale"))
+        )
+        .drop(vec_col, "__scale")
+    )

@@ -21,11 +21,17 @@ from pyspark.sql import functions as F
 _RESOLUTION = 1_000_000
 
 
-def _unit_hash(key: Column, seed: int) -> Column:
+def _unit_hash(key: Column, op: str, seed: int) -> Column:
     """Deterministic uniform draw in [0, 1_000_000) from a stable key —
     sha256 hex slice mod, the same arithmetic as the dedup/minhash
-    portable hashes (SQL twin: ('0x' || substr(sha256(k), 1, 15))::BIGINT)."""
-    tagged = F.concat(key.cast("string"), F.lit(f":{seed}"))
+    portable hashes (SQL twin: ('0x' || substr(sha256(k), 1, 15))::BIGINT).
+
+    ``op`` tags the hash per operation family so different operators
+    draw INDEPENDENT uniforms even at the same seed: without it,
+    hash_sample(hash_split(df)'s train rows, 0.5) would re-threshold the
+    SAME draw (keeping 62.5% of train, and 0% of test) instead of
+    sampling each split uniformly."""
+    tagged = F.concat(key.cast("string"), F.lit(f":{op}:{seed}"))
     return F.pmod(
         F.conv(F.substring(F.sha2(tagged, 256), 1, 15), 16, 10).cast("bigint"),
         F.lit(_RESOLUTION),
@@ -48,7 +54,7 @@ def hash_split(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights sum to {total}, expected 1.0")
-    u = _unit_hash(F.col(key_col), seed)
+    u = _unit_hash(F.col(key_col), "split", seed)
     expr = None
     acc = 0.0
     names = list(weights)
@@ -74,7 +80,7 @@ def hash_sample(
     different seeds is an unbiased 0.25 sample)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction {fraction} outside [0, 1]")
-    u = _unit_hash(F.col(key_col), seed)
+    u = _unit_hash(F.col(key_col), "sample", seed)
     return df.filter(u < int(round(fraction * _RESOLUTION)))
 
 
@@ -91,7 +97,7 @@ def stratified_hash_sample(
     for name, f_ in fractions.items():
         if not 0.0 <= f_ <= 1.0:
             raise ValueError(f"fraction {f_} for stratum {name!r} outside [0, 1]")
-    u = _unit_hash(F.col(key_col), seed)
+    u = _unit_hash(F.col(key_col), "strat", seed)
     thresh = F.create_map(*[
         x
         for name, f_ in fractions.items()

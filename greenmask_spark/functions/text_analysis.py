@@ -157,13 +157,19 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     return F.array_sort(F.array_distinct(wins))
 
 
-def winnow_digest(text: Column, k: int = 5, w: int = 4) -> Column:
-    """Order-canonical sha256 of the winnow fingerprint set — a scalar
-    that equality-checks the whole set (cross-engine verifiable)."""
-    fps = winnow_fingerprints(text, k, w)
+def _digest_of_set(fps: Column) -> Column:
+    """Order-canonical sha256 of a sorted int array (comma-joined) — the
+    one definition both winnow_digest and analyze() share; the
+    text_profile oracle replays this exact format."""
     return F.sha2(
         F.concat_ws(",", F.transform(fps, lambda x: x.cast("string"))), 256
     )
+
+
+def winnow_digest(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Order-canonical sha256 of the winnow fingerprint set — a scalar
+    that equality-checks the whole set (cross-engine verifiable)."""
+    return _digest_of_set(winnow_fingerprints(text, k, w))
 
 
 def winnow_pairs(
@@ -224,12 +230,17 @@ def scrub_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
 
 
 def pii_hits(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
-    """Total count of PII matches across the selected patterns (corpus
-    QA signal: rank documents by leakage before filtering/scrubbing)."""
+    """Total count of PII redactions (corpus QA signal: rank documents by
+    leakage before filtering/scrubbing). Counts each pattern against the
+    text AFTER earlier patterns have been scrubbed — mirroring
+    ``scrub_pii``'s sequential rewrites — so overlapping matches (an IP
+    inside an email address) count once, exactly like they redact once."""
     total = F.lit(0)
-    for name, pat, _repl in PII_PATTERNS:
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
         if kinds is None or name in kinds:
-            total = total + F.regexp_count(text, F.lit(pat))
+            total = total + F.regexp_count(cur, F.lit(pat))
+            cur = F.regexp_replace(cur, pat, repl)
     return total
 
 
@@ -246,16 +257,21 @@ def term_frequencies(
     ``top_k`` orders by (tf desc, term) and limits — a final
     single-partition top-k, fine for the head of a vocabulary."""
     t = F.col(text_col)
-    ex = df.select(
-        F.explode(tokens(t)).alias("term"),
-        F.lit(1).alias("one"),
-    ).filter(F.col("term") != "")
-    docs_ex = df.select(
-        F.explode(F.array_distinct(tokens(t))).alias("term")
-    ).filter(F.col("term") != "")
-    tf = ex.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = docs_ex.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
-    out = tf.join(dfreq, "term")
+    # one scan: per-document term counts (doc identity via a per-row id),
+    # then per-term sum→tf / count→df_docs — no second tokenize, no join.
+    # The row id stages BEFORE the explode (its own projection): inlined
+    # next to the generator it would be evaluated per generated row,
+    # giving every token a distinct "document".
+    ex = (
+        df.withColumn("__rid", F.monotonically_increasing_id())
+        .select("__rid", F.explode(tokens(t)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    per_doc = ex.groupBy("__rid", "term").agg(F.count(F.lit(1)).alias("c"))
+    out = per_doc.groupBy("term").agg(
+        F.sum("c").alias("tf"),
+        F.count(F.lit(1)).alias("df_docs"),
+    )
     if top_k is not None:
         out = out.orderBy(F.desc("tf"), F.asc("term")).limit(top_k)
     return out
@@ -342,7 +358,5 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     return staged.select(
         "*",
         F.size(wfp).alias("n_wfp"),
-        F.sha2(
-            F.concat_ws(",", F.transform(wfp, lambda x: x.cast("string"))), 256
-        ).alias("wfp_digest"),
+        _digest_of_set(wfp).alias("wfp_digest"),
     ).drop("__wfp")

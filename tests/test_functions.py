@@ -263,6 +263,11 @@ def test_scrub_pii(spark):
     only_email = df.select(
         scrub_pii(F.col("s"), kinds=("email",)).alias("t")).collect()
     assert only_email[0].t == "contact [EMAIL] or (555) 123-4567 now"
+    # overlap: the IP inside the email redacts once and counts once
+    ov = spark.createDataFrame([("mail 1.2.3.4@corp.example.com",)], "s string")
+    r = ov.select(scrub_pii(F.col("s")).alias("t"),
+                  pii_hits(F.col("s")).alias("n")).collect()[0]
+    assert r.t == "mail [EMAIL]" and r.n == 1
 
 
 def test_hash_split_and_sample(tables):

@@ -84,6 +84,36 @@ def hash_sample(
     return df.filter(u < int(round(fraction * _RESOLUTION)))
 
 
+def cross_split_contamination(
+    df: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    pairs=None,
+) -> DataFrame:
+    """Decontamination check: near-duplicate candidate pairs that CROSS a
+    split boundary (a test document minhash-colliding with a train
+    document is evaluation leakage). ``pairs`` defaults to MinHash-LSH
+    candidates over ``df``; pass any (id_a, id_b) frame (winnow_pairs,
+    simhash buckets) to change the detector.
+
+    Output: (id_a, id_b, split_a, split_b), split_a != split_b. Scale
+    shape: the candidate stream carries only ids; the two split lookups
+    join on the id key (broadcast when the split map is small, else
+    id-keyed shuffles — never document bodies)."""
+    if pairs is None:
+        from greenmask_spark.functions.dedup import minhash_candidates
+
+        pairs = minhash_candidates(df, id_col=id_col)
+    s = df.select(F.col(id_col).alias("id"), F.col(split_col).alias("s"))
+    return (
+        pairs.join(
+            s.withColumnsRenamed({"id": "id_a", "s": "split_a"}), "id_a")
+        .join(s.withColumnsRenamed({"id": "id_b", "s": "split_b"}), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     fractions: dict[str, float],

@@ -187,6 +187,36 @@ def test_term_frequencies(spark):
     assert len(top) == 1 and top[0].term == "the"
 
 
+def test_cross_split_contamination(tables, spark):
+    from greenmask_spark.functions.sampling import (
+        cross_split_contamination,
+        hash_split,
+    )
+
+    docs = hash_split(tables["documents"], key_col="doc_id")
+    # planted leak: copy one doc's text onto an id assigned to a
+    # different split, then ask for cross-split near-dup candidates
+    rows = docs.select("doc_id", "text", "split").collect()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r.split, r)
+    a, b = by_split["train"], by_split["test"]
+    leak = spark.createDataFrame(
+        [(a.doc_id, a.text, "train"), (b.doc_id, a.text, "test")],
+        "doc_id long, text string, split string",
+    )
+    got = cross_split_contamination(leak).collect()
+    assert len(got) == 1
+    pair = got[0]
+    assert {pair.split_a, pair.split_b} == {"train", "test"}
+    assert {pair.id_a, pair.id_b} == {a.doc_id, b.doc_id}
+    # explicit pairs frame passes through and keeps only cross-split rows
+    pairs = spark.createDataFrame(
+        [(a.doc_id, b.doc_id)], "id_a long, id_b long")
+    got2 = cross_split_contamination(leak, pairs=pairs).collect()
+    assert len(got2) == 1
+
+
 def test_quantize_embeddings(tables):
     from greenmask_spark.functions.quantize import (
         dequantize_vec,

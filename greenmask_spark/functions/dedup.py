@@ -263,3 +263,58 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4-style sub-document pass):
+    every distinct non-blank line keeps only its FIRST occurrence — the
+    smallest (doc, position) — and each document reassembles from its
+    surviving lines in original order. Kills boilerplate (navigation,
+    headers, license banners) that whole-document dedup never sees.
+
+    Scale shape: first-occurrence selection is a groupBy(line) MIN over
+    (doc, pos) structs — partial aggregation combines map-side, so a
+    boilerplate line repeated a billion times arrives at its reducer as
+    one row per map task (a window over partitionBy(line) would put the
+    whole heavy key in one task). Blank lines pass through without
+    joining the dedup shuffle at all. Reassembly is one groupBy(doc)
+    with an array_sort on (pos, line) structs.
+
+    Output: (id, text) with deduplicated text (empty string if every
+    line was claimed by an earlier document).
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    blank = F.trim(F.col("line")) == ""
+    ne = lines.filter(~blank)
+    keepers = ne.groupBy("line").agg(
+        F.min(F.struct("id", "pos")).alias("k")
+    ).select("line", F.col("k.id").alias("id"), F.col("k.pos").alias("pos"))
+    kept = ne.join(keepers, ["line", "id", "pos"], "left_semi")
+    surviving = kept.unionByName(lines.filter(blank))
+    rebuilt = (
+        surviving.groupBy("id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("text")
+        )
+    )
+    # documents whose every line was deduplicated away still appear (blank
+    # lines survive), EXCEPT single-line docs fully claimed — restore them
+    # as empty strings via a left join from the id universe
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(rebuilt, "id", "left")
+        .select("id", F.coalesce("text", F.lit("")).alias("text"))
+    )

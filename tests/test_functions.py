@@ -187,6 +187,26 @@ def test_term_frequencies(spark):
     assert len(top) == 1 and top[0].term == "the"
 
 
+def test_dedup_lines(spark):
+    from greenmask_spark.functions.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\nshared banner\nunique two"),
+            (2, "shared banner\nother text\n\nafter blank"),
+            (3, "shared banner"),           # fully claimed → empty
+            (4, "solo\nsolo"),              # in-document repeat dedups too
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r.text for r in dedup_lines(df).collect()}
+    assert got[1] == "unique one\nshared banner\nunique two"
+    assert got[2] == "other text\n\nafter blank"
+    assert got[3] == ""
+    assert got[4] == "solo"
+    assert set(got) == {1, 2, 3, 4}
+
+
 def test_cross_split_contamination(tables, spark):
     from greenmask_spark.functions.sampling import (
         cross_split_contamination,

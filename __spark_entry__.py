@@ -717,13 +717,18 @@ def _duck_minhash_sig() -> str:
 
 
 def q_minhash_sigs(spark, sf_dir):
-    from greenmask_spark.functions.dedup import minhash_signature
+    """MinHash signatures via the explode+aggregate formulation — value-
+    identical to the expression form (same oracle) but codegen'd, one
+    sha256 per shingle, and parallel across cores."""
+    from greenmask_spark.functions.dedup import minhash_signatures_df
 
     docs = _tables(spark, sf_dir, "documents")["documents"]
-    sig = minhash_signature(F.col("text"), _NUM_PERM, _SHINGLE_K)
-    return docs.select(
-        "doc_id",
-        F.concat_ws("_", F.transform(sig, lambda x: x.cast("string"))).alias("sig"),
+    sigs = minhash_signatures_df(docs, num_perm=_NUM_PERM, k=_SHINGLE_K)
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "_", F.transform("sig", lambda x: x.cast("string"))
+        ).alias("sig"),
     )
 
 
@@ -771,11 +776,13 @@ _SIMHASH_BITS = 16
 
 
 def q_simhash(spark, sf_dir):
-    from greenmask_spark.functions.dedup import simhash
+    """SimHash via the explode+aggregate formulation — value-identical
+    to the expression form (same oracle), codegen'd and parallel."""
+    from greenmask_spark.functions.dedup import simhash_df
 
     docs = _tables(spark, sf_dir, "documents")["documents"]
-    return docs.select(
-        "doc_id", simhash(F.col("text"), _SIMHASH_BITS).alias("sh")
+    return simhash_df(docs, bits=_SIMHASH_BITS).select(
+        F.col("id").alias("doc_id"), "sh"
     )
 
 

@@ -3,9 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Per-query timing includes plan build + execution to a count/collect-free
-sink (df.write to a temp dir would measure IO; we use .foreach-noop via
-count() which forces full evaluation of every operator).
+Per-query timing includes plan build + execution to a noop WRITE sink:
+df.count() is NOT a valid sink for scan+project queries — Catalyst
+prunes every unreferenced projection under a count, so a masking query
+"benchmarked" via count() measures row counting, not masking. The noop
+format evaluates every output column and discards the rows (no IO).
 """
 
 from __future__ import annotations
@@ -58,7 +60,7 @@ def main() -> int:
         for _rep in range(2):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            df.count()
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)

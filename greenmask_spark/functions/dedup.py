@@ -63,6 +63,45 @@ def minhash_signature(text: Column, num_perm: int = 16, k: int = 5) -> Column:
     return F.array(*sig)
 
 
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """(id, sig array<bigint>) — value-identical to ``minhash_signature``
+    but in the shape that is actually fast and parallel:
+
+    - the expression form duplicates the shingle-hash subtree into every
+      permutation's array_min (num_perm× sha256 recompute), and higher-
+      order functions evaluate INTERPRETED — measured ~500 ms/document.
+    - here shingles explode to (id, h) rows — ONE sha256 per shingle —
+      and the num_perm mins are plain codegen'd aggregates with map-side
+      partial combine. The input repartitions first so a small
+      single-row-group parquet file still uses every core.
+
+    Documents with no shingles keep a null-filled signature (explode_outer),
+    matching array_min-over-empty in the expression form."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        df.repartition(n_part)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(shingles(F.col(text_col), k)).alias("s"),
+        )
+        .select("id", _shingle_hash(F.col("s")).alias("h"))
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE)))
+        .alias(f"m{i}")
+        for i, (a, b) in enumerate(perm_constants(num_perm))
+    ]
+    return ex.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
 def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     """Array of band-key strings 'b:r1_r2_...' — docs sharing any band key
     are near-dup candidates."""
@@ -116,13 +155,12 @@ def minhash_candidates(
     band_key → self-join within buckets. The joined payload is just ids.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signature(F.col(text_col), num_perm, k)
-    # Exchange barrier between signature computation and band-key explode:
-    # without it CollapseProject inlines the (large) signature expression
-    # into every band key and it gets recomputed num_perm× per row.
-    sigs = df.select(F.col(id_col).alias("id"), sig.alias("sig")).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
+    # agg-formulated signatures (codegen'd, parallel, one sha256 per
+    # shingle); the aggregation's Exchange is a real barrier, so the
+    # band-key explode reads materialized sig values instead of inlining
+    # the signature pipeline into the generator (which blows the codegen
+    # budget and re-runs interpreted, ~300× slower — measured at sf0.1)
+    sigs = minhash_signatures_df(df, text_col, id_col, num_perm, k)
     keyed = sigs.select(
         "id",
         F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
@@ -237,6 +275,44 @@ def simhash(text: Column, bits: int = 16) -> Column:
         vote = F.aggregate(hs, F.lit(0), vote_fn(j))
         acc = acc + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return acc
+
+
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, sh) — value-identical to the ``simhash`` expression in the
+    fast parallel shape (same rationale as ``minhash_signatures_df``):
+    distinct tokens explode to (id, h) rows — one sha256 per token — and
+    the per-bit votes are ``bits`` codegen'd sum aggregates with
+    map-side combine; the bit assembly runs on aggregated scalars."""
+    from greenmask_spark.functions.text_analysis import tokens
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        df.repartition(n_part)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(
+                F.array_distinct(tokens(F.col(text_col)))
+            ).alias("tok"),
+        )
+        .select("id", _shingle_hash(F.col("tok")).alias("h"))
+    )
+    votes = [
+        F.sum(
+            (F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    sh = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sh = bit if sh is None else sh + bit
+    return agg.select("id", sh.alias("sh"))
 
 
 def simhash_near_dups(

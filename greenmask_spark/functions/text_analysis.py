@@ -172,6 +172,57 @@ def winnow_digest(text: Column, k: int = 5, w: int = 4) -> Column:
     return _digest_of_set(winnow_fingerprints(text, k, w))
 
 
+def winnow_fingerprints_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(id, wfp array<bigint>) — value-identical to the
+    ``winnow_fingerprints`` expression, in the shape that is fast and
+    parallel: the expression form's shifted-slice least-chain evaluates
+    the whole hash pipeline interpreted per document (~25 ms/doc
+    measured); here positional k-grams explode to (id, pos, h) rows —
+    one sha256 per gram, codegen'd — window minima come from a
+    rows-frame min over pos, and the sorted distinct set reassembles
+    with one groupBy(id). Input repartitions so a single-row-group
+    parquet file still uses every core."""
+    from pyspark.sql import Window
+
+    from greenmask_spark.functions.dedup import _shingle_hash
+
+    t = F.col(text_col)
+    norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        df.repartition(n_part)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(grams).alias("pos", "g"),
+        )
+        .select("id", "pos", _shingle_hash(F.col("g")).alias("h"))
+    )
+    wframe = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    wall = Window.partitionBy("id")
+    sel = (
+        ex.select(
+            "id", "pos",
+            F.min("h").over(wframe).alias("wmin"),
+            F.count(F.lit(1)).over(wall).alias("m"),
+        )
+        # window positions 0..m-w (the full-width windows); a doc shorter
+        # than one window keeps its single clamped window at pos 0
+        .filter(F.col("pos") <= F.greatest(F.col("m") - w, F.lit(0)))
+    )
+    return sel.groupBy("id").agg(
+        F.sort_array(F.collect_set("wmin")).alias("wfp")
+    )
+
+
 def winnow_pairs(
     df: DataFrame,
     min_shared: int = 2,
@@ -335,15 +386,22 @@ def repetition_profile(
     )
 
 
-def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass text profile of a documents table.
-
-    The winnow set materializes in an intermediate projection: size and
-    digest both read it, and CollapseProject keeps a multiply-referenced
-    non-cheap alias as its own project, so the O(n·w) hash pipeline runs
-    once per row instead of once per consumer."""
+def analyze(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Text profile of a documents table: one scan+project for the
+    scalar stats, plus the distributed winnow pipeline (see
+    ``winnow_fingerprints_df`` — the pure-expression winnow runs
+    interpreted at ~25 ms/document) joined back on the document id
+    (a staged row id when ``id_col`` is absent)."""
     t = F.col(text_col)
-    staged = df.select(
+    has_id = id_col in df.columns
+    base = df if has_id else df.withColumn(
+        "__aid", F.monotonically_increasing_id())
+    key = id_col if has_id else "__aid"
+    wf = winnow_fingerprints_df(base, text_col, key).withColumnsRenamed(
+        {"id": key})
+    stats = base.select(
         "*",
         token_count(t).alias("n_tokens"),
         bpe_token_count(t).alias("n_bpe_tokens"),
@@ -352,11 +410,13 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
-        winnow_fingerprints(t).alias("__wfp"),
     )
-    wfp = F.col("__wfp")
-    return staged.select(
-        "*",
-        F.size(wfp).alias("n_wfp"),
-        _digest_of_set(wfp).alias("wfp_digest"),
-    ).drop("__wfp")
+    return (
+        stats.join(wf, key, "left")
+        .select(
+            "*",
+            F.size("wfp").alias("n_wfp"),
+            _digest_of_set(F.col("wfp")).alias("wfp_digest"),
+        )
+        .drop("wfp", *([] if has_id else ["__aid"]))
+    )

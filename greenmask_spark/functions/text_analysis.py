@@ -236,9 +236,8 @@ def winnow_pairs(
     fingerprint arrays explode to (id, fp) rows so the self-join shuffles
     only int pairs, never document bodies; the groupBy counts shared
     fingerprints per pair."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(winnow_fingerprints(F.col(text_col), k, w)).alias("h"),
+    ex = winnow_fingerprints_df(df, text_col, id_col, k, w).select(
+        "id", F.explode("wfp").alias("h")
     )
     a = ex.select(F.col("id").alias("id_a"), "h")
     b = ex.select(F.col("id").alias("id_b"), "h")

@@ -398,6 +398,9 @@ def analyze(
     base = df if has_id else df.withColumn(
         "__aid", F.monotonically_increasing_id())
     key = id_col if has_id else "__aid"
+    # spread the regex-heavy stats across cores — a small documents
+    # parquet is one row group → one task otherwise
+    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
     wf = winnow_fingerprints_df(base, text_col, key).withColumnsRenamed(
         {"id": key})
     stats = base.select(

@@ -82,15 +82,26 @@ def minhash_signatures_df(
       single-row-group parquet file still uses every core.
 
     Documents with no shingles keep a null-filled signature (explode_outer),
-    matching array_min-over-empty in the expression form."""
+    matching array_min-over-empty in the expression form.
+
+    Shingles explode POSITIONALLY (no array_distinct, no transform HOF —
+    a flat codegen'd sequence-explode + substr): min is insensitive to
+    duplicates, so the signature values are identical and the per-gram
+    work stays in whole-stage codegen."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     ex = (
         df.repartition(n_part)
+        .select(F.col(id_col).alias("id"), norm.alias("t"))
         .select(
-            F.col(id_col).alias("id"),
-            F.explode_outer(shingles(F.col(text_col), k)).alias("s"),
+            "id", "t",
+            F.explode_outer(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("t") - k + 1, F.lit(1))
+                )
+            ).alias("i"),
         )
-        .select("id", _shingle_hash(F.col("s")).alias("h"))
+        .select("id", _shingle_hash(F.expr(f"substr(t, i, {k})")).alias("h"))
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE)))

@@ -194,17 +194,26 @@ def winnow_fingerprints_df(
 
     t = F.col(text_col)
     norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
-    n = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
     n_part = df.sparkSession.sparkContext.defaultParallelism
+    # flat codegen'd sequence-explode + substr — a transform() HOF here
+    # would build the gram array interpreted (same lesson as
+    # minhash_signatures_df)
     ex = (
         df.repartition(n_part)
+        .select(F.col(id_col).alias("id"), norm.alias("t"))
         .select(
-            F.col(id_col).alias("id"),
-            F.posexplode(grams).alias("pos", "g"),
+            "id", "t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("t") - k + 1, F.lit(1))
+                )
+            ).alias("i"),
         )
-        .select("id", "pos", _shingle_hash(F.col("g")).alias("h"))
+        .select(
+            "id",
+            (F.col("i") - 1).alias("pos"),
+            _shingle_hash(F.expr(f"substr(t, i, {k})")).alias("h"),
+        )
     )
     wframe = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     wall = Window.partitionBy("id")

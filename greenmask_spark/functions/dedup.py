@@ -191,23 +191,26 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
-    strategy: str = "auto",
+    strategy: str = "agg",
     broadcast_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact hashed-k-shingle Jaccard for candidate pairs (verification).
 
     Two physical strategies with identical results:
 
-    - ``broadcast`` (small corpus): the doc→hash-set map is broadcast so
-      the pair stream never shuffles arrays. Only valid while the whole
-      shingle map fits a broadcast — NOT the 100 TB path.
-    - ``agg`` (scale path, default above ``broadcast_max_rows`` docs):
-      explode to (doc, hash) rows, count common hashes per candidate pair
-      via two id-keyed joins, then |A∩B| / (|A|+|B|−|A∩B|). The shuffles
-      carry only (id, int) rows — no arrays — so this survives corpora
-      where the broadcast variant OOMs.
+    - ``agg`` (default — the scale path): explode to (doc, hash) rows,
+      count common hashes per candidate pair via two id-keyed joins, then
+      |A∩B| / (|A|+|B|−|A∩B|). The shuffles carry only (id, int) rows —
+      no arrays — so this survives corpora where the broadcast variant
+      OOMs.
+    - ``broadcast`` (opt-in for small corpora): the doc→hash-set map is
+      broadcast so the pair stream never shuffles arrays. Only valid
+      while the whole shingle map fits a broadcast — NOT the 100 TB path.
 
-    ``auto`` counts the corpus once (single scalar aggregate) to pick.
+    ``auto`` resolves from catalog statistics when the optimizer exposes
+    a row-count estimate, falling back to ``agg``. Query construction
+    NEVER triggers an action (an earlier revision ran ``df.count()``
+    here — a full eager corpus scan before any real work).
 
     Shingle sets build from flat codegen'd (id, h) rows deduped by a
     partial-aggregating groupBy — the array-of-hashes expression form
@@ -231,7 +234,17 @@ def ngram_jaccard(
         .distinct()
     )
     if strategy == "auto":
-        strategy = "broadcast" if df.count() <= broadcast_max_rows else "agg"
+        # plan-time statistics only (no action): Catalyst's logical-plan
+        # size estimate over the source relation. sizeInBytes is always
+        # available (falls back to file size for parquet); treat ~100
+        # bytes/doc as the conservative row proxy when rowCount is absent.
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        row_est = (
+            int(str(stats.rowCount().get()))
+            if not stats.rowCount().isEmpty()
+            else int(str(stats.sizeInBytes())) // 100
+        )
+        strategy = "broadcast" if row_est <= broadcast_max_rows else "agg"
     if strategy == "broadcast":
         sh = ex.groupBy("id").agg(F.collect_list("h").alias("sh"))
         return (
@@ -351,9 +364,12 @@ def simhash_near_dups(
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Scale path: block on the top byte of the simhash (docs differing only
-    in low bits still collide) rather than a full cross join.
+    in low bits still collide) rather than a full cross join. Signatures
+    come from ``simhash_df`` — the codegen'd explode+aggregate form — not
+    the interpreted ``simhash`` expression (identical values, ~300×
+    faster per the r3 measurements).
     """
-    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    s = simhash_df(df, text_col, id_col, bits)
     s = s.withColumn("blk", F.shiftright("sh", bits // 2))
     a, b = s.alias("a"), s.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))

@@ -87,10 +87,24 @@ def extract_features(
     return df.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Stub: real resize needs an image library. Plumbing: returns the same
-    schema with width/height metadata updated; payload untouched."""
-    return df.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
+def resize_images(
+    df: DataFrame, width: int, height: int, payload_format: str = "encoded"
+) -> DataFrame:
+    """Resize media payloads.
+
+    ``payload_format="raw"`` (H×W×C uint8 buffers — the post-decode
+    layout) delegates to the real ``resize_raw_images``. The default
+    ``"encoded"`` (compressed JPEG/PNG/…) would need a codec library not
+    present in this environment and raises — an earlier revision
+    silently updated width/height metadata while leaving the payload
+    untouched, which handed callers "resized" images that weren't."""
+    if payload_format == "raw":
+        return resize_raw_images(df, width, height)
+    raise NotImplementedError(
+        "resizing encoded image payloads requires an image codec library "
+        "not present in this environment; decode first and call with "
+        "payload_format='raw' (resize_raw_images handles raw buffers)"
+    )
 
 
 def resize_raw_images(

@@ -422,12 +422,17 @@ def analyze(
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
     )
+    # NULL-text docs never survive winnow_fingerprints_df's inner explode,
+    # so the left join leaves wfp NULL; guard both derived columns to stay
+    # NULL (Spark's concat_ws treats a NULL array as empty, which would
+    # digest to sha256('') while a SQL oracle yields NULL)
+    has_wfp = F.col("wfp").isNotNull()
     return (
         stats.join(wf, key, "left")
         .select(
             "*",
-            F.size("wfp").alias("n_wfp"),
-            _digest_of_set(F.col("wfp")).alias("wfp_digest"),
+            F.when(has_wfp, F.size("wfp")).alias("n_wfp"),
+            F.when(has_wfp, _digest_of_set(F.col("wfp"))).alias("wfp_digest"),
         )
         .drop("wfp", *([] if has_id else ["__aid"]))
     )

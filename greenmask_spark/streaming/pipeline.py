@@ -124,8 +124,9 @@ def sessionize_batch(
     w = Window.partitionBy(user_col).orderBy(ts_col)
     prev = F.lag(ts_col).over(w)
     # interval comparison works on both TIMESTAMP and TIMESTAMP_NTZ columns
-    # (unix_micros rejects NTZ, and an NTZ→TZ cast would shift across DST)
-    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")
+    # (unix_micros rejects NTZ, and an NTZ→TZ cast would shift across DST);
+    # microsecond resolution so fractional gap_minutes (0.5 = 30s) is honored
+    gap = F.expr(f"INTERVAL {int(round(gap_minutes * 60_000_000))} MICROSECOND")
     brk = F.when(
         prev.isNull() | ((F.col(ts_col) - prev) > gap),
         F.lit(1),

@@ -54,15 +54,65 @@ class BuildContext:
 
 
 def resolve_param(v: Any) -> Column:
+    """Dynamic-parameter resolution (pkg/toolkit/dynamic_parameter.go:97-160):
+
+    ``{"column": ...}`` plus optional modes, applied in the reference's
+    order:
+
+    - ``default_value``: used when the source cell is NULL (the template /
+      cast never see the NULL — reference checks rawValue == nil first);
+    - ``template``: per-row transformation of the raw value before use
+      (pandas-UDF tier — arbitrary template code is not a Column);
+    - ``cast_to``: one of the 28 CAST_FUNCTIONS helpers.
+
+    Anything that is not a dynamic dict resolves to a literal.
+    """
     if isinstance(v, Column):
         return v
     if isinstance(v, dict) and "column" in v:
-        c = F.col(v["column"])
+        src = F.col(v["column"])
+        c = src
+        if "template" in v:
+            c = _render_param_template(c, v["template"])
         cast_to = v.get("cast_to")
         if cast_to:
             c = CAST_FUNCTIONS[cast_to](c)
+        if "default_value" in v:
+            c = F.when(src.isNull(), F.lit(v["default_value"])).otherwise(c)
         return c
     return F.lit(v)
+
+
+def _render_param_template(c: Column, tpl: str) -> Column:
+    """Per-row templated dynamic parameter: the template sees the source
+    cell as ``value`` and renders the parameter's effective value.
+    Arrow-batched pandas UDF (compile once per executor, render per row) —
+    the slow tier, reserved for templates; plain column/cast dynamic params
+    stay pure expressions inside codegen."""
+    from pyspark.sql.functions import pandas_udf
+
+    def render(s):  # s: pd.Series -> pd.Series (hints omitted: this module's
+        # `from __future__ import annotations` would stringify them, which
+        # PySpark's hint-based dispatch rejects)
+        import pandas as pd
+
+        from greenmask_spark.transformers.template import compile_template
+
+        fn = compile_template(tpl)
+
+        def one(x):
+            if x is None:
+                return None
+            try:
+                if pd.isna(x):
+                    return None
+            except (TypeError, ValueError):
+                pass  # non-scalar cells (arrays) are never "na"
+            return str(fn({}, value=x))
+
+        return s.map(one)
+
+    return pandas_udf(render, "string")(c)
 
 
 def exact_floor_div(c: Column, divisor: int) -> Column:

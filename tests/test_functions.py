@@ -445,16 +445,17 @@ def test_ivf_recall_and_determinism(tables):
 
 
 def test_ivf_partition_of_corpus(spark):
-    """Every corpus vector lands in exactly one inverted list; per-query
-    candidate set is the union of probed lists only."""
-    from greenmask_spark.functions.similarity import _nearest_centroid
+    """Every corpus vector lands in exactly one inverted list; assignment
+    is the vectorized Arrow-batch argmin — no interpreted HOF in the plan."""
+    from greenmask_spark.functions.similarity import _assign_centroids
 
     df = spark.createDataFrame(
         [Row(vec_id=i, embedding=[float(i % 3), float((i + 1) % 3)])
          for i in range(30)]
     )
     cents = [[0.0, 1.0], [1.0, 2.0], [2.0, 0.0]]
-    out = df.withColumn("cid", _nearest_centroid(F.col("embedding"), cents))
+    out = _assign_centroids(df, cents, vec_col="embedding")
+    assert "aggregate(" not in out._jdf.queryExecution().optimizedPlan().toString()
     cids = [r.cid for r in out.collect()]
     assert all(c in (0, 1, 2) for c in cids)
     # vectors equal to a centroid must map to it
@@ -644,3 +645,79 @@ def test_replicate_skew_join_rejects_outer(tables):
     with _pytest.raises(ValueError, match="duplicate"):
         replicate_skew_join(tables["orders"], tables["customer"],
                             on=["o_custkey"], how="full")
+
+
+def test_simhash_near_dups_codegen_plan(docs):
+    """The public near-dup API must use the aggregated simhash_df form —
+    no interpreted aggregate() HOF anywhere in its plan."""
+    from greenmask_spark.functions.dedup import simhash_near_dups
+
+    df = simhash_near_dups(docs, bits=16, max_hamming=4)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "aggregate(" not in plan
+
+
+def test_ngram_jaccard_builds_without_running_jobs(docs, spark):
+    """Query construction must not trigger an action (the r3 'auto' mode
+    ran an eager df.count() full-corpus scan at plan-build)."""
+    from greenmask_spark.functions.dedup import ngram_jaccard
+
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    sc = spark.sparkContext
+    sc.setJobGroup("ngram-build", "plan construction")
+    try:
+        for strat in ("agg", "broadcast", "auto"):
+            ngram_jaccard(docs, pairs, strategy=strat)
+        ran = list(sc.statusTracker().getJobIdsForGroup("ngram-build"))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert ran == []
+    # and auto still resolves to a working strategy
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard(docs, pairs, strategy="auto").collect()}
+    assert got[(1, 2)] == 1.0
+
+
+def test_resize_images_honest(spark):
+    """resize_images must never silently return unresized payloads: encoded
+    formats raise (no codec in this env); raw buffers delegate to the real
+    nearest-neighbor resize."""
+    import numpy as np
+    from pyspark.sql import Row as R
+
+    from greenmask_spark.functions.multimodal import MEDIA_SCHEMA, resize_images
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame(
+        [R(media_id=1, kind="image", mime="raw", payload=img.tobytes(),
+           width=4, height=4, duration_ms=None)], MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError, match="codec"):
+        resize_images(df, 2, 2)
+    out = resize_images(df, 2, 2, payload_format="raw").collect()[0]
+    assert out.width == 2 and out.height == 2
+    want = img[[0, 2]][:, [0, 2], :]
+    assert (np.frombuffer(out.payload, dtype=np.uint8).reshape(2, 2, 3)
+            == want).all()
+
+
+def test_dynamic_param_template_and_default(spark):
+    """Dynamic-parameter modes (pkg/toolkit/dynamic_parameter.go:97-160):
+    default_value substitutes when the source cell is NULL (template/cast
+    never see the NULL); template transforms the raw value per row."""
+    from greenmask_spark.transformers.base import resolve_param
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, src int")
+
+    dv = resolve_param({"column": "src", "default_value": 99})
+    assert [r.o for r in df.select(dv.alias("o")).orderBy("id").collect()] \
+        == [10, 99, 30]
+
+    tpl = resolve_param({
+        "column": "src",
+        "template": "{{ value * 2 }}",
+        "cast_to": "StringToInt",
+        "default_value": -1,
+    })
+    assert [r.o for r in df.select(tpl.alias("o")).orderBy("id").collect()] \
+        == [20, -1, 60]

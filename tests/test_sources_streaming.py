@@ -262,3 +262,20 @@ def test_bucketed_join_has_no_shuffle(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_sessionize_batch_fractional_gap(spark):
+    """gap_minutes honors fractions (0.5 = 30 s); an int-truncating
+    interval would collapse every event into one session."""
+    import datetime as dt
+
+    from greenmask_spark.streaming import sessionize_batch
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [(1, base, 1.0),
+         (1, base + dt.timedelta(seconds=20), 1.0),   # 20s gap: same session
+         (1, base + dt.timedelta(seconds=80), 1.0)],  # 60s gap: break at 0.5min
+        "user_id long, ts timestamp, value double")
+    assert sessionize_batch(ev, gap_minutes=0.5).count() == 2
+    assert sessionize_batch(ev, gap_minutes=2).count() == 1

@@ -89,12 +89,19 @@ PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
 def q_mask_customer(spark, sf_dir):
+    """Config-driven masking chain + the Hash max_length variant in one
+    driver row (h16 is a c_name copy, so the truncated-Hash member keeps
+    its own key — merged from r3's standalone t_hash)."""
     t = _tables(spark, sf_dir, "customer")
+    df = t["customer"].withColumn("h16", F.col("c_name"))
     plan = _plan({
         "name": "customer",
         "transformers": _steps(
             {"name": "Hash", "params": {"column": "c_name",
                                         "function": "sha256", "salt": "pep"}},
+            {"name": "Hash", "params": {"column": "h16",
+                                        "function": "sha256", "salt": "pep",
+                                        "max_length": 16}},
             {"name": "RandomInt", "params": {"column": "c_nationkey",
                                              "min": 0, "max": 24}},
             {"name": "RandomFloat", "params": {"column": "c_acctbal",
@@ -105,7 +112,7 @@ def q_mask_customer(spark, sf_dir):
                                         "default": "SEG_X"}},
         ),
     })
-    return apply_plan(t["customer"], plan)
+    return apply_plan(df, plan)
 
 
 def _oracle_mask_customer() -> str:
@@ -121,7 +128,8 @@ def _oracle_mask_customer() -> str:
            sha256('pep' || c_name) AS c_name,
            CAST({nk} AS INTEGER) AS c_nationkey,
            CAST({bal} AS DOUBLE) AS c_acctbal,
-           CASE {seg_case} ELSE 'SEG_X' END AS c_mktsegment
+           CASE {seg_case} ELSE 'SEG_X' END AS c_mktsegment,
+           substr(sha256('pep' || c_name), 1, 16) AS h16
     FROM customer
     """
 
@@ -165,35 +173,6 @@ def _oracle_t_random_int() -> str:
             f"FROM part")
 
 
-def q_t_hash(spark, sf_dir):
-    t = _tables(spark, sf_dir, "supplier")
-    plan = _plan({"name": "supplier", "transformers": _steps(
-        {"name": "Hash", "params": {"column": "s_name", "function": "sha256",
-                                    "salt": "pep", "max_length": 16}})})
-    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name")
-
-
-def _oracle_t_hash() -> str:
-    return ("SELECT s_suppkey, substr(sha256('pep' || s_name), 1, 16) AS s_name "
-            "FROM supplier")
-
-
-def q_t_replace_setnull(spark, sf_dir):
-    t = _tables(spark, sf_dir, "orders")
-    plan = _plan({"name": "orders", "transformers": _steps(
-        {"name": "Replace", "params": {"column": "o_orderstatus", "value": "X",
-                                       "keep_null": False}},
-        {"name": "SetNull", "params": {"column": "o_orderpriority"}})})
-    return apply_plan(t["orders"], plan).select(
-        "o_orderkey", "o_orderstatus", "o_orderpriority")
-
-
-def _oracle_t_replace_setnull() -> str:
-    return ("SELECT o_orderkey, 'X' AS o_orderstatus, "
-            "CAST(NULL AS VARCHAR) AS o_orderpriority "
-            "FROM orders")
-
-
 def q_t_masking(spark, sf_dir):
     """Masking + RandomUuid + RandomEmail in one driver row (all keyed on
     c_name copies, so the per-transformer semantics are unchanged from the
@@ -226,10 +205,14 @@ def _oracle_t_masking() -> str:
 
 
 def q_t_orders_temporal(spark, sf_dir):
-    """RandomChoice + RandomDate + NoiseDate in one driver row (orders;
-    nd is an o_orderdate copy so NoiseDate keeps its own key)."""
+    """RandomChoice + RandomDate + NoiseDate + Replace + SetNull in one
+    driver row (orders; nd is an o_orderdate copy so NoiseDate keeps its
+    own key; Replace/SetNull merged from r3's standalone
+    t_replace_setnull — sn is an o_orderstatus copy so Replace keeps its
+    original o_orderstatus target)."""
     t = _tables(spark, sf_dir, "orders")
-    df = t["orders"].withColumn("nd", F.col("o_orderdate"))
+    df = (t["orders"].withColumn("nd", F.col("o_orderdate"))
+          .withColumn("sn", F.col("o_orderstatus")))
     plan = _plan({"name": "orders", "transformers": _steps(
         {"name": "RandomChoice", "params": {"column": "o_orderpriority",
                                             "values": PRIORITIES}},
@@ -239,9 +222,13 @@ def q_t_orders_temporal(spark, sf_dir):
                                           "truncate": "day"}},
         {"name": "NoiseDate", "params": {"column": "nd",
                                          "max_interval": "P30D",
-                                         "truncate": "day"}})})
+                                         "truncate": "day"}},
+        {"name": "Replace", "params": {"column": "o_orderstatus", "value": "X",
+                                       "keep_null": False}},
+        {"name": "SetNull", "params": {"column": "sn"}})})
     return apply_plan(df, plan).select(
-        "o_orderkey", "o_orderpriority", "o_orderdate", "nd")
+        "o_orderkey", "o_orderpriority", "o_orderdate", "nd",
+        "o_orderstatus", "sn")
 
 
 def _oracle_t_orders_temporal() -> str:
@@ -260,7 +247,9 @@ def _oracle_t_orders_temporal() -> str:
     nd = (f"CAST(date_trunc('day', epoch_ms(epoch_ms(o_orderdate) + {off})) "
           f"AS TIMESTAMP)")
     return (f"SELECT o_orderkey, {pick} AS o_orderpriority, "
-            f"{rd} AS o_orderdate, {nd} AS nd FROM orders")
+            f"{rd} AS o_orderdate, {nd} AS nd, "
+            f"'X' AS o_orderstatus, CAST(NULL AS VARCHAR) AS sn "
+            f"FROM orders")
 
 
 def _noise_sql(value_sql: str, minr: float, maxr: float) -> str:
@@ -271,21 +260,6 @@ def _noise_sql(value_sql: str, minr: float, maxr: float) -> str:
     ratio = (f"(CAST({minr} AS DOUBLE) + {u} * "
              f"(CAST({maxr} AS DOUBLE) - CAST({minr} AS DOUBLE)))")
     return f"({v} + {v} * {ratio} * {sign})"
-
-
-def q_t_noise_float(spark, sf_dir):
-    t = _tables(spark, sf_dir, "supplier")
-    plan = _plan({"name": "supplier", "transformers": _steps(
-        {"name": "NoiseFloat", "params": {"column": "s_acctbal",
-                                          "min_ratio": 0.0, "max_ratio": 0.1,
-                                          "decimal": 2}})})
-    return apply_plan(t["supplier"], plan).select(
-        "s_suppkey", "s_acctbal")
-
-
-def _oracle_t_noise_float() -> str:
-    return (f"SELECT s_suppkey, CAST(round({_noise_sql('s_acctbal', 0.0, 0.1)}, 2) "
-            f"AS DOUBLE) AS s_acctbal FROM supplier")
 
 
 def q_t_query_override(spark, sf_dir):
@@ -382,16 +356,23 @@ def _oracle_t_when_condition() -> str:
 
 
 def q_t_dynamic_param(spark, sf_dir):
-    """Dynamic parameter: RandomInt upper bound read from another column."""
+    """Dynamic parameter: RandomInt upper bound read from another column,
+    with the reference's ``default_value`` NULL-fallback mode
+    (pkg/toolkit/dynamic_parameter.go:97-160) — cap is NULL for small
+    parts, so those rows draw against the fallback bound 50."""
     t = _tables(spark, sf_dir, "part")
+    df = t["part"].withColumn(
+        "cap", F.when(F.col("p_size") > 25, F.col("p_partkey")))
     plan = _plan({"name": "part", "transformers": _steps(
-        {"name": "RandomInt", "params": {"column": "p_size", "min": 0,
-                                         "max": {"column": "p_partkey"}}})})
-    return apply_plan(t["part"], plan).select("p_partkey", "p_size")
+        {"name": "RandomInt", "params": {
+            "column": "p_size", "min": 0,
+            "max": {"column": "cap", "default_value": 50}}})})
+    return apply_plan(df, plan).select("p_partkey", "p_size")
 
 
 def _oracle_t_dynamic_param() -> str:
-    v = kernel.duck_uniform_int("p_size", "0", "p_partkey", salt=SALT)
+    cap = "coalesce(CASE WHEN p_size > 25 THEN p_partkey END, 50)"
+    v = kernel.duck_uniform_int("p_size", "0", cap, salt=SALT)
     return (f"SELECT p_partkey, CAST({v} AS INTEGER) AS p_size "
             f"FROM part")
 
@@ -973,30 +954,48 @@ def _oracle_validate_diff() -> str:
 
 
 def q_t_random_float(spark, sf_dir):
+    """RandomFloat + NoiseFloat in one driver row (customer; nf is a
+    c_acctbal copy so NoiseFloat keeps its own key — merged from r3's
+    standalone t_noise_float)."""
     t = _tables(spark, sf_dir, "customer")
+    df = t["customer"].withColumn("nf", F.col("c_acctbal"))
     plan = _plan({"name": "customer", "transformers": _steps(
         {"name": "RandomFloat", "params": {"column": "c_acctbal",
                                            "min": 100.0, "max": 200.0,
-                                           "decimal": 3}})})
-    return apply_plan(t["customer"], plan).select("c_custkey", "c_acctbal")
+                                           "decimal": 3}},
+        {"name": "NoiseFloat", "params": {"column": "nf",
+                                          "min_ratio": 0.0, "max_ratio": 0.1,
+                                          "decimal": 2}})})
+    return apply_plan(df, plan).select("c_custkey", "c_acctbal", "nf")
 
 
 def _oracle_t_random_float() -> str:
     u = _udb("c_acctbal")
     v = (f"round(CAST(100.0 AS DOUBLE) + {u} * "
          f"(CAST(200.0 AS DOUBLE) - CAST(100.0 AS DOUBLE)), 3)")
-    return f"SELECT c_custkey, CAST({v} AS DOUBLE) AS c_acctbal FROM customer"
+    nf = f"CAST(round({_noise_sql('c_acctbal', 0.0, 0.1)}, 2) AS DOUBLE)"
+    return (f"SELECT c_custkey, CAST({v} AS DOUBLE) AS c_acctbal, "
+            f"{nf} AS nf FROM customer")
 
 
 def q_t_random_numeric(spark, sf_dir):
-    """RandomNumeric over a DecimalType column (arbitrary-precision family)."""
+    """RandomNumeric + NoiseNumeric over DecimalType columns (the
+    arbitrary-precision family, merged — NoiseNumeric keys on its own
+    l_extendedprice-derived column, formerly r3's standalone
+    t_noise_numeric on orders)."""
     t = _tables(spark, sf_dir, "lineitem")
-    df = t["lineitem"].withColumn(
-        "l_qty_dec", F.col("l_quantity").cast("decimal(18,4)"))
+    df = (t["lineitem"]
+          .withColumn("l_qty_dec", F.col("l_quantity").cast("decimal(18,4)"))
+          .withColumn("price_dec",
+                      F.col("l_extendedprice").cast("decimal(18,4)")))
     plan = _plan({"name": "lineitem", "transformers": _steps(
         {"name": "RandomNumeric", "params": {"column": "l_qty_dec",
                                              "min": 0, "max": 1000,
-                                             "decimal": 2}})})
+                                             "decimal": 2}},
+        {"name": "NoiseNumeric", "params": {"column": "price_dec",
+                                            "min_ratio": 0.0,
+                                            "max_ratio": 0.1,
+                                            "decimal": 2}})})
     # Compare in double space: the decimal VALUE is exact on both sides
     # (integer draw / 100), but decimal dtypes round-trip differently
     # through the two collectors (pandas object vs float64) — the r1
@@ -1004,69 +1003,32 @@ def q_t_random_numeric(spark, sf_dir):
     # identical rationals give identical bits.
     return apply_plan(df, plan).select(
         "l_orderkey", "l_linenumber",
-        F.col("l_qty_dec").cast("double").alias("l_qty_dec"))
+        F.col("l_qty_dec").cast("double").alias("l_qty_dec"),
+        F.col("price_dec").cast("double").alias("price_dec"))
 
 
 def _oracle_t_random_numeric() -> str:
     key = "CAST(l_quantity AS DECIMAL(18,4))"
     draw = kernel.duck_uniform_int(key, "0", "100000", salt=SALT)
-    return (f"SELECT l_orderkey, l_linenumber, "
-            f"CAST({draw} AS DOUBLE) / 100.0 AS l_qty_dec "
-            f"FROM lineitem")
-
-
-def q_t_random_bool(spark, sf_dir):
-    """RandomBool + RandomUnixTimestamp in one driver row (events)."""
-    t = _tables(spark, sf_dir, "events")
-    df = t["events"].withColumn("flag", F.col("value") > 25)
-    plan = _plan({"name": "events", "transformers": _steps(
-        {"name": "RandomBool", "params": {"column": "flag"}},
-        {"name": "RandomUnixTimestamp", "params": {
-            "column": "user_id", "min": 0, "max": 4102444800,
-            "min_unit": "sec", "max_unit": "sec", "unit": "sec"}})})
-    return apply_plan(df, plan).select("event_id", "flag", "user_id")
-
-
-def _oracle_t_random_bool() -> str:
-    bit = _uix("value > 25", 0, 1)
-    ms = kernel.duck_uniform_int("user_id", "0", "4102444800000", salt=SALT)
-    return (f"SELECT event_id, (({bit}) = 1) AS flag, "
-            f"CAST(floor(({ms}) / 1000.0) AS BIGINT) AS user_id "
-            f"FROM events")
-
-
-_RS_SYMBOLS = "abc123"
-
-
-def q_t_noise_numeric(spark, sf_dir):
-    t = _tables(spark, sf_dir, "orders")
-    df = t["orders"].withColumn(
-        "price_dec", F.col("o_totalprice").cast("decimal(18,4)"))
-    plan = _plan({"name": "orders", "transformers": _steps(
-        {"name": "NoiseNumeric", "params": {"column": "price_dec",
-                                            "min_ratio": 0.0,
-                                            "max_ratio": 0.1,
-                                            "decimal": 2}})})
-    # double-space compare; see q_t_random_numeric for why
-    return apply_plan(df, plan).select(
-        "o_orderkey", F.col("price_dec").cast("double").alias("price_dec"))
-
-
-def _oracle_t_noise_numeric() -> str:
-    # Twin of NoiseNumeric's scaled-bigint path: value·10^4 exact, noise =
-    # floor(vs·ratio), half-up integer rescale 4 → 2 digits, double output.
-    key = "CAST(o_totalprice AS DECIMAL(18,4))"
-    u = _udb(key, draw=0)
-    sign_bit = _uix(key, 0, 1, draw=1)
+    # NoiseNumeric twin (scaled-bigint path): value·10^4 exact, noise =
+    # floor(vs·ratio), half-up integer rescale 4 → 2 digits, double output
+    nkey = "CAST(l_extendedprice AS DECIMAL(18,4))"
+    u = _udb(nkey, draw=0)
+    sign_bit = _uix(nkey, 0, 1, draw=1)
     sign = f"(CASE WHEN ({sign_bit}) = 1 THEN 1 ELSE -1 END)"
     ratio = (f"(CAST(0.0 AS DOUBLE) + {u} * "
              f"(CAST(0.1 AS DOUBLE) - CAST(0.0 AS DOUBLE)))")
-    vs = f"CAST({key} * 10000 AS BIGINT)"
+    vs = f"CAST({nkey} * 10000 AS BIGINT)"
     noise = f"CAST(floor(CAST({vs} AS DOUBLE) * {ratio}) AS BIGINT)"
     noised = f"({vs} + {sign} * {noise})"
     rescaled = f"CAST(floor(({noised} + 50) / 100.0) AS BIGINT)"
-    return (f"SELECT o_orderkey, CAST({rescaled} AS DOUBLE) / 100.0 "
-            f"AS price_dec FROM orders")
+    return (f"SELECT l_orderkey, l_linenumber, "
+            f"CAST({draw} AS DOUBLE) / 100.0 AS l_qty_dec, "
+            f"CAST({rescaled} AS DOUBLE) / 100.0 AS price_dec "
+            f"FROM lineitem")
+
+
+_RS_SYMBOLS = "abc123"
 
 
 # ---------------------------------------------------------------------------
@@ -1215,63 +1177,86 @@ def _oracle_t_real_address() -> str:
 
 
 def q_t_json_ops(spark, sf_dir):
-    """Json transformer: ordered set+delete path ops over a JSON column."""
+    """Json transformer (ordered set+delete path ops) + RandomBool +
+    RandomUnixTimestamp in one driver row (events; the latter two merged
+    from r3's standalone t_random_bool, identical keys/params)."""
     t = _tables(spark, sf_dir, "events")
+    df = t["events"].withColumn("flag", F.col("value") > 25)
     plan = _plan({"name": "events", "transformers": _steps(
         {"name": "Json", "params": {"column": "props", "operations": [
             {"operation": "set", "path": "tag", "value": "masked"},
-            {"operation": "delete", "path": "k"}]}})})
-    out = apply_plan(t["events"], plan)
+            {"operation": "delete", "path": "k"}]}},
+        {"name": "RandomBool", "params": {"column": "flag"}},
+        {"name": "RandomUnixTimestamp", "params": {
+            "column": "user_id", "min": 0, "max": 4102444800,
+            "min_unit": "sec", "max_unit": "sec", "unit": "sec"}})})
+    out = apply_plan(df, plan)
     return out.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
         F.get_json_object("props", "$.tag").alias("tag"),
+        "flag",
+        "user_id",
     )
 
 
 def _oracle_t_json_ops() -> str:
-    return ("SELECT event_id, CAST(NULL AS INTEGER) AS k, 'masked' AS tag "
-            "FROM events")
+    bit = _uix("value > 25", 0, 1)
+    ms = kernel.duck_uniform_int("user_id", "0", "4102444800000", salt=SALT)
+    return (f"SELECT event_id, CAST(NULL AS INTEGER) AS k, 'masked' AS tag, "
+            f"(({bit}) = 1) AS flag, "
+            f"CAST(floor(({ms}) / 1000.0) AS BIGINT) AS user_id "
+            f"FROM events")
 
 
 def q_t_template(spark, sf_dir):
-    """Template transformer (Jinja2 dialect) rendering one cell from the row."""
+    """Template (single-cell render) + TemplateRecord (whole-record set()
+    mutation) in one driver row (customer; TemplateRecord operates on tr/
+    trb copies of the original cells — merged from r3's standalone
+    t_template_record, same template semantics). Template runs first, so
+    TemplateRecord's inputs are the untouched copy columns."""
     t = _tables(spark, sf_dir, "customer")
+    df = (t["customer"].withColumn("tr", F.col("c_name"))
+          .withColumn("trb", F.col("c_acctbal")))
     plan = _plan({"name": "customer", "transformers": _steps(
         {"name": "Template", "params": {
             "column": "c_name",
             "template": "{{ record['c_name'] | upper }} <{{ record['c_custkey'] }}>",
+        }},
+        {"name": "TemplateRecord", "params": {
+            "template": ("{{ set('tr', record['tr'] | lower) }}"
+                         "{{ set('trb', record['trb'] * 2) }}"),
         }})})
-    return apply_plan(t["customer"], plan).select("c_custkey", "c_name")
+    return apply_plan(df, plan).select("c_custkey", "c_name", "tr", "trb")
 
 
 def _oracle_t_template() -> str:
     return ("SELECT c_custkey, (upper(c_name) || ' <' || "
-            "CAST(c_custkey AS VARCHAR) || '>') AS c_name FROM customer")
+            "CAST(c_custkey AS VARCHAR) || '>') AS c_name, "
+            "lower(c_name) AS tr, c_acctbal * 2 AS trb FROM customer")
 
 
-def q_t_template_record(spark, sf_dir):
-    """TemplateRecord: whole-record mutation via set() calls."""
-    t = _tables(spark, sf_dir, "supplier")
-    plan = _plan({"name": "supplier", "transformers": _steps(
-        {"name": "TemplateRecord", "params": {
-            "template": ("{{ set('s_name', record['s_name'] | lower) }}"
-                         "{{ set('s_acctbal', record['s_acctbal'] * 2) }}"),
-        }})})
-    return apply_plan(t["supplier"], plan).select(
-        "s_suppkey", "s_name", "s_acctbal")
-
-
-def _oracle_t_template_record() -> str:
-    return ("SELECT s_suppkey, lower(s_name) AS s_name, "
-            "s_acctbal * 2 AS s_acctbal FROM supplier")
+_CSV_CHILD = """\
+import sys, csv, io
+r = csv.reader(sys.stdin)
+w = csv.writer(sys.stdout, lineterminator="\\n")
+for row in r:
+    row[5] = row[5][::-1]
+    w.writerow(row)
+    sys.stdout.flush()
+"""
 
 
 def q_t_cmd(spark, sf_dir):
-    """Cmd transformer: external subprocess over the text line protocol."""
+    """Cmd transformer, BOTH protocol drivers in one driver row (the csv
+    member merged from r3's standalone t_cmd_csv): a text-driver child
+    uppercases c_name, then a csv-driver child (pkg/toolkit/csv_api.go —
+    the whole record travels as one CSV line) reverses the rev copy at
+    field index 5; only declared columns are copied back."""
     import sys as _sys
 
     t = _tables(spark, sf_dir, "customer")
+    df = t["customer"].withColumn("rev", F.col("c_name"))
     plan = _plan({"name": "customer", "transformers": _steps(
         {"name": "Cmd", "params": {
             "executable": _sys.executable,
@@ -1281,44 +1266,19 @@ def q_t_cmd(spark, sf_dir):
                      "    print(line.rstrip('\\n').upper(), flush=True)"],
             "driver": "text",
             "columns": ["c_name"],
-        }})})
-    return apply_plan(t["customer"], plan).select("c_custkey", "c_name")
-
-
-def _oracle_t_cmd() -> str:
-    return "SELECT c_custkey, upper(c_name) AS c_name FROM customer"
-
-
-_CSV_CHILD = """\
-import sys, csv, io
-r = csv.reader(sys.stdin)
-w = csv.writer(sys.stdout, lineterminator="\\n")
-for row in r:
-    row[1] = row[1][::-1]
-    w.writerow(row)
-    sys.stdout.flush()
-"""
-
-
-def q_t_cmd_csv(spark, sf_dir):
-    """Cmd transformer, csv protocol driver (pkg/toolkit/csv_api.go): the
-    whole record travels as one CSV line; the child rewrites s_name (field
-    index 1) and only affected columns are copied back."""
-    import sys as _sys
-
-    t = _tables(spark, sf_dir, "supplier")
-    plan = _plan({"name": "supplier", "transformers": _steps(
+        }},
         {"name": "Cmd", "params": {
             "executable": _sys.executable,
             "args": ["-u", "-c", _CSV_CHILD],
             "driver": "csv",
-            "columns": ["s_name"],
+            "columns": ["rev"],
         }})})
-    return apply_plan(t["supplier"], plan).select("s_suppkey", "s_name")
+    return apply_plan(df, plan).select("c_custkey", "c_name", "rev")
 
 
-def _oracle_t_cmd_csv() -> str:
-    return "SELECT s_suppkey, reverse(s_name) AS s_name FROM supplier"
+def _oracle_t_cmd() -> str:
+    return ("SELECT c_custkey, upper(c_name) AS c_name, "
+            "reverse(c_name) AS rev FROM customer")
 
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
@@ -1641,6 +1601,309 @@ def _oracle_train_split() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# training-data operators, batch 2 (driver rows for the r3 pytest-only set)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-level line dedup (C4-style boilerplate pass): documents get a
+    deterministic multi-line wrapper (testdata texts are single-line) — a
+    banner line shared by EVERY doc and a per-source footer — so the
+    first-occurrence-wins semantics is exercised across the corpus: only
+    the smallest doc_id keeps the banner; the first doc of each source
+    keeps its footer."""
+    from greenmask_spark.functions.dedup import dedup_lines
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    df = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.lit("shared boilerplate banner"),
+            F.concat(F.lit("src: "), F.col("source")),
+        ).alias("text"),
+    )
+    return dedup_lines(df).select(F.col("id").alias("doc_id"), "text")
+
+
+def _oracle_dedup_lines() -> str:
+    return """
+    WITH d AS (
+      SELECT doc_id AS id,
+             concat_ws(chr(10), text, 'shared boilerplate banner',
+                       'src: ' || source) AS text
+      FROM documents
+    ), lines AS (
+      SELECT id,
+             unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+             unnest(string_split(text, chr(10))) AS line
+      FROM d
+    ), ne AS (SELECT * FROM lines WHERE trim(line) <> ''),
+    kept AS (
+      SELECT id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY id, pos) AS rn
+      FROM ne
+    ), surv AS (
+      SELECT id, pos, line FROM kept WHERE rn = 1
+      UNION ALL
+      SELECT id, pos, line FROM lines WHERE trim(line) = ''
+    ), built AS (
+      SELECT id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM surv GROUP BY id
+    )
+    SELECT d.id AS doc_id, coalesce(built.text, '') AS text
+    FROM d LEFT JOIN built ON built.id = d.id
+    """
+
+
+def q_term_frequencies(spark, sf_dir):
+    """Corpus vocabulary stats: (term, tf, df_docs), top-100 by tf."""
+    from greenmask_spark.functions.text_analysis import term_frequencies
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return term_frequencies(docs, top_k=100).select(
+        "term", F.col("tf").cast("long").alias("tf"), "df_docs")
+
+
+def _oracle_term_frequencies() -> str:
+    return f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS_RAW}) AS term FROM documents
+    ), ne AS (SELECT * FROM ex WHERE term <> ''),
+    per_doc AS (SELECT doc_id, term, count(*) AS c FROM ne
+                GROUP BY doc_id, term)
+    SELECT term, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df_docs
+    FROM per_doc GROUP BY term
+    ORDER BY tf DESC, term LIMIT 100
+    """
+
+
+def q_repetition_profile(spark, sf_dir):
+    """Gopher/C4-style repetition signals. The deterministic wrapper
+    duplicates each doc's text as two lines plus a source footer, so
+    dup_line_frac and the bigram mode are non-trivial on the (single-line)
+    testdata."""
+    from greenmask_spark.functions.text_analysis import repetition_profile
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    df = docs.select(
+        "doc_id",
+        F.concat_ws("\n", "text", "text", "source").alias("text"),
+    )
+    return repetition_profile(df).select(
+        F.col("id").alias("doc_id"), "n_lines", "dup_line_frac",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "top_bigram_frac")
+
+
+def _oracle_repetition_profile() -> str:
+    toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    return f"""
+    WITH d AS (
+      SELECT doc_id AS id,
+             concat_ws(chr(10), text, text, source) AS text
+      FROM documents
+    ), base AS (
+      SELECT id,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '')
+               AS lines,
+             {toks} AS toks
+      FROM d
+    ), bg AS (
+      SELECT id, CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                 i -> toks[CAST(i AS INTEGER)] || ' ' ||
+                      toks[CAST(i AS INTEGER) + 1])
+             ELSE [] END AS bigrams
+      FROM base
+    ), ex AS (SELECT id, unnest(bigrams) AS b FROM bg),
+    per AS (SELECT id, b, count(*) AS c FROM ex GROUP BY id, b),
+    agg AS (SELECT id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bigrams
+            FROM per GROUP BY id)
+    SELECT base.id AS doc_id,
+      CAST(len(lines) AS INTEGER) AS n_lines,
+      CASE WHEN len(lines) > 0 THEN
+        round((len(lines) - len(list_distinct(lines)))
+              / CAST(len(lines) AS DOUBLE), 4)
+      ELSE 0.0 END AS dup_line_frac,
+      coalesce(agg.n_bigrams, 0) AS n_bigrams,
+      CASE WHEN coalesce(agg.n_bigrams, 0) > 0 THEN
+        round(agg.top_c / CAST(agg.n_bigrams AS DOUBLE), 4)
+      ELSE 0.0 END AS top_bigram_frac
+    FROM base LEFT JOIN agg ON agg.id = base.id
+    """
+
+
+def q_cross_split_contamination(spark, sf_dir):
+    """Decontamination check: MinHash-LSH candidate pairs crossing the
+    deterministic train/val/test boundary (a test doc colliding with a
+    train doc is evaluation leakage)."""
+    from greenmask_spark.functions.sampling import (
+        cross_split_contamination,
+        hash_split,
+    )
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return cross_split_contamination(hash_split(docs, key_col="doc_id"))
+
+
+def _duck_bands_list() -> str:
+    from greenmask_spark.functions.dedup import perm_constants
+
+    hs = f"list_transform({_DUCK_SHINGLES}, s -> {_duck_shingle_hash('s')})"
+    mins = [
+        f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % 2147483647))"
+        for a, b in perm_constants(_NUM_PERM)
+    ]
+    rows_per_band = _NUM_PERM // _BANDS
+    band_exprs = []
+    for b in range(_BANDS):
+        parts = [f"'{b}'"] + [
+            f"CAST({mins[b * rows_per_band + r]} AS VARCHAR)"
+            for r in range(rows_per_band)
+        ]
+        band_exprs.append("(" + " || '_' || ".join(parts) + ")")
+    return "[" + ", ".join(band_exprs) + "]"
+
+
+def _oracle_cross_split_contamination() -> str:
+    u = ("(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':split:42'), "
+         "1, 15)) AS BIGINT) % 1000000)")
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id AS id, unnest({_duck_bands_list()}) AS bk FROM documents
+    ), pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.id < b.id
+    ), s AS (
+      SELECT doc_id AS id,
+             CASE WHEN {u} < 800000 THEN 'train'
+                  WHEN {u} < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT p.id_a, p.id_b, a.split AS split_a, b.split AS split_b
+    FROM pairs p JOIN s a ON a.id = p.id_a JOIN s b ON b.id = p.id_b
+    WHERE a.split <> b.split
+    """
+
+
+def q_scrub_pii(spark, sf_dir):
+    """In-text PII scrubbing + leak counting (the free-text analog of the
+    column transformers). Deterministic PII is synthesized from customer
+    columns — an email built from the name, a phone, and a per-row IP —
+    so the scrub rewrites real varying text on both engines."""
+    from greenmask_spark.functions.text_analysis import pii_hits, scrub_pii
+
+    cust = _tables(spark, sf_dir, "customer")["customer"]
+    handle = F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", "")
+    text = F.concat(
+        F.col("c_name"), F.lit(" <"), handle,
+        F.lit("@example.com> tel (555) 867-5309 from 192.168.0."),
+        F.pmod(F.col("c_custkey"), F.lit(256)).cast("string"),
+    )
+    df = cust.select("c_custkey", text.alias("text"))
+    return df.select(
+        "c_custkey",
+        scrub_pii(F.col("text")).alias("scrubbed"),
+        pii_hits(F.col("text")).cast("int").alias("n_pii"),
+    )
+
+
+def _oracle_scrub_pii() -> str:
+    from greenmask_spark.functions.text_analysis import PII_PATTERNS
+
+    text = ("(c_name || ' <' || regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')"
+            " || '@example.com> tel (555) 867-5309 from 192.168.0.' || "
+            "CAST(c_custkey % 256 AS VARCHAR))")
+    layers = f"(SELECT c_custkey, {text} AS cur0 FROM customer)"
+    for i, (_name, pat, repl) in enumerate(PII_PATTERNS):
+        layers = (
+            f"(SELECT *, len(regexp_extract_all(cur{i}, '{pat}')) AS n{i}, "
+            f"regexp_replace(cur{i}, '{pat}', '{repl}', 'g') AS cur{i + 1} "
+            f"FROM {layers})"
+        )
+    total = " + ".join(f"n{i}" for i in range(len(PII_PATTERNS)))
+    return (f"SELECT c_custkey, cur{len(PII_PATTERNS)} AS scrubbed, "
+            f"CAST({total} AS INTEGER) AS n_pii FROM {layers}")
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 scalar quantization (4× narrower vectors for the re-rank
+    tier). The driver projection avoids array columns (canonicalizer
+    contract): per-vector scale, the first 4 quantized values, and the
+    exact integer checksum of the whole int8 vector (explode+sum — any
+    drift in any element breaks it)."""
+    from greenmask_spark.functions.quantize import quantize_embeddings
+
+    emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = quantize_embeddings(emb)
+    qsum = (
+        q.select("vec_id", F.explode(F.col("qvec.q")).alias("qv"))
+        .groupBy("vec_id")
+        .agg(F.sum("qv").cast("int").alias("q_sum"))
+    )
+    proj = q.select(
+        "vec_id",
+        F.col("qvec.scale").alias("scale"),
+        *[
+            F.element_at(F.col("qvec.q"), i + 1).cast("int").alias(f"q{i}")
+            for i in range(4)
+        ],
+    )
+    return proj.join(qsum, "vec_id")
+
+
+def _oracle_quantize_embeddings() -> str:
+    qexpr = ("CASE WHEN scale = 0 THEN 0 ELSE "
+             "greatest(-127, least(127, "
+             "CAST(round(x / scale * 127.0, 0) AS INTEGER))) END")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 coalesce(list_max(list_transform(v, x -> abs(x))), 0.0)
+                   AS scale
+          FROM e),
+    q AS (SELECT vec_id, scale,
+                 list_transform(v, x -> {qexpr}) AS ql
+          FROM s)
+    SELECT vec_id, scale, ql[1] AS q0, ql[2] AS q1, ql[3] AS q2, ql[4] AS q3,
+           CAST(list_sum(ql) AS INTEGER) AS q_sum
+    FROM q
+    """
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing near-dup candidates: documents sharing ≥ min_shared
+    fingerprints (MOSS-style local fingerprint collision, the
+    complementary detector to MinHash-LSH). min_shared=40 because the
+    synthetic docs draw from a ~20-word vocabulary, so low thresholds
+    pair nearly everything (124k pairs at 2; 13k at 40)."""
+    from greenmask_spark.functions.text_analysis import winnow_pairs
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return winnow_pairs(docs, min_shared=40)
+
+
+def _oracle_winnow_pairs() -> str:
+    norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    gram = f"substr({norm}, CAST(i AS INTEGER), 5)"
+    hs = (f"list_transform(range(1, greatest(length({norm}) - 4, 1) + 1), "
+          f"i -> {_duck_shingle_hash(gram)})")
+    wins = ("list_transform(range(1, greatest(len(hs) - 3, 1) + 1), "
+            "i -> list_min(list_slice(hs, CAST(i AS INTEGER), "
+            "CAST(i + 3 AS INTEGER))))")
+    return f"""
+    WITH h AS (SELECT doc_id AS id, {hs} AS hs FROM documents),
+    w AS (SELECT id, list_sort(list_distinct({wins})) AS wfp FROM h),
+    ex AS (SELECT id, unnest(wfp) AS fp FROM w)
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+    FROM ex a JOIN ex b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING count(*) >= 40
+    """
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (batch twin of the applyInPandasWithState
     streaming operator — identical semantics, one shuffle on user_id)."""
@@ -1697,29 +1960,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     transformer keeps its original key/params, so per-transformer semantics
     are unchanged; the docstring of each family query lists its members."""
     return {
-        "mask_customer": q_mask_customer,
+        "mask_customer": q_mask_customer,        # +Hash max_length (h16)
         "t_random_int": q_t_random_int,          # +NoiseInt/RandomString/RegexpReplace
-        "t_hash": q_t_hash,
-        "t_replace_setnull": q_t_replace_setnull,
         "t_masking": q_t_masking,                # +RandomUuid/RandomEmail
-        "t_orders_temporal": q_t_orders_temporal,  # RandomChoice/RandomDate/NoiseDate
-        "t_noise_float": q_t_noise_float,
-        "t_random_float": q_t_random_float,
-        "t_random_numeric": q_t_random_numeric,
-        "t_noise_numeric": q_t_noise_numeric,
-        "t_random_bool": q_t_random_bool,        # +RandomUnixTimestamp
+        "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
+        "t_random_float": q_t_random_float,      # +NoiseFloat
+        "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
         "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
         "t_random_person": q_t_random_person,
         "t_real_address": q_t_real_address,
         "t_faker": q_t_faker,                    # all 22 faker transformers
         "t_when_condition": q_t_when_condition,
-        "t_dynamic_param": q_t_dynamic_param,
+        "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
         "t_query_override": q_t_query_override,
-        "t_json_ops": q_t_json_ops,
-        "t_template": q_t_template,
-        "t_template_record": q_t_template_record,
-        "t_cmd": q_t_cmd,
-        "t_cmd_csv": q_t_cmd_csv,
+        "t_json_ops": q_t_json_ops,              # +RandomBool/RandomUnixTimestamp
+        "t_template": q_t_template,              # +TemplateRecord
+        "t_cmd": q_t_cmd,                        # text + csv protocol drivers
         "t_custom_plugin": q_t_custom_plugin,
         "t_apply_for_references": q_t_apply_for_references,
         "subset_orders": q_subset_orders,
@@ -1747,6 +2003,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copy_roundtrip": q_copy_roundtrip,
         "sessionize": q_sessionize,
         "train_split": q_train_split,
+        "dedup_lines": q_dedup_lines,
+        "term_frequencies": q_term_frequencies,
+        "repetition_profile": q_repetition_profile,
+        "cross_split_contamination": q_cross_split_contamination,
+        "scrub_pii": q_scrub_pii,
+        "quantize_embeddings": q_quantize_embeddings,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -1754,15 +2017,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mask_customer": _oracle_mask_customer(),
         "t_random_int": _oracle_t_random_int(),
-        "t_hash": _oracle_t_hash(),
-        "t_replace_setnull": _oracle_t_replace_setnull(),
         "t_masking": _oracle_t_masking(),
         "t_orders_temporal": _oracle_t_orders_temporal(),
-        "t_noise_float": _oracle_t_noise_float(),
         "t_random_float": _oracle_t_random_float(),
         "t_random_numeric": _oracle_t_random_numeric(),
-        "t_noise_numeric": _oracle_t_noise_numeric(),
-        "t_random_bool": _oracle_t_random_bool(),
         "t_net_company": _oracle_t_net_company(),
         "t_random_person": _oracle_t_random_person(),
         "t_real_address": _oracle_t_real_address(),
@@ -1772,9 +2030,7 @@ def oracle_sql() -> dict[str, str]:
         "t_query_override": _oracle_t_query_override(),
         "t_json_ops": _oracle_t_json_ops(),
         "t_template": _oracle_t_template(),
-        "t_template_record": _oracle_t_template_record(),
         "t_cmd": _oracle_t_cmd(),
-        "t_cmd_csv": _oracle_t_cmd_csv(),
         "t_custom_plugin": _oracle_t_custom_plugin(),
         "t_apply_for_references": _oracle_t_apply_for_references(),
         "subset_orders": _oracle_subset_orders(),
@@ -1802,4 +2058,11 @@ def oracle_sql() -> dict[str, str]:
         "copy_roundtrip": _oracle_copy_roundtrip(),
         "sessionize": _oracle_sessionize(),
         "train_split": _oracle_train_split(),
+        "dedup_lines": _oracle_dedup_lines(),
+        "term_frequencies": _oracle_term_frequencies(),
+        "repetition_profile": _oracle_repetition_profile(),
+        "cross_split_contamination": _oracle_cross_split_contamination(),
+        "scrub_pii": _oracle_scrub_pii(),
+        "quantize_embeddings": _oracle_quantize_embeddings(),
+        "winnow_pairs": _oracle_winnow_pairs(),
     }

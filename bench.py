@@ -27,7 +27,7 @@ from greenmask_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "mask_customer",
     "t_orders_temporal",
-    "t_noise_float",
+    "t_random_float",
     "subset_lineitem",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -38,6 +38,7 @@ HEADLINE = [
     "minhash_sigs",
     "simhash",
     "ann_topk",
+    "ann_topk_ivf",
 ]
 
 

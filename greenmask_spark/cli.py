@@ -216,7 +216,31 @@ def cmd_validate(args) -> int:
                 "rows_checked": diff.count(),
                 "rows_changed": changed.count(),
             }
-    print(json.dumps(report))
+            if getattr(args, "format", "json") == "text":
+                from greenmask_spark.validate.text_render import (
+                    render_diff_text,
+                )
+
+                affected = sorted(
+                    {s.column for s in plan.steps if s.column}
+                    | {c["name"]
+                       for s in plan.steps
+                       for c in (s.params.get("columns") or [])
+                       if isinstance(c, dict) and "name" in c}
+                )
+                print(render_diff_text(
+                    orig, apply_plan(orig, plan), pk,
+                    affected=affected,
+                    table_format=args.table_format,
+                    with_diff=not args.no_diff,
+                    limit=min(limit, 10),
+                    color=args.color,
+                    table=plan.table,
+                ))
+    if getattr(args, "format", "json") != "text":
+        print(json.dumps(report))
+    elif warns:
+        print(json.dumps({"warnings": report["warnings"]}))
     return 1 if fatal else 0
 
 
@@ -317,6 +341,13 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("validate", help="static warnings + diff sample")
     v.add_argument("--config", required=True)
     v.add_argument("--rows-limit", type=int, default=100)
+    v.add_argument("--format", choices=("json", "text"), default="json")
+    v.add_argument("--table-format", choices=("horizontal", "vertical"),
+                   default="horizontal")
+    v.add_argument("--no-diff", action="store_true",
+                   help="text format: transformed rows only")
+    v.add_argument("--color", action="store_true",
+                   help="ANSI colors in text tables")
     v.set_defaults(fn=cmd_validate)
 
     lt = sub.add_parser("list-transformers", help="registry inventory")

@@ -251,3 +251,80 @@ def test_cli_restore_from_copy_dump(spark, sf_dir, tmp_path, capsys):
     assert back.count() == src.count()
     assert {f.name for f in back.schema.fields} \
         == {f.name for f in src.schema.fields}
+
+
+def test_validate_text_rendering(spark):
+    """Horizontal/vertical diff tables (reference validate_utils/
+    text_document.go:46-326): merged %LineNum% cells, original+transformed
+    row pairs, (!!!) markers on undeclared changes, ANSI colors opt-in."""
+    from greenmask_spark.validate.text_render import render_diff_text
+
+    orig = spark.createDataFrame(
+        [(1, "alice", 10), (2, "bob", 20)], "id long, name string, v int")
+    tran = spark.createDataFrame(
+        [(1, "xxxxx", 10), (2, "yyy", 99)], "id long, name string, v int")
+
+    out = render_diff_text(
+        orig, tran, pk=["id"], affected=["name"],
+        table_format="horizontal", table="people")
+    assert '\t"public"."people"' in out
+    assert "%LineNum%" in out and "name" in out
+    # v changed on row 1 but was not declared affected
+    assert "v (!!!)" in out
+    # two data rows per record (original above transformed)
+    assert out.count("alice") == 1 and out.count("xxxxx") == 1
+    # merged line-number cells: '0' appears once in its column
+    lines = [ln for ln in out.splitlines() if ln.startswith("|")]
+    first_col = [ln.split("|")[1].strip() for ln in lines]
+    assert first_col.count("0") == 1 and first_col.count("1") == 1
+    # no ANSI escapes unless color=True
+    assert "\x1b[" not in out
+    colored = render_diff_text(
+        orig, tran, pk=["id"], affected=["name"],
+        table_format="horizontal", table="people", color=True)
+    assert "\x1b[92m" in colored and "\x1b[91m" in colored
+
+    vert = render_diff_text(
+        orig, tran, pk=["id"], affected=["name", "v"],
+        table_format="vertical", table="people")
+    assert "OriginalValue" in vert and "TransformedValue" in vert
+    assert "v (!!!)" not in vert  # declared affected this time
+    # one row per (record, column): 2 records × 2 columns
+    data_lines = [ln for ln in vert.splitlines()
+                  if ln.startswith("|") and "%LineNum%" not in ln]
+    assert len(data_lines) == 4
+
+    plain = render_diff_text(
+        orig, tran, pk=["id"], affected=["name"],
+        table_format="horizontal", with_diff=False, table="people")
+    assert "alice" not in plain and "xxxxx" in plain
+
+
+def test_validate_cli_text_format(spark, tmp_path, capsys):
+    """validate --format text renders a table document per configured
+    table."""
+    import json as _json
+
+    import greenmask_spark.cli as cli
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "id long, name string"
+    ).write.parquet(src + "/people.parquet")
+    cfg = {
+        "source": {"dir": src, "tables": ["people"]},
+        "tables": [{
+            "name": "people",
+            "primary_key": ["id"],
+            "transformers": [{"name": "Hash", "params": {
+                "column": "name", "function": "sha256", "salt": "x"}}],
+        }],
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    rc = cli.main(["validate", "--config", str(cfg_path),
+                   "--format", "text", "--table-format", "vertical"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert '"public"."people"' in out
+    assert "OriginalValue" in out

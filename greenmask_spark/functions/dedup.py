@@ -436,3 +436,151 @@ def dedup_lines(
         ids.join(rebuilt, "id", "left")
         .select("id", F.coalesce("text", F.lit("")).alias("text"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components → duplicate clusters
+# ---------------------------------------------------------------------------
+
+def _canonical_edges(e: DataFrame) -> DataFrame:
+    """Orient (u > v), drop self-loops, dedup."""
+    return (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every neighbor v > u re-links to m = min(N(u) ∪ {u}).
+
+    One groupBy + one join, both keyed on u — Spark reuses the exchange, so
+    a round is effectively a single shuffle of (int, int) rows.
+    """
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: all neighbors ≤ u (plus u itself) link to their min."""
+    o = _canonical_edges(e)
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    pair = F.explode(
+        F.array(
+            F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+            F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+        )
+    ).alias("p")
+    return (
+        o.join(m, "u")
+        .select(pair)
+        .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) labels; component = MIN node id in the component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — converges in
+    O(log n) rounds to a forest of stars centered at each component's
+    minimum, vs O(diameter) for naive label propagation. Every round
+    shuffles only (int, int) edge rows; nothing is ever collected to the
+    driver except a 2-value convergence fingerprint.
+
+    Each round is eagerly localCheckpoint'ed so iteration k costs
+    O(|edges|), not a re-execution of k chained join lineages (the same
+    O(k²) trap the subset cyclic fixpoint avoids, subset/planner.py).
+
+    Reference parity note: greenmask has no graph operator — this serves
+    the LLM-pipeline dedup stage (candidate pairs → duplicate clusters),
+    the canonical final step of MinHash/SimHash fuzzy dedup.
+    """
+    e = _canonical_edges(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # order-insensitive fingerprint; bit_xor cannot overflow under ANSI
+        sig = tuple(
+            e.agg(
+                F.count("*"),
+                F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)),
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged star forest: each non-root appears exactly once as u with
+    # v = its component's minimum; roots label themselves
+    return (
+        nodes.join(e, nodes["node"] == e["u"], "left")
+        .select("node", F.coalesce("v", "node").alias("component"))
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Full fuzzy-dedup clustering: MinHash-LSH candidate pairs →
+    connected components → (doc_id, cluster_id) for EVERY document
+    (docs with no near-dup candidate form their own singleton cluster).
+    cluster_id is the minimum doc id of the cluster, so
+    ``doc_id == cluster_id`` selects one canonical representative each.
+    """
+    pairs = minhash_candidates(df, text_col, id_col, num_perm, bands, k)
+    cc = connected_components(pairs, "id_a", "id_b")
+    ids = df.select(F.col(id_col).alias("node"))
+    return (
+        ids.join(cc, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("cluster_id"),
+        )
+    )
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Keep one representative (min id) per fuzzy-duplicate cluster —
+    the end-to-end pipeline a training-data run actually executes."""
+    clusters = dedup_clusters(df, text_col, id_col, num_perm, bands, k)
+    keep = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

@@ -78,6 +78,7 @@ def cosine_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 8,
+    group_col: str | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold — exact, fully
     distributed via matrix-product tiling.
@@ -99,26 +100,36 @@ def cosine_pairs_blocked(
 
     Rounding policy: results round to 4 decimals before thresholding,
     matching the oracle.
+
+    ``group_col`` restricts pairs to rows sharing that column (the
+    SemDeDup within-cluster case): tiles key on (group, p, q), so a
+    skewed group still splits across n_blocks² tasks.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    keep_cols = [F.col(group_col).alias("g")] if group_col else []
+    src = df.select(
+        *keep_cols, F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
     blk = src.withColumn("b", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
     tile_ids = F.array(*[F.lit(i) for i in range(n_blocks)])
     # row in block b participates in tile (p,q), p<=q: as side 0 when p=b,
     # side 1 when q=b; diagonal tiles keep side 0 only (self-pairs handled
     # in-tile).
+    g_cols = ["g"] if group_col else []
     left = (
         blk.withColumn("q", F.explode(tile_ids))
         .filter(F.col("q") >= F.col("b"))
-        .select(F.col("b").alias("p"), "q", F.lit(0).alias("side"), "id", "vec")
+        .select(*g_cols, F.col("b").alias("p"), "q",
+                F.lit(0).alias("side"), "id", "vec")
     )
     right = (
         blk.withColumn("p", F.explode(tile_ids))
         .filter(F.col("p") < F.col("b"))
-        .select("p", F.col("b").alias("q"), F.lit(1).alias("side"), "id", "vec")
+        .select(*g_cols, "p", F.col("b").alias("q"),
+                F.lit(1).alias("side"), "id", "vec")
     )
     tiles = left.unionByName(right)
 
@@ -129,7 +140,7 @@ def cosine_pairs_blocked(
     ])
 
     def run_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        p, q = key
+        p, q = key[-2], key[-1]  # key may be (g, p, q) under group_col
         a = pdf[pdf["side"] == 0]
         ids_a = a["id"].to_numpy()
         mat_a = np.array([np.asarray(v, dtype=np.float64) for v in a["vec"]])
@@ -160,7 +171,7 @@ def cosine_pairs_blocked(
             "cos_sim": sims[ii, jj][keep],
         })
 
-    return tiles.groupBy("p", "q").applyInPandas(run_tile, schema=schema)
+    return tiles.groupBy(*g_cols, "p", "q").applyInPandas(run_tile, schema=schema)
 
 
 def _sqdiff(a: Column, b: Column) -> Column:
@@ -425,3 +436,61 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup: cluster embeddings, near-dup only within cluster)
+# ---------------------------------------------------------------------------
+
+def semantic_near_dup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 2,
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest centroid,
+    then compute exact pairwise cosine ONLY within each cluster —
+    O(Σ|C|²) work instead of the O(n²) all-pairs scan, with the clusters
+    doing the same job LSH bands do for MinHash.
+
+    Scale shape: centroid assignment is a shuffle-free mapInPandas BLAS
+    argmin (``_assign_centroids``, k×dim closure); within-cluster pairs
+    run through the tiled block-product machinery keyed on
+    (cid, p, q) — a skewed cluster still splits across n_blocks² tasks.
+    Pass ``hash_centroids(dim, k)`` for deterministic, oracle-replayable
+    clustering or ``train_ivf_centroids`` for data-adaptive quality.
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    assigned = _assign_centroids(src, centroids, "vec", "cid")
+    return cosine_pairs_blocked(
+        assigned, threshold, "id", "vec", n_blocks, group_col="cid"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 2,
+) -> DataFrame:
+    """Drop semantic near-duplicates: pairs → connected components →
+    keep each cluster's minimum id. Note the within-centroid restriction
+    means near-dups straddling a centroid boundary survive (the SemDeDup
+    recall tradeoff — raise the centroid count for speed, lower it for
+    recall)."""
+    from greenmask_spark.functions.dedup import connected_components
+
+    pairs = semantic_near_dup(
+        df, centroids, threshold, id_col, vec_col, n_blocks
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    dupes = (
+        cc.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(dupes, id_col, "left_anti")

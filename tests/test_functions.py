@@ -721,3 +721,123 @@ def test_dynamic_param_template_and_default(spark):
     })
     assert [r.o for r in df.select(tpl.alias("o")).orderBy("id").collect()] \
         == [20, -1, 60]
+
+
+def test_connected_components_vs_union_find(spark):
+    """Alternating large-star/small-star vs a driver-side union-find on
+    random graphs (chains, cliques, isolated pairs, forests)."""
+    import random
+
+    from greenmask_spark.functions.dedup import connected_components
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(20, 70))
+        ]
+        # a long chain stresses O(log n) convergence vs label propagation
+        edges += [(100 + i, 101 + i) for i in range(30)]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        nodes = set()
+        for a, b in edges:
+            if a != b:
+                nodes.update((a, b))
+                union(a, b)
+        expected = {x: find(x) for x in nodes}
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r.node: r.component
+            for r in connected_components(df, "id_a", "id_b").collect()
+        }
+        assert got == expected, f"trial {trial}"
+
+
+def test_connected_components_empty(spark):
+    from greenmask_spark.functions.dedup import connected_components
+
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_clusters_and_fuzzy_dedup(docs):
+    from greenmask_spark.functions.dedup import dedup_clusters, fuzzy_dedup
+
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(docs, k=3, num_perm=8, bands=4).collect()
+    }
+    # every doc is labeled; exact dups 1/2 share a cluster rooted at min id
+    assert set(clusters) == {1, 2, 3, 4, 5, 6}
+    assert clusters[1] == 1 and clusters[2] == 1
+    # cluster ids are always the cluster minimum
+    assert all(cid <= d for d, cid in clusters.items())
+    kept = {r.doc_id for r in fuzzy_dedup(docs, k=3, num_perm=8, bands=4).collect()}
+    assert 2 not in kept and 1 in kept
+    # representatives are exactly the docs that are their own cluster root
+    assert kept == {d for d, cid in clusters.items() if d == cid}
+
+
+def test_semantic_near_dup_and_dedup(spark):
+    """SemDeDup: within-centroid pairs match a numpy brute force restricted
+    to same-cluster pairs; dedup keeps cluster minima."""
+    import numpy as np
+
+    from greenmask_spark.functions.similarity import (
+        hash_centroids,
+        semantic_dedup,
+        semantic_near_dup,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 40
+    base = rng.normal(size=(n, dim))
+    # make 1≈0, 11≈10 (near-identical), others random
+    base[1] = base[0] + 1e-4
+    base[11] = base[10] - 1e-4
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = hash_centroids(dim, 4, seed=3)
+
+    # brute-force twin: same centroid assignment, same rounding
+    cmat = np.array(cents)
+    acc = np.zeros((n, len(cents)))
+    for d in range(dim):
+        diff = base[:, d, None] - cmat[None, :, d]
+        acc = acc + diff * diff
+    cid = np.argmin(acc, axis=1)
+    nrm = np.sqrt((base * base).sum(axis=1))
+    sims = np.round((base @ base.T) / (nrm[:, None] * nrm[None, :]), 4)
+    expected = {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if cid[i] == cid[j] and sims[i, j] >= 0.99
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_near_dup(df, cents, threshold=0.99).collect()
+    }
+    assert got == expected
+    assert (0, 1) in got and (10, 11) in got
+
+    kept = {
+        r.vec_id for r in semantic_dedup(df, cents, threshold=0.99).collect()
+    }
+    assert 0 in kept and 1 not in kept
+    assert 10 in kept and 11 not in kept
+    assert len(kept) == n - len({b for _, b in expected})

@@ -169,13 +169,24 @@ def read_dump(
     for t in manifest.tables:
         tdir = os.path.join(dump_dir, t.name)
         try:
-            if manifest.data_format == "copy":
+            fmt = manifest.data_format or "parquet"
+            if fmt == "copy":
                 from greenmask_spark.sources.copy_format import read_copy
 
                 ddl = ", ".join(f"{c['name']} {c['type']}" for c in t.columns)
                 df = read_copy(spark, tdir, T.StructType.fromDDL(ddl))
-            else:
+            elif fmt == "parquet":
                 df = spark.read.parquet(tdir)
+            else:
+                # text formats (json/jsonl, csv): schema comes from the
+                # manifest snapshot — NEVER inference, which is a full
+                # extra scan of the table at 100 TB
+                ddl = ", ".join(f"{c['name']} {c['type']}" for c in t.columns)
+                df = (
+                    spark.read.format("json" if fmt == "jsonl" else fmt)
+                    .schema(T.StructType.fromDDL(ddl))
+                    .load(tdir)
+                )
             # force path resolution now so a missing table surfaces here,
             # not at first downstream action
             df.schema
@@ -183,3 +194,36 @@ def read_dump(
             continue
         out[t.name] = df
     return out
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema,
+    compression: str | None = None,
+) -> DataFrame:
+    """JSON-lines reader for training-data corpora (the interchange format
+    of most public text datasets). ``schema`` (DDL string or StructType)
+    is REQUIRED: schema inference is a full extra scan of the corpus at
+    100 TB, and silently widens types between shards. Compressed shards
+    (.gz/.zst) decode transparently by extension; note gzip shards are
+    not splittable — one task per shard, so shard size IS the
+    parallelism knob."""
+    reader = spark.read.format("json").schema(schema)
+    if compression:
+        reader = reader.option("compression", compression)
+    return reader.load(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str = "gzip",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """JSON-lines writer (one object per line, one shard per task)."""
+    writer = df.write.format("json").mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

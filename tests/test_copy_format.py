@@ -128,3 +128,38 @@ def test_expression_only_plan(spark):
     df = spark.createDataFrame(ROWS, SCHEMA)
     plan = copy_decode(copy_encode(df), SCHEMA)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dump_roundtrip_jsonl(spark, tables, tmp_path):
+    """write_dump(fmt=json) → read_dump: schema comes from the manifest
+    snapshot (no inference), values survive the text codec."""
+    from pyspark.sql import functions as F
+
+    from greenmask_spark.sources.io import read_dump, write_dump
+
+    nation = tables["nation"]
+    out = str(tmp_path / "jsondump")
+    write_dump({"nation": nation}, out, fmt="json", compression="gzip")
+    back = read_dump(spark, out)["nation"]
+    assert [f.name for f in back.schema.fields] == [
+        f.name for f in nation.schema.fields
+    ]
+    a = {tuple(r) for r in nation.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_jsonl_helpers_roundtrip(spark, tmp_path):
+    from greenmask_spark.sources.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "a\nb", [1.5, 2.5]), (2, 'quote"inner', [0.0])],
+        "id long, text string, vec array<double>",
+    )
+    p = str(tmp_path / "docs")
+    write_jsonl(df, p)
+    back = read_jsonl(spark, p, "id long, text string, vec array<double>")
+    assert {tuple((r.id, r.text, tuple(r.vec))) for r in back.collect()} == {
+        (1, "a\nb", (1.5, 2.5)),
+        (2, 'quote"inner', (0.0,)),
+    }

@@ -841,3 +841,26 @@ def test_semantic_near_dup_and_dedup(spark):
     assert 0 in kept and 1 not in kept
     assert 10 in kept and 11 not in kept
     assert len(kept) == n - len({b for _, b in expected})
+
+
+def test_cosine_pd_bit_identical(spark):
+    """Arrow-batched cosine must be BIT-identical to the expression form
+    (same sequential fold) — it feeds rank decisions."""
+    import numpy as np
+
+    from greenmask_spark.functions.similarity import cosine, cosine_pd
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)],
+         [float(x) for x in rng.normal(size=16)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        cosine(F.col("a"), F.col("b")).alias("expr"),
+        cosine_pd(F.col("a"), F.col("b")).alias("pd"),
+    ).collect()
+    assert all(r.expr == r.pd for r in out)

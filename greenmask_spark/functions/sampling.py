@@ -135,3 +135,132 @@ def stratified_hash_sample(
     ])
     t = F.element_at(thresh, F.col(strata_col).cast("string"))
     return df.filter(t.isNotNull() & (u < t))
+
+
+def sample_mixture(
+    sources: dict[str, DataFrame],
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 42,
+    source_col: str = "source_name",
+) -> DataFrame:
+    """Build a training mixture: per-source deterministic keep rates
+    (Pile/Dolma-style source weighting, incl. rates > 1 for upsampling —
+    a rate of 2.5 keeps every row twice plus a hash-gated 0.5 sample of
+    third copies. The key column is cast to string; copies from epochs
+    past the first gain an ``:e{epoch}`` suffix so downstream keys stay
+    unique).
+
+    Every source samples independently (op tag ``mix:{name}:{epoch}``),
+    so identical keys across sources don't correlate. Output is the
+    union with a ``source_col`` tag; pure scan+project per source —
+    no shuffle, replayable in SQL."""
+    missing = set(sources) - set(rates)
+    if missing:
+        raise ValueError(f"no mixture rate for sources: {sorted(missing)}")
+    parts = []
+    for name, df in sources.items():
+        rate = rates[name]
+        if rate < 0:
+            raise ValueError(f"negative rate {rate} for {name!r}")
+        full, frac = int(rate), rate - int(rate)
+        for epoch in range(full):
+            parts.append(_mixture_epoch(df, name, epoch, key_col, source_col))
+        if frac > 0:
+            u = _unit_hash(F.col(key_col), f"mix:{name}:{full}", seed)
+            parts.append(
+                _mixture_epoch(df, name, full, key_col, source_col).filter(
+                    u < int(round(frac * _RESOLUTION))
+                )
+            )
+    if not parts:
+        raise ValueError("empty mixture")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _mixture_epoch(
+    df: DataFrame, name: str, epoch: int, key_col: str, source_col: str
+) -> DataFrame:
+    # key goes to string in EVERY branch (not just suffixed epochs) so the
+    # union's column type is consistent — mixed long/string branches would
+    # make Spark cast "5:e1" back to long (ANSI error)
+    key = F.col(key_col).cast("string")
+    if epoch > 0:
+        key = F.concat(key, F.lit(f":e{epoch}"))
+    return df.withColumn(key_col, key).withColumn(source_col, F.lit(name))
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    max_tokens: int = 4096,
+    n_packers: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Greedy sequence packing: concatenate documents into fixed
+    token-budget training sequences (the standard pretraining packing
+    step), fully deterministic.
+
+    Docs hash into ``n_packers`` independent packing streams; within a
+    stream docs are taken in ``id_col`` order and appended to the open
+    bin unless they would exceed ``max_tokens`` (then a new bin opens).
+    A doc longer than the budget gets a bin of its own (truncation is
+    the tokenizer's job, flagged here via ``overflow``).
+
+    Output: (id, n_tokens, seq_id, seq_pos, seq_offset, overflow) —
+    ``seq_id`` is "packer:bin", ``seq_pos`` the doc's index in the bin,
+    ``seq_offset`` its starting token offset.
+
+    Scale shape: ONE shuffle on the packer id (n_packers keys — size it
+    ≥ cluster cores; each stream packs a ~1/n_packers slice in a single
+    pandas pass). The greedy fill is inherently sequential per stream —
+    this is the standard parallelization: determinism comes from the
+    hash assignment + id order, NOT partition layout, so results are
+    identical at any cluster size."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_packers))
+        .alias("packer"),
+    )
+    schema = T.StructType([
+        T.StructField("id", src.schema["id"].dataType),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("seq_id", T.StringType()),
+        T.StructField("seq_pos", T.IntegerType()),
+        T.StructField("seq_offset", T.LongType()),
+        T.StructField("overflow", T.BooleanType()),
+    ])
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        packer = key[0]
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        bins, pos, offs, over = [], [], [], []
+        bin_no, used, in_bin = 0, 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if in_bin and used + n > max_tokens:
+                bin_no, used, in_bin = bin_no + 1, 0, 0
+            bins.append(f"{packer}:{bin_no}")
+            pos.append(in_bin)
+            offs.append(used)
+            over.append(n > max_tokens)
+            used += n
+            in_bin += 1
+            if used >= max_tokens:
+                bin_no, used, in_bin = bin_no + 1, 0, 0
+        out = pdf[["id", "n_tokens"]].copy()
+        out["seq_id"] = bins
+        out["seq_pos"] = pd.array(pos, dtype="int32")
+        out["seq_offset"] = pd.array(offs, dtype="int64")
+        out["overflow"] = over
+        return out
+
+    return src.groupBy("packer").applyInPandas(pack, schema=schema)

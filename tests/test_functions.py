@@ -864,3 +864,65 @@ def test_cosine_pd_bit_identical(spark):
         cosine_pd(F.col("a"), F.col("b")).alias("pd"),
     ).collect()
     assert all(r.expr == r.pd for r in out)
+
+
+def test_sample_mixture(spark):
+    from greenmask_spark.functions.sampling import sample_mixture
+
+    a = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    b = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    mix = sample_mixture({"web": a, "code": b}, {"web": 0.5, "code": 2.5})
+    rows = mix.groupBy("source_name").count().collect()
+    counts = {r.source_name: r["count"] for r in rows}
+    # web ~500 (hash-gated), code exactly 2000 + ~500
+    assert 400 < counts["web"] < 600
+    assert 2400 < counts["code"] < 2600
+    # upsampled epochs have disambiguated keys → no duplicate keys overall
+    code = mix.filter("source_name = 'code'")
+    assert code.select("doc_id").distinct().count() == counts["code"]
+    # deterministic
+    mix2 = sample_mixture({"web": a, "code": b}, {"web": 0.5, "code": 2.5})
+    assert mix2.groupBy("source_name").count().collect() == rows
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        sample_mixture({"web": a}, {})
+
+
+def test_pack_sequences(spark):
+    """Greedy packing matches a driver-side reference; bins never exceed
+    the budget (except single overflow docs); deterministic across
+    partitionings."""
+    import random
+
+    from greenmask_spark.functions.sampling import pack_sequences
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(1, 3000)) for i in range(500)]
+    rows.append((500, 9000))  # overflow doc
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = pack_sequences(df, max_tokens=4096, n_packers=8).collect()
+    assert len(out) == 501
+
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.seq_id, []).append(r)
+    for seq, members in by_bin.items():
+        members.sort(key=lambda r: r.seq_pos)
+        total = sum(r.n_tokens for r in members)
+        if len(members) == 1:
+            pass  # may be a legitimate overflow doc
+        else:
+            assert total <= 4096, seq
+        # offsets are the running sum in seq_pos order
+        acc = 0
+        for r in members:
+            assert r.seq_offset == acc
+            acc += r.n_tokens
+    ov = [r for r in out if r.overflow]
+    assert [r.id for r in ov] == [500]
+    assert len(by_bin[ov[0].seq_id]) == 1  # overflow doc is alone in its bin
+
+    # partitioning-independence
+    out2 = pack_sequences(df.repartition(13), max_tokens=4096, n_packers=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

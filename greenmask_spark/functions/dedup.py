@@ -552,14 +552,27 @@ def dedup_clusters(
     num_perm: int = 16,
     bands: int = 4,
     k: int = 5,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Full fuzzy-dedup clustering: MinHash-LSH candidate pairs →
-    connected components → (doc_id, cluster_id) for EVERY document
-    (docs with no near-dup candidate form their own singleton cluster).
-    cluster_id is the minimum doc id of the cluster, so
-    ``doc_id == cluster_id`` selects one canonical representative each.
+    [optional exact-Jaccard verification] → connected components →
+    (doc_id, cluster_id) for EVERY document (docs with no near-dup
+    candidate form their own singleton cluster). cluster_id is the
+    minimum doc id of the cluster, so ``doc_id == cluster_id`` selects
+    one canonical representative each.
+
+    ``min_jaccard`` inserts the verification stage of the standard
+    web-corpus pipeline (RefinedWeb/Dolma shape): LSH candidates whose
+    exact hashed-shingle Jaccard falls below the threshold are dropped
+    BEFORE clustering, so band-collision false positives can't chain
+    unrelated docs into one giant component.
     """
     pairs = minhash_candidates(df, text_col, id_col, num_perm, bands, k)
+    if min_jaccard is not None:
+        verified = ngram_jaccard(df, pairs, text_col, id_col, k)
+        pairs = verified.filter(
+            F.col("jaccard") >= float(min_jaccard)
+        ).select("id_a", "id_b")
     cc = connected_components(pairs, "id_a", "id_b")
     ids = df.select(F.col(id_col).alias("node"))
     return (
@@ -578,9 +591,12 @@ def fuzzy_dedup(
     num_perm: int = 16,
     bands: int = 4,
     k: int = 5,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Keep one representative (min id) per fuzzy-duplicate cluster —
     the end-to-end pipeline a training-data run actually executes."""
-    clusters = dedup_clusters(df, text_col, id_col, num_perm, bands, k)
+    clusters = dedup_clusters(
+        df, text_col, id_col, num_perm, bands, k, min_jaccard
+    )
     keep = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return df.join(keep, id_col, "left_semi")

@@ -926,3 +926,25 @@ def test_pack_sequences(spark):
     # partitioning-independence
     out2 = pack_sequences(df.repartition(13), max_tokens=4096, n_packers=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_dedup_clusters_jaccard_verify(docs):
+    """min_jaccard drops low-similarity LSH collisions before clustering:
+    with an impossible threshold every doc is its own cluster."""
+    from greenmask_spark.functions.dedup import dedup_clusters
+
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(
+            docs, k=3, num_perm=8, bands=4, min_jaccard=1.01
+        ).collect()
+    }
+    assert all(d == cid for d, cid in clusters.items())
+    # exact dups survive any threshold <= 1.0
+    clusters2 = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(
+            docs, k=3, num_perm=8, bands=4, min_jaccard=1.0
+        ).collect()
+    }
+    assert clusters2[2] == 1

@@ -265,6 +265,18 @@ def ngram_jaccard(
         )
     if strategy != "agg":
         raise ValueError(f"unknown strategy {strategy!r}")
+    # the flat shingle stream feeds THREE consumers (a-side, b-side,
+    # sizes) and the candidate pairs feed two; Spark's ReuseExchange does
+    # NOT unify them (alias-divergent attribute ids), so without a persist
+    # the corpus would be scanned + shingle-hashed + distinct-shuffled
+    # once per consumer (8 scans / 12 exchanges measured at sf0.01).
+    # Both streams are (id, int) rows — a sliver of the corpus — and
+    # MEMORY_AND_DISK spills rather than OOMs at scale. Lazy: no action
+    # happens at query construction.
+    from pyspark import StorageLevel
+
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     ex_a = ex.select(F.col("id").alias("id_a"), "h")
     ex_b = ex.select(F.col("id").alias("id_b"), "h")

@@ -321,6 +321,22 @@ def cmd_list_transformers(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """Run a config-driven corpus pipeline (dedup/filter/scrub/split/
+    pack steps over a documents table) — the training-data analog of
+    `dump`."""
+    from greenmask_spark.pipeline import run_corpus_pipeline
+
+    cfg = load_config(args.config)
+    spark = _spark("greenmask-spark-corpus")
+    out = run_corpus_pipeline(spark, cfg, sf_dir=args.sf_dir)
+    if not cfg.get("output"):
+        n = out.count()
+        print(f"corpus: pipeline produced {n} rows "
+              f"(no output sink configured; add an output section to write)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="greenmask-spark",
@@ -332,6 +348,12 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--config", required=True)
     d.add_argument("--output", default=None)
     d.set_defaults(fn=cmd_dump)
+
+    cp = sub.add_parser("corpus", help="run a corpus pipeline config (dedup/filter/split/pack)")
+    cp.add_argument("--config", required=True)
+    cp.add_argument("--sf-dir", default=None,
+                    help="directory holding <table>.parquet for input.table")
+    cp.set_defaults(fn=cmd_corpus)
 
     r = sub.add_parser("restore", help="read dump dir, write tables in topo order")
     r.add_argument("--input", required=True)

@@ -1,0 +1,5 @@
+from greenmask_spark.pipeline.corpus import (  # noqa: F401
+    CORPUS_STEPS,
+    build_corpus_pipeline,
+    run_corpus_pipeline,
+)

@@ -1,0 +1,241 @@
+"""Config-driven corpus pipeline: the training-data analog of the
+masking plan (plan/planner.py) — a YAML/JSON step list compiled to ONE
+composed DataFrame plan over a documents table.
+
+The reference's config drives per-table transformer chains
+(internal/domains/config.go); this drives the corpus toolkit the same
+way: declarative steps, validated up front, lazily composed so Catalyst
+sees the whole pipeline (filters reorder/push down across steps; nothing
+materializes until the sink).
+
+Example::
+
+    steps:
+      - op: dedup_exact
+      - op: dedup_lines
+      - op: quality_filter
+        min_quality: 0.25
+        langs: [en]
+      - op: fuzzy_dedup
+        num_perm: 16
+        bands: 4
+        min_jaccard: 0.8
+      - op: scrub_pii
+      - op: hash_split
+        weights: {train: 0.98, val: 0.01, test: 0.01}
+      - op: pack_sequences
+        max_tokens: 4096
+
+Every step takes and returns a DataFrame with at least (doc_id, text);
+steps that add columns (split, seq_id, ...) document them below.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Step = Callable[[DataFrame, dict], DataFrame]
+
+
+def _step_dedup_exact(df: DataFrame, p: dict) -> DataFrame:
+    from greenmask_spark.functions.dedup import dedup_exact
+
+    return dedup_exact(df, p.get("text_col", "text"), p.get("id_col", "doc_id"))
+
+
+def _step_dedup_lines(df: DataFrame, p: dict) -> DataFrame:
+    from greenmask_spark.functions.dedup import dedup_lines
+
+    text_col, id_col = p.get("text_col", "text"), p.get("id_col", "doc_id")
+    deduped = dedup_lines(df, text_col, id_col)
+    # dedup_lines returns (id, text); re-attach the other columns
+    others = df.drop(text_col)
+    return (
+        others.join(deduped.withColumnsRenamed({"id": id_col, "text": text_col}),
+                    id_col)
+        .select(*df.columns)
+    )
+
+
+def _step_fuzzy_dedup(df: DataFrame, p: dict) -> DataFrame:
+    from greenmask_spark.functions.dedup import fuzzy_dedup
+
+    return fuzzy_dedup(
+        df,
+        p.get("text_col", "text"),
+        p.get("id_col", "doc_id"),
+        num_perm=int(p.get("num_perm", 16)),
+        bands=int(p.get("bands", 4)),
+        k=int(p.get("k", 5)),
+        min_jaccard=p.get("min_jaccard"),
+    )
+
+
+def _step_quality_filter(df: DataFrame, p: dict) -> DataFrame:
+    """Filter on expression-computable text stats (no shuffle): quality
+    score, token count bounds, language allowlist, punctuation ceiling."""
+    from greenmask_spark.functions.text_analysis import (
+        lang_id,
+        punct_ratio,
+        quality_score,
+        token_count,
+    )
+
+    t = F.col(p.get("text_col", "text"))
+    out = df
+    if "min_quality" in p:
+        out = out.filter(quality_score(t) >= float(p["min_quality"]))
+    if "min_tokens" in p:
+        out = out.filter(token_count(t) >= int(p["min_tokens"]))
+    if "max_tokens" in p:
+        out = out.filter(token_count(t) <= int(p["max_tokens"]))
+    if "max_punct_ratio" in p:
+        out = out.filter(punct_ratio(t) <= float(p["max_punct_ratio"]))
+    if "langs" in p:
+        out = out.filter(lang_id(t).isin([str(x) for x in p["langs"]]))
+    return out
+
+
+def _step_repetition_filter(df: DataFrame, p: dict) -> DataFrame:
+    """Drop docs above Gopher/C4-style repetition thresholds (needs the
+    per-doc bigram aggregation — one map-side-combined shuffle)."""
+    from greenmask_spark.functions.text_analysis import repetition_profile
+
+    id_col = p.get("id_col", "doc_id")
+    prof = repetition_profile(
+        df, p.get("text_col", "text"), id_col
+    ).withColumnsRenamed({"id": id_col})
+    cond = F.lit(True)
+    if "max_dup_line_frac" in p:
+        cond = cond & (F.col("dup_line_frac") <= float(p["max_dup_line_frac"]))
+    if "max_top_bigram_frac" in p:
+        cond = cond & (
+            F.col("top_bigram_frac") <= float(p["max_top_bigram_frac"])
+        )
+    keep = prof.filter(cond).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+def _step_scrub_pii(df: DataFrame, p: dict) -> DataFrame:
+    from greenmask_spark.functions.text_analysis import scrub_pii
+
+    text_col = p.get("text_col", "text")
+    kinds = tuple(p["kinds"]) if "kinds" in p else None
+    return df.withColumn(text_col, scrub_pii(F.col(text_col), kinds))
+
+
+def _step_hash_split(df: DataFrame, p: dict) -> DataFrame:
+    from greenmask_spark.functions.sampling import hash_split
+
+    return hash_split(
+        df,
+        weights={k: float(v) for k, v in p["weights"].items()}
+        if "weights" in p else None,
+        key_col=p.get("id_col", "doc_id"),
+        seed=int(p.get("seed", 42)),
+    )
+
+
+def _step_hash_sample(df: DataFrame, p: dict) -> DataFrame:
+    from greenmask_spark.functions.sampling import hash_sample
+
+    return hash_sample(
+        df, float(p["fraction"]), p.get("id_col", "doc_id"),
+        int(p.get("seed", 42)),
+    )
+
+
+def _step_pack_sequences(df: DataFrame, p: dict) -> DataFrame:
+    """Adds (seq_id, seq_pos, seq_offset, overflow); computes n_tokens
+    from the text when the column is absent."""
+    from greenmask_spark.functions.sampling import pack_sequences
+    from greenmask_spark.functions.text_analysis import token_count
+
+    id_col = p.get("id_col", "doc_id")
+    token_col = p.get("token_col", "n_tokens")
+    src = df
+    if token_col not in src.columns:
+        src = src.withColumn(
+            token_col, token_count(F.col(p.get("text_col", "text")))
+        )
+    packed = pack_sequences(
+        src,
+        token_col=token_col,
+        id_col=id_col,
+        max_tokens=int(p.get("max_tokens", 4096)),
+        n_packers=int(p.get("n_packers", 256)),
+        seed=int(p.get("seed", 42)),
+    ).withColumnsRenamed({"id": id_col, "n_tokens": token_col})
+    return src.join(packed.drop(token_col), id_col)
+
+
+CORPUS_STEPS: dict[str, Step] = {
+    "dedup_exact": _step_dedup_exact,
+    "dedup_lines": _step_dedup_lines,
+    "fuzzy_dedup": _step_fuzzy_dedup,
+    "quality_filter": _step_quality_filter,
+    "repetition_filter": _step_repetition_filter,
+    "scrub_pii": _step_scrub_pii,
+    "hash_split": _step_hash_split,
+    "hash_sample": _step_hash_sample,
+    "pack_sequences": _step_pack_sequences,
+}
+
+
+def build_corpus_pipeline(df: DataFrame, steps: list[dict]) -> DataFrame:
+    """Compose the step list into one lazy plan. Unknown ops and
+    non-dict steps fail fast — config errors surface before any Spark
+    job runs (the reference validates config up front the same way)."""
+    for i, step in enumerate(steps):
+        if not isinstance(step, dict) or "op" not in step:
+            raise ValueError(f"step {i}: expected a mapping with an 'op' key")
+        if step["op"] not in CORPUS_STEPS:
+            raise ValueError(
+                f"step {i}: unknown op {step['op']!r}; "
+                f"known: {sorted(CORPUS_STEPS)}"
+            )
+    out = df
+    for step in steps:
+        params = {k: v for k, v in step.items() if k != "op"}
+        out = CORPUS_STEPS[step["op"]](out, params)
+    return out
+
+
+def run_corpus_pipeline(
+    spark, config: dict[str, Any], sf_dir: str | None = None
+) -> DataFrame:
+    """Config → DataFrame. ``input`` is either {table: name} resolved
+    from ``sf_dir`` parquet, or {path, format[, schema]}. The ``output``
+    section (optional) writes {path, format: parquet|jsonl}."""
+    inp = config.get("input") or {}
+    if "table" in inp:
+        if sf_dir is None:
+            raise ValueError("input.table needs sf_dir")
+        from greenmask_spark.session import load_tables
+
+        df = load_tables(spark, sf_dir, (inp["table"],))[inp["table"]]
+    elif "path" in inp:
+        fmt = inp.get("format", "parquet")
+        if fmt in ("jsonl", "json"):
+            from greenmask_spark.sources.io import read_jsonl
+
+            df = read_jsonl(spark, inp["path"], inp["schema"])
+        else:
+            df = spark.read.format(fmt).load(inp["path"])
+    else:
+        raise ValueError("config.input needs 'table' or 'path'")
+    out = build_corpus_pipeline(df, config.get("steps", []))
+    sink = config.get("output")
+    if sink:
+        fmt = sink.get("format", "parquet")
+        if fmt in ("jsonl", "json"):
+            from greenmask_spark.sources.io import write_jsonl
+
+            write_jsonl(out, sink["path"],
+                        compression=sink.get("compression", "gzip"))
+        else:
+            (out.write.mode("overwrite").format(fmt).save(sink["path"]))
+    return out

@@ -96,12 +96,21 @@ def write_dump(
     fmt: str = "parquet",
     compression: str = "zstd",
     partition_by: dict[str, list[str]] | None = None,
+    blobs: DataFrame | None = None,
 ) -> Manifest:
     """Write a full dump directory: per-table parquet + _manifest.json.
 
     ``partition_by`` maps table → partition columns for hive-style layout
-    (enables partition pruning on restore-side reads)."""
+    (enables partition pruning on restore-side reads).
+
+    ``blobs`` (loid, data) writes the reference's large-object layout
+    under ``<out_dir>/blobs/`` (blob_{oid}.dat.gz + blobs.toc); read it
+    back with ``sources.large_objects.read_large_object_dump``."""
     os.makedirs(out_dir, exist_ok=True)
+    if blobs is not None:
+        from greenmask_spark.sources.large_objects import dump_large_objects
+
+        dump_large_objects(blobs, os.path.join(out_dir, "blobs"))
     for name, df in tables.items():
         writer = df.write.mode("overwrite").format(fmt).option(
             "compression", compression

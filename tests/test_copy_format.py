@@ -219,3 +219,16 @@ def test_large_object_roundtrip(spark, tmp_path):
 
     rd = {r.loid: bytes(r.data) for r in read_large_object_dump(spark, out).collect()}
     assert rd == blobs
+
+
+def test_write_dump_with_blobs(spark, tables, tmp_path):
+    from greenmask_spark.sources.io import write_dump
+    from greenmask_spark.sources.large_objects import read_large_object_dump
+
+    out = str(tmp_path / "dump_with_blobs")
+    blobs = spark.createDataFrame([(7, b"abc"), (8, b"")],
+                                  "loid long, data binary")
+    write_dump({"nation": tables["nation"]}, out, blobs=blobs)
+    back = {r.loid: bytes(r.data)
+            for r in read_large_object_dump(spark, out + "/blobs").collect()}
+    assert back == {7: b"abc", 8: b""}

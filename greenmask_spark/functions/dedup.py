@@ -536,7 +536,7 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_sig = None
+    prev_sig, converged = None, False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # order-insensitive fingerprint; bit_xor cannot overflow under ANSI
@@ -547,8 +547,17 @@ def connected_components(
             ).first()
         )
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # an unconverged edge set is not a star forest: a node may carry
+        # several outgoing edges and the label join below would emit
+        # DUPLICATE rows with wrong labels — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(O(log n) expected; raise max_iter)"
+        )
     # converged star forest: each non-root appears exactly once as u with
     # v = its component's minimum; roots label themselves
     return (

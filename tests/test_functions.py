@@ -948,3 +948,13 @@ def test_dedup_clusters_jaccard_verify(docs):
         ).collect()
     }
     assert clusters2[2] == 1
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from greenmask_spark.functions.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)

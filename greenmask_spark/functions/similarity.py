@@ -27,6 +27,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _lit_vec(vals) -> Column:
+    """Literal double array built from ONE parsed SQL string.
+
+    ``F.array(*[F.lit(x) ...])`` issues a py4j round trip per element —
+    a 16x64 centroid table costs ~2s of DRIVER time at plan build
+    (measured). One ``F.expr`` call parses the whole array; the ``D``
+    suffix forces DOUBLE (bare ``1.5`` parses as DECIMAL), and repr()
+    round-trips IEEE-754 exactly, so values are bit-identical to the
+    per-element form."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -219,6 +231,21 @@ def cosine_pairs_blocked(
     return tiles.groupBy(*g_cols, "p", "q").applyInPandas(run_tile, schema=schema)
 
 
+def _probe_expr(vec_col: str, cents, n_probe: int):
+    """n_probe nearest-centroid ids as one SQL expression (see ivf_topk)."""
+    terms = []
+    for i, cv in enumerate(cents):
+        arr = "array(" + ",".join(f"{float(v)!r}D" for v in cv) + ")"
+        d = (f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> "
+             f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+             f"0.0D, (acc, v) -> acc + v)")
+        terms.append(f"named_struct('d', {d}, 'i', {i})")
+    return F.expr(
+        f"transform(slice(array_sort(array({','.join(terms)})), 1, "
+        f"{int(n_probe)}), s -> s.i)"
+    )
+
+
 def _sqdiff(a: Column, b: Column) -> Column:
     # explicit product, not **2: pow(x, 2.0) is not guaranteed bit-equal to
     # x*x across engines, and the DuckDB oracle computes (x1-x2)*(x1-x2)
@@ -231,6 +258,7 @@ def _assign_centroids(
     centroids: list[list[float]],
     vec_col: str,
     out_col: str = "cid",
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment (argmin squared-L2) per Arrow batch.
 
@@ -255,25 +283,36 @@ def _assign_centroids(
     from pyspark.sql import types as T
 
     cmat = np.array(centroids, dtype=np.float64)  # k × dim
-    schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
-    )
+    fields = list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    if norm_col:
+        # L2 norm rides along for free (same numpy pass) — folded in
+        # dimension order so it is bit-identical to the JVM norm()
+        # expression and the oracle's list_sum (see docstring)
+        fields.append(T.StructField(norm_col, T.DoubleType()))
+    schema = T.StructType(fields)
 
     def run(it):
         for pdf in it:
             out = pdf.copy()
             if len(pdf) == 0:
                 out[out_col] = np.array([], dtype="int32")
+                if norm_col:
+                    out[norm_col] = np.array([], dtype="float64")
                 yield out
                 continue
             vmat = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             acc = np.zeros((len(vmat), len(cmat)))
+            nrm = np.zeros(len(vmat))
             for d in range(cmat.shape[1]):
                 diff = vmat[:, d, None] - cmat[None, :, d]
                 acc = acc + diff * diff  # sequential fold in dim order
+                if norm_col:
+                    nrm = nrm + vmat[:, d] * vmat[:, d]
             out[out_col] = np.argmin(acc, axis=1).astype("int32")
+            if norm_col:
+                out[norm_col] = np.sqrt(nrm)
             yield out
 
     return df.mapInPandas(run, schema=schema)
@@ -386,7 +425,8 @@ def ivf_topk(
         ),
         cents,
         vec_col="cvec",
-    ).withColumn("cnorm", norm(F.col("cvec")))
+        norm_col="cnorm",  # free in the same numpy pass, bit-identical
+    )
 
     # per-query n_probe nearest centroids: sort the (dist, cid) struct
     # array and slice — expression-only (queries are small by contract;
@@ -394,14 +434,13 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).withColumn("qnorm", norm(F.col("qvec")))
-    dist_structs = []
-    for i, cvec in enumerate(cents):
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
-        diff = F.zip_with(F.col("qvec"), carr, _sqdiff)
-        d = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
-        dist_structs.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    probes = F.slice(F.array_sort(F.array(*dist_structs)), 1, n_probe)
-    q = q.withColumn("cid", F.explode(probes["i"]))
+    # the whole probe selector is ONE parsed SQL string: the per-centroid
+    # Column-API loop (16 aggregate/zip_with lambda exprs) spent ~1s of
+    # driver time per plan build in py4j round trips; semantics identical
+    # (same fold order, same (d, i) struct sort, same tie-break)
+    q = q.withColumn(
+        "cid", F.explode(_probe_expr("qvec", cents, n_probe))
+    )
 
     scored = (
         c.join(F.broadcast(q), on="cid")
@@ -442,12 +481,28 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
-    """Sign-bit bucket id in [0, 2^n_planes) — pure expression."""
+def lsh_bucket(
+    vec: Column | str, dim: int, n_planes: int = 8, seed: int = 42
+) -> Column:
+    """Sign-bit bucket id in [0, 2^n_planes) — pure expression.
+
+    Pass the column NAME to build the whole bucket expression from one
+    parsed SQL string (the Column-API loop costs n_planes py4j lambda
+    round trips of driver time per plan build); a Column keeps the
+    composable form. Values are identical either way."""
     planes = _hyperplanes(dim, n_planes, seed)
+    if isinstance(vec, str):
+        terms = []
+        for i, plane in enumerate(planes):
+            arr = "array(" + ",".join(f"{float(v)!r}D" for v in plane) + ")"
+            d = (f"aggregate(zip_with({vec}, {arr}, (x, y) -> "
+                 f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                 f"0.0D, (acc, v) -> acc + v)")
+            terms.append(f"CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END")
+        return F.expr("0 + " + " + ".join(terms))
     acc = F.lit(0)
     for i, plane in enumerate(planes):
-        parr = F.array(*[F.lit(x) for x in plane])
+        parr = _lit_vec(plane)
         d = dot(vec, parr)
         acc = acc + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return acc
@@ -465,7 +520,7 @@ def cosine_topk_lsh(
     """Approximate top-k: only corpus vectors in the query's hyperplane
     bucket are scored. Recall trades with n_planes; at scale, bucket on
     (hash-partitioned) bucket id so each task scores one bucket."""
-    b = lambda df: df.withColumn("bucket", lsh_bucket(F.col(vec_col), dim, n_planes))  # noqa: E731
+    b = lambda df: df.withColumn("bucket", lsh_bucket(vec_col, dim, n_planes))  # noqa: E731
     q = b(queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
     ).withColumn("qnorm", norm(F.col("qvec")))

@@ -37,6 +37,12 @@ PY_NODES = {
 
 def _walk(node, out, seen_caches, jvm):
     cls = node.getClass().getSimpleName()
+    # AQE reuses stage OBJECTS (the same QueryStageExec referenced from
+    # several parents) — walk each physical node once
+    nid = jvm.System.identityHashCode(node)
+    if nid in seen_caches:
+        return
+    seen_caches.add(nid)
     out.append(node)
     if cls == "AdaptiveSparkPlanExec":
         _walk(node.executedPlan(), out, seen_caches, jvm)

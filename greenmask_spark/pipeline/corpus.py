@@ -204,29 +204,51 @@ def build_corpus_pipeline(df: DataFrame, steps: list[dict]) -> DataFrame:
     return out
 
 
-def run_corpus_pipeline(
-    spark, config: dict[str, Any], sf_dir: str | None = None
-) -> DataFrame:
-    """Config → DataFrame. ``input`` is either {table: name} resolved
-    from ``sf_dir`` parquet, or {path, format[, schema]}. The ``output``
-    section (optional) writes {path, format: parquet|jsonl}."""
-    inp = config.get("input") or {}
+def _load_input(spark, inp: dict, sf_dir: str | None) -> DataFrame:
     if "table" in inp:
         if sf_dir is None:
             raise ValueError("input.table needs sf_dir")
         from greenmask_spark.session import load_tables
 
-        df = load_tables(spark, sf_dir, (inp["table"],))[inp["table"]]
-    elif "path" in inp:
+        return load_tables(spark, sf_dir, (inp["table"],))[inp["table"]]
+    if "path" in inp:
         fmt = inp.get("format", "parquet")
         if fmt in ("jsonl", "json"):
             from greenmask_spark.sources.io import read_jsonl
 
-            df = read_jsonl(spark, inp["path"], inp["schema"])
-        else:
-            df = spark.read.format(fmt).load(inp["path"])
+            return read_jsonl(spark, inp["path"], inp["schema"])
+        return spark.read.format(fmt).load(inp["path"])
+    raise ValueError("input needs 'table' or 'path'")
+
+
+def run_corpus_pipeline(
+    spark, config: dict[str, Any], sf_dir: str | None = None
+) -> DataFrame:
+    """Config → DataFrame. ``input`` is either {table: name} resolved
+    from ``sf_dir`` parquet, or {path, format[, schema]}. Multi-source
+    training mixtures use ``inputs`` (name → input spec) together with
+    ``mixture: {rates: {name: rate}, key_col?, seed?}`` — sources are
+    weighted/upsampled via ``sample_mixture`` and the union feeds the
+    step list. The ``output`` section (optional) writes
+    {path, format: parquet|jsonl}."""
+    if "inputs" in config:
+        mix = config.get("mixture") or {}
+        if "rates" not in mix:
+            raise ValueError("multi-source config needs mixture.rates")
+        from greenmask_spark.functions.sampling import sample_mixture
+
+        sources = {
+            name: _load_input(spark, spec, sf_dir)
+            for name, spec in config["inputs"].items()
+        }
+        df = sample_mixture(
+            sources,
+            {k: float(v) for k, v in mix["rates"].items()},
+            key_col=mix.get("key_col", "doc_id"),
+            seed=int(mix.get("seed", 42)),
+        )
     else:
-        raise ValueError("config.input needs 'table' or 'path'")
+        df = _load_input(spark, config.get("input") or {}, sf_dir)
     out = build_corpus_pipeline(df, config.get("steps", []))
     sink = config.get("output")
     if sink:

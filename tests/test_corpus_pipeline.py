@@ -106,3 +106,27 @@ def test_fuzzy_dedup_step(corpus):
     ])
     kept = {r.doc_id for r in out.collect()}
     assert 2 not in kept and 1 in kept
+
+
+def test_multi_source_mixture_config(spark, sf_dir):
+    from greenmask_spark.pipeline import run_corpus_pipeline
+
+    cfg = {
+        "inputs": {
+            "a": {"table": "documents"},
+            "b": {"table": "documents"},
+        },
+        "mixture": {"rates": {"a": 1.0, "b": 0.5}},
+        "steps": [{"op": "hash_split"}],
+    }
+    out = run_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+    counts = {r.source_name: r["count"]
+              for r in out.groupBy("source_name").count().collect()}
+    n = counts["a"]
+    assert 0.3 * n < counts["b"] < 0.7 * n
+    assert "split" in out.columns
+
+    import pytest as _p
+    with _p.raises(ValueError, match="mixture.rates"):
+        run_corpus_pipeline(spark, {"inputs": {"a": {"table": "documents"}}},
+                            sf_dir=sf_dir)

@@ -958,3 +958,40 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
+
+
+def test_pack_sequences_properties(spark):
+    """Property: for arbitrary token-count multisets, packing (a) keeps
+    every doc exactly once, (b) never exceeds the budget for multi-doc
+    bins, (c) flags exactly the docs longer than the budget, and
+    (d) yields contiguous offsets in seq_pos order."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from greenmask_spark.functions.sampling import pack_sequences
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(st.integers(1, 1500), min_size=1, max_size=50),
+           st.integers(512, 2048))
+    def check(tokens, budget):
+        df = spark.createDataFrame(list(enumerate(tokens)),
+                                   ["doc_id", "n_tokens"])
+        out = pack_sequences(df, max_tokens=budget, n_packers=4)
+        rows = out.collect()
+        assert sorted(r.id for r in rows) == list(range(len(tokens)))
+        by_bin = {}
+        for r in rows:
+            by_bin.setdefault(r.seq_id, []).append(r)
+        for members in by_bin.values():
+            members.sort(key=lambda r: r.seq_pos)
+            if len(members) > 1:
+                assert sum(r.n_tokens for r in members) <= budget
+            off = 0
+            for r in members:
+                assert r.seq_offset == off
+                off += r.n_tokens
+        assert {r.id for r in rows if r.overflow} == \
+            {i for i, t in enumerate(tokens) if t > budget}
+
+    check()

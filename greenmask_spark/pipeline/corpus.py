@@ -172,6 +172,52 @@ def _step_pack_sequences(df: DataFrame, p: dict) -> DataFrame:
     return src.join(packed.drop(token_col), id_col)
 
 
+def _step_join_embeddings(df: DataFrame, p: dict) -> DataFrame:
+    """Attach an embedding column from a side table (vec_id ↔ id_col
+    equi-join). Needs pipeline context (spark/sf_dir) to resolve the
+    table — available when run via ``run_corpus_pipeline``."""
+    ctx = p.get("_context") or {}
+    if "spark" not in ctx:
+        raise ValueError("join_embeddings needs run_corpus_pipeline context")
+    emb = _load_input(
+        ctx["spark"],
+        {"table": p.get("table", "embeddings")} if "path" not in p
+        else {"path": p["path"], "format": p.get("format", "parquet")},
+        ctx.get("sf_dir"),
+    )
+    id_col = p.get("id_col", "doc_id")
+    emb = emb.select(
+        F.col(p.get("vec_id_col", "vec_id")).alias(id_col),
+        F.col(p.get("vec_col", "embedding")).alias(
+            p.get("out_col", "embedding")),
+    )
+    return df.join(emb, id_col, p.get("how", "inner"))
+
+
+def _step_semantic_dedup(df: DataFrame, p: dict) -> DataFrame:
+    """SemDeDup over a previously-joined embedding column; centroids are
+    the deterministic hash grid (dim is required — the pipeline never
+    runs an action to infer it)."""
+    from greenmask_spark.functions.similarity import (
+        hash_centroids,
+        semantic_dedup,
+    )
+
+    if "dim" not in p:
+        raise ValueError("semantic_dedup needs 'dim' (embedding width)")
+    cents = hash_centroids(
+        int(p["dim"]), int(p.get("n_centroids", 16)), int(p.get("seed", 42))
+    )
+    return semantic_dedup(
+        df,
+        cents,
+        threshold=float(p.get("threshold", 0.95)),
+        id_col=p.get("id_col", "doc_id"),
+        vec_col=p.get("vec_col", "embedding"),
+        n_blocks=int(p.get("n_blocks", 2)),
+    )
+
+
 CORPUS_STEPS: dict[str, Step] = {
     "dedup_exact": _step_dedup_exact,
     "dedup_lines": _step_dedup_lines,
@@ -182,10 +228,14 @@ CORPUS_STEPS: dict[str, Step] = {
     "hash_split": _step_hash_split,
     "hash_sample": _step_hash_sample,
     "pack_sequences": _step_pack_sequences,
+    "join_embeddings": _step_join_embeddings,
+    "semantic_dedup": _step_semantic_dedup,
 }
 
 
-def build_corpus_pipeline(df: DataFrame, steps: list[dict]) -> DataFrame:
+def build_corpus_pipeline(
+    df: DataFrame, steps: list[dict], context: dict | None = None
+) -> DataFrame:
     """Compose the step list into one lazy plan. Unknown ops and
     non-dict steps fail fast — config errors surface before any Spark
     job runs (the reference validates config up front the same way)."""
@@ -200,6 +250,8 @@ def build_corpus_pipeline(df: DataFrame, steps: list[dict]) -> DataFrame:
     out = df
     for step in steps:
         params = {k: v for k, v in step.items() if k != "op"}
+        if context is not None:
+            params["_context"] = context
         out = CORPUS_STEPS[step["op"]](out, params)
     return out
 
@@ -249,7 +301,10 @@ def run_corpus_pipeline(
         )
     else:
         df = _load_input(spark, config.get("input") or {}, sf_dir)
-    out = build_corpus_pipeline(df, config.get("steps", []))
+    out = build_corpus_pipeline(
+        df, config.get("steps", []),
+        context={"spark": spark, "sf_dir": sf_dir},
+    )
     sink = config.get("output")
     if sink:
         fmt = sink.get("format", "parquet")

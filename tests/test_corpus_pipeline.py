@@ -130,3 +130,30 @@ def test_multi_source_mixture_config(spark, sf_dir):
     with _p.raises(ValueError, match="mixture.rates"):
         run_corpus_pipeline(spark, {"inputs": {"a": {"table": "documents"}}},
                             sf_dir=sf_dir)
+
+
+def test_semantic_dedup_step(spark, sf_dir):
+    from greenmask_spark.pipeline import run_corpus_pipeline
+
+    cfg = {
+        "input": {"table": "documents"},
+        "steps": [
+            {"op": "join_embeddings", "table": "embeddings"},
+            {"op": "semantic_dedup", "dim": 64, "threshold": 0.9},
+        ],
+    }
+    out = run_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+    n_docs = run_corpus_pipeline(
+        spark, {"input": {"table": "documents"}, "steps": []}, sf_dir=sf_dir
+    ).count()
+    n = out.count()
+    assert 0 < n <= n_docs
+    assert "embedding" in out.columns and "text" in out.columns
+
+    import pytest as _p
+    with _p.raises(ValueError, match="dim"):
+        run_corpus_pipeline(spark, {
+            "input": {"table": "documents"},
+            "steps": [{"op": "join_embeddings"},
+                      {"op": "semantic_dedup"}],
+        }, sf_dir=sf_dir)

@@ -995,3 +995,59 @@ def test_pack_sequences_properties(spark):
             {i for i, t in enumerate(tokens) if t > budget}
 
     check()
+
+
+def test_asof_join_vs_pandas(spark):
+    """Backward/forward/tolerance semantics must match pandas.merge_asof
+    (by key, inclusive, nearest-not-beyond) on random data."""
+    import numpy as np
+    import pandas as pd
+
+    from greenmask_spark.functions.asof import asof_join
+
+    rng = np.random.default_rng(21)
+    left_pd = pd.DataFrame({
+        "k": rng.integers(0, 4, 60),
+        "ts": rng.choice(np.arange(0, 1000), 60, replace=False).astype("int64"),
+        "v": np.arange(60),
+    })
+    right_pd = pd.DataFrame({
+        "k": rng.integers(0, 4, 30),
+        "ts": rng.choice(np.arange(0, 1000), 30, replace=False).astype("int64"),
+        "price": rng.normal(size=30).round(3),
+    })
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 100):
+            got = asof_join(left, right, on="k", direction=direction,
+                            tolerance=tol).toPandas()
+            exp = pd.merge_asof(
+                left_pd.sort_values("ts"),
+                right_pd.sort_values("ts").rename(columns={"ts": "ts_right"}),
+                left_on="ts", right_on="ts_right", by="k",
+                direction=direction,
+                **({"tolerance": tol} if tol is not None else {}),
+            )
+            g = got.sort_values("v").reset_index(drop=True)
+            e = exp.sort_values("v").reset_index(drop=True)
+            for col in ("price", "ts_right"):
+                ga, ea = g[col].to_numpy(), e[col].to_numpy()
+                both_nan = pd.isna(ga) & pd.isna(ea)
+                assert (both_nan | (ga == ea)).all(), (direction, tol, col)
+
+
+def test_asof_join_name_collision_and_validation(spark):
+    import pytest as _p
+
+    from greenmask_spark.functions.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "a")], "k long, ts long, v string")
+    right = spark.createDataFrame([(1, 5, "b")], "k long, ts long, v string")
+    out = asof_join(left, right, on="k")
+    assert {"k", "ts", "v", "v_right", "ts_right"} == set(out.columns)
+    r = out.collect()[0]
+    assert r.v == "a" and r.v_right == "b" and r.ts_right == 5
+    with _p.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", direction="nearest")

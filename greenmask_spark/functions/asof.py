@@ -103,3 +103,51 @@ def asof_join(
             F.when(fresh, F.col(ts_out)).alias(ts_out),
         )
     return res.drop("__t", "__side")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_size: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (``start ≤ p < end``) via bucketing.
+
+    Spark plans a bare range predicate as BroadcastNestedLoopJoin —
+    O(|P|·|I|). Bucketizing turns it into an equi-join: points key on
+    ``floor(p / bucket_size)``; each interval replicates to every bucket
+    it overlaps; the residual range filter runs post-join. Work becomes
+    O(|P| + |I|·avg_span/bucket_size + matches); pick bucket_size near
+    the median interval length so replication stays ~2×.
+
+    ``how="left"`` keeps unmatched points with NULL interval columns
+    (dedup to at most one match is the caller's job — overlapping
+    intervals legitimately multiply rows, exactly like SQL)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how {how!r}: inner|left")
+    p_b = points.withColumn(
+        "__b", F.floor(F.col(point_col) / F.lit(bucket_size)).cast("long")
+    )
+    i_b = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_size)).cast("long"),
+                # end is exclusive: an interval ending exactly on a bucket
+                # boundary does not reach into the next bucket
+                F.floor(
+                    (F.col(end_col) - F.lit(1)) / F.lit(bucket_size)
+                ).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (p_b["__b"] == i_b["__b"])
+        & (i_b[start_col] <= p_b[point_col])
+        & (p_b[point_col] < i_b[end_col])
+    )
+    joined = p_b.join(i_b, cond, how).drop("__b")
+    return joined

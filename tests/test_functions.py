@@ -1051,3 +1051,29 @@ def test_asof_join_name_collision_and_validation(spark):
     assert r.v == "a" and r.v_right == "b" and r.ts_right == 5
     with _p.raises(ValueError, match="direction"):
         asof_join(left, right, on="k", direction="nearest")
+
+
+def test_range_join_vs_bruteforce(spark):
+    import random
+
+    from greenmask_spark.functions.asof import range_join
+
+    rng = random.Random(3)
+    pts = [(i, rng.randrange(0, 500)) for i in range(80)]
+    ivs = []
+    for j in range(25):
+        s = rng.randrange(0, 480)
+        ivs.append((j, s, s + rng.randrange(1, 120)))
+    p = spark.createDataFrame(pts, ["pid", "t"])
+    iv = spark.createDataFrame(ivs, ["iid", "start", "end"])
+    expected = {(pid, iid) for pid, t in pts for iid, s, e in ivs
+                if s <= t < e}
+    for bs in (16, 64, 1000):
+        got = {(r.pid, r.iid)
+               for r in range_join(p, iv, "t", bucket_size=bs).collect()}
+        assert got == expected, bs
+    # left join keeps unmatched points
+    left = range_join(p, iv, "t", bucket_size=64, how="left").collect()
+    matched_pids = {pid for pid, _ in expected}
+    null_pids = {r.pid for r in left if r.iid is None}
+    assert null_pids == {pid for pid, _ in pts} - matched_pids

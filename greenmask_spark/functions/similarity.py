@@ -606,3 +606,29 @@ def semantic_dedup(
         .select(F.col("node").alias(id_col))
     )
     return df.join(dupes, id_col, "left_anti")
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> float:
+    """Mean per-query recall of an approximate top-k result against the
+    exact one (both in the (query_id, neighbor_id, ...) shape the topk
+    operators emit) — the ANN quality dial for tuning n_planes /
+    n_centroids / n_probe. Two small aggregations; the only driver
+    value is the final scalar."""
+    e = exact.select(query_col, neighbor_col)
+    a = approx.select(query_col, neighbor_col)
+    hit = e.join(a, [query_col, neighbor_col], "left_semi")
+    per_q = (
+        e.groupBy(query_col).agg(F.count("*").alias("n"))
+        .join(
+            hit.groupBy(query_col).agg(F.count("*").alias("h")),
+            query_col, "left",
+        )
+        .select((F.coalesce(F.col("h"), F.lit(0)) / F.col("n")).alias("r"))
+    )
+    row = per_q.agg(F.avg("r")).first()
+    return float(row[0]) if row[0] is not None else 0.0

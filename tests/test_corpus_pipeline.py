@@ -157,3 +157,33 @@ def test_semantic_dedup_step(spark, sf_dir):
             "steps": [{"op": "join_embeddings"},
                       {"op": "semantic_dedup"}],
         }, sf_dir=sf_dir)
+
+
+def test_expression_steps_work_on_streams(spark, sf_dir, tmp_path):
+    """Expression-only corpus steps (quality filter, PII scrub, split)
+    compose onto a STREAMING DataFrame unchanged — the pipeline is plan
+    construction, not execution, so Structured Streaming accepts it."""
+    import shutil
+
+    from greenmask_spark.pipeline import build_corpus_pipeline
+    from greenmask_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    src = str(tmp_path / "docs_src")
+    docs.limit(50).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = build_corpus_pipeline(stream, [
+        {"op": "quality_filter", "min_tokens": 1},
+        {"op": "scrub_pii"},
+        {"op": "hash_split"},
+    ])
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("corpus_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM corpus_stream").collect()
+    finally:
+        q.stop()
+    assert 0 < len(rows) <= 50
+    assert all(r.split in ("train", "val", "test") for r in rows)

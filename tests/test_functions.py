@@ -1077,3 +1077,14 @@ def test_range_join_vs_bruteforce(spark):
     matched_pids = {pid for pid, _ in expected}
     null_pids = {r.pid for r in left if r.iid is None}
     assert null_pids == {pid for pid, _ in pts} - matched_pids
+
+
+def test_recall_at_k(spark):
+    from greenmask_spark.functions.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], ["query_id", "neighbor_id"])
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)], ["query_id", "neighbor_id"])
+    assert recall_at_k(approx, exact) == 0.75  # (1/2 + 2/2) / 2
+    assert recall_at_k(exact, exact) == 1.0

@@ -1,0 +1,102 @@
+"""Web-corpus hygiene operators: URL normalization, domain extraction,
+blocklist filtering, per-domain caps — the CommonCrawl-style curation
+stages that run before text-level dedup in a training-data pipeline.
+
+All pure Column expressions except the per-domain cap (one keyed
+window). No Python, no UDFs — these run inside whole-stage codegen at
+scan bandwidth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: query parameters that are tracking noise, not content identity
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "ref", "igshid",
+)
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL for dedup keys: lowercase scheme+host, default
+    ports dropped, tracking params removed, fragment stripped, trailing
+    slash normalized. Two URLs that normalize equal are the same fetch
+    for dedup purposes."""
+    # drop the fragment, then lowercase scheme://host[:port] while
+    # leaving path/query case alone (reassembled from two extracts)
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    scheme_host = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    rest = F.expr(
+        "substring(regexp_replace(trim(url), '#.*$', ''), "
+        "length(regexp_extract(regexp_replace(trim(url), '#.*$', ''), "
+        "'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1)"
+    )
+    u = F.concat(scheme_host, rest)
+    # default ports
+    u = F.regexp_replace(u, r"^(https?://[^/:?#]+):(80|443)(/|\?|$)", r"$1$3")
+    # tracking params (leading or mid-query), then dangling separators
+    for p in TRACKING_PARAMS:
+        u = F.regexp_replace(u, r"([?&])" + p + r"=[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"&&+", "&")        # mid-query && from removals
+    u = F.regexp_replace(u, r"\?&+", "?")       # query-start ?&
+    u = F.regexp_replace(u, r"[?&]$", "")        # trailing separator
+    # trailing slash on a bare path
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", r"$1")
+    return u
+
+
+def url_domain(url: Column, registered_only: bool = False) -> Column:
+    """Hostname of a URL (port stripped, lowercased). With
+    ``registered_only`` keep the last two labels — a pragmatic eTLD+1
+    without a public-suffix table (co.uk-style suffixes need the real
+    PSL; document the limitation rather than ship a wrong one)."""
+    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    if registered_only:
+        host = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return host
+
+
+def filter_blocklist(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str | None = None,
+) -> DataFrame:
+    """Drop rows whose domain appears in a blocklist table (single
+    ``domain`` column). Blocklists are small → broadcast anti-join; the
+    corpus never shuffles."""
+    dom = (
+        F.col(domain_col) if domain_col else url_domain(F.col(url_col))
+    )
+    tagged = df.withColumn("__dom", dom)
+    bl = blocklist.select(F.lower(F.col("domain")).alias("__dom")).distinct()
+    return tagged.join(F.broadcast(bl), "__dom", "left_anti").drop("__dom")
+
+
+def cap_per_domain(
+    df: DataFrame,
+    max_docs: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``max_docs`` documents per domain, chosen by a
+    deterministic salted-hash ranking (NOT first-k in file order, which
+    biases toward crawl ordering).
+
+    Scale shape: one window over partitionBy(domain). A mega-domain
+    serializes its rank into one task; for corpora where one domain is
+    a double-digit percentage of rows, pre-filter it with
+    ``hash_sample`` at rate ≈ max_docs/|domain| first (two-pass cap) —
+    the window then ranks a bounded remnant."""
+    u = F.sha2(
+        F.concat(F.col(key_col).cast("string"), F.lit(f":cap:{seed}")), 256
+    )
+    w = Window.partitionBy(domain_col).orderBy(u, F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_docs)
+        .drop("__rk")
+    )

@@ -218,6 +218,54 @@ def _step_semantic_dedup(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_normalize_urls(df: DataFrame, p: dict) -> DataFrame:
+    """Rewrite a URL column to canonical form; optionally derive a
+    domain column (the key for blocklists / caps)."""
+    from greenmask_spark.functions.web import normalize_url, url_domain
+
+    url_col = p.get("url_col", "url")
+    out = df.withColumn(url_col, normalize_url(F.col(url_col)))
+    if p.get("domain_col"):
+        out = out.withColumn(
+            p["domain_col"],
+            url_domain(F.col(url_col),
+                       registered_only=bool(p.get("registered_only", False))),
+        )
+    return out
+
+
+def _step_blocklist(df: DataFrame, p: dict) -> DataFrame:
+    """Drop docs from blocked domains; ``domains`` inline list or a
+    {table/path} spec resolved through pipeline context."""
+    from greenmask_spark.functions.web import filter_blocklist
+
+    if "domains" in p:
+        spark = df.sparkSession
+        bl = spark.createDataFrame(
+            [(str(d),) for d in p["domains"]], ["domain"])
+    else:
+        ctx = p.get("_context") or {}
+        if "spark" not in ctx or "source" not in p:
+            raise ValueError("blocklist needs 'domains' or a 'source' spec")
+        bl = _load_input(ctx["spark"], p["source"], ctx.get("sf_dir"))
+    return filter_blocklist(
+        df, bl, url_col=p.get("url_col", "url"),
+        domain_col=p.get("domain_col"),
+    )
+
+
+def _step_cap_per_domain(df: DataFrame, p: dict) -> DataFrame:
+    from greenmask_spark.functions.web import cap_per_domain
+
+    return cap_per_domain(
+        df,
+        int(p["max_docs"]),
+        domain_col=p.get("domain_col", "source"),
+        key_col=p.get("id_col", "doc_id"),
+        seed=int(p.get("seed", 42)),
+    )
+
+
 CORPUS_STEPS: dict[str, Step] = {
     "dedup_exact": _step_dedup_exact,
     "dedup_lines": _step_dedup_lines,
@@ -230,6 +278,9 @@ CORPUS_STEPS: dict[str, Step] = {
     "pack_sequences": _step_pack_sequences,
     "join_embeddings": _step_join_embeddings,
     "semantic_dedup": _step_semantic_dedup,
+    "normalize_urls": _step_normalize_urls,
+    "blocklist": _step_blocklist,
+    "cap_per_domain": _step_cap_per_domain,
 }
 
 

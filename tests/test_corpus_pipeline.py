@@ -187,3 +187,24 @@ def test_expression_steps_work_on_streams(spark, sf_dir, tmp_path):
         q.stop()
     assert 0 < len(rows) <= 50
     assert all(r.split in ("train", "val", "test") for r in rows)
+
+
+def test_web_hygiene_steps(spark):
+    from greenmask_spark.pipeline import build_corpus_pipeline
+
+    docs = spark.createDataFrame(
+        [(i,
+          f"https://{'Bad.com' if i % 2 else 'good.org'}/x?utm_source=s&p={i}",
+          f"text {i}")
+         for i in range(20)],
+        ["doc_id", "url", "text"],
+    )
+    out = build_corpus_pipeline(docs, [
+        {"op": "normalize_urls", "domain_col": "domain"},
+        {"op": "blocklist", "domains": ["bad.com"], "domain_col": "domain"},
+        {"op": "cap_per_domain", "max_docs": 3, "domain_col": "domain"},
+    ])
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r.domain == "good.org" for r in rows)
+    assert all("utm_source" not in r.url for r in rows)

@@ -1088,3 +1088,54 @@ def test_recall_at_k(spark):
         [(1, 10), (1, 99), (2, 20), (2, 21)], ["query_id", "neighbor_id"])
     assert recall_at_k(approx, exact) == 0.75  # (1/2 + 2/2) / 2
     assert recall_at_k(exact, exact) == 1.0
+
+
+def test_normalize_url_and_domain(spark):
+    from pyspark.sql import functions as F
+
+    from greenmask_spark.functions.web import normalize_url, url_domain
+
+    cases = {
+        "HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag":
+            "https://example.com/Path/?q=1",
+        "http://example.com:80/": "http://example.com",
+        "https://sub.Example.com/a?gclid=z": "https://sub.example.com/a",
+        "https://example.com/a?q=1&utm_medium=m&r=2":
+            "https://example.com/a?q=1&r=2",
+        "https://example.com/a?utm_source=x": "https://example.com/a",
+        "https://example.com/Path/Sub": "https://example.com/Path/Sub",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["url"])
+    got = {r.url: r.n for r in df.select(
+        "url", normalize_url(F.col("url")).alias("n")).collect()}
+    assert got == cases
+    doms = {r.url: (r.d, r.reg) for r in df.select(
+        "url",
+        url_domain(F.col("url")).alias("d"),
+        url_domain(F.col("url"), registered_only=True).alias("reg"),
+    ).collect()}
+    assert doms["https://sub.Example.com/a?gclid=z"] == (
+        "sub.example.com", "example.com")
+
+
+def test_blocklist_and_domain_cap(spark):
+    from greenmask_spark.functions.web import cap_per_domain, filter_blocklist
+
+    docs = spark.createDataFrame(
+        [(i, f"https://{'spam.com' if i % 3 == 0 else 'ok.org'}/p/{i}",
+          "spam.com" if i % 3 == 0 else "ok.org")
+         for i in range(30)],
+        ["doc_id", "url", "source"],
+    )
+    bl = spark.createDataFrame([("SPAM.com",)], ["domain"])
+    kept = filter_blocklist(docs, bl, url_col="url")
+    assert kept.count() == 20 and kept.columns == docs.columns
+
+    capped = cap_per_domain(docs, 5)
+    counts = {r.source: r["count"]
+              for r in capped.groupBy("source").count().collect()}
+    assert counts == {"spam.com": 5, "ok.org": 5}
+    # deterministic selection at any partitioning
+    a = {r.doc_id for r in capped.collect()}
+    b = {r.doc_id for r in cap_per_domain(docs.repartition(7), 5).collect()}
+    assert a == b

@@ -11,6 +11,14 @@ materializes until the sink).
 Example::
 
     steps:
+      - op: normalize_urls
+        domain_col: domain
+      - op: blocklist
+        domains: [spam.example]
+        domain_col: domain
+      - op: cap_per_domain
+        max_docs: 100000
+        domain_col: domain
       - op: dedup_exact
       - op: dedup_lines
       - op: quality_filter
@@ -20,11 +28,18 @@ Example::
         num_perm: 16
         bands: 4
         min_jaccard: 0.8
+      - op: join_embeddings
+      - op: semantic_dedup
+        dim: 64
       - op: scrub_pii
       - op: hash_split
         weights: {train: 0.98, val: 0.01, test: 0.01}
       - op: pack_sequences
         max_tokens: 4096
+
+Multi-source mixtures: replace ``input`` with ``inputs`` (name → spec)
+plus ``mixture: {rates: {...}}``. Expression-only steps also compose
+onto Structured Streaming inputs (see tests).
 
 Every step takes and returns a DataFrame with at least (doc_id, text);
 steps that add columns (split, seq_id, ...) document them below.

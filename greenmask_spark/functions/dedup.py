@@ -193,6 +193,7 @@ def ngram_jaccard(
     k: int = 5,
     strategy: str = "agg",
     broadcast_max_rows: int = 1_000_000,
+    reuse: str = "persist",
 ) -> DataFrame:
     """Exact hashed-k-shingle Jaccard for candidate pairs (verification).
 
@@ -272,11 +273,18 @@ def ngram_jaccard(
     # once per consumer (8 scans / 12 exchanges measured at sf0.01).
     # Both streams are (id, int) rows — a sliver of the corpus — and
     # MEMORY_AND_DISK spills rather than OOMs at scale. Lazy: no action
-    # happens at query construction.
-    from pyspark import StorageLevel
+    # happens at query construction. The cache entries live until the
+    # session drops them (LRU) — a long-lived session iterating over
+    # many corpora/thresholds should pass reuse="recompute" (or call
+    # spark.catalog.clearCache() between runs) to avoid accumulating
+    # dead cached partitions.
+    if reuse == "persist":
+        from pyspark import StorageLevel
 
-    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    elif reuse != "recompute":
+        raise ValueError(f"unknown reuse {reuse!r}: persist|recompute")
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     ex_a = ex.select(F.col("id").alias("id_a"), "h")
     ex_b = ex.select(F.col("id").alias("id_b"), "h")

@@ -72,17 +72,33 @@ def cosine_pd(a: Column, b: Column) -> Column:
     def _cos(sa: pd.Series, sb: pd.Series) -> pd.Series:
         if not len(sa):
             return pd.Series([], dtype="float64")
-        ma = np.array([np.asarray(v, dtype=np.float64) for v in sa])
-        mb = np.array([np.asarray(v, dtype=np.float64) for v in sb])
-        d = np.zeros(len(ma))
-        na = np.zeros(len(ma))
-        nb = np.zeros(len(ma))
-        for j in range(ma.shape[1]):  # sequential fold in dimension order
-            x, y = ma[:, j], mb[:, j]
-            d = d + x * y
-            na = na + x * x
-            nb = nb + y * y
-        return pd.Series(d / (np.sqrt(na) * np.sqrt(nb)))
+        # NULL or length-mismatched vectors yield NULL, exactly like the
+        # expression form (zip_with NULL-pads the shorter side, which
+        # turns the whole fold NULL) instead of crashing the task on a
+        # ragged matrix; valid rows batch by their common dimension
+        out = np.full(len(sa), np.nan)
+        pair_len = [
+            None if va is None or vb is None or len(va) != len(vb)
+            else len(va)
+            for va, vb in zip(sa, sb)
+        ]
+        for plen in set(p for p in pair_len if p is not None):
+            idx = [i for i, p in enumerate(pair_len) if p == plen]
+            ma = np.array([np.asarray(sa.iloc[i], dtype=np.float64)
+                           for i in idx])
+            mb = np.array([np.asarray(sb.iloc[i], dtype=np.float64)
+                           for i in idx])
+            d = np.zeros(len(idx))
+            na = np.zeros(len(idx))
+            nb = np.zeros(len(idx))
+            for j in range(plen):  # sequential fold in dimension order
+                x, y = ma[:, j], mb[:, j]
+                d = d + x * y
+                na = na + x * x
+                nb = nb + y * y
+            out[idx] = d / (np.sqrt(na) * np.sqrt(nb))
+        res = pd.Series(out)
+        return res.where([p is not None for p in pair_len], None)
 
     return _cos(a, b)
 

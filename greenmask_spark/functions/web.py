@@ -25,17 +25,17 @@ def normalize_url(url: Column) -> Column:
     slash normalized. Two URLs that normalize equal are the same fetch
     for dedup purposes."""
     # drop the fragment, then lowercase scheme://host[:port] while
-    # leaving path/query case alone (reassembled from two extracts)
+    # leaving path/query case alone (reassembled from two slices of the
+    # SAME column expression — never a hard-coded column name)
     u = F.regexp_replace(F.trim(url), r"#.*$", "")
-    scheme_host = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
-    rest = F.expr(
-        "substring(regexp_replace(trim(url), '#.*$', ''), "
-        "length(regexp_extract(regexp_replace(trim(url), '#.*$', ''), "
-        "'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1)"
-    )
-    u = F.concat(scheme_host, rest)
-    # default ports
-    u = F.regexp_replace(u, r"^(https?://[^/:?#]+):(80|443)(/|\?|$)", r"$1$3")
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substr(u, F.length(head) + F.lit(1))
+    u = F.concat(F.lower(head), rest)
+    # default ports, paired with their scheme (https on :80 is a
+    # DIFFERENT fetch than https on :443 — only the scheme's own
+    # default port is redundant)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80(/|\?|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443(/|\?|$)", r"$1$2")
     # tracking params (leading or mid-query), then dangling separators
     for p in TRACKING_PARAMS:
         u = F.regexp_replace(u, r"([?&])" + p + r"=[^&#]*", r"$1")

@@ -5,8 +5,12 @@ composed DataFrame plan over a documents table.
 The reference's config drives per-table transformer chains
 (internal/domains/config.go); this drives the corpus toolkit the same
 way: declarative steps, validated up front, lazily composed so Catalyst
-sees the whole pipeline (filters reorder/push down across steps; nothing
-materializes until the sink).
+sees the whole pipeline (filters reorder/push down across steps).
+Composition is lazy with two declared exceptions: ``fuzzy_dedup`` and
+``semantic_dedup`` contain an iterative connected-components fixpoint
+whose rounds EXECUTE during composition (eager checkpoints + a
+convergence probe per round) — place them after the cheap filters so
+the fixpoint runs on the already-reduced corpus.
 
 Example::
 

@@ -43,8 +43,28 @@ def _rows(conn, sql: str, params: tuple = ()) -> list[tuple]:
     return (res or cur).fetchall()
 
 
+def _placeholder(conn) -> str:
+    """The connection's DB-API paramstyle placeholder: psycopg2 is
+    pyformat (%s) — sending qmark '?' to PostgreSQL is a syntax error —
+    while duckdb/sqlite3 are qmark."""
+    import importlib
+
+    mod = type(conn).__module__.split(".")[0]
+    try:
+        style = getattr(importlib.import_module(mod), "paramstyle", "qmark")
+    except Exception:
+        style = "qmark"
+    return "%s" if style in ("pyformat", "format") else "?"
+
+
 def _introspect_ansi(conn, schema: str | None):
-    where = "WHERE table_schema = ?" if schema else ""
+    ph = _placeholder(conn)
+    # EVERY catalog view filters on the schema (and key maps key on
+    # (schema, constraint)): constraint names are only unique per
+    # schema, so an unfiltered key_column_usage merges same-named
+    # constraints from other schemas into corrupted column lists.
+    where = f"WHERE table_schema = {ph}" if schema else ""
+    cwhere = f"WHERE constraint_schema = {ph}" if schema else ""
     p = (schema,) if schema else ()
     cols = _rows(conn, f"""
         SELECT table_name, column_name, data_type, is_nullable,
@@ -53,18 +73,21 @@ def _introspect_ansi(conn, schema: str | None):
         ORDER BY table_name, ordinal_position
     """, p)
     cons = _rows(conn, f"""
-        SELECT table_name, constraint_name, constraint_type
+        SELECT constraint_schema, table_name, constraint_name,
+               constraint_type
         FROM information_schema.table_constraints {where}
     """, p)
-    kcu = _rows(conn, """
-        SELECT constraint_name, table_name, column_name, ordinal_position
-        FROM information_schema.key_column_usage
-        ORDER BY constraint_name, ordinal_position
-    """)
-    refs = _rows(conn, """
-        SELECT constraint_name, unique_constraint_name
-        FROM information_schema.referential_constraints
-    """)
+    kcu = _rows(conn, f"""
+        SELECT constraint_schema, constraint_name, table_name,
+               column_name, ordinal_position
+        FROM information_schema.key_column_usage {where}
+        ORDER BY constraint_schema, constraint_name, ordinal_position
+    """, p)
+    refs = _rows(conn, f"""
+        SELECT constraint_schema, constraint_name,
+               unique_constraint_schema, unique_constraint_name
+        FROM information_schema.referential_constraints {cwhere}
+    """, p)
 
     by_table: dict[str, list[dict]] = {}
     nullable: dict[tuple[str, str], bool] = {}
@@ -74,18 +97,20 @@ def _introspect_ansi(conn, schema: str | None):
         )
         nullable[(t, c)] = isnull == "YES"
 
-    kcu_cols: dict[str, list[tuple[str, str]]] = {}
-    for cname, t, c, _pos in kcu:
-        kcu_cols.setdefault(cname, []).append((t, c))
+    kcu_cols: dict[tuple, list[tuple[str, str]]] = {}
+    for cs, cname, t, c, _pos in kcu:
+        kcu_cols.setdefault((cs, cname), []).append((t, c))
 
     pk: dict[str, list[str]] = {}
-    con_table = {cname: t for t, cname, _ in cons}
-    for t, cname, ctype in cons:
+    con_table = {(cs, cname): t for cs, t, cname, _ in cons}
+    for cs, t, cname, ctype in cons:
         if ctype == "PRIMARY KEY":
-            pk[t] = [c for (_t, c) in kcu_cols.get(cname, ())]
+            pk[t] = [c for (_t, c) in kcu_cols.get((cs, cname), ())]
 
     references: list[Reference] = []
-    for fk_name, uniq_name in refs:
+    for fk_schema, fk_name_only, uniq_schema, uniq_name_only in refs:
+        fk_name = (fk_schema, fk_name_only)
+        uniq_name = (uniq_schema, uniq_name_only)
         child_cols = kcu_cols.get(fk_name, [])
         parent_cols = kcu_cols.get(uniq_name, [])
         if not child_cols or not parent_cols:

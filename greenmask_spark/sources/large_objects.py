@@ -98,17 +98,21 @@ def paginate_large_objects(
     the restore-side inverse; feeds the INSERT sink without any blob ever
     touching the driver. Empty blobs emit a single empty page 0 (matching
     a zero-length large object created by lo_create)."""
+    src = blobs.select(
+        F.col(loid_col).alias("loid"), F.col(data_col).alias("__data")
+    )
     n_pages = F.greatest(
-        F.ceil(F.length(F.col(data_col)) / F.lit(page_size)), F.lit(1)
+        F.ceil(F.length(F.col("__data")) / F.lit(page_size)), F.lit(1)
     ).cast("int")
-    return blobs.select(
-        F.col(loid_col).alias("loid"),
+    return src.select(
+        "loid",
+        "__data",
         F.explode(F.sequence(F.lit(0), n_pages - 1)).alias("pageno"),
-    ).join(blobs.select(loid_col, data_col), loid_col).select(
+    ).select(
         "loid",
         "pageno",
         F.expr(
-            f"substring({data_col}, pageno * {page_size} + 1, {page_size})"
+            f"substring(__data, pageno * {page_size} + 1, {page_size})"
         ).alias("data"),
     )
 
@@ -173,5 +177,10 @@ def read_large_object_dump(
         with open(path, "rb") as fh:
             return (oid, fh.read())
 
+    schema = "loid long, data binary"
+    if not entries:
+        # empty dump (zero blobs) is legitimate — toDF cannot infer a
+        # schema from an empty RDD, so build the empty frame explicitly
+        return spark.createDataFrame([], schema)
     rdd = spark.sparkContext.parallelize(entries, max(1, len(entries) // 64))
-    return rdd.map(read_one).toDF(["loid", "data"])
+    return rdd.map(read_one).toDF(schema)

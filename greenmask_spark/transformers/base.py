@@ -78,7 +78,16 @@ def resolve_param(v: Any) -> Column:
         if cast_to:
             c = CAST_FUNCTIONS[cast_to](c)
         if "default_value" in v:
-            c = F.when(src.isNull(), F.lit(v["default_value"])).otherwise(c)
+            dv = F.lit(v["default_value"])
+            if cast_to:
+                # the default bypasses template/cast (dynamic_parameter.go
+                # Value(): usedDefaultValue skips both) but IS decoded to
+                # the parameter's expected type (getValue) — run it through
+                # the same cast helper so the when/otherwise branches agree
+                # in type; otherwise a string default against a cast-to-int
+                # branch coerces the WHOLE parameter to string
+                dv = CAST_FUNCTIONS[cast_to](dv.cast("string"))
+            c = F.when(src.isNull(), dv).otherwise(c)
         return c
     return F.lit(v)
 

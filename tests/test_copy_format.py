@@ -232,3 +232,25 @@ def test_write_dump_with_blobs(spark, tables, tmp_path):
     back = {r.loid: bytes(r.data)
             for r in read_large_object_dump(spark, out + "/blobs").collect()}
     assert back == {7: b"abc", 8: b""}
+
+
+def test_large_object_nondefault_columns_and_empty_dump(spark, tmp_path):
+    from greenmask_spark.sources.large_objects import (
+        dump_large_objects,
+        paginate_large_objects,
+        read_large_object_dump,
+        reassemble_large_objects,
+    )
+
+    blobs = spark.createDataFrame([(5, b"xyz" * 1000)],
+                                  "oid long, payload binary")
+    pages = paginate_large_objects(blobs, loid_col="oid", data_col="payload")
+    back = reassemble_large_objects(pages).collect()
+    assert bytes(back[0].data) == b"xyz" * 1000
+
+    out = str(tmp_path / "noblobs")
+    n = dump_large_objects(
+        spark.createDataFrame([], "loid long, data binary"), out)
+    assert n == 0
+    empty = read_large_object_dump(spark, out)
+    assert empty.count() == 0 and empty.columns == ["loid", "data"]

@@ -1139,3 +1139,63 @@ def test_blocklist_and_domain_cap(spark):
     a = {r.doc_id for r in capped.collect()}
     b = {r.doc_id for r in cap_per_domain(docs.repartition(7), 5).collect()}
     assert a == b
+
+
+def test_dynamic_param_default_type_agrees_with_cast(spark):
+    """A STRING default (how YAML configs often arrive) against a
+    cast-to-int branch must not coerce the parameter to string."""
+    from greenmask_spark.transformers.base import resolve_param
+
+    df = spark.createDataFrame(
+        [(1, "10"), (2, None)], "id long, src string")
+    p = resolve_param({
+        "column": "src", "cast_to": "StringToInt", "default_value": "50"})
+    out = df.select(p.alias("o")).orderBy("id")
+    assert dict(out.dtypes)["o"] in ("int", "bigint")
+    assert [r.o for r in out.collect()] == [10, 50]
+
+
+def test_cosine_pd_null_and_ragged(spark):
+    """NULL / length-mismatched vectors → NULL, matching the expression
+    form — never a task crash."""
+    from pyspark.sql import functions as F
+
+    from greenmask_spark.functions.similarity import cosine, cosine_pd
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], [3.0, 4.0]),
+         (2, None, [3.0, 4.0]),
+         (3, [1.0, 2.0], None),
+         (4, [1.0, 2.0, 3.0], [1.0, 2.0])],
+        "id long, a array<double>, b array<double>")
+    rows = df.select(
+        "id",
+        cosine(F.col("a"), F.col("b")).alias("expr"),
+        cosine_pd(F.col("a"), F.col("b")).alias("pd"),
+    ).orderBy("id").collect()
+    for r in rows:
+        assert r.expr == r.pd, r
+    assert rows[0].pd is not None and rows[1].pd is None \
+        and rows[2].pd is None and rows[3].pd is None
+
+
+def test_normalize_url_renamed_column_and_scheme_ports(spark):
+    """The URL expression must derive every part from the passed Column
+    (a decoy column named 'url' must not leak in), and default-port
+    stripping must be scheme-paired."""
+    from pyspark.sql import functions as F
+
+    from greenmask_spark.functions.web import normalize_url
+
+    df = spark.createDataFrame(
+        [("https://Example.com:443/Keep?utm_source=x", "http://decoy/zzz"),
+         ("https://example.com:80/x", "d"),
+         ("http://example.com:443/x", "d")],
+        ["page_url", "url"])
+    got = [r.n for r in df.select(
+        normalize_url(F.col("page_url")).alias("n")).collect()]
+    assert got == [
+        "https://example.com/Keep",
+        "https://example.com:80/x",   # https on :80 is a distinct fetch
+        "http://example.com:443/x",   # http on :443 likewise
+    ]

@@ -286,3 +286,54 @@ def test_catalog_graph_drives_subset_planner(spark, tables):
               == tables["customer"]["c_custkey"], "left_semi")
     )
     assert out["orders"].count() == want.count()
+
+
+def test_catalog_cross_schema_isolation():
+    """Same-named tables/constraints in another schema must not corrupt
+    the introspected PK/FK column lists (constraint names are only
+    unique per schema)."""
+    import duckdb
+
+    from greenmask_spark.sources.catalog import introspect_catalog
+
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA archive")
+    for sch in ("main", "archive"):
+        # unqualified REFERENCES inside USE: duckdb's
+        # referential_constraints view omits schema-qualified REFERENCES
+        con.execute(f"USE {sch}" if sch != "main" else "USE memory.main")
+        con.execute("""
+            CREATE TABLE parents (
+                id BIGINT, CONSTRAINT parents_pk PRIMARY KEY (id))
+        """)
+        con.execute("""
+            CREATE TABLE kids (
+                kid BIGINT PRIMARY KEY, pid BIGINT,
+                CONSTRAINT kids_fk FOREIGN KEY (pid)
+                    REFERENCES parents (id))
+        """)
+    con.execute("USE memory.main")
+    tables, refs = introspect_catalog(con, schema="main")
+    by_name = {t.name: t for t in tables}
+    assert by_name["parents"].primary_key == ["id"]  # not duplicated
+    assert len(refs) == 1
+    assert refs[0].fk_columns == ("pid",) and refs[0].pk_columns == ("id",)
+
+
+def test_catalog_placeholder_detection():
+    import sys
+    import types
+
+    from greenmask_spark.sources.catalog import _placeholder
+
+    fake = types.ModuleType("fakepg")
+    fake.paramstyle = "pyformat"
+    sys.modules["fakepg"] = fake
+    try:
+        FakeConn = type("Connection", (), {})
+        FakeConn.__module__ = "fakepg"
+        assert _placeholder(FakeConn()) == "%s"
+    finally:
+        del sys.modules["fakepg"]
+    import sqlite3
+    assert _placeholder(sqlite3.connect(":memory:")) == "?"

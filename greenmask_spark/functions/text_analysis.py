@@ -436,3 +436,58 @@ def analyze(
         )
         .drop("wfp", *([] if has_id else ["__aid"]))
     )
+
+
+def corpus_summary(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Per-group corpus report (the Dolma-style curation summary):
+    document count, token totals/percentiles, mean quality, and the
+    dominant language with its share. One scan + one map-side-combined
+    aggregation; exact percentiles use Spark's native percentile
+    aggregate (switch to percentile_approx when a single group's token
+    multiset would dominate reducer memory at extreme scale).
+    """
+    t = F.col(text_col)
+    per_doc = df.select(
+        *group_cols,
+        token_count(t).alias("__nt"),
+        quality_score(t).alias("__q"),
+        lang_id(t).alias("__lang"),
+    )
+    base = per_doc.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.round(F.avg("__nt"), 2).alias("avg_tokens"),
+        F.expr("CAST(percentile(__nt, 0.5) AS BIGINT)").alias("p50_tokens"),
+        F.expr("CAST(percentile(__nt, 0.95) AS BIGINT)").alias("p95_tokens"),
+        F.round(F.avg("__q"), 4).alias("avg_quality"),
+    )
+    from pyspark.sql import Window
+
+    lang = (
+        per_doc.groupBy(*group_cols, "__lang").count()
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(*group_cols)
+                .orderBy(F.desc("count"), F.asc("__lang"))
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select(
+            *group_cols,
+            F.col("__lang").alias("top_lang"),
+            F.col("count").alias("top_lang_docs"),
+        )
+    )
+    return (
+        base.join(lang, list(group_cols))
+        .withColumn(
+            "top_lang_share",
+            F.round(F.col("top_lang_docs") / F.col("n_docs"), 4),
+        )
+        .drop("top_lang_docs")
+    )

@@ -1199,3 +1199,18 @@ def test_normalize_url_renamed_column_and_scheme_ports(spark):
         "https://example.com:80/x",   # https on :80 is a distinct fetch
         "http://example.com:443/x",   # http on :443 likewise
     ]
+
+
+def test_corpus_summary(spark, sf_dir):
+    from greenmask_spark.functions.text_analysis import corpus_summary
+    from greenmask_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    rep = corpus_summary(docs).collect()
+    assert len(rep) == docs.select("source").distinct().count()
+    for r in rep:
+        assert r.n_docs > 0 and r.total_tokens > 0
+        assert r.p50_tokens <= r.p95_tokens
+        assert 0 < r.top_lang_share <= 1.0
+        assert r.top_lang is not None
+    assert sum(r.n_docs for r in rep) == docs.count()

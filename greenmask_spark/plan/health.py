@@ -1,0 +1,89 @@
+"""Physical-plan health introspection: the node counts that matter at
+100 TB, from a walk of the AQE-final executed plan tree.
+
+Counting from the plan's STRING form over-reports: toString inlines
+every cached relation's fill plan at each InMemoryTableScan reference
+and repeats reused exchanges. The walk descends AQE stages, stops at
+ReusedExchange, and audits each distinct cached relation's fill plan
+exactly once (it executes once per query — that is the point of a
+persist).
+
+Use ``plan_health(df)`` after running (or at least counting) the frame
+so AQE has finalized; ``tools/plan_audit.py`` applies this to every
+driver query and writes PLANS.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+PY_NODES = {
+    "ArrowEvalPythonExec", "BatchEvalPythonExec", "MapInPandasExec",
+    "FlatMapGroupsInPandasExec", "FlatMapGroupsInPandasWithStateExec",
+    "MapInBatchExec",
+}
+
+_STAGES = (
+    "ShuffleQueryStageExec", "BroadcastQueryStageExec",
+    "TableCacheQueryStageExec", "ResultQueryStageExec",
+)
+
+
+def _walk(node, out, seen, jvm):
+    cls = node.getClass().getSimpleName()
+    # AQE reuses stage OBJECTS (same QueryStageExec under several
+    # parents) — visit each physical node once
+    nid = jvm.System.identityHashCode(node)
+    if nid in seen:
+        return
+    seen.add(nid)
+    out.append(node)
+    if cls == "AdaptiveSparkPlanExec":
+        _walk(node.executedPlan(), out, seen, jvm)
+        return
+    if cls in _STAGES:
+        _walk(node.plan(), out, seen, jvm)
+        return
+    if cls == "ReusedExchangeExec":
+        return  # physical reuse: the referenced exchange counts once
+    if cls == "InMemoryTableScanExec":
+        rel = node.relation()
+        rid = jvm.System.identityHashCode(rel)
+        if rid not in seen:
+            seen.add(rid)
+            _walk(rel.cachedPlan(), out, seen, jvm)
+        return
+    cs = node.children()
+    for i in range(cs.size()):
+        _walk(cs.apply(i), out, seen, jvm)
+
+
+def plan_health(df: DataFrame) -> dict:
+    """Counts for the executed plan: shuffles, broadcasts, sort-merge
+    joins, Python boundaries, codegen spans, parquet scans (+ pushed
+    filters), cache reads."""
+    jvm = df.sparkSession._jvm
+    nodes: list = []
+    _walk(df._jdf.queryExecution().executedPlan(), nodes, set(), jvm)
+    counts = {"shuffles": 0, "bcasts": 0, "smj": 0, "python": 0,
+              "codegen": 0, "scans": 0, "pushed": 0, "cache_reads": 0}
+    for n in nodes:
+        cls = n.getClass().getSimpleName()
+        if cls == "ShuffleExchangeExec":
+            counts["shuffles"] += 1
+        elif cls == "BroadcastExchangeExec":
+            counts["bcasts"] += 1
+        elif cls == "SortMergeJoinExec":
+            counts["smj"] += 1
+        elif cls in PY_NODES:
+            counts["python"] += 1
+        elif cls == "WholeStageCodegenExec":
+            counts["codegen"] += 1
+        elif cls == "InMemoryTableScanExec":
+            counts["cache_reads"] += 1
+        elif cls == "FileSourceScanExec":
+            counts["scans"] += 1
+            s = n.simpleString(4000)
+            if "PushedFilters: [" in s and "PushedFilters: []" not in s:
+                counts["pushed"] += 1
+    return counts

@@ -176,3 +176,23 @@ def test_table_when_helper_hidden_from_template_env(spark):
     }]})[0]
     out = apply_plan(df, plan).collect()[0]
     assert out.name == "id,name", out.name
+
+
+def test_plan_health_counts(spark, tables):
+    """plan_health counts real executed-plan nodes; a cached subplan is
+    audited once plus per-consumer cache reads."""
+    from pyspark.sql import functions as F
+
+    from greenmask_spark.plan.health import plan_health
+
+    df = tables["nation"].groupBy("n_regionkey").count()
+    df.count()
+    h = plan_health(df)
+    assert h["shuffles"] >= 1 and h["scans"] == 1 and h["python"] == 0
+
+    cached = tables["nation"].select("n_nationkey").persist()
+    two = cached.union(cached)
+    two.count()
+    h2 = plan_health(two)
+    assert h2["cache_reads"] == 2 and h2["scans"] == 1  # fill counted once
+    cached.unpersist()

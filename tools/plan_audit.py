@@ -28,69 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod  # noqa: E402
 from greenmask_spark.session import get_spark  # noqa: E402
 
-PY_NODES = {
-    "ArrowEvalPythonExec", "BatchEvalPythonExec", "MapInPandasExec",
-    "FlatMapGroupsInPandasExec", "FlatMapGroupsInPandasWithStateExec",
-    "MapInBatchExec",
-}
-
-
-def _walk(node, out, seen_caches, jvm):
-    cls = node.getClass().getSimpleName()
-    # AQE reuses stage OBJECTS (the same QueryStageExec referenced from
-    # several parents) — walk each physical node once
-    nid = jvm.System.identityHashCode(node)
-    if nid in seen_caches:
-        return
-    seen_caches.add(nid)
-    out.append(node)
-    if cls == "AdaptiveSparkPlanExec":
-        _walk(node.executedPlan(), out, seen_caches, jvm)
-        return
-    if cls in ("ShuffleQueryStageExec", "BroadcastQueryStageExec",
-               "TableCacheQueryStageExec", "ResultQueryStageExec"):
-        _walk(node.plan(), out, seen_caches, jvm)
-        return
-    if cls == "ReusedExchangeExec":
-        return  # physical reuse: the referenced exchange is counted once
-    if cls == "InMemoryTableScanExec":
-        rel = node.relation()
-        rid = jvm.System.identityHashCode(rel)
-        if rid not in seen_caches:
-            seen_caches.add(rid)
-            # audit the fill plan once — it executes once per query
-            _walk(rel.cachedPlan(), out, seen_caches, jvm)
-        return
-    cs = node.children()
-    for i in range(cs.size()):
-        _walk(cs.apply(i), out, seen_caches, jvm)
-
-
-def audit(df, jvm) -> dict:
-    nodes: list = []
-    _walk(df._jdf.queryExecution().executedPlan(), nodes, set(), jvm)
-    counts = {"shuffles": 0, "bcasts": 0, "smj": 0, "python": 0,
-              "codegen": 0, "scans": 0, "pushed": 0, "cache_reads": 0}
-    for n in nodes:
-        cls = n.getClass().getSimpleName()
-        if cls == "ShuffleExchangeExec":
-            counts["shuffles"] += 1
-        elif cls == "BroadcastExchangeExec":
-            counts["bcasts"] += 1
-        elif cls == "SortMergeJoinExec":
-            counts["smj"] += 1
-        elif cls in PY_NODES:
-            counts["python"] += 1
-        elif cls == "WholeStageCodegenExec":
-            counts["codegen"] += 1
-        elif cls == "InMemoryTableScanExec":
-            counts["cache_reads"] += 1
-        elif cls == "FileSourceScanExec":
-            counts["scans"] += 1
-            s = n.simpleString(4000)
-            if "PushedFilters: [" in s and "PushedFilters: []" not in s:
-                counts["pushed"] += 1
-    return counts
+from greenmask_spark.plan.health import plan_health  # noqa: E402
 
 
 def main() -> int:
@@ -99,13 +37,12 @@ def main() -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PLANS.md")
     spark = get_spark("greenmask-spark-plan-audit")
-    jvm = spark._jvm
     rows = []
     for name, fn in entrymod.queries().items():
         try:
             df = fn(spark, sf_dir)
             df.count()  # finalize AQE
-            rows.append((name, audit(df, jvm), None))
+            rows.append((name, plan_health(df), None))
         except Exception as e:  # pragma: no cover - audit must not die
             rows.append((name, None, str(e).split("\n")[0][:100]))
 

@@ -1,5 +1,6 @@
 from greenmask_spark.pipeline.corpus import (  # noqa: F401
     CORPUS_STEPS,
+    register_corpus_step,
     build_corpus_pipeline,
     run_corpus_pipeline,
 )

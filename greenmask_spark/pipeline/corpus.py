@@ -303,6 +303,17 @@ CORPUS_STEPS: dict[str, Step] = {
 }
 
 
+def register_corpus_step(name: str, fn: Step, replace: bool = False) -> None:
+    """Extension point mirroring the custom-transformer registry
+    (transformers/custom.py): plug a project-specific step into config
+    pipelines. ``fn`` takes (df, params) and returns a DataFrame;
+    params arrive verbatim from the config step dict (plus ``_context``
+    when run through ``run_corpus_pipeline``)."""
+    if name in CORPUS_STEPS and not replace:
+        raise ValueError(f"step {name!r} already registered")
+    CORPUS_STEPS[name] = fn
+
+
 def build_corpus_pipeline(
     df: DataFrame, steps: list[dict], context: dict | None = None
 ) -> DataFrame:

@@ -241,3 +241,41 @@ def stream_events_from_dir(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    num_perm: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Streaming near-duplicate suppression: drop documents whose FULL
+    MinHash signature matches one already seen inside the watermark
+    horizon (signature-identical ≈ very-high-Jaccard near-dup — the
+    streaming tier of the batch MinHash pipeline, which can afford
+    banded candidate generation + verification; cross-batch LSH band
+    state would need a per-band keyed state plus a per-doc vote, i.e.
+    two chained stateful operators — the signature-exact form gives
+    bounded one-op state with the same "drop the obvious near-dup at
+    ingestion" role).
+
+    State is one (signature, ts) entry per distinct signature inside the
+    horizon, evicted as the watermark advances. On batch input this is a
+    plain signature dedup (watermark no-op)."""
+    from greenmask_spark.functions.dedup import minhash_signature
+
+    df = _tz_event_time(docs, ts_col)
+    sig = F.concat_ws(
+        "_",
+        F.transform(
+            minhash_signature(F.col(text_col), num_perm=num_perm, k=k),
+            lambda x: x.cast("string"),
+        ),
+    )
+    df = df.withColumn("__sig", sig)
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+        return df.dropDuplicatesWithinWatermark(["__sig"]).drop("__sig")
+    return df.dropDuplicates(["__sig"]).drop("__sig")

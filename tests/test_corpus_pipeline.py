@@ -208,3 +208,29 @@ def test_web_hygiene_steps(spark):
     assert len(rows) == 3
     assert all(r.domain == "good.org" for r in rows)
     assert all("utm_source" not in r.url for r in rows)
+
+
+def test_register_corpus_step(spark):
+    from pyspark.sql import functions as F
+
+    from greenmask_spark.pipeline import (
+        CORPUS_STEPS,
+        build_corpus_pipeline,
+        register_corpus_step,
+    )
+
+    def upcase(df, p):
+        return df.withColumn(p.get("col", "text"),
+                             F.upper(F.col(p.get("col", "text"))))
+
+    register_corpus_step("upcase_test", upcase)
+    try:
+        df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+        out = build_corpus_pipeline(df, [{"op": "upcase_test"}]).collect()
+        assert out[0].text == "ABC"
+        import pytest as _p
+        with _p.raises(ValueError, match="already registered"):
+            register_corpus_step("upcase_test", upcase)
+        register_corpus_step("upcase_test", upcase, replace=True)
+    finally:
+        CORPUS_STEPS.pop("upcase_test", None)

@@ -279,3 +279,47 @@ def test_sessionize_batch_fractional_gap(spark):
         "user_id long, ts timestamp, value double")
     assert sessionize_batch(ev, gap_minutes=0.5).count() == 2
     assert sessionize_batch(ev, gap_minutes=2).count() == 1
+
+
+def test_near_dedup_stream(spark, tables, tmp_path):
+    """Signature-identical docs arriving in later batches are dropped;
+    distinct docs pass."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from greenmask_spark.streaming.pipeline import near_dedup_stream
+
+    src = str(tmp_path / "nd_src")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog"),
+         (2, "a completely different document body here")],
+        ["doc_id", "text"],
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1000) + F.col("doc_id")))
+    docs.write.parquet(src)
+    # batch 2: one replay (same text, new id) + one new doc
+    spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the dog"),
+         (4, "yet another novel piece of text content")],
+        ["doc_id", "text"],
+    ).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1010) + F.col("doc_id"))
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp").parquet(src)
+    out = near_dedup_stream(stream)
+    q = (out.writeStream.format("memory").queryName("nd_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM nd_out").collect()
+    finally:
+        q.stop()
+    texts = sorted(r.text for r in rows)
+    assert len(rows) == 3
+    assert texts.count("the quick brown fox jumps over the dog") == 1
+
+    # batch twin: same semantics without the watermark
+    batch = near_dedup_stream(spark.read.parquet(src))
+    assert batch.count() == 3

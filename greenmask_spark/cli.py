@@ -329,6 +329,17 @@ def cmd_corpus(args) -> int:
 
     cfg = load_config(args.config)
     spark = _spark("greenmask-spark-corpus")
+    if args.describe:
+        from greenmask_spark.pipeline.corpus import describe_corpus_pipeline
+
+        for row in describe_corpus_pipeline(spark, cfg, sf_dir=args.sf_dir):
+            delta = []
+            if row["added"]:
+                delta.append("+" + ",".join(row["added"]))
+            if row["removed"]:
+                delta.append("-" + ",".join(row["removed"]))
+            print(f"{row['step']:<20} {' '.join(delta)}")
+        return 0
     out = run_corpus_pipeline(spark, cfg, sf_dir=args.sf_dir)
     if not cfg.get("output"):
         n = out.count()
@@ -353,6 +364,8 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--config", required=True)
     cp.add_argument("--sf-dir", default=None,
                     help="directory holding <table>.parquet for input.table")
+    cp.add_argument("--describe", action="store_true",
+                    help="dry-run: per-step schema changes, no corpus reads")
     cp.set_defaults(fn=cmd_corpus)
 
     r = sub.add_parser("restore", help="read dump dir, write tables in topo order")

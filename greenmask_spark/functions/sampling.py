@@ -264,3 +264,57 @@ def pack_sequences(
         return out
 
     return src.groupBy("packer").applyInPandas(pack, schema=schema)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Global deterministic shuffle: total order by a salted hash of the
+    key — the pre-training randomization step. Unlike ``orderBy(rand())``
+    the order is a pure function of (key, seed): identical on every run,
+    cluster size, and partitioning, so a resumed or re-sharded job sees
+    the same sequence. One range-partitioned sort (Spark samples split
+    points; rows move once)."""
+    u = F.sha2(
+        F.concat(F.col(key_col).cast("string"), F.lit(f":shuffle:{seed}")),
+        256,
+    )
+    return df.orderBy(u, F.col(key_col))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    rows_per_shard: int = 100_000,
+    seed: int = 42,
+    fmt: str = "parquet",
+    compression: str = "zstd",
+) -> None:
+    """Write deterministically-shuffled fixed-size training shards.
+
+    Rows order globally by the same salted hash ``deterministic_shuffle``
+    uses; ``repartitionByRange`` on that hash gives contiguous global
+    slices (Spark samples split points, rows move once) and
+    ``maxRecordsPerFile`` bounds shard size, so a reader streaming the
+    shards in filename order sees the full deterministically-shuffled
+    sequence. Re-running at any cluster size reproduces the same
+    row→shard-slice assignment (file boundaries within a range partition
+    may differ; the ORDER does not)."""
+    u = F.sha2(
+        F.concat(F.col(key_col).cast("string"), F.lit(f":shuffle:{seed}")),
+        256,
+    )
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.withColumn("__ord", u)
+        .repartitionByRange(n_part, F.col("__ord"))
+        .sortWithinPartitions("__ord")
+        .drop("__ord")
+        .write.mode("overwrite").format(fmt)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", str(rows_per_shard))
+        .save(path)
+    )

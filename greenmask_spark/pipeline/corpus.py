@@ -397,3 +397,46 @@ def run_corpus_pipeline(
         else:
             (out.write.mode("overwrite").format(fmt).save(sink["path"]))
     return out
+
+
+def describe_corpus_pipeline(
+    spark, config: dict[str, Any], sf_dir: str | None = None
+) -> list[dict]:
+    """Dry-run schema walkthrough: compose the pipeline over EMPTY
+    frames with the real input schema and report each step's
+    added/removed columns. Because the frames are empty, even the
+    eager-composition steps (the CC fixpoints) finish in a couple of
+    trivial jobs — config errors and schema mismatches surface without
+    touching the corpus."""
+    def empty_like(spec):
+        src = _load_input(spark, spec, sf_dir)
+        return spark.createDataFrame([], src.schema)
+
+    if "inputs" in config:
+        from greenmask_spark.functions.sampling import sample_mixture
+
+        mix = config.get("mixture") or {}
+        if "rates" not in mix:
+            raise ValueError("multi-source config needs mixture.rates")
+        df = sample_mixture(
+            {n: empty_like(s) for n, s in config["inputs"].items()},
+            {k: float(v) for k, v in mix["rates"].items()},
+            key_col=mix.get("key_col", "doc_id"),
+        )
+    else:
+        df = empty_like(config.get("input") or {})
+    report = [{"step": "input", "added": list(df.columns), "removed": []}]
+    ctx = {"spark": spark, "sf_dir": sf_dir}
+    steps = config.get("steps", [])
+    build_corpus_pipeline(df, steps, context=None)  # validate only
+    for step in steps:
+        params = {k: v for k, v in step.items() if k != "op"}
+        params["_context"] = ctx
+        before = set(df.columns)
+        df = CORPUS_STEPS[step["op"]](df, params)
+        report.append({
+            "step": step["op"],
+            "added": sorted(set(df.columns) - before),
+            "removed": sorted(before - set(df.columns)),
+        })
+    return report

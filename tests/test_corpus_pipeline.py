@@ -234,3 +234,32 @@ def test_register_corpus_step(spark):
         register_corpus_step("upcase_test", upcase, replace=True)
     finally:
         CORPUS_STEPS.pop("upcase_test", None)
+
+
+def test_describe_pipeline(spark, sf_dir, capsys, tmp_path):
+    import json
+
+    from greenmask_spark.cli import main
+    from greenmask_spark.pipeline.corpus import describe_corpus_pipeline
+
+    cfg = {
+        "input": {"table": "documents"},
+        "steps": [
+            {"op": "hash_split"},
+            {"op": "fuzzy_dedup", "num_perm": 8, "bands": 4, "k": 3},
+            {"op": "pack_sequences", "max_tokens": 64, "n_packers": 2},
+        ],
+    }
+    rep = describe_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+    steps = {r["step"]: r for r in rep}
+    assert "doc_id" in steps["input"]["added"]
+    assert steps["hash_split"]["added"] == ["split"]
+    assert set(steps["pack_sequences"]["added"]) >= {"seq_id", "seq_pos"}
+
+    cfgp = tmp_path / "c.json"
+    cfgp.write_text(json.dumps(cfg))
+    rc = main(["corpus", "--config", str(cfgp), "--sf-dir", sf_dir,
+               "--describe"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "hash_split" in out and "+split" in out

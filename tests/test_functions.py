@@ -1214,3 +1214,31 @@ def test_corpus_summary(spark, sf_dir):
         assert 0 < r.top_lang_share <= 1.0
         assert r.top_lang is not None
     assert sum(r.n_docs for r in rep) == docs.count()
+
+
+def test_deterministic_shuffle_and_training_shards(spark, tmp_path):
+    from greenmask_spark.functions.sampling import (
+        deterministic_shuffle,
+        write_training_shards,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    o1 = [r.doc_id for r in deterministic_shuffle(df).collect()]
+    o2 = [r.doc_id for r in
+          deterministic_shuffle(df.repartition(13)).collect()]
+    assert o1 == o2                      # partitioning-independent order
+    assert o1 != sorted(o1)              # actually shuffled
+    assert sorted(o1) == list(range(500))
+    assert o1 != [r.doc_id for r in
+                  deterministic_shuffle(df, seed=7).collect()]
+
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, rows_per_shard=50)
+    import glob
+    files = sorted(glob.glob(out + "/part-*"))
+    assert len(files) >= 500 // 50
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    # no shard exceeds the cap
+    for f in files:
+        assert spark.read.parquet(f).count() <= 50

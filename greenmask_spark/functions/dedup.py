@@ -403,10 +403,17 @@ def simhash_near_dups(
     )
 
 
+def _re_escape(sep: str) -> str:
+    import re
+
+    return re.escape(sep)
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sep: str = "\n",
 ) -> DataFrame:
     """Corpus-level line deduplication (the C4-style sub-document pass):
     every distinct non-blank line keeps only its FIRST occurrence — the
@@ -424,10 +431,15 @@ def dedup_lines(
 
     Output: (id, text) with deduplicated text (empty string if every
     line was claimed by an earlier document).
+
+    ``sep`` picks the unit: "\n" = lines (the C4 pass), "\n\n" =
+    paragraphs (coarser, keeps intra-paragraph duplicated lines).
     """
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re_escape(sep))
+        ).alias("pos", "line"),
     )
     blank = F.trim(F.col("line")) == ""
     ne = lines.filter(~blank)
@@ -440,7 +452,7 @@ def dedup_lines(
         surviving.groupBy("id")
         .agg(
             F.concat_ws(
-                "\n",
+                sep,
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "line"))),
                     lambda s: s["line"],

@@ -200,6 +200,7 @@ def pack_sequences(
     max_tokens: int = 4096,
     n_packers: int = 256,
     seed: int = 42,
+    sep_tokens: int = 0,
 ) -> DataFrame:
     """Greedy sequence packing: concatenate documents into fixed
     token-budget training sequences (the standard pretraining packing
@@ -209,7 +210,10 @@ def pack_sequences(
     stream docs are taken in ``id_col`` order and appended to the open
     bin unless they would exceed ``max_tokens`` (then a new bin opens).
     A doc longer than the budget gets a bin of its own (truncation is
-    the tokenizer's job, flagged here via ``overflow``).
+    the tokenizer's job, flagged here via ``overflow``). ``sep_tokens``
+    charges a per-document separator (EOS/BOS) against the budget —
+    every doc costs ``n_tokens + sep_tokens``, matching what the
+    tokenizer will actually emit when concatenating.
 
     Output: (id, n_tokens, seq_id, seq_pos, seq_offset, overflow) —
     ``seq_id`` is "packer:bin", ``seq_pos`` the doc's index in the bin,
@@ -245,13 +249,13 @@ def pack_sequences(
         bins, pos, offs, over = [], [], [], []
         bin_no, used, in_bin = 0, 0, 0
         for n in pdf["n_tokens"]:
-            n = int(n)
+            n = int(n) + sep_tokens
             if in_bin and used + n > max_tokens:
                 bin_no, used, in_bin = bin_no + 1, 0, 0
             bins.append(f"{packer}:{bin_no}")
             pos.append(in_bin)
             offs.append(used)
-            over.append(n > max_tokens)
+            over.append(n > max_tokens)  # n includes the separator cost
             used += n
             in_bin += 1
             if used >= max_tokens:
@@ -318,3 +322,29 @@ def write_training_shards(
         .option("maxRecordsPerFile", str(rows_per_shard))
         .save(path)
     )
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe splitting: every member of a near-duplicate cluster
+    lands in the SAME split, because the hash gate keys on the cluster
+    id instead of the document id. Plain ``hash_split`` puts two
+    near-identical documents on opposite sides of the train/test
+    boundary whenever their ids hash differently — exactly the
+    contamination ``cross_split_contamination`` detects; this prevents
+    it by construction. ``clusters`` is ``dedup_clusters`` output
+    (key_col, cluster_col); docs absent from it split by their own id."""
+    c = clusters.select(
+        F.col(key_col), F.col(cluster_col).alias("__cl"))
+    joined = df.join(c, key_col, "left").withColumn(
+        "__cl", F.coalesce(F.col("__cl"), F.col(key_col)))
+    out = hash_split(joined, weights, key_col="__cl", seed=seed,
+                     out_col=out_col)
+    return out.drop("__cl")

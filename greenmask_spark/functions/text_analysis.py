@@ -491,3 +491,46 @@ def corpus_summary(
         )
         .drop("top_lang_docs")
     )
+
+
+def linear_text_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bias: float = 0.0,
+    normalize: bool = True,
+) -> DataFrame:
+    """fastText-style linear classifier score per document: sum of
+    per-token weights (looked up in a ``(term, weight)`` table) plus a
+    bias, squashed through a sigmoid — the standard
+    quality/domain-classifier filter stage (CCNet-style "looks like
+    wiki-referenced text" scoring) with user-supplied weights.
+
+    Scale shape: explode(tokens) ⋈ broadcast(weights) → groupBy(doc)
+    sum with map-side combine. The weights table is vocabulary-sized
+    (≤ a few hundred thousand rows) → broadcast; unknown tokens score 0.
+    ``normalize`` divides by the token count (mean weight) so long
+    documents don't dominate by length alone.
+
+    Output: (id, score in (0,1)).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    w = weights.select(
+        F.lower(F.col("term")).alias("term"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    scored = toks.join(F.broadcast(w), "term", "left")
+    agg = scored.groupBy("id").agg(
+        F.sum(F.coalesce("weight", F.lit(0.0))).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = (F.col("s") / F.col("n") if normalize else F.col("s")) + F.lit(bias)
+    return agg.select(
+        "id", (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score")
+    )

@@ -1242,3 +1242,80 @@ def test_deterministic_shuffle_and_training_shards(spark, tmp_path):
     # no shard exceeds the cap
     for f in files:
         assert spark.read.parquet(f).count() <= 50
+
+
+def test_dedup_paragraphs(spark):
+    from greenmask_spark.functions.dedup import dedup_lines
+
+    rows = [(1, "para one\nline two\n\nshared para"),
+            (2, "different start\n\nshared para")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.id: r.text
+           for r in dedup_lines(df, sep="\n\n").collect()}
+    assert "shared para" in out[1] and "shared para" not in out[2]
+    # line mode would also kill "line two"? no — it's unique; but the
+    # paragraph mode must keep intra-paragraph lines intact
+    assert "line two" in out[1]
+
+
+def test_cluster_aware_split(spark):
+    from greenmask_spark.functions.dedup import dedup_clusters
+    from greenmask_spark.functions.sampling import (
+        cluster_aware_split,
+        cross_split_contamination,
+    )
+
+    # many near-identical doc pairs: plain hash_split leaks some pair
+    # across the boundary; cluster-aware never does
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(0, 200, 2):
+        # distinct random body per pair so pairs cluster separately
+        body = " ".join(
+            "".join(rng.choices("abcdefghijklmnop", k=8)) for _ in range(12)
+        )
+        rows.append((i, body))
+        rows.append((i + 1, body))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    clusters = dedup_clusters(df, k=5, num_perm=8, bands=4)
+    split = cluster_aware_split(df, clusters,
+                                {"train": 0.5, "test": 0.5})
+    leaks = cross_split_contamination(split).count()
+    assert leaks == 0
+    # both members of each pair share a split
+    m = {r.doc_id: r.split for r in split.collect()}
+    assert all(m[i] == m[i + 1] for i in range(0, 200, 2))
+    assert {"train", "test"} == set(m.values())  # both splits populated
+
+
+def test_pack_sequences_sep_tokens(spark):
+    from greenmask_spark.functions.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(10)], ["doc_id", "n_tokens"])
+    # budget 202: without separators 2 docs/bin; with sep_tokens=2
+    # each doc costs 102 → still 2 fit (204 > 202? no: 102+102=204 > 202
+    # → only 1 per bin)
+    plain = pack_sequences(df, max_tokens=202, n_packers=1)
+    with_sep = pack_sequences(df, max_tokens=202, n_packers=1, sep_tokens=2)
+    assert plain.select("seq_id").distinct().count() == 5
+    assert with_sep.select("seq_id").distinct().count() == 10
+
+
+def test_linear_text_score(spark):
+    import math
+
+    from greenmask_spark.functions.text_analysis import linear_text_score
+
+    docs = spark.createDataFrame(
+        [(1, "good good text"), (2, "bad bad bad"), (3, "neutral words")],
+        ["doc_id", "text"])
+    weights = spark.createDataFrame(
+        [("good", 2.0), ("bad", -2.0)], ["term", "weight"])
+    out = {r.id: r.score for r in linear_text_score(docs, weights).collect()}
+    # doc1 mean = (2+2+0)/3; doc2 = -2; doc3 = 0 → sigmoid ordering
+    assert out[2] < out[3] < out[1]
+    assert abs(out[3] - 0.5) < 1e-9
+    assert abs(out[1] - 1 / (1 + math.exp(-4.0 / 3))) < 1e-9

@@ -285,6 +285,63 @@ def _step_cap_per_domain(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_cluster_split(df: DataFrame, p: dict) -> DataFrame:
+    """Leakage-safe split: fuzzy-dedup clusters computed inline (same
+    params as fuzzy_dedup), split hash keyed on the cluster id so near
+    duplicates never straddle the train/test boundary. Eager-composition
+    note as for fuzzy_dedup (CC fixpoint)."""
+    from greenmask_spark.functions.dedup import dedup_clusters
+    from greenmask_spark.functions.sampling import cluster_aware_split
+
+    id_col = p.get("id_col", "doc_id")
+    clusters = dedup_clusters(
+        df,
+        p.get("text_col", "text"),
+        id_col,
+        num_perm=int(p.get("num_perm", 16)),
+        bands=int(p.get("bands", 4)),
+        k=int(p.get("k", 5)),
+        min_jaccard=p.get("min_jaccard"),
+    )
+    return cluster_aware_split(
+        df,
+        clusters,
+        weights={k_: float(v) for k_, v in p["weights"].items()}
+        if "weights" in p else None,
+        key_col=id_col,
+        seed=int(p.get("seed", 42)),
+    )
+
+
+def _step_linear_score(df: DataFrame, p: dict) -> DataFrame:
+    """Attach a fastText-style classifier score column; optionally filter
+    by min_score. Weights come from an inline {term: weight} map or a
+    {table/path} spec via context."""
+    from greenmask_spark.functions.text_analysis import linear_text_score
+
+    spark = df.sparkSession
+    if "weights" in p:
+        w = spark.createDataFrame(
+            [(str(t), float(x)) for t, x in p["weights"].items()],
+            ["term", "weight"])
+    else:
+        ctx = p.get("_context") or {}
+        if "spark" not in ctx or "source" not in p:
+            raise ValueError("linear_score needs 'weights' or a 'source' spec")
+        w = _load_input(ctx["spark"], p["source"], ctx.get("sf_dir"))
+    id_col = p.get("id_col", "doc_id")
+    scored = linear_text_score(
+        df, w, p.get("text_col", "text"), id_col,
+        bias=float(p.get("bias", 0.0)),
+        normalize=bool(p.get("normalize", True)),
+    ).withColumnsRenamed({"id": id_col, "score": p.get("out_col", "score")})
+    out = df.join(scored, id_col, "left")
+    if "min_score" in p:
+        out = out.filter(
+            F.col(p.get("out_col", "score")) >= float(p["min_score"]))
+    return out
+
+
 CORPUS_STEPS: dict[str, Step] = {
     "dedup_exact": _step_dedup_exact,
     "dedup_lines": _step_dedup_lines,
@@ -300,6 +357,8 @@ CORPUS_STEPS: dict[str, Step] = {
     "normalize_urls": _step_normalize_urls,
     "blocklist": _step_blocklist,
     "cap_per_domain": _step_cap_per_domain,
+    "cluster_split": _step_cluster_split,
+    "linear_score": _step_linear_score,
 }
 
 

@@ -263,3 +263,19 @@ def test_describe_pipeline(spark, sf_dir, capsys, tmp_path):
     assert rc == 0
     out = capsys.readouterr().out
     assert "hash_split" in out and "+split" in out
+
+
+def test_cluster_split_and_linear_score_steps(corpus):
+    from greenmask_spark.pipeline import build_corpus_pipeline
+
+    out = build_corpus_pipeline(corpus, [
+        {"op": "linear_score",
+         "weights": {"quick": 1.5, "spam": -3.0}},
+        {"op": "cluster_split", "k": 3, "num_perm": 8, "bands": 4,
+         "weights": {"train": 0.5, "test": 0.5}},
+    ])
+    rows = {r.doc_id: r for r in out.collect()}
+    assert all(0.0 < r.score < 1.0 for r in rows.values())
+    assert rows[1].score > rows[5].score  # 'quick' docs beat neutral
+    # exact dups 1/2 share a split (same cluster)
+    assert rows[1].split == rows[2].split

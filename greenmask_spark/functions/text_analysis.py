@@ -531,6 +531,16 @@ def linear_text_score(
         F.count(F.lit(1)).alias("n"),
     )
     z = (F.col("s") / F.col("n") if normalize else F.col("s")) + F.lit(bias)
-    return agg.select(
+    out = agg.select(
         "id", (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score")
+    )
+    # token-less documents never survive the explode — restore them with
+    # the prior score sigmoid(bias) so the id universe is preserved and a
+    # downstream min_score filter makes an explicit decision about them
+    import math
+
+    ids = df.select(F.col(id_col).alias("id"))
+    prior = 1.0 / (1.0 + math.exp(-bias))
+    return ids.join(out, "id", "left").select(
+        "id", F.coalesce("score", F.lit(prior)).alias("score")
     )

@@ -1319,3 +1319,18 @@ def test_linear_text_score(spark):
     assert out[2] < out[3] < out[1]
     assert abs(out[3] - 0.5) < 1e-9
     assert abs(out[1] - 1 / (1 + math.exp(-4.0 / 3))) < 1e-9
+
+
+def test_linear_text_score_empty_docs_keep_prior(spark):
+    import math
+
+    from greenmask_spark.functions.text_analysis import linear_text_score
+
+    docs = spark.createDataFrame(
+        [(1, "good"), (2, ""), (3, "   ")], ["doc_id", "text"])
+    weights = spark.createDataFrame([("good", 2.0)], ["term", "weight"])
+    out = {r.id: r.score
+           for r in linear_text_score(docs, weights, bias=1.0).collect()}
+    assert set(out) == {1, 2, 3}
+    prior = 1 / (1 + math.exp(-1.0))
+    assert abs(out[2] - prior) < 1e-9 and abs(out[3] - prior) < 1e-9

@@ -16,6 +16,8 @@ Scale design (the point of this module):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,6 +55,26 @@ def minhash_signature(text: Column, num_perm: int = 16, k: int = 5) -> Column:
     """Array of num_perm MinHash values (bigint) — pure expression."""
     hs = F.transform(shingles(text, k), _shingle_hash)
 
+    def perm_fn(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE))
+
+    sig = [
+        F.array_min(F.transform(hs, perm_fn(a, b)))
+        for a, b in perm_constants(num_perm)
+    ]
+    return F.array(*sig)
+
+
+def minhash_signature_from_hashes(hs: Column, num_perm: int = 16) -> Column:
+    """Signature from an ALREADY-hashed shingle array — stage the hash
+    array once with ``F.transform(shingles(text), _shingle_hash)`` in a
+    projection, then call this on the staged column: each permutation's
+    array_min references the materialized hashes instead of duplicating
+    the sha256 subtree num_perm times (the ``minhash_signature`` form
+    recomputes it per permutation). For batch work prefer
+    ``minhash_signatures_df`` (codegen'd explode+agg); this is for
+    contexts that need a single expression, e.g. streaming projections
+    ahead of a stateful operator."""
     def perm_fn(a: int, b: int):
         return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE))
 
@@ -403,12 +425,6 @@ def simhash_near_dups(
     )
 
 
-def _re_escape(sep: str) -> str:
-    import re
-
-    return re.escape(sep)
-
-
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -438,7 +454,7 @@ def dedup_lines(
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
-            F.split(F.col(text_col), _re_escape(sep))
+            F.split(F.col(text_col), re.escape(sep))
         ).alias("pos", "line"),
     )
     blank = F.trim(F.col("line")) == ""

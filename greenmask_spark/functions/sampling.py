@@ -270,6 +270,13 @@ def pack_sequences(
     return src.groupBy("packer").applyInPandas(pack, schema=schema)
 
 
+def _shuffle_hash(key_col: str, seed: int):
+    return F.sha2(
+        F.concat(F.col(key_col).cast("string"), F.lit(f":shuffle:{seed}")),
+        256,
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -281,11 +288,7 @@ def deterministic_shuffle(
     cluster size, and partitioning, so a resumed or re-sharded job sees
     the same sequence. One range-partitioned sort (Spark samples split
     points; rows move once)."""
-    u = F.sha2(
-        F.concat(F.col(key_col).cast("string"), F.lit(f":shuffle:{seed}")),
-        256,
-    )
-    return df.orderBy(u, F.col(key_col))
+    return df.orderBy(_shuffle_hash(key_col, seed), F.col(key_col))
 
 
 def write_training_shards(
@@ -307,15 +310,13 @@ def write_training_shards(
     sequence. Re-running at any cluster size reproduces the same
     row→shard-slice assignment (file boundaries within a range partition
     may differ; the ORDER does not)."""
-    u = F.sha2(
-        F.concat(F.col(key_col).cast("string"), F.lit(f":shuffle:{seed}")),
-        256,
-    )
     n_part = df.sparkSession.sparkContext.defaultParallelism
     (
-        df.withColumn("__ord", u)
-        .repartitionByRange(n_part, F.col("__ord"))
-        .sortWithinPartitions("__ord")
+        df.withColumn("__ord", _shuffle_hash(key_col, seed))
+        # key tiebreaker: duplicate keys share a hash, and a hash-only
+        # sort would leave their relative order to arrival order
+        .repartitionByRange(n_part, F.col("__ord"), F.col(key_col))
+        .sortWithinPartitions("__ord", key_col)
         .drop("__ord")
         .write.mode("overwrite").format(fmt)
         .option("compression", compression)

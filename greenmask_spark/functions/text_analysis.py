@@ -483,8 +483,17 @@ def corpus_summary(
             F.col("count").alias("top_lang_docs"),
         )
     )
+    # eqNullSafe join keys: a NULL group (missing source) must not
+    # vanish from the report — an equi-join never matches NULL = NULL
+    cond = None
+    lang_r = lang
+    for g in group_cols:
+        lang_r = lang_r.withColumnsRenamed({g: f"__r_{g}"})
+        term = base[g].eqNullSafe(lang_r[f"__r_{g}"])
+        cond = term if cond is None else (cond & term)
     return (
-        base.join(lang, list(group_cols))
+        base.join(lang_r, cond)
+        .drop(*[f"__r_{g}" for g in group_cols])
         .withColumn(
             "top_lang_share",
             F.round(F.col("top_lang_docs") / F.col("n_docs"), 4),
@@ -521,10 +530,13 @@ def linear_text_score(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("term"),
     ).filter(F.col("term") != "")
+    # duplicate term rows (incl. case-collisions after lowering) would
+    # fan each matching token out across the join; sum them first — the
+    # linear-model-correct combine for repeated features
     w = weights.select(
         F.lower(F.col("term")).alias("term"),
         F.col("weight").cast("double").alias("weight"),
-    )
+    ).groupBy("term").agg(F.sum("weight").alias("weight"))
     scored = toks.join(F.broadcast(w), "term", "left")
     agg = scored.groupBy("id").agg(
         F.sum(F.coalesce("weight", F.lit(0.0))).alias("s"),

@@ -69,7 +69,7 @@ def _step_dedup_lines(df: DataFrame, p: dict) -> DataFrame:
     from greenmask_spark.functions.dedup import dedup_lines
 
     text_col, id_col = p.get("text_col", "text"), p.get("id_col", "doc_id")
-    deduped = dedup_lines(df, text_col, id_col)
+    deduped = dedup_lines(df, text_col, id_col, sep=p.get("sep", "\n"))
     # dedup_lines returns (id, text); re-attach the other columns
     others = df.drop(text_col)
     return (
@@ -187,6 +187,7 @@ def _step_pack_sequences(df: DataFrame, p: dict) -> DataFrame:
         max_tokens=int(p.get("max_tokens", 4096)),
         n_packers=int(p.get("n_packers", 256)),
         seed=int(p.get("seed", 42)),
+        sep_tokens=int(p.get("sep_tokens", 0)),
     ).withColumnsRenamed({"id": id_col, "n_tokens": token_col})
     return src.join(packed.drop(token_col), id_col)
 
@@ -330,15 +331,17 @@ def _step_linear_score(df: DataFrame, p: dict) -> DataFrame:
             raise ValueError("linear_score needs 'weights' or a 'source' spec")
         w = _load_input(ctx["spark"], p["source"], ctx.get("sf_dir"))
     id_col = p.get("id_col", "doc_id")
+    out_col = p.get("out_col", "score")
     scored = linear_text_score(
         df, w, p.get("text_col", "text"), id_col,
         bias=float(p.get("bias", 0.0)),
         normalize=bool(p.get("normalize", True)),
-    ).withColumnsRenamed({"id": id_col, "score": p.get("out_col", "score")})
-    out = df.join(scored, id_col, "left")
+    ).withColumnsRenamed({"id": id_col, "score": out_col})
+    # overwrite semantics (like withColumn): a pre-existing column of the
+    # same name would otherwise duplicate and break every later reference
+    out = df.drop(out_col).join(scored, id_col, "left")
     if "min_score" in p:
-        out = out.filter(
-            F.col(p.get("out_col", "score")) >= float(p["min_score"]))
+        out = out.filter(F.col(out_col) >= float(p["min_score"]))
     return out
 
 
@@ -362,6 +365,17 @@ CORPUS_STEPS: dict[str, Step] = {
 }
 
 
+def _validate_steps(steps: list[dict]) -> None:
+    for i, step in enumerate(steps):
+        if not isinstance(step, dict) or "op" not in step:
+            raise ValueError(f"step {i}: expected a mapping with an 'op' key")
+        if step["op"] not in CORPUS_STEPS:
+            raise ValueError(
+                f"step {i}: unknown op {step['op']!r}; "
+                f"known: {sorted(CORPUS_STEPS)}"
+            )
+
+
 def register_corpus_step(name: str, fn: Step, replace: bool = False) -> None:
     """Extension point mirroring the custom-transformer registry
     (transformers/custom.py): plug a project-specific step into config
@@ -379,14 +393,7 @@ def build_corpus_pipeline(
     """Compose the step list into one lazy plan. Unknown ops and
     non-dict steps fail fast — config errors surface before any Spark
     job runs (the reference validates config up front the same way)."""
-    for i, step in enumerate(steps):
-        if not isinstance(step, dict) or "op" not in step:
-            raise ValueError(f"step {i}: expected a mapping with an 'op' key")
-        if step["op"] not in CORPUS_STEPS:
-            raise ValueError(
-                f"step {i}: unknown op {step['op']!r}; "
-                f"known: {sorted(CORPUS_STEPS)}"
-            )
+    _validate_steps(steps)
     out = df
     for step in steps:
         params = {k: v for k, v in step.items() if k != "op"}
@@ -487,7 +494,7 @@ def describe_corpus_pipeline(
     report = [{"step": "input", "added": list(df.columns), "removed": []}]
     ctx = {"spark": spark, "sf_dir": sf_dir}
     steps = config.get("steps", [])
-    build_corpus_pipeline(df, steps, context=None)  # validate only
+    _validate_steps(steps)  # fail fast on op/shape errors, no execution
     for step in steps:
         params = {k: v for k, v in step.items() if k != "op"}
         params["_context"] = ctx

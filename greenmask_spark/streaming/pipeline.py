@@ -264,18 +264,26 @@ def near_dedup_stream(
     State is one (signature, ts) entry per distinct signature inside the
     horizon, evicted as the watermark advances. On batch input this is a
     plain signature dedup (watermark no-op)."""
-    from greenmask_spark.functions.dedup import minhash_signature
+    from greenmask_spark.functions.dedup import (
+        _shingle_hash,
+        minhash_signature_from_hashes,
+        shingles,
+    )
 
-    df = _tz_event_time(docs, ts_col)
+    # stage the hashed-shingle array in its own projection so the
+    # num_perm array_mins reference materialized hashes — the plain
+    # minhash_signature expression duplicates the sha256 subtree into
+    # every permutation (num_perm x recompute per record, the interpreted
+    # hot path this repo's own measurements flag)
+    staged = docs.withColumn(
+        "__hs", F.transform(shingles(F.col(text_col), k), _shingle_hash)
+    )
     sig = F.concat_ws(
         "_",
         F.transform(
-            minhash_signature(F.col(text_col), num_perm=num_perm, k=k),
+            minhash_signature_from_hashes(F.col("__hs"), num_perm),
             lambda x: x.cast("string"),
         ),
     )
-    df = df.withColumn("__sig", sig)
-    if df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
-        return df.dropDuplicatesWithinWatermark(["__sig"]).drop("__sig")
-    return df.dropDuplicates(["__sig"]).drop("__sig")
+    staged = staged.withColumn("__sig", sig).drop("__hs")
+    return dedup_stream(staged, ["__sig"], ts_col, watermark).drop("__sig")

@@ -279,3 +279,32 @@ def test_cluster_split_and_linear_score_steps(corpus):
     assert rows[1].score > rows[5].score  # 'quick' docs beat neutral
     # exact dups 1/2 share a split (same cluster)
     assert rows[1].split == rows[2].split
+
+
+def test_describe_handles_context_steps(spark, sf_dir):
+    """--describe must work for configs with context-requiring steps
+    (join_embeddings) — validation must not compose without context."""
+    from greenmask_spark.pipeline.corpus import describe_corpus_pipeline
+
+    cfg = {
+        "input": {"table": "documents"},
+        "steps": [
+            {"op": "join_embeddings"},
+            {"op": "semantic_dedup", "dim": 64},
+        ],
+    }
+    rep = describe_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+    steps = {r["step"]: r for r in rep}
+    assert steps["join_embeddings"]["added"] == ["embedding"]
+
+
+def test_linear_score_step_overwrites_existing_column(corpus):
+    from greenmask_spark.pipeline import build_corpus_pipeline
+
+    pre = corpus.withColumn("score", F.lit(0.0))
+    out = build_corpus_pipeline(pre, [
+        {"op": "linear_score", "weights": {"quick": 1.0},
+         "min_score": 0.0},
+    ])
+    assert out.columns.count("score") == 1
+    assert out.count() == corpus.count()

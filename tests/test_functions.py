@@ -1334,3 +1334,28 @@ def test_linear_text_score_empty_docs_keep_prior(spark):
     assert set(out) == {1, 2, 3}
     prior = 1 / (1 + math.exp(-1.0))
     assert abs(out[2] - prior) < 1e-9 and abs(out[3] - prior) < 1e-9
+
+
+def test_corpus_summary_null_group(spark):
+    from pyspark.sql import functions as F
+
+    from greenmask_spark.functions.text_analysis import corpus_summary
+
+    df = spark.createDataFrame(
+        [("web", "some text here"), (None, "orphan document text")],
+        ["source", "text"])
+    rep = corpus_summary(df).collect()
+    assert sum(r.n_docs for r in rep) == 2  # NULL group not dropped
+    assert any(r.source is None for r in rep)
+
+
+def test_linear_text_score_duplicate_weight_terms(spark):
+    from greenmask_spark.functions.text_analysis import linear_text_score
+
+    docs = spark.createDataFrame([(1, "good stuff")], ["doc_id", "text"])
+    dup_w = spark.createDataFrame(
+        [("Good", 1.0), ("good", 2.0)], ["term", "weight"])
+    merged_w = spark.createDataFrame([("good", 3.0)], ["term", "weight"])
+    a = linear_text_score(docs, dup_w).collect()[0].score
+    b = linear_text_score(docs, merged_w).collect()[0].score
+    assert a == b  # duplicates sum, never fan out the token join

@@ -1359,3 +1359,44 @@ def test_linear_text_score_duplicate_weight_terms(spark):
     a = linear_text_score(docs, dup_w).collect()[0].score
     b = linear_text_score(docs, merged_w).collect()[0].score
     assert a == b  # duplicates sum, never fan out the token join
+
+
+def test_operator_edge_cases(spark):
+    """Empty/singleton inputs flow through the heavy operators without
+    surprises (the failure mode reviews keep finding in other engines)."""
+    from greenmask_spark.functions.asof import asof_join, range_join
+    from greenmask_spark.functions.dedup import (
+        dedup_clusters,
+        minhash_candidates,
+        ngram_jaccard,
+    )
+    from greenmask_spark.functions.similarity import cosine_pairs_blocked
+
+    docs1 = spark.createDataFrame([(1, "only one document here")],
+                                  ["doc_id", "text"])
+    # single doc: no pairs, one singleton cluster
+    assert minhash_candidates(docs1, k=3).count() == 0
+    cl = dedup_clusters(docs1, k=3).collect()
+    assert [(r.doc_id, r.cluster_id) for r in cl] == [(1, 1)]
+
+    # empty candidate pairs → empty jaccard, both strategies
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    for strat in ("agg", "broadcast"):
+        assert ngram_jaccard(docs1, empty_pairs, strategy=strat).count() == 0
+
+    # one embedding: no pairs out of the tiler
+    one = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    assert cosine_pairs_blocked(one, 0.5, n_blocks=3).count() == 0
+
+    # as-of with an empty right side: left rows survive with NULL payload
+    left = spark.createDataFrame([(1, 10, "x")], "k long, ts long, v string")
+    empty_right = spark.createDataFrame([], "k long, ts long, price double")
+    out = asof_join(left, empty_right, on="k").collect()
+    assert len(out) == 1 and out[0].price is None
+
+    # range join with no intervals
+    pts = spark.createDataFrame([(1, 5)], ["pid", "t"])
+    no_iv = spark.createDataFrame([], "iid long, start long, end long")
+    assert range_join(pts, no_iv, "t").count() == 0
+    assert range_join(pts, no_iv, "t", how="left").count() == 1

@@ -1,0 +1,57 @@
+"""Structural perf guards: key queries must keep their plan SHAPE.
+
+A correctness suite can stay green while a refactor quietly turns a
+scan+project into a shuffle or drops a Python boundary into the hot
+path; these assertions pin the executed-plan node counts that
+matter at 100 TB (see PLANS.md for the full audit)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from greenmask_spark.plan.health import plan_health  # noqa: E402
+
+
+def _health(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    df.count()  # finalize AQE
+    return plan_health(df)
+
+
+#: name → (max_shuffles, max_python_boundaries)
+SHAPES = {
+    # masking chains: pure scan+project, NEVER a shuffle or Python node
+    "mask_customer": (0, 0),
+    "t_orders_temporal": (0, 0),
+    "t_faker": (0, 0),
+    "train_split": (0, 0),
+    "scrub_pii": (0, 0),
+    # aggregation anchors: partial+final agg pairs only
+    "q1_pricing_summary": (2, 0),
+    "dedup_exact": (1, 0),
+    # explode+agg signatures: the parallelizing repartition + the agg
+    # exchange (AQE may fuse them at larger sf)
+    "minhash_sigs": (2, 0),
+    "simhash": (2, 0),
+    # ANN: one top-k exchange; IVF's single Python node is the
+    # centroid-assignment mapInPandas (licensed)
+    "ann_topk": (1, 0),
+    "ann_topk_ivf": (1, 1),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHAPES))
+def test_plan_shape(spark, sf_dir, name):
+    max_shuffles, max_python = SHAPES[name]
+    h = _health(spark, sf_dir, name)
+    assert h["shuffles"] <= max_shuffles, h
+    assert h["python"] <= max_python, h
+
+
+def test_masking_plans_are_single_codegen_span(spark, sf_dir):
+    h = _health(spark, sf_dir, "mask_customer")
+    assert h["codegen"] >= 1 and h["scans"] == 1

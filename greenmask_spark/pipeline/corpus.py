@@ -188,6 +188,7 @@ def _step_pack_sequences(df: DataFrame, p: dict) -> DataFrame:
         n_packers=int(p.get("n_packers", 256)),
         seed=int(p.get("seed", 42)),
         sep_tokens=int(p.get("sep_tokens", 0)),
+        strategy=p.get("strategy", "sequential"),
     ).withColumnsRenamed({"id": id_col, "n_tokens": token_col})
     return src.join(packed.drop(token_col), id_col)
 

@@ -1400,3 +1400,45 @@ def test_operator_edge_cases(spark):
     no_iv = spark.createDataFrame([], "iid long, start long, end long")
     assert range_join(pts, no_iv, "t").count() == 0
     assert range_join(pts, no_iv, "t", how="left").count() == 1
+
+
+def test_pack_sequences_bfd(spark):
+    """BFD packs at least as tightly as sequential; invariants hold;
+    deterministic across partitionings."""
+    import random
+
+    from greenmask_spark.functions.sampling import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, rng.choice([3000, 900, 700, 400, 90])) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    seq = pack_sequences(df, max_tokens=4096, n_packers=4)
+    bfd = pack_sequences(df, max_tokens=4096, n_packers=4, strategy="bfd")
+    s_stats = packing_stats(seq, 4096).first()
+    b_stats = packing_stats(bfd, 4096).first()
+    assert b_stats.n_docs == s_stats.n_docs == 400
+    assert b_stats.n_bins <= s_stats.n_bins
+    assert b_stats.padding_frac <= s_stats.padding_frac
+
+    # bin-budget + offset invariants for bfd
+    by_bin = {}
+    for r in bfd.collect():
+        by_bin.setdefault(r.seq_id, []).append(r)
+    for members in by_bin.values():
+        members.sort(key=lambda r: r.seq_pos)
+        assert sum(r.n_tokens for r in members) <= 4096 or len(members) == 1
+        off = 0
+        for r in members:
+            assert r.seq_offset == off
+            off += r.n_tokens
+
+    again = pack_sequences(df.repartition(11), max_tokens=4096,
+                           n_packers=4, strategy="bfd").collect()
+    assert sorted(map(tuple, bfd.collect())) == sorted(map(tuple, again))
+
+    import pytest as _p
+    with _p.raises(ValueError, match="strategy"):
+        pack_sequences(df, strategy="worst-fit")

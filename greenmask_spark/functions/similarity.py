@@ -648,3 +648,56 @@ def recall_at_k(
     )
     row = per_q.agg(F.avg("r")).first()
     return float(row[0]) if row[0] is not None else 0.0
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact re-rank of a candidate stream — the second stage of the
+    standard coarse→fine ANN architecture: a cheap recall-oriented stage
+    (IVF/LSH over full or int8-quantized vectors) proposes
+    (query_id, neighbor_id) candidates, and this scores ONLY those pairs
+    at full precision and keeps the top-k.
+
+    Scale shape: candidates carry ids only; vectors attach via two
+    id-keyed joins (query side broadcasts — small by contract; corpus
+    side joins on its key, touching only candidate rows). Per-pair work
+    is the single staged-norm dot fold, same as the direct topk paths.
+
+    Compose: ``rerank_topk(ivf_topk(quantize(c), q, k=50), c, q, k=5)``
+    — the coarse stage reads 4× narrower vectors, the fine stage reads
+    full precision for ~50 rows per query."""
+    cand = candidates.select("query_id", "neighbor_id").distinct()
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("qnorm", norm(F.col("qvec")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("cnorm", norm(F.col("cvec")))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1442,3 +1442,44 @@ def test_pack_sequences_bfd(spark):
     import pytest as _p
     with _p.raises(ValueError, match="strategy"):
         pack_sequences(df, strategy="worst-fit")
+
+
+def test_rerank_topk_coarse_to_fine(spark):
+    """int8-coarse IVF (wide m) + exact re-rank recovers near-exact
+    top-k; re-ranking exact candidates IS the exact answer."""
+    import numpy as np
+
+    from greenmask_spark.functions.quantize import quantize_embeddings
+    from greenmask_spark.functions.similarity import (
+        cosine_topk,
+        hash_centroids,
+        ivf_topk,
+        recall_at_k,
+        rerank_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    n, dim = 300, 16
+    mat = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 5")
+    exact = cosine_topk(df, queries, k=5)
+
+    # sanity: re-ranking the exact answer reproduces it
+    rr = rerank_topk(exact, df, queries, k=5)
+    assert sorted(map(tuple, rr.collect())) == sorted(
+        map(tuple, exact.collect()))
+
+    # coarse int8 IVF (wide m) → fine re-rank: high recall vs exact
+    q8 = quantize_embeddings(df).select(
+        "vec_id",
+        F.transform("qvec.q", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = hash_centroids(dim, 8, seed=5)
+    coarse = ivf_topk(
+        q8, q8.filter("vec_id < 5"), k=60, n_probe=4, centroids=cents)
+    fine = rerank_topk(coarse, df, queries, k=5)
+    rec = recall_at_k(fine, exact)
+    assert rec >= 0.8, rec

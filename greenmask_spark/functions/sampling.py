@@ -279,7 +279,13 @@ def pack_sequences(
         import bisect
 
         # (remaining, bin_no) sorted by remaining — bisect finds the
-        # tightest bin that still fits in O(log b)
+        # tightest bin that still fits (search O(log b), insert O(b)).
+        # Sizes descend, so the SMALLEST future cost is the last row's —
+        # bins whose remainder drops below it can never fit anything and
+        # CLOSE instead of lingering (without this the open list grows
+        # unboundedly, e.g. all-docs-of-budget/2+1 opens a bin per doc)
+        min_future = (int(pdf["n_tokens"].iloc[-1]) + sep_tokens
+                      if len(pdf) else 0)
         open_bins: list[tuple[int, int]] = []
         state: dict[int, tuple[int, int]] = {}  # bin_no -> (used, count)
         bins, pos, offs, over = [], [], [], []
@@ -300,7 +306,7 @@ def pack_sequences(
             over.append(n > max_tokens)
             used, cnt, rem = used + n, cnt + 1, rem - n
             state[b] = (used, cnt)
-            if rem > 0:
+            if rem >= min_future:
                 bisect.insort(open_bins, (rem, b))
         return bins, pos, offs, over
 
@@ -405,12 +411,17 @@ def cluster_aware_split(
     return out.drop("__cl")
 
 
-def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+def packing_stats(
+    packed: DataFrame, max_tokens: int, sep_tokens: int = 0
+) -> DataFrame:
     """One-row utilization summary of a ``pack_sequences`` result:
     bins, docs, mean fill fraction, padding fraction — the number to
-    compare ``sequential`` vs ``bfd`` on a real corpus."""
+    compare ``sequential`` vs ``bfd`` on a real corpus. Pass the SAME
+    ``sep_tokens`` given to pack_sequences: separators consume budget
+    and are neither fill shortfall nor padding."""
     per_bin = packed.groupBy("seq_id").agg(
-        F.sum("n_tokens").alias("used"), F.count("*").alias("docs"))
+        (F.sum("n_tokens") + F.count("*") * F.lit(sep_tokens)).alias("used"),
+        F.count("*").alias("docs"))
     return per_bin.agg(
         F.count("*").alias("n_bins"),
         F.sum("docs").alias("n_docs"),

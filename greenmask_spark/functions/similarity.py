@@ -103,6 +103,31 @@ def cosine_pd(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
+def _staged_cosine() -> Column:
+    """The one load-bearing scoring expression every top-k path shares:
+    staged-norm dot fold rounded to 4 decimals. Fold order and rounding
+    live in ONE place — the oracle contract and rerank_topk's
+    exact-input identity depend on every path producing bit-identical
+    scores."""
+    return F.round(
+        dot(F.col("qvec"), F.col("cvec"))
+        / (F.col("qnorm") * F.col("cnorm")),
+        4,
+    ).alias("cos_sim")
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail: rank per query by (score desc, neighbor asc)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -129,20 +154,9 @@ def cosine_topk(
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(
-            dot(F.col("qvec"), F.col("cvec"))
-            / (F.col("qnorm") * F.col("cnorm")),
-            4,
-        ).alias("cos_sim"),
+        _staged_cosine(),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_pairs_blocked(
@@ -466,19 +480,10 @@ def ivf_topk(
             "neighbor_id",
             # staged norms: per-pair work is the single dot fold (see
             # cosine_topk); qnorm*cnorm keeps cosine()'s exact order
-            F.round(
-                dot(F.col("qvec"), F.col("cvec"))
-                / (F.col("qnorm") * F.col("cnorm")),
-                4,
-            ).alias("cos_sim"),
+            _staged_cosine(),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -551,19 +556,10 @@ def cosine_topk_lsh(
             "neighbor_id",
             # staged norms: per-pair work is the single dot fold (see
             # cosine_topk); qnorm*cnorm keeps cosine()'s exact order
-            F.round(
-                dot(F.col("qvec"), F.col("cvec"))
-                / (F.col("qnorm") * F.col("cnorm")),
-                4,
-            ).alias("cos_sim"),
+            _staged_cosine(),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -686,18 +682,7 @@ def rerank_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("qvec"), F.col("cvec"))
-                / (F.col("qnorm") * F.col("cnorm")),
-                4,
-            ).alias("cos_sim"),
+            _staged_cosine(),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)

@@ -5,14 +5,9 @@ scan+project into a shuffle or drops a Python boundary into the hot
 path; these assertions pin the executed-plan node counts that
 matter at 100 TB (see PLANS.md for the full audit)."""
 
-import os
-import sys
-
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import __spark_entry__ as entrymod  # noqa: E402
+import __spark_entry__ as entrymod  # conftest puts the repo root on sys.path
 from greenmask_spark.plan.health import plan_health  # noqa: E402
 
 

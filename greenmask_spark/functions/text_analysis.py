@@ -11,6 +11,7 @@ no shuffle, no Python.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -556,3 +557,41 @@ def linear_text_score(
     return ids.join(out, "id", "left").select(
         "id", F.coalesce("score", F.lit(prior)).alias("score")
     )
+
+
+def normalize_text(
+    text: Column,
+    form: str = "NFKC",
+    lowercase: bool = True,
+    strip_punct: bool = False,
+    collapse_ws: bool = True,
+) -> Column:
+    """Unicode-normalize text for dedup robustness: NFKC folds width
+    variants, ligatures and compatibility forms (ﬁ→fi, ４２→42, Ａ→A) so
+    visually-identical documents hash identically. The Unicode pass is a
+    pandas UDF (Spark has no normalizer expression); casing,
+    punctuation stripping and whitespace collapsing stay JVM-side
+    expressions around it. Run this BEFORE minhash/simhash/exact dedup
+    when the corpus mixes sources with different normalization habits.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    out = _norm(text)
+    if lowercase:
+        out = F.lower(out)
+    if strip_punct:
+        out = F.regexp_replace(out, r"[^\w\s]", " ")
+    if collapse_ws:
+        out = F.regexp_replace(F.trim(out), r"\s+", " ")
+    return out

@@ -1483,3 +1483,32 @@ def test_rerank_topk_coarse_to_fine(spark):
     fine = rerank_topk(coarse, df, queries, k=5)
     rec = recall_at_k(fine, exact)
     assert rec >= 0.8, rec
+
+
+def test_normalize_text_unicode_folding(spark):
+    from greenmask_spark.functions.dedup import dedup_exact
+    from greenmask_spark.functions.text_analysis import normalize_text
+
+    rows = [
+        (1, "The ｑuick broｗn fox"),       # fullwidth q/w
+        (2, "the quick brown fox"),
+        (3, "café deluxe"),                     # é composed
+        (4, "café   deluxe"),                  # e + combining acute
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.n for r in df.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("n")).collect()}
+    assert out[1] == out[2] == "the quick brown fox"
+    assert out[3] == out[4] == "café deluxe"
+    assert out[5] is None
+
+    # normalized column feeds exact dedup: 4 docs collapse to 2
+    normed = df.filter("text IS NOT NULL").withColumn(
+        "text", normalize_text(F.col("text")))
+    assert dedup_exact(normed).count() == 2
+
+    import pytest as _p
+    with _p.raises(ValueError, match="normalization form"):
+        df.select(normalize_text(F.col("text"), form="NFX"))

@@ -239,6 +239,19 @@ def _step_semantic_dedup(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_normalize_text(df: DataFrame, p: dict) -> DataFrame:
+    from greenmask_spark.functions.text_analysis import normalize_text
+
+    text_col = p.get("text_col", "text")
+    return df.withColumn(text_col, normalize_text(
+        F.col(text_col),
+        form=p.get("form", "NFKC"),
+        lowercase=bool(p.get("lowercase", True)),
+        strip_punct=bool(p.get("strip_punct", False)),
+        collapse_ws=bool(p.get("collapse_ws", True)),
+    ))
+
+
 def _step_normalize_urls(df: DataFrame, p: dict) -> DataFrame:
     """Rewrite a URL column to canonical form; optionally derive a
     domain column (the key for blocklists / caps)."""
@@ -358,6 +371,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "pack_sequences": _step_pack_sequences,
     "join_embeddings": _step_join_embeddings,
     "semantic_dedup": _step_semantic_dedup,
+    "normalize_text": _step_normalize_text,
     "normalize_urls": _step_normalize_urls,
     "blocklist": _step_blocklist,
     "cap_per_domain": _step_cap_per_domain,

@@ -42,6 +42,9 @@ def asof_join(
       columns are NULL;
     - right payload columns arrive suffixed when they collide with left
       names; the matched right timestamp is always ``{right_ts}{suffix}``;
+    - a NULL payload value on the matched right row stays NULL (the whole
+      right ROW is carried as one struct, so a NULL field never falls
+      back to an older row's value — matches merge_asof);
     - ties among right rows with the SAME timestamp resolve to one
       arbitrary-but-deterministic row (ordered by the full right row) —
       give right a unique tiebreak column if it matters.
@@ -55,13 +58,19 @@ def asof_join(
     }
     ts_out = right_ts + suffix
 
+    # The whole right row travels as ONE struct (non-NULL exactly for
+    # right-side rows): last(ignorenulls) then skips LEFT rows only, never
+    # a NULL payload *field* on the true match — per-column carry would
+    # resurrect an older row's value for that field (merge_asof mismatch).
+    r_struct = F.struct(
+        *[F.col(c).alias(out_names[c]) for c in payload],
+        F.col(right_ts).alias(ts_out),
+    )
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c])
-          for c in payload],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(ts_out),
+        F.lit(None).alias("__r"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -69,9 +78,12 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(out_names[c]) for c in payload],
-        F.col(right_ts).alias(ts_out),
+        r_struct.alias("__r"),
     ).select(*l_tagged.columns)  # align column order for the union
+    # give the NULL-literal struct on the left side the right's type
+    l_tagged = l_tagged.withColumn(
+        "__r", F.col("__r").cast(r_tagged.schema["__r"].dataType)
+    )
 
     u = l_tagged.unionByName(r_tagged)
     # backward: right row sorts BEFORE a left row at the same instant
@@ -83,13 +95,14 @@ def asof_join(
         w = Window.partitionBy(*keys).orderBy(F.desc("__t"), F.asc("__side"))
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     carried = u.select(
-        *[c for c in u.columns if c not in
-          [out_names[c2] for c2 in payload] + [ts_out]],
-        *[F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c])
-          for c in payload],
-        F.last(ts_out, ignorenulls=True).over(w).alias(ts_out),
+        *[c for c in u.columns if c != "__r"],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    res = carried.filter(F.col("__side") == 1)
+    res = carried.filter(F.col("__side") == 1).select(
+        *[c for c in carried.columns if c != "__r"],
+        *[F.col("__r")[out_names[c]].alias(out_names[c]) for c in payload],
+        F.col("__r")[ts_out].alias(ts_out),
+    )
     if tolerance is not None:
         if direction == "backward":
             fresh = F.col("__t") - F.col(ts_out) <= F.lit(tolerance)

@@ -216,6 +216,7 @@ def ngram_jaccard(
     strategy: str = "agg",
     broadcast_max_rows: int = 1_000_000,
     reuse: str = "persist",
+    _persisted: list | None = None,
 ) -> DataFrame:
     """Exact hashed-k-shingle Jaccard for candidate pairs (verification).
 
@@ -299,12 +300,17 @@ def ngram_jaccard(
     # session drops them (LRU) — a long-lived session iterating over
     # many corpora/thresholds should pass reuse="recompute" (or call
     # spark.catalog.clearCache() between runs) to avoid accumulating
-    # dead cached partitions.
+    # dead cached partitions. Callers that materialize the result and
+    # want the cache back immediately (dedup_clusters does) pass a
+    # ``_persisted`` list; the cached handles are appended for them to
+    # unpersist() once an action has run.
     if reuse == "persist":
         from pyspark import StorageLevel
 
         ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        if _persisted is not None:
+            _persisted.extend((ex, pairs))
     elif reuse != "recompute":
         raise ValueError(f"unknown reuse {reuse!r}: persist|recompute")
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -610,6 +616,7 @@ def dedup_clusters(
     bands: int = 4,
     k: int = 5,
     min_jaccard: float | None = None,
+    reuse: str = "persist",
 ) -> DataFrame:
     """Full fuzzy-dedup clustering: MinHash-LSH candidate pairs →
     [optional exact-Jaccard verification] → connected components →
@@ -623,13 +630,26 @@ def dedup_clusters(
     exact hashed-shingle Jaccard falls below the threshold are dropped
     BEFORE clustering, so band-collision false positives can't chain
     unrelated docs into one giant component.
+
+    ``reuse`` feeds the verification stage's ``ngram_jaccard``; with the
+    default "persist" the intermediate caches are dropped here as soon
+    as the verified pair set is materialized (localCheckpoint barrier),
+    so long-lived sessions don't accumulate dead cache entries.
     """
     pairs = minhash_candidates(df, text_col, id_col, num_perm, bands, k)
     if min_jaccard is not None:
-        verified = ngram_jaccard(df, pairs, text_col, id_col, k)
+        cached: list = []
+        verified = ngram_jaccard(
+            df, pairs, text_col, id_col, k, reuse=reuse, _persisted=cached
+        )
+        # eager barrier: pairs are a sliver (two ints per candidate) and
+        # connected_components would checkpoint its input anyway — after
+        # this action the shingle/pair caches are dead weight; free them
         pairs = verified.filter(
             F.col("jaccard") >= float(min_jaccard)
-        ).select("id_a", "id_b")
+        ).select("id_a", "id_b").localCheckpoint(eager=True)
+        for h in cached:
+            h.unpersist()
     cc = connected_components(pairs, "id_a", "id_b")
     ids = df.select(F.col(id_col).alias("node"))
     return (
@@ -649,11 +669,12 @@ def fuzzy_dedup(
     bands: int = 4,
     k: int = 5,
     min_jaccard: float | None = None,
+    reuse: str = "persist",
 ) -> DataFrame:
     """Keep one representative (min id) per fuzzy-duplicate cluster —
     the end-to-end pipeline a training-data run actually executes."""
     clusters = dedup_clusters(
-        df, text_col, id_col, num_perm, bands, k, min_jaccard
+        df, text_col, id_col, num_perm, bands, k, min_jaccard, reuse=reuse
     )
     keep = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return df.join(keep, id_col, "left_semi")

@@ -12,18 +12,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: query parameters that are tracking noise, not content identity
+#: query parameters that are UNAMBIGUOUSLY tracking noise, never content
+#: identity. "ref" is deliberately absent: on many sites it is
+#: content-bearing (git refs, forum thread refs) and stripping it would
+#: collapse genuinely different resources into one dedup key.
 TRACKING_PARAMS = (
     "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
-    "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "ref", "igshid",
+    "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "igshid",
 )
 
 
-def normalize_url(url: Column) -> Column:
+def normalize_url(
+    url: Column, tracking_params: tuple[str, ...] = TRACKING_PARAMS
+) -> Column:
     """Canonical URL for dedup keys: lowercase scheme+host, default
     ports dropped, tracking params removed, fragment stripped, trailing
     slash normalized. Two URLs that normalize equal are the same fetch
-    for dedup purposes."""
+    for dedup purposes. ``tracking_params`` overrides the stripped query
+    parameter set (e.g. add site-specific noise params, or ``"ref"``
+    when the corpus is known not to use it for content)."""
     # drop the fragment, then lowercase scheme://host[:port] while
     # leaving path/query case alone (reassembled from two slices of the
     # SAME column expression — never a hard-coded column name)
@@ -37,7 +44,7 @@ def normalize_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80(/|\?|$)", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443(/|\?|$)", r"$1$2")
     # tracking params (leading or mid-query), then dangling separators
-    for p in TRACKING_PARAMS:
+    for p in tracking_params:
         u = F.regexp_replace(u, r"([?&])" + p + r"=[^&#]*", r"$1")
     u = F.regexp_replace(u, r"&&+", "&")        # mid-query && from removals
     u = F.regexp_replace(u, r"\?&+", "?")       # query-start ?&

@@ -67,19 +67,19 @@ def _introspect_ansi(conn, schema: str | None):
     cwhere = f"WHERE constraint_schema = {ph}" if schema else ""
     p = (schema,) if schema else ()
     cols = _rows(conn, f"""
-        SELECT table_name, column_name, data_type, is_nullable,
-               ordinal_position
+        SELECT table_schema, table_name, column_name, data_type,
+               is_nullable, ordinal_position
         FROM information_schema.columns {where}
-        ORDER BY table_name, ordinal_position
+        ORDER BY table_schema, table_name, ordinal_position
     """, p)
     cons = _rows(conn, f"""
-        SELECT constraint_schema, table_name, constraint_name,
-               constraint_type
+        SELECT constraint_schema, table_schema, table_name,
+               constraint_name, constraint_type
         FROM information_schema.table_constraints {where}
     """, p)
     kcu = _rows(conn, f"""
-        SELECT constraint_schema, constraint_name, table_name,
-               column_name, ordinal_position
+        SELECT constraint_schema, constraint_name, table_schema,
+               table_name, column_name, ordinal_position
         FROM information_schema.key_column_usage {where}
         ORDER BY constraint_schema, constraint_name, ordinal_position
     """, p)
@@ -89,23 +89,33 @@ def _introspect_ansi(conn, schema: str | None):
         FROM information_schema.referential_constraints {cwhere}
     """, p)
 
-    by_table: dict[str, list[dict]] = {}
-    nullable: dict[tuple[str, str], bool] = {}
-    for t, c, dt, isnull, _pos in cols:
-        by_table.setdefault(t, []).append(
+    # EVERY map is (table_schema, table_name)-keyed: with schema=None
+    # against a multi-schema database, same-named tables in different
+    # schemas must neither merge their columns nor overwrite each
+    # other's primary keys.
+    by_table: dict[tuple[str, str], list[dict]] = {}
+    nullable: dict[tuple[str, str, str], bool] = {}
+    for ts, t, c, dt, isnull, _pos in cols:
+        by_table.setdefault((ts, t), []).append(
             {"name": c, "type": str(dt).lower(), "nullable": isnull == "YES"}
         )
-        nullable[(t, c)] = isnull == "YES"
+        nullable[(ts, t, c)] = isnull == "YES"
 
-    kcu_cols: dict[tuple, list[tuple[str, str]]] = {}
-    for cs, cname, t, c, _pos in kcu:
-        kcu_cols.setdefault((cs, cname), []).append((t, c))
+    # emitted table names: bare when the scope is a single schema (the
+    # config-path / FKGraph convention), schema-qualified otherwise
+    schemas = {ts for ts, _t in by_table}
+    def disp(ts: str, t: str) -> str:
+        return t if len(schemas) <= 1 else f"{ts}.{t}"
 
-    pk: dict[str, list[str]] = {}
-    con_table = {(cs, cname): t for cs, t, cname, _ in cons}
-    for cs, t, cname, ctype in cons:
+    kcu_cols: dict[tuple, list[tuple[str, str, str]]] = {}
+    for cs, cname, ts, t, c, _pos in kcu:
+        kcu_cols.setdefault((cs, cname), []).append((ts, t, c))
+
+    pk: dict[tuple[str, str], list[str]] = {}
+    con_table = {(cs, cname): (ts, t) for cs, ts, t, cname, _ in cons}
+    for cs, ts, t, cname, ctype in cons:
         if ctype == "PRIMARY KEY":
-            pk[t] = [c for (_t, c) in kcu_cols.get((cs, cname), ())]
+            pk[(ts, t)] = [c for (_ts, _t, c) in kcu_cols.get((cs, cname), ())]
 
     references: list[Reference] = []
     for fk_schema, fk_name_only, uniq_schema, uniq_name_only in refs:
@@ -115,17 +125,18 @@ def _introspect_ansi(conn, schema: str | None):
         parent_cols = kcu_cols.get(uniq_name, [])
         if not child_cols or not parent_cols:
             continue
-        child = con_table.get(fk_name, child_cols[0][0])
-        parent = con_table.get(uniq_name, parent_cols[0][0])
-        fk = tuple(c for (_t, c) in child_cols)
-        pkc = tuple(c for (_t, c) in parent_cols)
+        child = con_table.get(fk_name, child_cols[0][:2])
+        parent = con_table.get(uniq_name, parent_cols[0][:2])
+        fk = tuple(c for (_ts, _t, c) in child_cols)
+        pkc = tuple(c for (_ts, _t, c) in parent_cols)
         references.append(Reference(
-            child=child, parent=parent, fk_columns=fk, pk_columns=pkc,
-            nullable=any(nullable.get((child, c), False) for c in fk),
+            child=disp(*child), parent=disp(*parent),
+            fk_columns=fk, pk_columns=pkc,
+            nullable=any(nullable.get((*child, c), False) for c in fk),
         ))
     tables = [
-        TableMeta(name=t, columns=cs, primary_key=pk.get(t, []))
-        for t, cs in sorted(by_table.items())
+        TableMeta(name=disp(ts, t), columns=cs, primary_key=pk.get((ts, t), []))
+        for (ts, t), cs in sorted(by_table.items())
     ]
     return tables, references
 

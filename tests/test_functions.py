@@ -950,6 +950,33 @@ def test_dedup_clusters_jaccard_verify(docs):
     assert clusters2[2] == 1
 
 
+def test_dedup_clusters_unpersists_verify_caches(docs, monkeypatch):
+    """The verification stage's persist() handles must be released once
+    the verified pair set is materialized — a long-lived session running
+    many corpora must not accumulate dead cache entries."""
+    import greenmask_spark.functions.dedup as dd
+
+    captured = []
+    real = dd.ngram_jaccard
+
+    def spy(*a, **kw):
+        out = real(*a, **kw)
+        captured.append(kw.get("_persisted"))
+        return out
+
+    monkeypatch.setattr(dd, "ngram_jaccard", spy)
+    dd.dedup_clusters(docs, k=3, num_perm=8, bands=4, min_jaccard=0.5).collect()
+    (handles,) = captured
+    assert len(handles) == 2 and all(not h.is_cached for h in handles)
+    # reuse plumbs through: recompute path never persists anything
+    captured.clear()
+    out = dd.dedup_clusters(
+        docs, k=3, num_perm=8, bands=4, min_jaccard=0.5, reuse="recompute"
+    ).collect()
+    (handles,) = captured
+    assert handles == [] and len(out) == docs.count()
+
+
 def test_connected_components_nonconvergence_raises(spark):
     from greenmask_spark.functions.dedup import connected_components
 
@@ -1038,6 +1065,23 @@ def test_asof_join_vs_pandas(spark):
                 assert (both_nan | (ga == ea)).all(), (direction, tol, col)
 
 
+def test_asof_join_null_payload(spark):
+    """A NULL payload value on the MATCHED right row must surface as NULL,
+    not fall back to an older right row's value (merge_asof semantics:
+    right (3,5.0),(10,NULL), left ts=12 -> price=NULL, ts_right=10)."""
+    from greenmask_spark.functions.asof import asof_join
+
+    left = spark.createDataFrame([(1, 12)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 3, 5.0), (1, 10, None)], "k long, ts long, price double"
+    )
+    r = asof_join(left, right, on="k").collect()[0]
+    assert r.ts_right == 10 and r.price is None
+    # tolerance keyed on the matched row's ts: stale check uses ts_right=10
+    r2 = asof_join(left, right, on="k", tolerance=1).collect()[0]
+    assert r2.ts_right is None and r2.price is None
+
+
 def test_asof_join_name_collision_and_validation(spark):
     import pytest as _p
 
@@ -1104,11 +1148,19 @@ def test_normalize_url_and_domain(spark):
             "https://example.com/a?q=1&r=2",
         "https://example.com/a?utm_source=x": "https://example.com/a",
         "https://example.com/Path/Sub": "https://example.com/Path/Sub",
+        # "ref" is content-bearing (git refs, thread refs) — NOT stripped
+        "https://example.com/blob/x?ref=main":
+            "https://example.com/blob/x?ref=main",
     }
     df = spark.createDataFrame([(k,) for k in cases], ["url"])
     got = {r.url: r.n for r in df.select(
         "url", normalize_url(F.col("url")).alias("n")).collect()}
     assert got == cases
+    # but the param set is caller-overridable
+    custom = df.select("url", normalize_url(
+        F.col("url"), tracking_params=("ref",)).alias("n")).collect()
+    assert {r.n for r in custom if "blob" in r.url} == {
+        "https://example.com/blob/x"}
     doms = {r.url: (r.d, r.reg) for r in df.select(
         "url",
         url_domain(F.col("url")).alias("d"),

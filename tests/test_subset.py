@@ -320,6 +320,33 @@ def test_catalog_cross_schema_isolation():
     assert refs[0].fk_columns == ("pid",) and refs[0].pk_columns == ("id",)
 
 
+def test_catalog_multi_schema_unfiltered():
+    """schema=None over a multi-schema DB: same-named tables neither
+    merge their columns nor overwrite each other's primary keys — names
+    come back schema-qualified so everything stays distinct."""
+    import duckdb
+
+    from greenmask_spark.sources.catalog import introspect_catalog
+
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA archive")
+    con.execute("""
+        CREATE TABLE main.t (a BIGINT, b VARCHAR,
+                             CONSTRAINT t_pk PRIMARY KEY (a))
+    """)
+    con.execute("""
+        CREATE TABLE archive.t (x BIGINT, y BIGINT, z VARCHAR,
+                                CONSTRAINT t_pk PRIMARY KEY (x))
+    """)
+    tables, _refs = introspect_catalog(con, schema=None)
+    by_name = {t.name: t for t in tables}
+    assert {"main.t", "archive.t"} <= set(by_name)
+    assert [c["name"] for c in by_name["main.t"].columns] == ["a", "b"]
+    assert [c["name"] for c in by_name["archive.t"].columns] == ["x", "y", "z"]
+    assert by_name["main.t"].primary_key == ["a"]
+    assert by_name["archive.t"].primary_key == ["x"]
+
+
 def test_catalog_placeholder_detection():
     import sys
     import types

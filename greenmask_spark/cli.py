@@ -44,14 +44,67 @@ import sys
 from typing import Any
 
 
-def load_config(path: str) -> dict[str, Any]:
+#: ${VAR} / ${VAR:-default}; $${...} escapes to a literal ${...}
+_ENV_RE = None
+
+
+def expand_env_vars(obj: Any, env: dict[str, str] | None = None) -> Any:
+    """Recursively expand ``${VAR}`` / ``${VAR:-default}`` in every
+    string value of a parsed config.
+
+    Reference parity: the reference resolves environment variables when
+    loading config (cmd/greenmask/cmd/root.go:140 viper.AutomaticEnv;
+    tests/integration/greenmask/env_interpolation_test.go), so CI-driven
+    configs can inject salts, paths and credentials per environment.
+    Semantics here:
+
+    - expansion runs on parsed VALUES, not raw YAML text — a ``$`` in a
+      regex param or template body that is not ``${...}`` is untouched;
+    - an undefined variable with no ``:-default`` raises (a silently
+      empty salt or path is a data-corruption hazard, not a default);
+    - ``$${...}`` escapes to a literal ``${...}``;
+    - keys are never expanded, only values.
+    """
+    import re
+
+    global _ENV_RE
+    if _ENV_RE is None:
+        _ENV_RE = re.compile(
+            r"\$(\$)?\{([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}"
+        )
+    if env is None:
+        env = dict(os.environ)
+
+    def sub(m: "re.Match[str]") -> str:
+        if m.group(1):  # $${...} escape
+            return m.group(0)[1:]
+        var, default = m.group(2), m.group(3)
+        if var in env:
+            return env[var]
+        if default is not None:
+            return default
+        raise KeyError(
+            f"config references undefined environment variable ${{{var}}} "
+            f"(use ${{{var}:-default}} for an optional value)"
+        )
+
+    if isinstance(obj, str):
+        return _ENV_RE.sub(sub, obj)
+    if isinstance(obj, dict):
+        return {k: expand_env_vars(v, env) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [expand_env_vars(v, env) for v in obj]
+    return obj
+
+
+def load_config(path: str, env: dict[str, str] | None = None) -> dict[str, Any]:
     with open(path) as fh:
         text = fh.read()
     if path.endswith(".json"):
-        return json.loads(text)
+        return expand_env_vars(json.loads(text), env)
     import yaml
 
-    return yaml.safe_load(text)
+    return expand_env_vars(yaml.safe_load(text), env)
 
 
 def _spark(app: str):

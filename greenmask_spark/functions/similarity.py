@@ -529,6 +529,69 @@ def lsh_bucket(
     return acc
 
 
+def _lsh_tag_batch(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str,
+    bucket_col: str = "bucket",
+    norm_col: str | None = None,
+) -> DataFrame:
+    """Sign-bit LSH bucket (+ optional L2 norm) per Arrow batch.
+
+    Value-identical to the ``lsh_bucket`` expression but vectorized: the
+    expression form evaluates n_planes interpreted
+    ``aggregate(zip_with(...))`` folds per row (dim=64, 8 planes → ~512
+    lambda ops/row — the pattern measured ~300× slower than codegen),
+    which is fine for a query set but not for corpus tagging, the
+    dominant cost of ``cosine_topk_lsh`` at scale. Here each Arrow batch
+    computes all plane dots with numpy; the plan stays scan+project
+    (mapInPandas, NO shuffle) and the n_planes×dim plane matrix rides in
+    the closure.
+
+    Cross-engine reproducibility (the oracle contract): the
+    per-dimension accumulation is an explicit SEQUENTIAL fold in
+    dimension order — bit-identical to the ``aggregate`` expression and
+    the DuckDB oracle's ``list_sum``, so a dot landing exactly on 0
+    cannot flip its sign bit between engines (same discipline as
+    ``_assign_centroids``). The bucket sum itself is exact integer
+    arithmetic."""
+    from pyspark.sql import types as T
+
+    pmat = np.array(planes, dtype=np.float64)  # n_planes × dim
+    weights = 1 << np.arange(pmat.shape[0], dtype=np.int64)
+    fields = list(df.schema.fields) + [
+        T.StructField(bucket_col, T.IntegerType())
+    ]
+    if norm_col:
+        fields.append(T.StructField(norm_col, T.DoubleType()))
+    schema = T.StructType(fields)
+
+    def run(it):
+        for pdf in it:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out[bucket_col] = np.array([], dtype="int32")
+                if norm_col:
+                    out[norm_col] = np.array([], dtype="float64")
+                yield out
+                continue
+            vmat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            acc = np.zeros((len(vmat), len(pmat)))
+            nrm = np.zeros(len(vmat))
+            for d in range(pmat.shape[1]):
+                acc = acc + vmat[:, d, None] * pmat[None, :, d]
+                if norm_col:
+                    nrm = nrm + vmat[:, d] * vmat[:, d]
+            out[bucket_col] = ((acc > 0) @ weights).astype("int32")
+            if norm_col:
+                out[norm_col] = np.sqrt(nrm)
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -540,14 +603,26 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's hyperplane
     bucket are scored. Recall trades with n_planes; at scale, bucket on
-    (hash-partitioned) bucket id so each task scores one bucket."""
-    b = lambda df: df.withColumn("bucket", lsh_bucket(vec_col, dim, n_planes))  # noqa: E731
-    q = b(queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
-    ).withColumn("qnorm", norm(F.col("qvec")))
-    c = b(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "bucket"
-    ).withColumn("cnorm", norm(F.col("cvec")))
+    (hash-partitioned) bucket id so each task scores one bucket.
+
+    Both sides tag through the vectorized Arrow-batch kernel
+    (``_lsh_tag_batch``) which also emits the L2 norm in the same pass —
+    corpus tagging is the linear-cost stage and must not run as an
+    interpreted 8-plane expression fold. Per-pair scoring after the
+    bucket equi-join stays the shared JVM ``_staged_cosine`` fold."""
+    planes = _hyperplanes(dim, n_planes, seed=42)
+    q = _lsh_tag_batch(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        planes, "qvec", "bucket", "qnorm",
+    )
+    c = _lsh_tag_batch(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        planes, "cvec", "bucket", "cnorm",
+    )
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -60,6 +60,117 @@ def read_jdbc_table(
     return reader.load()
 
 
+def jdbc_partition_predicates(
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int,
+) -> list[str]:
+    """The WHERE clauses Spark's JDBC source generates for a partitioned
+    read — same math as Spark's ``JDBCRelation.columnPartition`` (public
+    Spark source, sql/core datasources/jdbc): bounds are a STRIDE hint,
+    not a filter; the first partition is unbounded below (and absorbs
+    NULLs), the last unbounded above, so every row lands in exactly one
+    partition regardless of the bounds' accuracy.
+
+    Exposed so the DB-API shim (``read_dbapi_table``) — and tests, with
+    no JDBC endpoint in the sandbox — exercise bit-identical
+    partitioning semantics to a real ``spark.read.jdbc`` against PG."""
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    if lower_bound > upper_bound:
+        raise ValueError(
+            f"lower_bound {lower_bound} > upper_bound {upper_bound}"
+        )
+    # Spark clamps: never more partitions than distinct stride steps
+    n = num_partitions
+    if (upper_bound - lower_bound) < n:
+        n = max(1, upper_bound - lower_bound)
+    if n == 1:
+        return ["1=1"]
+    # computed as two divisions, exactly like Spark, to avoid overflow
+    stride = upper_bound // n - lower_bound // n
+    preds: list[str] = []
+    current = lower_bound + stride
+    col = partition_column
+    preds.append(f"{col} < {current} OR {col} IS NULL")
+    for _ in range(1, n - 1):
+        nxt = current + stride
+        preds.append(f"{col} >= {current} AND {col} < {nxt}")
+        current = nxt
+    preds.append(f"{col} >= {current}")
+    return preds
+
+
+def read_dbapi_table(
+    spark: SparkSession,
+    connect,
+    table: str,
+    schema,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    predicates: list[str] | None = None,
+) -> DataFrame:
+    """Parallel table read over any picklable DB-API 2.0 connector —
+    the JDBC-source shape (one bounded query per partition, issued from
+    EXECUTORS) for databases reachable from Python but lacking a JDBC
+    driver in-process (sqlite, duckdb, psycopg2 without a JVM driver).
+
+    ``connect`` is a zero-arg picklable callable returning a fresh
+    DB-API connection — each task opens its own (connections never
+    serialize). Partitioning mirrors ``spark.read.jdbc`` exactly:
+    either pass explicit ``predicates`` (one partition each, like the
+    predicate-list jdbc() overload) or a numeric ``partition_column``
+    with bounds, which derive ``jdbc_partition_predicates``. The plan
+    is one mapInPandas over a tiny predicate frame repartitioned so
+    each task streams exactly one bounded query — no driver-side
+    materialization.
+    """
+    if predicates is None:
+        if partition_column is None:
+            predicates = ["1=1"]
+        else:
+            if lower_bound is None or upper_bound is None:
+                raise ValueError(
+                    "partitioned DB-API read needs lower/upper bounds"
+                )
+            predicates = jdbc_partition_predicates(
+                partition_column, lower_bound, upper_bound, num_partitions
+            )
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    cols = [f.name for f in schema.fields]
+    sqls = [
+        f"SELECT {', '.join(cols)} FROM {table} WHERE {p}" for p in predicates
+    ]
+    pred_df = spark.createDataFrame(
+        [(s,) for s in sqls], "sql string"
+    ).repartition(len(sqls), "sql")
+
+    def fetch(batches):
+        for pdf in batches:
+            for sql in pdf["sql"]:
+                con = connect()
+                try:
+                    cur = con.cursor() if hasattr(con, "cursor") else con
+                    res = cur.execute(sql) or cur
+                    while True:
+                        rows = res.fetchmany(10_000)
+                        if not rows:
+                            break
+                        yield pd.DataFrame(rows, columns=cols)
+                finally:
+                    if hasattr(con, "close"):
+                        con.close()
+
+    return pred_df.mapInPandas(fetch, schema=schema)
+
+
 def write_jdbc_table(
     df: DataFrame,
     url: str,

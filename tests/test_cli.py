@@ -328,3 +328,76 @@ def test_validate_cli_text_format(spark, tmp_path, capsys):
     assert rc == 0
     assert '"public"."people"' in out
     assert "OriginalValue" in out
+
+
+def test_expand_env_vars_semantics():
+    """${VAR} / ${VAR:-default} on parsed values; escape; loud failure
+    on undefined; keys and non-strings untouched (reference:
+    cmd/greenmask/cmd/root.go:140 viper.AutomaticEnv +
+    tests/integration/greenmask/env_interpolation_test.go)."""
+    import pytest
+
+    from greenmask_spark.cli import expand_env_vars
+
+    env = {"SALT": "s-env", "DIR": "/data"}
+    cfg = {
+        "common": {"salt": "${SALT}", "seed": 7},
+        "source": {"dir": "${DIR}/tables", "tables": ["a"]},
+        "opt": "${MISSING:-fallback}",
+        "empty_default": "${MISSING:-}",
+        "escaped": "$${SALT} stays",
+        "regex": r"a$b[${}]?",  # bare $ untouched (not ${...} syntax)
+        "${KEY}": "keys are never expanded",
+        "mixed": "pre-${SALT}-post",
+    }
+    got = expand_env_vars(cfg, env)
+    assert got["common"] == {"salt": "s-env", "seed": 7}
+    assert got["source"]["dir"] == "/data/tables"
+    assert got["opt"] == "fallback" and got["empty_default"] == ""
+    assert got["escaped"] == "${SALT} stays"
+    assert got["regex"] == r"a$b[${}]?"
+    assert "${KEY}" in got
+    assert got["mixed"] == "pre-s-env-post"
+    with pytest.raises(KeyError, match="UNDEF"):
+        expand_env_vars({"x": "${UNDEF}"}, env)
+
+
+def test_load_config_env_interpolation(sf_dir, tmp_path, monkeypatch):
+    """A config with env-interpolated salt/path/condition loads to the
+    EXACT dict the literal config produces — same dict, same plan."""
+    from greenmask_spark.cli import load_config
+
+    literal = _cfg(sf_dir, str(tmp_path / "out"))
+    env_cfg = {
+        "source": {"dir": "${GMS_SRC_DIR}", "tables": ["customer", "orders"]},
+        "dump": {"output": str(tmp_path / "out")},
+        "common": {"salt": "${GMS_SALT}", "seed": 7},
+        "tables": [
+            {
+                "name": "customer",
+                "primary_key": ["c_custkey"],
+                "transformers": [
+                    {"name": "Hash", "salt": "${GMS_SALT}",
+                     "params": {"column": "c_name", "function": "sha256"}},
+                ],
+            },
+        ],
+        "subset": {
+            "conditions": {"customer": "c_acctbal > ${GMS_MIN_BAL:-0}"},
+            "references": [
+                {"child": "orders", "parent": "customer",
+                 "fk": ["o_custkey"], "pk": ["c_custkey"]},
+            ],
+        },
+    }
+    monkeypatch.setenv("GMS_SRC_DIR", sf_dir)
+    monkeypatch.setenv("GMS_SALT", "cli-s1")
+    monkeypatch.delenv("GMS_MIN_BAL", raising=False)
+    p = tmp_path / "cfg_env.yml"
+    with open(p, "w") as fh:
+        yaml.safe_dump(env_cfg, fh)
+    assert load_config(str(p)) == literal
+    # json path expands too
+    pj = tmp_path / "cfg_env.json"
+    pj.write_text(json.dumps(env_cfg))
+    assert load_config(str(pj)) == literal

@@ -417,6 +417,37 @@ def test_cosine_lsh_recall(tables):
         assert exact[pair] == approx[pair]
 
 
+def test_lsh_batch_kernel_matches_expression(tables):
+    """The vectorized Arrow-batch LSH tagger must be value-identical to
+    the lsh_bucket expression form (same sequential dim-order fold →
+    same sign bits), and emit the same L2 norm as the JVM norm() fold."""
+    from greenmask_spark.functions.similarity import (
+        _hyperplanes,
+        _lsh_tag_batch,
+        lsh_bucket,
+        norm,
+    )
+
+    emb = tables["embeddings"].limit(200)
+    planes = _hyperplanes(64, 8, seed=42)
+    got = {
+        r.vec_id: (r.bucket, r.n)
+        for r in _lsh_tag_batch(
+            emb.select("vec_id", "embedding"), planes, "embedding",
+            "bucket", "n",
+        ).collect()
+    }
+    want = {
+        r.vec_id: (r.bucket, r.n)
+        for r in emb.select(
+            "vec_id",
+            lsh_bucket("embedding", 64, 8).alias("bucket"),
+            norm(F.col("embedding")).alias("n"),
+        ).collect()
+    }
+    assert got == want  # exact equality, norms included
+
+
 def test_ivf_recall_and_determinism(tables):
     """IVF probe of 4/8 lists should recover a solid share of the exact
     top-k, scores must agree exactly on hits, and training must be

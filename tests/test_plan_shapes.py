@@ -36,6 +36,9 @@ SHAPES = {
     # centroid-assignment mapInPandas (licensed)
     "ann_topk": (1, 0),
     "ann_topk_ivf": (1, 1),
+    # LSH: the two Python nodes are the query/corpus Arrow-batch bucket
+    # taggers (licensed — replacing the 8-plane interpreted HOF fold)
+    "ann_topk_lsh": (1, 2),
 }
 
 
@@ -50,3 +53,15 @@ def test_plan_shape(spark, sf_dir, name):
 def test_masking_plans_are_single_codegen_span(spark, sf_dir):
     h = _health(spark, sf_dir, "mask_customer")
     assert h["codegen"] >= 1 and h["scans"] == 1
+
+
+def test_lsh_corpus_tagging_not_interpreted_hof(spark, sf_dir):
+    """Regression guard for the r4 scale liability: LSH bucket tagging
+    must run in the Arrow-batch kernel, not as per-row interpreted
+    aggregate(zip_with(...)) folds. Only the per-pair _staged_cosine dot
+    (post bucket join, bounded by collisions) may remain an aggregate
+    HOF — before the fix the plan carried 8 folds per tagging side."""
+    df = entrymod.queries()["ann_topk_lsh"](spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("aggregate(") <= 2, plan.count("aggregate(")

@@ -323,3 +323,72 @@ def test_near_dedup_stream(spark, tables, tmp_path):
     # batch twin: same semantics without the watermark
     batch = near_dedup_stream(spark.read.parquet(src))
     assert batch.count() == 3
+
+
+def test_jdbc_partition_predicates_spark_semantics():
+    """Partition-bound math must match Spark's JDBCRelation.columnPartition:
+    stride from two floor divisions, first partition unbounded below +
+    NULL-absorbing, last unbounded above, clamp when range < partitions."""
+    import pytest
+
+    from greenmask_spark.sources.io import jdbc_partition_predicates
+
+    preds = jdbc_partition_predicates("id", 0, 100, 4)
+    assert preds == [
+        "id < 25 OR id IS NULL",
+        "id >= 25 AND id < 50",
+        "id >= 50 AND id < 75",
+        "id >= 75",
+    ]
+    # bounds are a stride HINT, not a filter: rows outside [lb, ub)
+    # still land in the first/last partitions
+    assert preds[0].startswith("id < ") and preds[-1].startswith("id >= ")
+    # clamp: a 2-wide range can't support 8 partitions
+    assert len(jdbc_partition_predicates("id", 10, 12, 8)) == 2
+    # degenerate range -> single full-scan partition
+    assert jdbc_partition_predicates("id", 5, 5, 4) == ["1=1"]
+    with pytest.raises(ValueError):
+        jdbc_partition_predicates("id", 10, 0, 4)
+    with pytest.raises(ValueError):
+        jdbc_partition_predicates("id", 0, 10, 0)
+
+
+def test_read_dbapi_table_partitioned(spark, tmp_path):
+    """The DB-API shim issues one bounded query per partition from
+    executors; the union must be exactly the table (no loss at the
+    unbounded edges, no overlap at stride boundaries, NULLs land in
+    partition 0), including rows OUTSIDE the declared bounds."""
+    import sqlite3
+
+    from greenmask_spark.sources.io import read_dbapi_table
+
+    db = str(tmp_path / "t.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE src (id INTEGER, v TEXT)")
+    rows = [(i, f"v{i}") for i in range(-5, 105)] + [(None, "null-row")]
+    con.executemany("INSERT INTO src VALUES (?, ?)", rows)
+    con.commit()
+    con.close()
+
+    def connect():
+        import sqlite3 as s
+
+        return s.connect(db)
+
+    df = read_dbapi_table(
+        spark, connect, "src", "id long, v string",
+        partition_column="id", num_partitions=4,
+        lower_bound=0, upper_bound=100,
+    )
+    got = sorted(
+        ((r.id, r.v) for r in df.collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got == sorted(rows, key=lambda t: (t[0] is None, t[0]))
+    assert df.rdd.getNumPartitions() == 4
+    # explicit predicate list (the predicates-overload jdbc shape)
+    df2 = read_dbapi_table(
+        spark, connect, "src", "id long, v string",
+        predicates=["id < 0", "id >= 0 OR id IS NULL"],
+    )
+    assert df2.count() == len(rows)

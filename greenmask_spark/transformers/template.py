@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from greenmask_spark.transformers.base import BuildContext, Transformer, register
+from greenmask_spark.transformers.masker import masking as _masking
 
 try:
     import jinja2
@@ -154,13 +155,26 @@ def template_functions() -> dict[str, Any]:
     sentence = lambda n=6: (  # noqa: E731
         " ".join(pick(lex.WORDS) for _ in range(int(n))).capitalize() + ".")
 
+    def is_null(v):
+        # the record reaches templates through an Arrow/pandas batch, so
+        # a SQL NULL arrives as None OR NaT (timestamps) OR NaN (floats);
+        # the reference's isNull means "SQL NULL" — all three must match
+        if v is None:
+            return True
+        try:
+            return bool(pd.isna(v))
+        except (TypeError, ValueError):
+            return False  # arrays/maps: pd.isna is elementwise
+
     return {
         # -- null helpers ---------------------------------------------------
         "null": None,
-        "isNull": lambda v: v is None,
-        "isNotNull": lambda v: v is not None,
-        "sqlCoalesce": lambda *vs: next((v for v in vs if v is not None), None),
-        "coalesce": lambda *vs: next((v for v in vs if v is not None), None),
+        "isNull": is_null,
+        "isNotNull": lambda v: not is_null(v),
+        "sqlCoalesce": lambda *vs: next(
+            (v for v in vs if not is_null(v)), None),
+        "coalesce": lambda *vs: next(
+            (v for v in vs if not is_null(v)), None),
         # -- json helpers (dotted paths; gjson analog) ----------------------
         "jsonExists": lambda doc, path: _json_get(
             _json.loads(doc) if isinstance(doc, str) else doc, path,
@@ -182,13 +196,16 @@ def template_functions() -> dict[str, Any]:
         # -- type predicates ------------------------------------------------
         "isInt": lambda v: isinstance(v, int) and not isinstance(v, bool),
         "isFloat": lambda v: isinstance(v, float),
-        "isNil": lambda v: v is None,
+        "isNil": is_null,
         "isString": lambda v: isinstance(v, str),
         "isMap": lambda v: isinstance(v, dict),
         "isSlice": lambda v: isinstance(v, (list, tuple)),
         "isBool": lambda v: isinstance(v, bool),
         # -- masking / date math -------------------------------------------
-        "masking": lambda s: "*" * len(s) if s else s,
+        # reference signature masking(dataType, value) with the full
+        # go-masker rule set (transformers/masker.py shares the rules
+        # with the Masking transformer's Column expressions)
+        "masking": _masking,
         "truncateDate": _truncate_date,
         "tsModify": _ts_modify,
         "noiseDatePgInterval": lambda interval, dt: _ts_modify(
@@ -202,10 +219,15 @@ def template_functions() -> dict[str, Any]:
         # -- random generators ----------------------------------------------
         "randomBool": lambda: _random.random() < 0.5,
         "randomDate": random_date,
-        "randomFloat": lambda lo, hi: _random.uniform(lo, hi),
+        # reference signatures (template_functions.go): randomFloat has
+        # an optional precision defaulting to 4; roundFloat takes
+        # (decimal, value) in that order
+        "randomFloat": lambda lo, hi, decimal=4: round(
+            _random.uniform(lo, hi), int(decimal)),
         "randomInt": lambda lo, hi: _random.randint(lo, hi),
         "randomString": random_string,
-        "roundFloat": lambda x, n: round(x, int(n)),
+        "roundFloat": lambda decimal, value: round(
+            float(value), int(decimal)),
         # -- faker family (lexicon-backed) ----------------------------------
         "fakerRealAddress": lambda: (
             f"{_random.randint(1, 9999)} {pick(lex.CITIES)}, "

@@ -141,10 +141,43 @@ def _mask_tail(col: Column, keep_prefix: int, keep_suffix: int) -> Column:
     )
 
 
+def _overlay_expr(c: Column, mask: str, start: int, end: int) -> Column:
+    """go-masker's overlay as an expression: replace chars [start, end)
+    with the literal ``mask``, both bounds clamped to the length (the
+    library's clamping keeps short-string behavior identical)."""
+    n = F.length(c)
+    s = F.least(F.lit(start), n)
+    e = F.least(F.lit(end), n)
+    return F.concat(c.substr(F.lit(1), s), F.lit(mask), c.substr(e + 1, n))
+
+
+def _mask_name_expr(c: Column) -> Column:
+    """Per space-separated word: 1 char → '**'; 2-3 chars →
+    overlay(w,'**',1,2); longer → overlay(w,'**',1,3). Matches
+    go-masker Name ('abcdef test' → 'a**def t**t', reference
+    masking_test.go vector). transform() is a JVM HOF — no Python."""
+    def word(w: Column) -> Column:
+        lw = F.length(w)
+        return (
+            F.when(lw == 0, w)
+            .when(lw == 1, F.lit("**"))
+            .when(lw <= 3, _overlay_expr(w, "**", 1, 2))
+            .otherwise(_overlay_expr(w, "**", 1, 3))
+        )
+
+    return F.when(c == "", c).otherwise(
+        F.array_join(F.transform(F.split(c, " ", -1), word), " ")
+    )
+
+
 @register
 class Masking(Transformer):
-    """go-masker styles (reference masking.go:30-198; styles from
-    github.com/ggwhite/go-masker documented behavior)."""
+    """go-masker styles (reference masking.go:30-198 maps styles onto
+    github.com/ggwhite/go-masker v1.1.0 + local default/postcode
+    maskers). Semantics pinned by the reference's own masking_test.go
+    vectors; the pure-Python twin in transformers/masker.py (template
+    tier) shares the rule definitions and the test suite cross-checks
+    both tiers."""
 
     name = "Masking"
     allowed_types = ("text", "varchar", "char", "bpchar", "citext")
@@ -158,31 +191,52 @@ class Masking(Transformer):
         elif style == "password":
             out = F.lit("************")
         elif style == "name":
-            # first rune kept, rest starred per word
-            out = F.regexp_replace(c, r"(?<=\b\w)\w+", "**")
+            out = _mask_name_expr(c)
         elif style == "email":
-            # keep first 3 chars of local part + domain
-            out = F.regexp_replace(c, r"(?<=^.{3})[^@]*(?=@)", "****")
+            # overlay(local, '****', 3, 7) + '@' + domain; no '@' → as-is
+            local = F.substring_index(c, "@", 1)
+            rest = c.substr(F.length(local) + 2, F.length(c))
+            out = F.when(
+                c.contains("@"),
+                F.concat(_overlay_expr(local, "****", 3, 7),
+                         F.lit("@"), rest),
+            ).otherwise(c)
         elif style == "mobile":
-            out = F.regexp_replace(c, r"(?<=^\d{3})\d{3}", "***")
-        elif style == "tel":
-            out = F.regexp_replace(c, r"\d{4}$", "****")
+            out = F.when(c == "", c).otherwise(_overlay_expr(c, "***", 4, 7))
+        elif style in ("tel", "telephone"):
+            cleaned = F.translate(c, " ()-", "")
+            out = F.when(c == "", c).otherwise(
+                F.when(
+                    F.length(cleaned) == 10,
+                    F.concat(
+                        F.lit("("), cleaned.substr(1, 2), F.lit(")"),
+                        cleaned.substr(3, 4), F.lit("-****"),
+                    ),
+                ).otherwise(cleaned)
+            )
         elif style == "id":
-            out = _mask_tail(c, 4, 0)
+            out = F.when(c == "", c).otherwise(_overlay_expr(c, "****", 6, 10))
         elif style == "credit_card":
-            out = _mask_tail(c, 6, 4)
+            out = F.when(c == "", c).otherwise(
+                _overlay_expr(c, "******", 6, 12))
         elif style == "url":
-            out = F.regexp_replace(c, r"(?<=://)[^@/]+@", "")
-        elif style == "addr":
+            # net/url Redacted(): password part of userinfo → 'xxxxx'
+            out = F.regexp_replace(
+                c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/@:]*:)[^@]*@",
+                r"$1xxxxx@")
+        elif style in ("addr", "address"):
             out = _mask_tail(c, 6, 0)
         elif style == "postcode":
-            out = F.regexp_replace(c, r"\d{3}$", "***")
+            out = F.when(F.length(c) <= 2, c).otherwise(
+                F.concat(c.substr(1, 2),
+                         F.repeat(F.lit("*"), F.length(c) - 2)))
         else:
             raise ValueError(f"unknown masking type {style!r}")
         return keep_null_guard(c, out, ctx.params.get("keep_null", True))
 
     _STYLES = ("default", "password", "name", "email", "mobile", "tel",
-               "id", "credit_card", "url", "addr", "postcode")
+               "telephone", "id", "credit_card", "url", "addr", "address",
+               "postcode")
 
     def validate_params(self, params, spark_type=None):
         style = params.get("type", "default")

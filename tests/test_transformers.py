@@ -240,7 +240,8 @@ def test_when_condition_table_and_step(people):
 
 
 def test_chained_transformers_in_order(people):
-    # first hash the name, then truncate with masking default — order matters
+    # first hash the name, then mask with the id rule — order matters;
+    # id = overlay('****', 6, 10): 6 kept, 4 starred, tail kept
     plan = _plan_for(
         "p",
         [
@@ -249,7 +250,7 @@ def test_chained_transformers_in_order(people):
         ],
     )
     out = {r.id: r.name for r in apply_plan(people, plan).collect()}
-    assert re.fullmatch(r"[0-9a-f]{4}\*{28}", out[1])
+    assert re.fullmatch(r"[0-9a-f]{6}\*{4}[0-9a-f]{22}", out[1])
 
 
 def test_faker_family_shapes(people):

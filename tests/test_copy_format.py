@@ -254,3 +254,61 @@ def test_large_object_nondefault_columns_and_empty_dump(spark, tmp_path):
     assert n == 0
     empty = read_large_object_dump(spark, out)
     assert empty.count() == 0 and empty.columns == ["loid", "data"]
+
+
+def test_pgcopy_reference_vectors(spark):
+    """The reference's own pgcopy test vectors
+    (internal/db/postgres/pgcopy/row_test.go), ported as
+    encode/decode expectations over the text codec:
+
+    - TestDecode: '27\\they\\\\tmyname is\\\\nnoname\\t\\\\N' is three
+      fields; the middle one decodes its \\t and \\n escapes, the last
+      is NULL.
+    - TestRow_SetColumn 'set literal': a value containing a real tab and
+      newline encodes them as backslash escapes.
+    - TestRow_SetColumn 'set null value': NULL encodes as \\N.
+    - TestRow_Decode: empty fields round-trip as EMPTY STRINGS, never
+      NULL ('27\\t1213\\t\\tasda' and trailing-empty '27\\t12\\t\\t').
+    """
+    schema3 = T.StructType([
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("c", T.StringType()),
+    ])
+    # --- decode: the row_test.go TestDecode vector ---------------------
+    # literal bytes: 27 TAB hey\tmyname is\nnoname TAB \N
+    raw = "27\they\\tmyname is\\nnoname\t\\N"
+    line = spark.createDataFrame([(raw,)], ["line"])
+    r = copy_decode(line, schema3).collect()[0]
+    assert r.a == "27"
+    assert r.b == "hey\tmyname is\nnoname"  # escapes decoded
+    assert r.c is None                       # \N -> NULL
+
+    # --- encode: the SetColumn vectors ---------------------------------
+    df = spark.createDataFrame(
+        [Row(a="27", b="\tnew_value\n", c=None)], schema3)
+    enc = copy_encode(df).collect()[0].line
+    assert enc == "27\t\\tnew_value\\n\t\\N"
+
+    null_first = spark.createDataFrame(
+        [Row(a=None, b="hey\tx", c=None)], schema3)
+    enc2 = copy_encode(null_first).collect()[0].line
+    assert enc2 == "\\N\they\\tx\t\\N"
+
+    # --- empty string vs NULL (TestRow_Decode positions vectors) -------
+    schema4 = T.StructType([
+        T.StructField(n, T.StringType()) for n in "abcd"])
+    rows = copy_decode(
+        spark.createDataFrame([("27\t1213\t\tasda",), ("27\t12\t\t",)],
+                              ["line"]),
+        schema4,
+    ).collect()
+    by_a = {r.a: r for r in rows}
+    assert by_a["27"].b in ("1213", "12")
+    for r in rows:
+        assert r.c == ""            # empty field, NOT NULL
+    assert by_a["27"].d in ("asda", "")
+    # and empty strings survive a full round trip distinct from NULL
+    src = spark.createDataFrame([Row(a="", b=None, c="x", d="")], schema4)
+    back = copy_decode(copy_encode(src), schema4).collect()[0]
+    assert back.a == "" and back.b is None and back.c == "x" and back.d == ""

@@ -359,6 +359,97 @@ def _step_linear_score(df: DataFrame, p: dict) -> DataFrame:
     return out
 
 
+def _step_shuffle(df: DataFrame, p: dict) -> DataFrame:
+    """Global deterministic pre-training shuffle (one range sort; order
+    is a pure function of (key, seed) so resumed jobs see the same
+    sequence)."""
+    from greenmask_spark.functions.sampling import deterministic_shuffle
+
+    return deterministic_shuffle(
+        df, key_col=p.get("id_col", "doc_id"), seed=int(p.get("seed", 42))
+    )
+
+
+def _step_ann_rerank(df: DataFrame, p: dict) -> DataFrame:
+    """Production ANN shape from config: coarse recall stage (IVF or
+    LSH over a previously-joined embedding column) proposes
+    ``coarse_k`` candidates per query, then ``rerank_topk`` scores only
+    those pairs at full precision and keeps top ``k``.
+
+    TERMINAL/analysis step: the output is the (query_id, neighbor_id,
+    cos_sim, rank) pair frame, not the document stream. Queries come
+    from a ``queries`` side input spec ({table}/{path}) or a
+    ``query_filter`` expression over the corpus itself.
+    """
+    from greenmask_spark.functions.similarity import (
+        cosine_topk_lsh,
+        hash_centroids,
+        ivf_topk,
+        rerank_topk,
+    )
+
+    id_col = p.get("id_col", "doc_id")
+    vec_col = p.get("vec_col", "embedding")
+    corpus = df.select(F.col(id_col), F.col(vec_col))
+    if "queries" in p:
+        ctx = p.get("_context") or {}
+        if "spark" not in ctx:
+            raise ValueError("ann_rerank queries spec needs pipeline context")
+        q = _load_input(ctx["spark"], p["queries"], ctx.get("sf_dir"))
+        queries = q.select(
+            F.col(p.get("query_id_col", id_col)).alias(id_col),
+            F.col(p.get("query_vec_col", vec_col)).alias(vec_col),
+        )
+    elif "query_filter" in p:
+        queries = corpus.filter(p["query_filter"])
+    else:
+        raise ValueError("ann_rerank needs 'queries' or 'query_filter'")
+    coarse_k = int(p.get("coarse_k", 50))
+    coarse = p.get("coarse", "ivf")
+    if coarse == "ivf":
+        if "dim" not in p:
+            raise ValueError("ann_rerank coarse=ivf needs 'dim'")
+        cand = ivf_topk(
+            corpus, queries, k=coarse_k,
+            n_probe=int(p.get("n_probe", 4)),
+            centroids=hash_centroids(
+                int(p["dim"]), int(p.get("n_centroids", 16)),
+                int(p.get("seed", 42))),
+            id_col=id_col, vec_col=vec_col,
+        )
+    elif coarse == "lsh":
+        if "dim" not in p:
+            raise ValueError("ann_rerank coarse=lsh needs 'dim'")
+        cand = cosine_topk_lsh(
+            corpus, queries, k=coarse_k, dim=int(p["dim"]),
+            n_planes=int(p.get("n_planes", 8)),
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        raise ValueError(f"ann_rerank coarse {coarse!r}: ivf|lsh")
+    return rerank_topk(
+        cand, corpus, queries, k=int(p.get("k", 5)),
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def _step_packing_report(df: DataFrame, p: dict) -> DataFrame:
+    """TERMINAL/analysis step: one-row utilization summary of a
+    ``pack_sequences`` output (n_bins, n_docs, mean_fill, padding_frac)
+    — the number that decides sequential vs bfd on a real corpus. Pass
+    the SAME max_tokens/sep_tokens as the pack step."""
+    from greenmask_spark.functions.sampling import packing_stats
+
+    token_col = p.get("token_col", "n_tokens")
+    src = df if token_col == "n_tokens" else df.withColumnsRenamed(
+        {token_col: "n_tokens"})
+    return packing_stats(
+        src,
+        max_tokens=int(p.get("max_tokens", 4096)),
+        sep_tokens=int(p.get("sep_tokens", 0)),
+    )
+
+
 CORPUS_STEPS: dict[str, Step] = {
     "dedup_exact": _step_dedup_exact,
     "dedup_lines": _step_dedup_lines,
@@ -377,6 +468,9 @@ CORPUS_STEPS: dict[str, Step] = {
     "cap_per_domain": _step_cap_per_domain,
     "cluster_split": _step_cluster_split,
     "linear_score": _step_linear_score,
+    "shuffle": _step_shuffle,
+    "ann_rerank": _step_ann_rerank,
+    "packing_report": _step_packing_report,
 }
 
 

@@ -308,3 +308,85 @@ def test_linear_score_step_overwrites_existing_column(corpus):
     ])
     assert out.columns.count("score") == 1
     assert out.count() == corpus.count()
+
+
+def test_ann_rerank_step(spark, sf_dir):
+    """Production ANN from config: join embeddings, coarse IVF propose,
+    exact rerank — result matches calling the library directly, and the
+    lsh coarse path also runs."""
+    from greenmask_spark.functions.similarity import (
+        hash_centroids,
+        ivf_topk,
+        rerank_topk,
+    )
+    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.session import load_tables
+
+    cfg = {
+        "input": {"table": "documents"},
+        "steps": [
+            {"op": "join_embeddings", "table": "embeddings"},
+            {"op": "ann_rerank", "coarse": "ivf", "dim": 64,
+             "coarse_k": 20, "k": 3, "query_filter": "doc_id < 3"},
+        ],
+    }
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+           for r in run_corpus_pipeline(spark, cfg, sf_dir=sf_dir).collect()}
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corpus = docs.join(
+        emb.withColumnsRenamed({"vec_id": "doc_id"}), "doc_id"
+    ).select("doc_id", "embedding")
+    queries = corpus.filter("doc_id < 3")
+    cand = ivf_topk(corpus, queries, k=20, n_probe=4,
+                    centroids=hash_centroids(64, 16, seed=42),
+                    id_col="doc_id", vec_col="embedding")
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in rerank_topk(cand, corpus, queries, k=3,
+                                 id_col="doc_id",
+                                 vec_col="embedding").collect()}
+    assert got == want and got
+
+    cfg["steps"][1].update({"coarse": "lsh", "n_planes": 4})
+    lsh_out = run_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+    assert {"query_id", "neighbor_id", "cos_sim", "rank"} <= set(
+        lsh_out.columns)
+    assert lsh_out.count() >= 0
+
+    import pytest as _p
+    with _p.raises(ValueError, match="queries|query_filter"):
+        run_corpus_pipeline(spark, {
+            "input": {"table": "documents"},
+            "steps": [{"op": "join_embeddings", "table": "embeddings"},
+                      {"op": "ann_rerank", "dim": 64}],
+        }, sf_dir=sf_dir)
+
+
+def test_shuffle_and_packing_report_steps(spark, sf_dir):
+    """Deterministic shuffle yields an identical order across runs;
+    packing_report summarizes a pack_sequences output in one row."""
+    from greenmask_spark.pipeline import run_corpus_pipeline
+
+    cfg = {
+        "input": {"table": "documents"},
+        "steps": [{"op": "shuffle", "seed": 7}],
+    }
+    a = [r.doc_id for r in run_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+         .limit(50).collect()]
+    b = [r.doc_id for r in run_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+         .limit(50).collect()]
+    assert a == b and a != sorted(a)
+
+    rep_cfg = {
+        "input": {"table": "documents"},
+        "steps": [
+            {"op": "pack_sequences", "max_tokens": 512, "n_packers": 4},
+            {"op": "packing_report", "max_tokens": 512},
+        ],
+    }
+    rep = run_corpus_pipeline(spark, rep_cfg, sf_dir=sf_dir).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r.n_bins > 0 and r.n_docs > 0
+    assert 0 < r.mean_fill <= 1 and 0 <= r.padding_frac < 1

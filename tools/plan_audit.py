@@ -53,7 +53,9 @@ def main() -> int:
             "walk (each persisted subplan audited once — its fill cost —\n"
             "plus a cache_reads column for its consumers; ReusedExchange\n"
             "not double-counted). `python` > 0 is licensed only for\n"
-            "Template/Cmd/Json-generic/multimodal/BLAS-tile paths;\n"
+            "Template/Cmd/Json-generic/multimodal/BLAS-tile paths and the\n"
+            "vectorized ANN taggers (IVF centroid argmin, LSH sign-bit\n"
+            "bucketing — Arrow-batch numpy kernels, not per-row UDFs);\n"
             "`scans` vs `pushed` shows predicate pushdown reaching parquet\n"
             "(scans without filters legitimately push nothing).\n\n".format(
                 sf_dir.rstrip("/").rsplit("sf", 1)[-1])

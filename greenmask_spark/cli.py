@@ -44,38 +44,85 @@ import sys
 from typing import Any
 
 
-#: ${VAR} / ${VAR:-default}; $${...} escapes to a literal ${...}
-_ENV_RE = None
+import re as _re
+
+#: POSIX parameter expansion (the buildkite/interpolate subset the
+#: reference documents): $$ escape, $VAR, ${VAR}, ${VAR:-d}, ${VAR-d},
+#: ${VAR?message}
+_POSIX_ENV_RE = _re.compile(
+    r"\$\$"                                     # escape -> literal $
+    r"|\$\{([A-Za-z_][A-Za-z0-9_]*)"            # ${VAR
+    r"(?:(:?-)([^}]*)|(\?)([^}]*))?\}"          #   [:-d | -d | ?msg] }
+    r"|\$([A-Za-z_][A-Za-z0-9_]*)"              # bare $VAR
+)
+
+#: conservative config-level form: ${VAR} / ${VAR:-default} only, with
+#: a $${...} escape (bare $VAR deliberately NOT expanded here)
+_CONFIG_ENV_RE = _re.compile(
+    r"\$(\$)?\{([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}"
+)
+
+
+def interpolate_posix(value: str, env: dict[str, str]) -> str:
+    """POSIX parameter expansion over a transformer param value —
+    reference semantics
+    (docs/built_in_transformers/parameters_env_vars_interpolation.md):
+
+    - ``${VAR}`` / ``$VAR`` → value, EMPTY STRING if unset;
+    - ``${VAR:-default}`` → default when unset or empty;
+    - ``${VAR-default}`` → default when unset only (empty stays empty);
+    - ``${VAR?message}`` → required; raises with ``message`` when unset;
+    - ``$$`` → a literal ``$`` (no lookup).
+    """
+    def sub(m: "_re.Match[str]") -> str:
+        if m.group(0) == "$$":
+            return "$"
+        bare = m.group(6)
+        if bare is not None:
+            return env.get(bare, "")
+        var = m.group(1)
+        if m.group(4):  # ${VAR?message}
+            if var in env:
+                return env[var]
+            raise KeyError(
+                f"required environment variable {var} is not set: "
+                f"{m.group(5)}"
+            )
+        sep, default = m.group(2), m.group(3)
+        if sep is None:
+            return env.get(var, "")
+        got = env.get(var)
+        if sep == ":-":
+            return default if not got else got
+        return default if got is None else got  # ${VAR-default}
+
+    return _POSIX_ENV_RE.sub(sub, value)
 
 
 def expand_env_vars(obj: Any, env: dict[str, str] | None = None) -> Any:
-    """Recursively expand ``${VAR}`` / ``${VAR:-default}`` in every
-    string value of a parsed config.
+    """Environment interpolation over a parsed config, reference
+    semantics in two tiers:
 
-    Reference parity: the reference resolves environment variables when
-    loading config (cmd/greenmask/cmd/root.go:140 viper.AutomaticEnv;
-    tests/integration/greenmask/env_interpolation_test.go), so CI-driven
-    configs can inject salts, paths and credentials per environment.
-    Semantics here:
+    - **transformer ``params`` are opt-in**: a dict carrying a
+      ``params`` key has that subtree interpolated (full POSIX syntax,
+      ``interpolate_posix``) ONLY when the dict sets
+      ``resolve_env: true`` — otherwise ``$`` strings in params are
+      plain data. This is the reference's documented guard against
+      expanding literal ``$`` in regex/template/script-valued params
+      (parameters_env_vars_interpolation.md).
+    - **everything else** (paths, salts, seeds, conditions — the
+      CI-varying surface; viper.AutomaticEnv territory,
+      cmd/greenmask/cmd/root.go:140) expands the conservative
+      ``${VAR}`` / ``${VAR:-default}`` form with a ``$${...}`` escape;
+      an undefined variable with no default raises (a silently empty
+      salt or path is a corruption hazard, not a default).
 
-    - expansion runs on parsed VALUES, not raw YAML text — a ``$`` in a
-      regex param or template body that is not ``${...}`` is untouched;
-    - an undefined variable with no ``:-default`` raises (a silently
-      empty salt or path is a data-corruption hazard, not a default);
-    - ``$${...}`` escapes to a literal ``${...}``;
-    - keys are never expanded, only values.
+    Keys are never expanded, only values.
     """
-    import re
-
-    global _ENV_RE
-    if _ENV_RE is None:
-        _ENV_RE = re.compile(
-            r"\$(\$)?\{([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}"
-        )
     if env is None:
         env = dict(os.environ)
 
-    def sub(m: "re.Match[str]") -> str:
+    def config_sub(m: "_re.Match[str]") -> str:
         if m.group(1):  # $${...} escape
             return m.group(0)[1:]
         var, default = m.group(2), m.group(3)
@@ -88,13 +135,31 @@ def expand_env_vars(obj: Any, env: dict[str, str] | None = None) -> Any:
             f"(use ${{{var}:-default}} for an optional value)"
         )
 
-    if isinstance(obj, str):
-        return _ENV_RE.sub(sub, obj)
-    if isinstance(obj, dict):
-        return {k: expand_env_vars(v, env) for k, v in obj.items()}
-    if isinstance(obj, list):
-        return [expand_env_vars(v, env) for v in obj]
-    return obj
+    def walk_posix(v: Any) -> Any:
+        if isinstance(v, str):
+            return interpolate_posix(v, env)
+        if isinstance(v, dict):
+            return {k: walk_posix(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [walk_posix(x) for x in v]
+        return v
+
+    def walk(v: Any) -> Any:
+        if isinstance(v, str):
+            return _CONFIG_ENV_RE.sub(config_sub, v)
+        if isinstance(v, dict):
+            out = {}
+            for k, x in v.items():
+                if k == "params" and isinstance(v.get("params"), (dict, list)):
+                    out[k] = walk_posix(x) if v.get("resolve_env") else x
+                else:
+                    out[k] = walk(x)
+            return out
+        if isinstance(v, list):
+            return [walk(x) for x in v]
+        return v
+
+    return walk(obj)
 
 
 def load_config(path: str, env: dict[str, str] | None = None) -> dict[str, Any]:

@@ -331,9 +331,9 @@ def test_validate_cli_text_format(spark, tmp_path, capsys):
 
 
 def test_expand_env_vars_semantics():
-    """${VAR} / ${VAR:-default} on parsed values; escape; loud failure
-    on undefined; keys and non-strings untouched (reference:
-    cmd/greenmask/cmd/root.go:140 viper.AutomaticEnv +
+    """Config tier: ${VAR} / ${VAR:-default} on parsed values; escape;
+    loud failure on undefined; keys and non-strings untouched
+    (reference: cmd/greenmask/cmd/root.go:140 viper.AutomaticEnv +
     tests/integration/greenmask/env_interpolation_test.go)."""
     import pytest
 
@@ -360,6 +360,44 @@ def test_expand_env_vars_semantics():
     assert got["mixed"] == "pre-s-env-post"
     with pytest.raises(KeyError, match="UNDEF"):
         expand_env_vars({"x": "${UNDEF}"}, env)
+
+
+def test_params_interpolation_opt_in():
+    """Transformer params: the reference's documented resolve_env gate
+    (parameters_env_vars_interpolation.md) — without the flag a $
+    string in params is DATA; with it, full POSIX expansion applies."""
+    import pytest
+
+    from greenmask_spark.cli import expand_env_vars, interpolate_posix
+
+    env = {"NEW_PASSWORD": "s3cr3t!", "EMPTY": ""}
+    steps = [
+        # no flag: $ strings (incl. ${UNDEF}) survive verbatim
+        {"name": "RegexpReplace",
+         "params": {"regexp": r"^\$\{TOKEN\}$", "replace": "${UNDEF}"}},
+        # the doc's own example, flag on
+        {"name": "Replace", "resolve_env": True,
+         "params": {"value": "${NEW_PASSWORD}", "column": "password"}},
+    ]
+    got = expand_env_vars({"tables": [{"name": "test",
+                                       "transformers": steps}]}, env)
+    g0, g1 = got["tables"][0]["transformers"]
+    assert g0["params"]["replace"] == "${UNDEF}"  # untouched without flag
+    assert g1["params"]["value"] == "s3cr3t!"
+
+    # the documented POSIX syntax table, case by case
+    assert interpolate_posix("${NEW_PASSWORD}", env) == "s3cr3t!"
+    assert interpolate_posix("$NEW_PASSWORD", env) == "s3cr3t!"
+    assert interpolate_posix("${UNSET}", env) == ""      # empty, no error
+    assert interpolate_posix("$UNSET", env) == ""
+    assert interpolate_posix("${UNSET:-d}", env) == "d"
+    assert interpolate_posix("${EMPTY:-d}", env) == "d"  # :- covers empty
+    assert interpolate_posix("${EMPTY-d}", env) == ""    # - unset only
+    assert interpolate_posix("${UNSET-d}", env) == "d"
+    assert interpolate_posix("${UNSET:-}", env) == ""
+    assert interpolate_posix("$$VAR literal", env) == "$VAR literal"
+    with pytest.raises(KeyError, match="set it in CI"):
+        interpolate_posix("${UNSET?set it in CI}", env)
 
 
 def test_load_config_env_interpolation(sf_dir, tmp_path, monkeypatch):

@@ -104,6 +104,7 @@ def build_plan(
         for step in tcfg.get("transformers", []):
             t = registry.get(step["name"])
             params = {**t.defaults, **step.get("params", {})}
+            params = _render_static_template_params(params)
             plan.steps.append(
                 BoundTransformer(
                     transformer=t,
@@ -117,6 +118,38 @@ def build_plan(
             )
         plans.append(plan)
     return plans
+
+
+#: parameter names the reference marks SupportTemplate — static Go-template
+#: rendering at parameter-scan time (pkg/toolkit/static_parameter.go:98-123;
+#: the SetSupportTemplate(true) definitions across
+#: internal/db/postgres/transformers/*.go). NOT a free-for-all: params
+#: whose VALUE is itself template/program text (Template's `template`,
+#: Cmd's executable args, RegexpReplace's regexp) must never pre-render.
+STATIC_TEMPLATE_PARAMS = {
+    "min", "max", "min_ratio", "max_ratio", "decimal", "value", "subnet",
+    "min_length", "max_length", "min_unit", "max_unit", "truncate", "unit",
+    "gender_mapping", "fallback_gender", "symbols",
+}
+
+
+def _render_static_template_params(params: dict) -> dict:
+    """Render ``{{ ... }}`` parameter values once at plan build
+    (parameters_templating.md: e.g. RandomDate
+    ``min: "{{ EncodeValue(tsModify('-30 years', now())) }}"``)."""
+    if not any(
+        k in STATIC_TEMPLATE_PARAMS and isinstance(v, str) and "{{" in v
+        for k, v in params.items()
+    ):
+        return params
+    from greenmask_spark.transformers.template import render_static_param
+
+    return {
+        k: render_static_param(v)
+        if k in STATIC_TEMPLATE_PARAMS and isinstance(v, str) and "{{" in v
+        else v
+        for k, v in params.items()
+    }
 
 
 def _fold_conds(*conds: Column | None) -> Column | None:

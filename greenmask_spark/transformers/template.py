@@ -107,6 +107,30 @@ def _ts_modify(interval: str, dt):
     return dt + _dt.timedelta(seconds=sign * _interval_to_seconds(s.lstrip("+-")))
 
 
+def _date_modify(duration: str, dt):
+    """sprig ``date_modify``: shift a datetime by a Go duration string
+    ("24h", "-1h30m", "90s", "1.5h"). Distinct from ``tsModify`` which
+    takes PG/ISO-8601 interval syntax."""
+    import datetime as _dtm
+    import re as _rem
+
+    s = duration.strip()
+    sign = -1 if s.startswith("-") else 1
+    s = s.lstrip("+-")
+    total = 0.0
+    pos = 0
+    for m in _rem.finditer(r"(\d+(?:\.\d+)?)(h|ms|m|s|us|ns)", s):
+        if m.start() != pos:
+            raise ValueError(f"bad Go duration {duration!r}")
+        pos = m.end()
+        n = float(m.group(1))
+        total += n * {"h": 3600, "m": 60, "s": 1, "ms": 1e-3,
+                      "us": 1e-6, "ns": 1e-9}[m.group(2)]
+    if pos != len(s) or pos == 0:
+        raise ValueError(f"bad Go duration {duration!r}")
+    return dt + _dtm.timedelta(seconds=sign * total)
+
+
 def template_functions() -> dict[str, Any]:
     """Analog of the reference FuncMap (template_functions.go:71-199) —
     the full surface: null/json helpers, type predicates, masking/date
@@ -295,7 +319,16 @@ def template_functions() -> dict[str, Any]:
             f"+1{_random.randint(200, 999)}{_random.randint(200, 999)}"
             f"{_random.randint(0, 9999):04d}"),
         "fakerUUID": lambda: str(_uuid.uuid4()),
+        # the docs table lists the hyphenated variant under this name
+        # (faker_function.md "UUID" section)
+        "fakerUUIDHyphenated": lambda: str(_uuid.uuid4()),
         "fakerUUIDDigit": lambda: _uuid.uuid4().hex,
+        # -- clock + sprig-style date math ----------------------------------
+        # (sprig FuncMap ships with the reference's Go templates; `now` is
+        # the documented driver of plan-build param templating and the
+        # TemplateRecord dates example; date_modify takes Go durations)
+        "now": lambda: _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
+        "date_modify": _date_modify,
         # -- unix-time conversion -------------------------------------------
         "timeToUnix": lambda dt: int(dt.timestamp()),
         "unixToTime": lambda n: _dt.datetime.fromtimestamp(
@@ -333,6 +366,32 @@ def compile_template(tpl: str):
 
 def render_template(tpl: str, record: dict[str, Any]) -> Any:
     return compile_template(tpl)(record)
+
+
+def render_static_param(tpl: str) -> str:
+    """Plan-build-time parameter templating (reference:
+    pkg/toolkit/static_parameter.go:98-123; documented in
+    docs/built_in_transformers/parameters_templating.md) — a parameter
+    VALUE like ``{{ EncodeValue(tsModify('-30 years', now())) }}``
+    renders ONCE when the plan is built, with the full template
+    function library. ``EncodeValue`` (and the ByColumn/ByType forms)
+    formats the rendered object the way our param parsers read it —
+    the Spark collapse of the reference's PG-driver encode step."""
+    import datetime as _dtm
+
+    def encode_value(v):
+        if isinstance(v, _dtm.datetime):
+            return v.isoformat(sep=" ")
+        if isinstance(v, _dtm.date):
+            return v.isoformat()
+        return str(v)
+
+    return str(compile_template(tpl)(
+        {},
+        EncodeValue=encode_value,
+        EncodeValueByColumn=lambda _c, v: encode_value(v),
+        EncodeValueByType=lambda _t, v: encode_value(v),
+    ))
 
 
 @register

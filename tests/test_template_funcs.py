@@ -37,7 +37,7 @@ REFERENCE_FUNCS = [
     "fakerFirstName", "fakerFirstNameMale", "fakerFirstNameFemale",
     "fakerFirstLastName", "fakerName", "fakerPhoneNumber",
     "fakerTollFreePhoneNumber", "fakerE164PhoneNumber", "fakerUUID",
-    "fakerUUIDDigit", "timeToUnix", "unixToTime",
+    "fakerUUIDHyphenated", "fakerUUIDDigit", "timeToUnix", "unixToTime",
 ]
 
 #: the reference's CastFunctionsMap keys

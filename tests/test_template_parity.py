@@ -184,3 +184,60 @@ def test_masking_inside_template_end_to_end(spark):
         {"email": "ggw.chang@gmail.com"},
     )
     assert out == "ggw****ng@gmail.com"  # overlay(local, '****', 3, 7)
+
+
+# --- parameters_templating.md: plan-build-time param templates ------------
+
+def test_static_param_templating_doc_example(spark):
+    """The documented RandomDate example: min/max generated at plan
+    build from now()/tsModify, encoded via EncodeValue — every produced
+    birth date lands in [now-30y, now-18y]."""
+    df = spark.createDataFrame(
+        [Row(id=1, birth_date=datetime.datetime(1980, 1, 1))],
+        "id long, birth_date timestamp",
+    )
+    plan = _plan_for("account", [
+        {"name": "RandomDate", "params": {
+            "column": "birth_date",
+            "min": "{{ EncodeValue(tsModify('-P30Y', now())) }}",
+            "max": "{{ EncodeValue(tsModify('-P18Y', now())) }}",
+        }},
+    ])
+    out = apply_plan(df, plan).collect()[0]
+    now = datetime.datetime.utcnow()
+    lo = now - datetime.timedelta(days=30 * 365.25 + 2)
+    hi = now - datetime.timedelta(days=18 * 365.25 - 2)
+    assert lo <= out.birth_date <= hi
+
+
+def test_static_param_templating_scope():
+    """Only SupportTemplate params render; template-valued params
+    (Template's own body) must reach the transformer verbatim."""
+    from greenmask_spark.plan import build_plan
+
+    plan = build_plan({"tables": [{"name": "t", "transformers": [
+        {"name": "Replace",
+         "params": {"column": "c", "value": "{{ upper('x') }}"}},
+        {"name": "Template",
+         "params": {"column": "c",
+                    "template": "{{ record['c'] }}-suffix"}},
+    ]}]})[0]
+    replace_step, template_step = plan.steps
+    assert replace_step.params["value"] == "X"            # rendered
+    assert template_step.params["template"] == "{{ record['c'] }}-suffix"
+
+
+def test_now_and_date_modify_functions():
+    """sprig-style helpers backing the documented examples."""
+    import pytest
+
+    now = FUNCS["now"]()
+    assert isinstance(now, datetime.datetime) and now.tzinfo is None
+    dt = datetime.datetime(2024, 1, 1)
+    assert FUNCS["date_modify"]("24h", dt) == dt + datetime.timedelta(hours=24)
+    assert FUNCS["date_modify"]("-1h30m", dt) == \
+        dt - datetime.timedelta(hours=1, minutes=30)
+    assert FUNCS["date_modify"]("90s", dt) == \
+        dt + datetime.timedelta(seconds=90)
+    with pytest.raises(ValueError):
+        FUNCS["date_modify"]("1 day", dt)  # PG syntax is tsModify's job

@@ -92,7 +92,7 @@ def build_plan(
             continue
         plan = TablePlan(
             table=tcfg["name"],
-            when=tcfg.get("when"),
+            when=translate_expr_condition(tcfg.get("when")),
             subset_cond=" AND ".join(tcfg.get("subset_conds", [])) or None,
             query=tcfg.get("query"),
             limit=tcfg.get("rows_limit"),
@@ -110,7 +110,7 @@ def build_plan(
                     transformer=t,
                     column=params.pop("column", None),
                     params=params,
-                    when=step.get("when"),
+                    when=translate_expr_condition(step.get("when")),
                     engine_name=step.get("engine", "hash"),
                     salt=step.get("salt"),
                     seed=step.get("seed"),
@@ -169,6 +169,41 @@ def _guard(original: Column, transformed: Column,
     if cond is None:
         return transformed
     return F.when(cond, transformed).otherwise(original)
+
+
+def translate_expr_condition(cond: str | None) -> str | None:
+    """Reference condition dialect → Spark SQL, for configs ported
+    verbatim.
+
+    The reference's ``when`` uses expr-lang
+    (docs/built_in_transformers/transformation_condition.md;
+    pkg/toolkit/expr.go:116-172): ``record.col`` / ``raw_record.col``
+    namespaces, ``== null`` / ``!= null`` null tests, ``&&``/``||``
+    boolean operators. Our native dialect is Spark SQL; this shim
+    triggers ONLY when a condition uses the record namespaces (a native
+    Spark condition may legitimately use ``||`` as concat — it is never
+    touched). Rewrites, outside string literals:
+
+    - ``record.c`` / ``raw_record.c`` → ``c`` (Spark columns are typed;
+      the raw/decoded duality collapses, same as the template tier);
+    - ``x == null`` → ``x IS NULL``; ``x != null`` → ``x IS NOT NULL``;
+    - ``&&`` → ``AND``; ``||`` → ``OR``.
+    """
+    if not cond or "record." not in cond:
+        return cond
+    parts = re.split(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", cond)
+    out = []
+    for i, p in enumerate(parts):
+        if i % 2 == 1:  # quoted literal — untouched
+            out.append(p)
+            continue
+        p = re.sub(r"\braw_record\.", "", p)
+        p = re.sub(r"\brecord\.", "", p)
+        p = re.sub(r"==\s*null\b", " IS NULL", p)
+        p = re.sub(r"!=\s*null\b", " IS NOT NULL", p)
+        p = p.replace("&&", " AND ").replace("||", " OR ")
+        out.append(re.sub(r"  +", " ", p))
+    return "".join(out)
 
 
 #: helper column holding the table-level ``when`` verdict, computed ONCE

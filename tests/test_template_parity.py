@@ -241,3 +241,43 @@ def test_now_and_date_modify_functions():
         dt + datetime.timedelta(seconds=90)
     with pytest.raises(ValueError):
         FUNCS["date_modify"]("1 day", dt)  # PG syntax is tsModify's job
+
+
+# --- transformation_condition.md: the expr-lang dialect -------------------
+
+def test_condition_dialect_translation(spark):
+    """The doc's own table-scope example, ported verbatim: expr-lang
+    record namespace / == null / || translate to Spark SQL; native
+    Spark conditions (incl. || as concat) pass through untouched."""
+    from greenmask_spark.plan.planner import translate_expr_condition
+
+    assert translate_expr_condition(
+        'record.accountnumber == null || record.accountnumber == "ALLENSON0001"'
+    ) == 'accountnumber IS NULL OR accountnumber == "ALLENSON0001"'
+    assert translate_expr_condition(
+        "record.accountnumber != null && raw_record.date <= '2024-01-01'"
+    ) == "accountnumber IS NOT NULL AND date <= '2024-01-01'"
+    # strings containing the tokens stay intact
+    assert translate_expr_condition(
+        "record.note == 'a && b || record.x'"
+    ) == "note == 'a && b || record.x'"
+    # native Spark SQL (no record namespace): untouched, || stays concat
+    assert translate_expr_condition("name || '!' = 'x!'") == "name || '!' = 'x!'"
+    assert translate_expr_condition(None) is None
+
+    # end-to-end: the doc's table-scope config skips non-matching rows
+    df = spark.createDataFrame(
+        [Row(id=1, accountnumber=None),
+         Row(id=2, accountnumber="ALLENSON0001"),
+         Row(id=3, accountnumber="KEEP")],
+        "id long, accountnumber string",
+    )
+    plan = _plan_for("vendor", [
+        {"name": "Replace",
+         "when": 'record.accountnumber == null || '
+                 'record.accountnumber == "ALLENSON0001"',
+         "params": {"column": "accountnumber", "value": "MASKED",
+                    "keep_null": False}},
+    ])
+    out = {r.id: r.accountnumber for r in apply_plan(df, plan).collect()}
+    assert out == {1: "MASKED", 2: "MASKED", 3: "KEEP"}

@@ -321,6 +321,8 @@ def _assign_centroids(
         fields.append(T.StructField(norm_col, T.DoubleType()))
     schema = T.StructType(fields)
 
+    dim = cmat.shape[1]
+
     def run(it):
         for pdf in it:
             out = pdf.copy()
@@ -330,19 +332,38 @@ def _assign_centroids(
                     out[norm_col] = np.array([], dtype="float64")
                 yield out
                 continue
-            vmat = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            # a NULL or wrong-dimension vector must not kill the stage
+            # (one bad row in a 100 TB corpus): it gets a NULL cid/norm
+            # (the SQL twin's list ops over NULL do the same) and drops
+            # out at the probe join
+            valid = np.array(
+                [v is not None and len(v) == dim for v in pdf[vec_col]]
             )
-            acc = np.zeros((len(vmat), len(cmat)))
-            nrm = np.zeros(len(vmat))
-            for d in range(cmat.shape[1]):
-                diff = vmat[:, d, None] - cmat[None, :, d]
-                acc = acc + diff * diff  # sequential fold in dim order
+            cids = np.full(len(pdf), np.nan)
+            nrms = np.full(len(pdf), np.nan)
+            if valid.any():
+                vmat = np.array([
+                    np.asarray(v, dtype=np.float64)
+                    for v, ok in zip(pdf[vec_col], valid) if ok
+                ])
+                acc = np.zeros((len(vmat), len(cmat)))
+                nrm = np.zeros(len(vmat))
+                for d in range(dim):
+                    diff = vmat[:, d, None] - cmat[None, :, d]
+                    acc = acc + diff * diff  # sequential fold in dim order
+                    if norm_col:
+                        nrm = nrm + vmat[:, d] * vmat[:, d]
+                cids[valid] = np.argmin(acc, axis=1)
                 if norm_col:
-                    nrm = nrm + vmat[:, d] * vmat[:, d]
-            out[out_col] = np.argmin(acc, axis=1).astype("int32")
+                    nrms[valid] = np.sqrt(nrm)
+            vmask = pd.Series(valid, index=pdf.index)
+            out[out_col] = (
+                pd.Series(cids, index=pdf.index).astype("Int32")
+                .where(vmask, None)
+            )
             if norm_col:
-                out[norm_col] = np.sqrt(nrm)
+                out[norm_col] = pd.Series(nrms, index=pdf.index).where(
+                    vmask, None)
             yield out
 
     return df.mapInPandas(run, schema=schema)
@@ -566,6 +587,8 @@ def _lsh_tag_batch(
         fields.append(T.StructField(norm_col, T.DoubleType()))
     schema = T.StructType(fields)
 
+    dim = pmat.shape[1]
+
     def run(it):
         for pdf in it:
             out = pdf.copy()
@@ -575,18 +598,32 @@ def _lsh_tag_batch(
                     out[norm_col] = np.array([], dtype="float64")
                 yield out
                 continue
-            vmat = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            # NULL / wrong-dimension vectors match the expression form:
+            # every plane dot is NULL → every CASE falls to 0 → bucket 0,
+            # and norm() is NULL. Valid rows batch through the matmul.
+            valid = np.array(
+                [v is not None and len(v) == dim for v in pdf[vec_col]]
             )
-            acc = np.zeros((len(vmat), len(pmat)))
-            nrm = np.zeros(len(vmat))
-            for d in range(pmat.shape[1]):
-                acc = acc + vmat[:, d, None] * pmat[None, :, d]
+            buckets = np.zeros(len(pdf), dtype="int32")
+            norms = np.full(len(pdf), np.nan)
+            if valid.any():
+                vmat = np.array([
+                    np.asarray(v, dtype=np.float64)
+                    for v, ok in zip(pdf[vec_col], valid) if ok
+                ])
+                acc = np.zeros((len(vmat), len(pmat)))
+                nrm = np.zeros(len(vmat))
+                for d in range(dim):
+                    acc = acc + vmat[:, d, None] * pmat[None, :, d]
+                    if norm_col:
+                        nrm = nrm + vmat[:, d] * vmat[:, d]
+                buckets[valid] = ((acc > 0) @ weights).astype("int32")
                 if norm_col:
-                    nrm = nrm + vmat[:, d] * vmat[:, d]
-            out[bucket_col] = ((acc > 0) @ weights).astype("int32")
+                    norms[valid] = np.sqrt(nrm)
+            out[bucket_col] = buckets
             if norm_col:
-                out[norm_col] = np.sqrt(nrm)
+                out[norm_col] = pd.Series(norms, index=pdf.index).where(
+                    pd.Series(valid, index=pdf.index), None)
             yield out
 
     return df.mapInPandas(run, schema=schema)

@@ -148,9 +148,13 @@ def read_dbapi_table(
     sqls = [
         f"SELECT {', '.join(cols)} FROM {table} WHERE {p}" for p in predicates
     ]
+    # one query per TASK, guaranteed: parallelize slices the list evenly
+    # (a hash repartition could collide two predicates into one task and
+    # leave another idle)
     pred_df = spark.createDataFrame(
-        [(s,) for s in sqls], "sql string"
-    ).repartition(len(sqls), "sql")
+        spark.sparkContext.parallelize([(s,) for s in sqls], len(sqls)),
+        "sql string",
+    )
 
     def fetch(batches):
         for pdf in batches:

@@ -1595,3 +1595,27 @@ def test_normalize_text_unicode_folding(spark):
     import pytest as _p
     with _p.raises(ValueError, match="normalization form"):
         df.select(normalize_text(F.col("text"), form="NFX"))
+
+
+def test_ann_taggers_tolerate_null_and_ragged_vectors(spark):
+    """One bad row (NULL / wrong-dim embedding) must not kill a tagging
+    stage at scale: LSH gives bucket 0 + NULL norm (expression-form
+    semantics), IVF gives NULL cid (drops at the probe join)."""
+    from greenmask_spark.functions.similarity import (
+        _assign_centroids,
+        _hyperplanes,
+        _lsh_tag_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None), (3, [1.0])],
+        "id long, v array<double>",
+    )
+    lsh = {r.id: (r.bucket, r.n) for r in _lsh_tag_batch(
+        df, _hyperplanes(4, 3, seed=42), "v", "bucket", "n").collect()}
+    assert lsh[2] == (0, None) and lsh[3] == (0, None)
+    assert lsh[1][1] is not None
+
+    ivf = {r.id: (r.cid, r.n) for r in _assign_centroids(
+        df, [[0.0] * 4, [1.0, 2.0, 3.0, 4.0]], "v", "cid", "n").collect()}
+    assert ivf[1][0] == 1 and ivf[2] == (None, None) and ivf[3] == (None, None)

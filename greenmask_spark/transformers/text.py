@@ -128,48 +128,6 @@ class RegexpReplace(Transformer):
         return keep_null_guard(ctx.col(), out, ctx.params.get("keep_null", True))
 
 
-def _mask_tail(col: Column, keep_prefix: int, keep_suffix: int) -> Column:
-    """Keep first/last n chars, star the middle (dynamic-length safe)."""
-    n = F.length(col)
-    mid = F.greatest(n - keep_prefix - keep_suffix, F.lit(0))
-    return F.when(n <= keep_prefix + keep_suffix, F.repeat(F.lit("*"), n)).otherwise(
-        F.concat(
-            F.substring(col, 1, keep_prefix),
-            F.repeat(F.lit("*"), mid),
-            F.when(F.lit(keep_suffix) > 0, col.substr(n - keep_suffix + 1, F.lit(keep_suffix))).otherwise(F.lit("")),
-        )
-    )
-
-
-def _overlay_expr(c: Column, mask: str, start: int, end: int) -> Column:
-    """go-masker's overlay as an expression: replace chars [start, end)
-    with the literal ``mask``, both bounds clamped to the length (the
-    library's clamping keeps short-string behavior identical)."""
-    n = F.length(c)
-    s = F.least(F.lit(start), n)
-    e = F.least(F.lit(end), n)
-    return F.concat(c.substr(F.lit(1), s), F.lit(mask), c.substr(e + 1, n))
-
-
-def _mask_name_expr(c: Column) -> Column:
-    """Per space-separated word: 1 char → '**'; 2-3 chars →
-    overlay(w,'**',1,2); longer → overlay(w,'**',1,3). Matches
-    go-masker Name ('abcdef test' → 'a**def t**t', reference
-    masking_test.go vector). transform() is a JVM HOF — no Python."""
-    def word(w: Column) -> Column:
-        lw = F.length(w)
-        return (
-            F.when(lw == 0, w)
-            .when(lw == 1, F.lit("**"))
-            .when(lw <= 3, _overlay_expr(w, "**", 1, 2))
-            .otherwise(_overlay_expr(w, "**", 1, 3))
-        )
-
-    return F.when(c == "", c).otherwise(
-        F.array_join(F.transform(F.split(c, " ", -1), word), " ")
-    )
-
-
 @register
 class Masking(Transformer):
     """go-masker styles (reference masking.go:30-198 maps styles onto
@@ -225,7 +183,12 @@ class Masking(Transformer):
                 c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/@:]*:)[^@]*@",
                 r"$1xxxxx@")
         elif style in ("addr", "address"):
-            out = _mask_tail(c, 6, 0)
+            # keep first 6 chars, star the rest; ≤6 chars stay intact
+            # (doc-table rule; masker.mask_address is the Python twin)
+            out = F.concat(
+                c.substr(1, 6),
+                F.repeat(F.lit("*"), F.greatest(F.length(c) - 6, F.lit(0))),
+            )
         elif style == "postcode":
             out = F.when(F.length(c) <= 2, c).otherwise(
                 F.concat(c.substr(1, 2),

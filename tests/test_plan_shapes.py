@@ -39,6 +39,16 @@ SHAPES = {
     # LSH: the two Python nodes are the query/corpus Arrow-batch bucket
     # taggers (licensed — replacing the 8-plane interpreted HOF fold)
     "ann_topk_lsh": (1, 2),
+    # event-time daily rollup: one partial+final agg exchange
+    "events_daily": (1, 0),
+    # subset semi-join chain: dims broadcast, fact never shuffles
+    "subset_lineitem": (0, 0),
+    # star join: worst case 4 exchanges at tiny sf (AQE broadcasts the
+    # dims as sf grows); never Python
+    "q5_region_revenue": (4, 0),
+    # text profile: winnow window + stats assembly — 3 integer-payload
+    # shuffles is the audited shape (PLANS.md); a 4th means a regression
+    "text_profile": (3, 0),
 }
 
 

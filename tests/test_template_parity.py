@@ -281,3 +281,38 @@ def test_condition_dialect_translation(spark):
     ])
     out = {r.id: r.accountnumber for r in apply_plan(df, plan).collect()}
     assert out == {1: "MASKED", 2: "MASKED", 3: "KEEP"}
+
+
+def test_masking_tiers_agree_property(spark):
+    """Property: for EVERY style, the Python rule library and the
+    Column-expression tier produce identical output on arbitrary
+    unicode input (tabs, quotes, @-signs, multi-word, empty). Batched:
+    one Spark job per style checks a whole generated corpus."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from greenmask_spark.transformers.masker import RULES
+
+    texty = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        max_size=24,
+    )
+    styles = ["default", "name", "email", "mobile", "tel", "id",
+              "credit_card", "url", "addr", "postcode", "password"]
+
+    @settings(max_examples=3, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(texty, min_size=1, max_size=30))
+    def check(batch):
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(batch)],
+                                   "id long, v string")
+        for style in styles:
+            plan = _plan_for("t", [{
+                "name": "Masking", "params": {"column": "v", "type": style}}])
+            got = {r.id: r.v for r in apply_plan(df, plan).collect()}
+            want = {i: RULES[style](s) for i, s in enumerate(batch)}
+            mismatches = {i: (got[i], want[i]) for i in want
+                          if got[i] != want[i]}
+            assert not mismatches, (style, mismatches)
+
+    check()

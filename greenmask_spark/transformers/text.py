@@ -128,6 +128,35 @@ class RegexpReplace(Transformer):
         return keep_null_guard(ctx.col(), out, ctx.params.get("keep_null", True))
 
 
+def _overlay_expr(c: Column, mask: str, start: int, end: int) -> Column:
+    """go-masker's overlay as an expression: replace chars [start, end)
+    with the literal ``mask``, both bounds clamped to the length (the
+    library's clamping keeps short-string behavior identical)."""
+    n = F.length(c)
+    s = F.least(F.lit(start), n)
+    e = F.least(F.lit(end), n)
+    return F.concat(c.substr(F.lit(1), s), F.lit(mask), c.substr(e + 1, n))
+
+
+def _mask_name_expr(c: Column) -> Column:
+    """Per space-separated word: 1 char → '**'; 2-3 chars →
+    overlay(w,'**',1,2); longer → overlay(w,'**',1,3). Matches
+    go-masker Name ('abcdef test' → 'a**def t**t', reference
+    masking_test.go vector). transform() is a JVM HOF — no Python."""
+    def word(w: Column) -> Column:
+        lw = F.length(w)
+        return (
+            F.when(lw == 0, w)
+            .when(lw == 1, F.lit("**"))
+            .when(lw <= 3, _overlay_expr(w, "**", 1, 2))
+            .otherwise(_overlay_expr(w, "**", 1, 3))
+        )
+
+    return F.when(c == "", c).otherwise(
+        F.array_join(F.transform(F.split(c, " ", -1), word), " ")
+    )
+
+
 @register
 class Masking(Transformer):
     """go-masker styles (reference masking.go:30-198 maps styles onto

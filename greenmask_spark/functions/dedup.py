@@ -174,6 +174,93 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     )
 
 
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: str = "exact",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """Incremental dedup: drop documents of ``df`` that duplicate a
+    REFERENCE corpus — already-ingested shards, a previous training
+    run, or a benchmark set to decontaminate against — WITHOUT
+    re-clustering the union (the production shape for rolling crawls:
+    the reference never re-processes).
+
+    - ``level="exact"``: content-digest anti-join. The reference side
+      reduces to 32-byte digests before the join.
+    - ``level="fuzzy"``: a document sharing ANY MinHash band bucket
+      with a reference document is a candidate; with ``min_jaccard``
+      each candidate (new_doc, ref_doc) pair is verified by exact
+      hashed-shingle Jaccard and only verified hits drop (band
+      collisions alone over-trigger at scale).
+
+    Scale shape: both sides reduce to (id, digest) or (id, band_key)
+    rows before any shuffle; the verify stage reuses ``ngram_jaccard``
+    over the union restricted to candidate ids. Document bodies never
+    cross an exchange. If the same reference is reused across many
+    shards, precompute+persist its digest/band frame once and pass a
+    frame with a ``__ref_key`` column directly.
+    """
+    if level == "exact":
+        key = F.sha2(F.col(text_col), 256)
+        ref_keys = reference.select(key.alias("__ref_key")).distinct()
+        return df.join(
+            ref_keys, key == F.col("__ref_key"), "left_anti"
+        )
+    if level != "fuzzy":
+        raise ValueError(f"level {level!r}: exact|fuzzy")
+    rows_per_band = num_perm // bands
+    def keys_of(frame, side):
+        sigs = minhash_signatures_df(frame, text_col, id_col, num_perm, k)
+        return sigs.select(
+            F.col("id").alias(f"id_{side}"),
+            F.explode(
+                band_keys(F.col("sig"), bands, rows_per_band)
+            ).alias("bk"),
+        )
+    new_keys = keys_of(df, "a")
+    ref_keys = keys_of(reference, "b")
+    cand = new_keys.join(ref_keys, "bk").select("id_a", "id_b").distinct()
+    if min_jaccard is not None:
+        # verify against the union restricted to candidate ids — bodies
+        # of non-candidates are never shingled. Ids are side-prefixed
+        # ("n:"/"r:") before the union: the two corpora are independent
+        # and may legitimately reuse the same id values, which would
+        # otherwise merge their shingle sets.
+        def tag(side):
+            return lambda c: F.concat(F.lit(side), c.cast("string"))
+        a_ids = cand.select(F.col("id_a").alias(id_col)).distinct()
+        b_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
+        union = (
+            df.join(a_ids, id_col, "left_semi")
+            .select(tag("n:")(F.col(id_col)).alias(id_col), text_col)
+            .unionByName(
+                reference.join(b_ids, id_col, "left_semi")
+                .select(tag("r:")(F.col(id_col)).alias(id_col), text_col)
+            )
+        )
+        tagged_cand = cand.select(
+            tag("n:")(F.col("id_a")).alias("id_a"),
+            tag("r:")(F.col("id_b")).alias("id_b"),
+        )
+        verified = ngram_jaccard(union, tagged_cand, text_col, id_col, k,
+                                 reuse="recompute")
+        drop_keys = verified.filter(
+            F.col("jaccard") >= float(min_jaccard)
+        ).select(F.expr("substring(id_a, 3)").alias("__drop")).distinct()
+        return df.join(
+            drop_keys, F.col(id_col).cast("string") == F.col("__drop"),
+            "left_anti",
+        )
+    drop_ids = cand.select(F.col("id_a").alias(id_col)).distinct()
+    return df.join(drop_ids, id_col, "left_anti")
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",

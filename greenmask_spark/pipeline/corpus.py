@@ -359,6 +359,31 @@ def _step_linear_score(df: DataFrame, p: dict) -> DataFrame:
     return out
 
 
+def _step_dedup_against(df: DataFrame, p: dict) -> DataFrame:
+    """Incremental dedup against a REFERENCE corpus ({table}/{path}
+    spec via pipeline context): drop documents duplicating
+    already-ingested shards or a benchmark set, without re-clustering
+    the union. ``level``: exact (digest anti-join) | fuzzy (shared
+    MinHash band + optional ``min_jaccard`` verify)."""
+    from greenmask_spark.functions.dedup import dedup_against
+
+    ctx = p.get("_context") or {}
+    if "spark" not in ctx or "reference" not in p:
+        raise ValueError("dedup_against needs a 'reference' input spec "
+                         "and pipeline context")
+    ref = _load_input(ctx["spark"], p["reference"], ctx.get("sf_dir"))
+    return dedup_against(
+        df, ref,
+        text_col=p.get("text_col", "text"),
+        id_col=p.get("id_col", "doc_id"),
+        level=p.get("level", "exact"),
+        num_perm=int(p.get("num_perm", 16)),
+        bands=int(p.get("bands", 4)),
+        k=int(p.get("k", 5)),
+        min_jaccard=p.get("min_jaccard"),
+    )
+
+
 def _step_shuffle(df: DataFrame, p: dict) -> DataFrame:
     """Global deterministic pre-training shuffle (one range sort; order
     is a pure function of (key, seed) so resumed jobs see the same
@@ -471,6 +496,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "shuffle": _step_shuffle,
     "ann_rerank": _step_ann_rerank,
     "packing_report": _step_packing_report,
+    "dedup_against": _step_dedup_against,
 }
 
 

@@ -390,3 +390,38 @@ def test_shuffle_and_packing_report_steps(spark, sf_dir):
     r = rep[0]
     assert r.n_bins > 0 and r.n_docs > 0
     assert 0 < r.mean_fill <= 1 and 0 <= r.padding_frac < 1
+
+
+def test_dedup_against_step(spark, sf_dir, tmp_path):
+    """Config-driven incremental dedup: a shard deduped against a
+    reference parquet drops its overlap and keeps the rest."""
+    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ref_path = str(tmp_path / "ref.parquet")
+    # reference = a hash-gated half of the corpus (different ids
+    # would also work — the op keys on content, not ids)
+    docs.filter("pmod(doc_id, 2) = 0").write.parquet(ref_path)
+
+    cfg = {
+        "input": {"table": "documents"},
+        "steps": [{"op": "dedup_against",
+                   "reference": {"path": ref_path, "format": "parquet"},
+                   "level": "exact"}],
+    }
+    out = run_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    rows = docs.select("doc_id", "text").collect()
+    even_texts = {r.text for r in rows if r.doc_id % 2 == 0}
+    # exactly the odd docs whose TEXT does not duplicate a reference doc
+    want = {r.doc_id for r in rows
+            if r.doc_id % 2 == 1 and r.text not in even_texts}
+    assert kept == want and kept
+
+    import pytest as _p
+    with _p.raises(ValueError, match="reference"):
+        run_corpus_pipeline(spark, {
+            "input": {"table": "documents"},
+            "steps": [{"op": "dedup_against"}],
+        }, sf_dir=sf_dir)

@@ -1619,3 +1619,43 @@ def test_ann_taggers_tolerate_null_and_ragged_vectors(spark):
     ivf = {r.id: (r.cid, r.n) for r in _assign_centroids(
         df, [[0.0] * 4, [1.0, 2.0, 3.0, 4.0]], "v", "cid", "n").collect()}
     assert ivf[1][0] == 1 and ivf[2] == (None, None) and ivf[3] == (None, None)
+
+
+def test_dedup_against_reference_corpus(spark):
+    """Incremental dedup: a new shard drops docs that duplicate the
+    reference corpus (exact and fuzzy+verified), keeps novel docs, and
+    never touches the reference. Overlapping id values between the two
+    corpora must not confuse the verify stage."""
+    from greenmask_spark.functions.dedup import dedup_against
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    ref = spark.createDataFrame(
+        [(1, base), (2, "completely different reference text about ships "
+                        "sailing across the wide open ocean")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a totally novel document about cooking pasta at home"),
+         (2, base),                                  # exact dup of ref 1
+         (3, base.replace("tonight", "tonite")),     # near dup of ref 1
+         (4, "another novel doc on gardening and soil quality today")],
+        "doc_id long, text string",
+    )
+    exact = {r.doc_id for r in dedup_against(new, ref).collect()}
+    assert exact == {1, 3, 4}  # only the byte-identical doc dropped
+
+    fuzzy = {r.doc_id for r in dedup_against(
+        new, ref, level="fuzzy", num_perm=8, bands=4, k=3,
+        min_jaccard=0.7).collect()}
+    assert fuzzy == {1, 4}     # near dup dropped too, novel docs kept
+
+    # impossible threshold: band collisions alone must not drop docs
+    none_dropped = {r.doc_id for r in dedup_against(
+        new, ref, level="fuzzy", num_perm=8, bands=4, k=3,
+        min_jaccard=1.01).collect()}
+    assert none_dropped == {1, 2, 3, 4}
+
+    import pytest as _p
+    with _p.raises(ValueError, match="level"):
+        dedup_against(new, ref, level="nope")

@@ -188,6 +188,12 @@ def translate_expr_condition(cond: str | None) -> str | None:
       the raw/decoded duality collapses, same as the template tier);
     - ``x == null`` → ``x IS NULL``; ``x != null`` → ``x IS NOT NULL``;
     - ``&&`` → ``AND``; ``||`` → ``OR``.
+
+    NOT translated (rewrite by hand in Spark SQL): expr-lang pipe
+    syntax and stdlib calls (``record.j | jsonGet("a") == 1`` →
+    ``get_json_object(j, '$.a') = 1``; ``record.id | has([1,2])`` →
+    ``id IN (1, 2)``) — a full expr-lang front end is not worth its
+    weight when Spark SQL is strictly more expressive here.
     """
     if not cond or "record." not in cond:
         return cond

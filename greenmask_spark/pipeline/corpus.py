@@ -384,6 +384,58 @@ def _step_dedup_against(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _resolve_lm_model(df: DataFrame, p: dict):
+    from greenmask_spark.functions.lm import train_ngram_lm
+
+    ctx = p.get("_context") or {}
+    n = int(p.get("n", 2))
+    if "reference" in p:
+        if "spark" not in ctx:
+            raise ValueError("lm reference spec needs pipeline context")
+        ref = _load_input(ctx["spark"], p["reference"], ctx.get("sf_dir"))
+    else:
+        ref = df  # self-trained: score each doc against the corpus itself
+    return train_ngram_lm(
+        ref, n=n, text_col=p.get("text_col", "text"),
+        id_col=p.get("id_col", "doc_id"),
+    ), n
+
+
+def _step_lm_score(df: DataFrame, p: dict) -> DataFrame:
+    """Attach Stupid-Backoff LM columns (lm_logprob, ppl, n_scored)
+    from a model trained on a ``reference`` input spec. Omitting the
+    reference self-trains on the corpus — fine for relative frequency
+    stats, but NOT an outlier detector: a unique document's own n-grams
+    are in the model, so it scores near-perfectly. Quality gating the
+    CCNet way needs an external trusted reference."""
+    from greenmask_spark.functions.lm import ngram_lm_score
+
+    model, n = _resolve_lm_model(df, p)
+    id_col = p.get("id_col", "doc_id")
+    scored = ngram_lm_score(
+        df, model, n=n, alpha=float(p.get("alpha", 0.4)),
+        text_col=p.get("text_col", "text"), id_col=id_col,
+        broadcast_model=bool(p.get("broadcast_model", False)),
+    ).withColumnsRenamed({"id": id_col})
+    return df.drop("lm_logprob", "ppl", "n_scored").join(scored, id_col)
+
+
+def _step_lm_filter(df: DataFrame, p: dict) -> DataFrame:
+    """Drop documents whose perplexity under the reference model
+    exceeds ``max_ppl`` (the CCNet quality gate as one threshold)."""
+    from greenmask_spark.functions.lm import lm_quality_filter
+
+    model, n = _resolve_lm_model(df, p)
+    return lm_quality_filter(
+        df, model, max_ppl=float(p["max_ppl"]), n=n,
+        alpha=float(p.get("alpha", 0.4)),
+        text_col=p.get("text_col", "text"),
+        id_col=p.get("id_col", "doc_id"),
+        keep_unscored=bool(p.get("keep_unscored", False)),
+        broadcast_model=bool(p.get("broadcast_model", False)),
+    )
+
+
 def _step_shuffle(df: DataFrame, p: dict) -> DataFrame:
     """Global deterministic pre-training shuffle (one range sort; order
     is a pure function of (key, seed) so resumed jobs see the same
@@ -497,6 +549,8 @@ CORPUS_STEPS: dict[str, Step] = {
     "ann_rerank": _step_ann_rerank,
     "packing_report": _step_packing_report,
     "dedup_against": _step_dedup_against,
+    "lm_score": _step_lm_score,
+    "lm_filter": _step_lm_filter,
 }
 
 

@@ -425,3 +425,50 @@ def test_dedup_against_step(spark, sf_dir, tmp_path):
             "input": {"table": "documents"},
             "steps": [{"op": "dedup_against"}],
         }, sf_dir=sf_dir)
+
+
+def test_lm_score_and_filter_steps(spark, sf_dir):
+    """CCNet-style LM quality gate: a model trained on the REAL corpus
+    gives planted gibberish a tail-end perplexity (all-OOV floor), and
+    the config steps wire both scoring and filtering. Note the
+    reference must be external: a self-trained bigram model scores a
+    unique doc's own n-grams perfectly."""
+    from greenmask_spark.functions.lm import ngram_lm_score, train_ngram_lm
+    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    gib = spark.createDataFrame(
+        [(999999, "zqx vbnk wpl jrt xcvq mnb zzyx qqwp llkj zxcv bnmq "
+                  "wert asdf zxqv plmn qwer", "xx", "synthetic", 80)],
+        docs.schema,
+    )
+    both = docs.unionByName(gib)
+
+    model = train_ngram_lm(docs, n=2)
+    rows = ngram_lm_score(both, model, n=2).filter(
+        "ppl IS NOT NULL").collect()
+    ppls = {r.id: r.ppl for r in rows}
+    worst = sorted(ppls, key=lambda d: -ppls[d])[: max(1, len(ppls) // 20)]
+    assert 999999 in worst  # all-OOV doc lands in the worst 5% tail
+
+    # config steps: scoring attaches columns; filtering drops the tail;
+    # reference spec resolves through pipeline context
+    cfg = {
+        "input": {"table": "documents"},
+        "steps": [{"op": "lm_score", "n": 2,
+                   "reference": {"table": "documents"}}],
+    }
+    scored = run_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+    assert {"lm_logprob", "ppl", "n_scored"} <= set(scored.columns)
+    n_scored = scored.filter("ppl IS NOT NULL").count()
+    assert n_scored > 0
+
+    cut = sorted(ppls.values())[int(len(ppls) * 0.5)]
+    cfg_f = {
+        "input": {"table": "documents"},
+        "steps": [{"op": "lm_filter", "n": 2, "max_ppl": float(cut),
+                   "reference": {"table": "documents"}}],
+    }
+    kept = run_corpus_pipeline(spark, cfg_f, sf_dir=sf_dir).count()
+    assert 0 < kept < docs.count()

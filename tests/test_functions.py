@@ -1659,3 +1659,70 @@ def test_dedup_against_reference_corpus(spark):
     import pytest as _p
     with _p.raises(ValueError, match="level"):
         dedup_against(new, ref, level="nope")
+
+
+def test_ngram_lm_train_and_score(spark):
+    """Stupid Backoff (Brants et al. 2007) end to end: counts match
+    hand-counted n-grams; per-doc scores match the pure-Python
+    reference to float tolerance (incl. OOV floor and bigram→unigram
+    backoff); short docs get NULL scores with n_scored = 0."""
+    from greenmask_spark.functions.lm import (
+        _py_stupid_backoff_logprob,
+        lm_quality_filter,
+        ngram_lm_score,
+        train_ngram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat ran"),
+         (3, "a dog sat")],
+        "doc_id long, text string",
+    )
+    model = train_ngram_lm(ref, n=2)
+    counts = {r.gram: r.cnt for r in model.filter("order > 0").collect()}
+    total = model.filter("order = 0").collect()[0].cnt
+    assert counts["the"] == 3 and counts["cat"] == 2 and counts["sat"] == 2
+    assert counts["the cat"] == 2 and counts["cat sat"] == 1
+    assert total == 12
+
+    new = spark.createDataFrame(
+        [(10, "the cat sat"),           # all bigrams seen
+         (11, "the zebra sat"),         # OOV word -> unigram floor
+         (12, "cat"),                   # too short for n=2
+         (13, "")],                     # empty
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in ngram_lm_score(new, model, n=2).collect()}
+    for doc_id, text in ((10, "the cat sat"), (11, "the zebra sat")):
+        want = _py_stupid_backoff_logprob(
+            text.split(), counts, n=2, alpha=0.4, total=total)
+        assert abs(got[doc_id].lm_logprob - round(want, 6)) < 1e-5, doc_id
+        assert got[doc_id].ppl == round(10 ** -got[doc_id].lm_logprob, 4)
+    assert got[12].lm_logprob is None and got[12].n_scored == 0
+    assert got[13].lm_logprob is None and got[13].n_scored == 0
+    # fluent text scores strictly better than OOV text
+    assert got[10].ppl < got[11].ppl
+
+    # filter: threshold between the two scored docs
+    cut = (got[10].ppl + got[11].ppl) / 2
+    kept = {r.doc_id for r in lm_quality_filter(
+        new, model, max_ppl=cut, n=2).collect()}
+    assert kept == {10}
+    kept2 = {r.doc_id for r in lm_quality_filter(
+        new, model, max_ppl=cut, n=2, keep_unscored=True).collect()}
+    assert kept2 == {10, 12, 13}
+
+
+def test_ngram_lm_score_plan_stays_jvm(spark, tables):
+    """The scoring plan must carry no Python boundary and no cartesian
+    blowup — grams join count tables, that's it."""
+    from greenmask_spark.functions.lm import ngram_lm_score, train_ngram_lm
+    from greenmask_spark.plan.health import plan_health
+
+    docs = tables["documents"].limit(200)
+    model = train_ngram_lm(docs)
+    out = ngram_lm_score(docs, model, n=2, broadcast_model=True)
+    out.count()
+    h = plan_health(out)
+    assert h["python"] == 0

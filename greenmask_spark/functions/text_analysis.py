@@ -559,6 +559,57 @@ def linear_text_score(
     )
 
 
+#: (entity, replacement) — the named entities that actually occur at
+#: volume in web text; numeric forms are handled by pattern
+_HTML_ENTITIES = (
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&ndash;", "–"),
+    ("&mdash;", "—"), ("&hellip;", "…"), ("&copy;", "©"), ("&reg;", "®"),
+)
+
+
+def strip_html(text: Column, collapse_ws: bool = True) -> Column:
+    """Markup removal for crawled documents — the cleaning stage that
+    runs before any text analysis on raw HTML:
+
+    - ``<script>``/``<style>``/``<noscript>`` blocks drop WITH their
+      content (their text is never prose);
+    - HTML comments and all remaining tags drop; block-level closers
+      (``</p>``, ``</div>``, ``<br>``, ``</li>``, headers, ``</tr>``)
+      become newlines so paragraph structure survives for line-level
+      dedup;
+    - common named entities and numeric character references decode.
+
+    Pure chained ``regexp_replace`` — whole-stage codegen, one pass per
+    pattern, no Python. This is tag REMOVAL, not content extraction: a
+    readability/trafilatura-grade main-content extractor (DOM scoring)
+    is out of scope and would be a mapInPandas kernel behind the same
+    column contract."""
+    t = text
+    # script/style/noscript with content (DOTALL via (?s); case-insensitive)
+    t = F.regexp_replace(
+        t, r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # block-level boundaries → newline (before the generic tag strip)
+    t = F.regexp_replace(
+        t, r"(?i)</(p|div|li|tr|h[1-6]|blockquote|section|article)\s*>"
+           r"|<br\s*/?\s*>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    # named entities decode (per-match chr() of numeric refs is not
+    # expressible in regexp_replace; the common named set covers the
+    # bulk of web text and the numeric leftovers blank to a space)
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"&#[xX]?[0-9a-fA-F]{1,8};", " ")
+    if collapse_ws:
+        t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
+        t = F.regexp_replace(t, r" ?\n ?", "\n")
+        t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+        # trim() strips spaces only — newlines at the edges need regex
+        t = F.regexp_replace(t, r"^\s+|\s+$", "")
+    return t
+
+
 def normalize_text(
     text: Column,
     form: str = "NFKC",

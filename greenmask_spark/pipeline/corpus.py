@@ -239,6 +239,17 @@ def _step_semantic_dedup(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_strip_html(df: DataFrame, p: dict) -> DataFrame:
+    """Markup removal for crawled documents (script/style blocks drop
+    with content, block closers become newlines, entities decode) —
+    run FIRST on raw-HTML corpora, before any text stat or dedup."""
+    from greenmask_spark.functions.text_analysis import strip_html
+
+    text_col = p.get("text_col", "text")
+    return df.withColumn(text_col, strip_html(
+        F.col(text_col), collapse_ws=bool(p.get("collapse_ws", True))))
+
+
 def _step_normalize_text(df: DataFrame, p: dict) -> DataFrame:
     from greenmask_spark.functions.text_analysis import normalize_text
 
@@ -539,6 +550,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "pack_sequences": _step_pack_sequences,
     "join_embeddings": _step_join_embeddings,
     "semantic_dedup": _step_semantic_dedup,
+    "strip_html": _step_strip_html,
     "normalize_text": _step_normalize_text,
     "normalize_urls": _step_normalize_urls,
     "blocklist": _step_blocklist,

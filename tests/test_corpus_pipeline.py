@@ -472,3 +472,13 @@ def test_lm_score_and_filter_steps(spark, sf_dir):
     }
     kept = run_corpus_pipeline(spark, cfg_f, sf_dir=sf_dir).count()
     assert 0 < kept < docs.count()
+
+
+def test_strip_html_step(spark):
+    from greenmask_spark.pipeline import build_corpus_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "<p>Hello &amp; bye</p>", "web")],
+        "doc_id long, text string, source string")
+    out = build_corpus_pipeline(df, [{"op": "strip_html"}]).collect()[0]
+    assert out.text == "Hello & bye"

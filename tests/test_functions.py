@@ -1726,3 +1726,35 @@ def test_ngram_lm_score_plan_stays_jvm(spark, tables):
     out.count()
     h = plan_health(out)
     assert h["python"] == 0
+
+
+def test_strip_html(spark):
+    """Tag removal: scripts/styles drop with content, block closers
+    become newlines, entities decode, text survives intact."""
+    from greenmask_spark.functions.text_analysis import strip_html
+
+    html = (
+        "<html><head><style>body { color: red }</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- comment --><h1>Title</h1>"
+        "<p>Hello &amp; welcome to <b>the</b> site.</p>"
+        "<ul><li>one</li><li>two &lt;3&#33;</li></ul>"
+        "<div>Line A<br>Line B</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None), (3, "plain text")],
+                               "id long, text string")
+    out = {r.id: r.t for r in df.select(
+        "id", strip_html(F.col("text")).alias("t")).collect()}
+    got = out[1]
+    assert "script" not in got and "not text" not in got
+    assert "color" not in got and "-->" not in got
+    assert "<p" not in got and "<div" not in got and "<b>" not in got
+    assert "Hello & welcome to the site." in got
+    assert "two <3" in got          # &lt; decoded, &#33; dropped
+    assert "Title\n" in got          # h1 closer -> newline
+    assert "Line A\nLine B" in got   # <br> -> newline
+    assert out[2] is None and out[3] == "plain text"
+    # plan stays codegen (no Python)
+    plan = df.select(strip_html(F.col("text"))) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

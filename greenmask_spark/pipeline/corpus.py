@@ -6,11 +6,13 @@ The reference's config drives per-table transformer chains
 (internal/domains/config.go); this drives the corpus toolkit the same
 way: declarative steps, validated up front, lazily composed so Catalyst
 sees the whole pipeline (filters reorder/push down across steps).
-Composition is lazy with two declared exceptions: ``fuzzy_dedup`` and
+Composition is lazy with three declared exceptions: ``fuzzy_dedup`` and
 ``semantic_dedup`` contain an iterative connected-components fixpoint
 whose rounds EXECUTE during composition (eager checkpoints + a
 convergence probe per round) — place them after the cheap filters so
-the fixpoint runs on the already-reduced corpus.
+the fixpoint runs on the already-reduced corpus — and ``checkpoint``
+writes the pipeline state to parquet eagerly on purpose (lineage cut /
+resume point).
 
 Example::
 
@@ -237,6 +239,21 @@ def _step_semantic_dedup(df: DataFrame, p: dict) -> DataFrame:
         vec_col=p.get("vec_col", "embedding"),
         n_blocks=int(p.get("n_blocks", 2)),
     )
+
+
+def _step_checkpoint(df: DataFrame, p: dict) -> DataFrame:
+    """Materialize the pipeline state to parquet and continue from the
+    files — the lineage cut for long chains (a 15-step plan over 100 TB
+    otherwise re-executes every upstream stage on any downstream task
+    retry, and the CC-fixpoint steps compose eagerly against whatever
+    precedes them). Also the RESUME point: a rerun whose config is
+    unchanged up to this step can start from ``path`` directly.
+    Executes eagerly by design (that is the point) — place it after the
+    expensive early stages, before the experimental tail."""
+    if "path" not in p:
+        raise ValueError("checkpoint needs a 'path'")
+    df.write.mode(p.get("mode", "overwrite")).parquet(p["path"])
+    return df.sparkSession.read.parquet(p["path"])
 
 
 def _step_strip_html(df: DataFrame, p: dict) -> DataFrame:
@@ -550,6 +567,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "pack_sequences": _step_pack_sequences,
     "join_embeddings": _step_join_embeddings,
     "semantic_dedup": _step_semantic_dedup,
+    "checkpoint": _step_checkpoint,
     "strip_html": _step_strip_html,
     "normalize_text": _step_normalize_text,
     "normalize_urls": _step_normalize_urls,

@@ -525,3 +525,31 @@ def test_full_crawl_pipeline_with_r5_steps(spark, sf_dir, tmp_path):
     assert {"split", "seq_id", "seq_offset"} <= set(out.columns)
     assert all(r.split in ("train", "val") for r in rows)
     assert all(r.seq_offset >= 0 for r in rows)
+
+
+def test_checkpoint_step(spark, tmp_path):
+    """checkpoint materializes state and continues from files: results
+    unchanged, the parquet exists, and the continued plan reads from
+    the checkpoint (no upstream lineage)."""
+    import pytest
+
+    from greenmask_spark.pipeline import build_corpus_pipeline
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} with several words", "web")
+         for i in range(10)],
+        "doc_id long, text string, source string")
+    ckpt = str(tmp_path / "ckpt")
+    out = build_corpus_pipeline(df, [
+        {"op": "quality_filter", "min_tokens": 3},
+        {"op": "checkpoint", "path": ckpt},
+        {"op": "hash_split", "weights": {"train": 0.5, "test": 0.5}},
+    ])
+    rows = out.collect()
+    assert len(rows) == 10 and all(r.split in ("train", "test")
+                                   for r in rows)
+    assert spark.read.parquet(ckpt).count() == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower()  # continues from the files
+    with pytest.raises(ValueError, match="path"):
+        build_corpus_pipeline(df, [{"op": "checkpoint"}])

@@ -1796,3 +1796,18 @@ def test_train_quality_classifier_roundtrip(spark):
         labeled, weights, normalize=False, bias=bias).collect()}
     assert all(tr_scores[i] > 0.5 for i in range(40))
     assert all(tr_scores[100 + i] < 0.5 for i in range(40))
+
+
+def test_lsh_recall_eval(docs):
+    """The recall/precision dial: planted near-dups are in the truth
+    set; an LSH config with full bands finds them (recall 1.0 here);
+    counts are consistent."""
+    from greenmask_spark.functions.dedup import lsh_recall_eval
+
+    m = lsh_recall_eval(docs, min_jaccard=0.5, num_perm=8, bands=8, k=3)
+    assert 0.0 <= m["recall"] <= 1.0 and 0.0 <= m["precision"] <= 1.0
+    assert m["true_pairs"] > 0       # the fixture plants near-dups
+    assert m["recall"] == 1.0        # 8 bands of 1 row → max sensitivity
+    # stricter banding can only lower candidate count
+    m2 = lsh_recall_eval(docs, min_jaccard=0.5, num_perm=8, bands=2, k=3)
+    assert m2["candidate_pairs"] <= m["candidate_pairs"]

@@ -99,7 +99,9 @@ def interpolate_posix(value: str, env: dict[str, str]) -> str:
     return _POSIX_ENV_RE.sub(sub, value)
 
 
-def expand_env_vars(obj: Any, env: dict[str, str] | None = None) -> Any:
+def expand_env_vars(
+    obj: Any, env: dict[str, str] | None = None, strict: bool = False
+) -> Any:
     """Environment interpolation over a parsed config, reference
     semantics in two tiers:
 
@@ -114,8 +116,13 @@ def expand_env_vars(obj: Any, env: dict[str, str] | None = None) -> Any:
       CI-varying surface; viper.AutomaticEnv territory,
       cmd/greenmask/cmd/root.go:140) expands the conservative
       ``${VAR}`` / ``${VAR:-default}`` form with a ``$${...}`` escape;
-      an undefined variable with no default raises (a silently empty
-      salt or path is a corruption hazard, not a default).
+      an undefined variable with no default stays VERBATIM with a
+      warning (the reference interpolates only opt-in params, so a
+      ported config may legitimately carry literal ``${...}`` outside
+      params — raw SQL, paths for other tooling — and must still
+      load); pass ``strict=True`` to raise instead for configs that
+      treat every ``${VAR}`` as required (a silently empty salt or
+      path is a corruption hazard, not a default).
 
     Keys are never expanded, only values.
     """
@@ -130,10 +137,21 @@ def expand_env_vars(obj: Any, env: dict[str, str] | None = None) -> Any:
             return env[var]
         if default is not None:
             return default
-        raise KeyError(
-            f"config references undefined environment variable ${{{var}}} "
-            f"(use ${{{var}:-default}} for an optional value)"
+        if strict:
+            raise KeyError(
+                f"config references undefined environment variable "
+                f"${{{var}}} (use ${{{var}:-default}} for an optional "
+                f"value)"
+            )
+        import warnings
+
+        warnings.warn(
+            f"config string contains ${{{var}}} but {var} is not set — "
+            f"left verbatim (set the variable, use ${{{var}:-default}}, "
+            f"or escape as $${{{var}}} to silence)",
+            stacklevel=2,
         )
+        return m.group(0)
 
     def walk_posix(v: Any) -> Any:
         if isinstance(v, str):

@@ -560,9 +560,12 @@ def linear_text_score(
 
 
 #: (entity, replacement) — the named entities that actually occur at
-#: volume in web text; numeric forms are handled by pattern
+#: volume in web text; numeric forms are handled by pattern.
+#: '&amp;' is NOT in this list: it must decode LAST (after the numeric
+#: pass) or '&amp;lt;' double-unescapes to '<' instead of the literal
+#: '&lt;' the HTML displays — the standard unescape ordering.
 _HTML_ENTITIES = (
-    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
     ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&ndash;", "–"),
     ("&mdash;", "—"), ("&hellip;", "…"), ("&copy;", "©"), ("&reg;", "®"),
 )
@@ -601,6 +604,10 @@ def strip_html(text: Column, collapse_ws: bool = True) -> Column:
     for ent, rep in _HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(rep))
     t = F.regexp_replace(t, r"&#[xX]?[0-9a-fA-F]{1,8};", " ")
+    # ampersand decodes LAST so '&amp;lt;' yields the literal '&lt;'
+    # (and '&amp;#65;' survives the numeric blanking) — double-unescape
+    # would otherwise corrupt escaped markup shown as text
+    t = F.replace(t, F.lit("&amp;"), F.lit("&"))
     if collapse_ws:
         t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
         t = F.regexp_replace(t, r" ?\n ?", "\n")

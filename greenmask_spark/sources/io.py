@@ -88,8 +88,16 @@ def jdbc_partition_predicates(
         n = max(1, upper_bound - lower_bound)
     if n == 1:
         return ["1=1"]
-    # computed as two divisions, exactly like Spark, to avoid overflow
-    stride = upper_bound // n - lower_bound // n
+    # computed as two divisions, exactly like Spark, to avoid overflow.
+    # JVM integer division truncates toward zero while Python's //
+    # floors toward -inf — they differ for negative bounds, so use
+    # truncating division (exact integer math, no float round-trip)
+    # to keep the boundaries bit-identical to JDBCRelation.columnPartition
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // b  # b = n >= 2 here, always positive
+        return q if a >= 0 else -q
+
+    stride = _tdiv(upper_bound, n) - _tdiv(lower_bound, n)
     preds: list[str] = []
     current = lower_bound + stride
     col = partition_column

@@ -63,8 +63,19 @@ def mask_name(v: str) -> str:
 
 
 def mask_address(v: str) -> str:
-    """First 6 chars kept, the rest starred (documented table rule)."""
-    return v[:6] + "*" * max(0, len(v) - 6)
+    """go-masker v1.1.0 m.Address runtime semantics: empty → empty,
+    ≤6 chars → fully-masked '******', else first 6 chars + a FIXED
+    6-star tail (overlay of '******' from index 6 to the end — the
+    tail length does not track the input). The doc table's
+    'mask the rest' phrasing describes the pre-overlay intent; the
+    shipped runtime is the go-masker method (reference
+    internal/db/postgres/transformers/masking.go:111-112, go.mod
+    pins ggwhite/go-masker v1.1.0)."""
+    if v == "":
+        return ""
+    if len(v) <= 6:
+        return "******"
+    return v[:6] + "******"
 
 
 def mask_email(v: str) -> str:

@@ -212,11 +212,13 @@ class Masking(Transformer):
                 c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/@:]*:)[^@]*@",
                 r"$1xxxxx@")
         elif style in ("addr", "address"):
-            # keep first 6 chars, star the rest; ≤6 chars stay intact
-            # (doc-table rule; masker.mask_address is the Python twin)
-            out = F.concat(
-                c.substr(1, 6),
-                F.repeat(F.lit("*"), F.greatest(F.length(c) - 6, F.lit(0))),
+            # go-masker v1.1.0 m.Address runtime: empty → empty, ≤6
+            # chars fully mask to '******', else first 6 chars + a
+            # FIXED 6-star tail (masker.mask_address is the Python twin)
+            out = F.when(c == "", c).otherwise(
+                F.when(F.length(c) <= 6, F.lit("******")).otherwise(
+                    F.concat(c.substr(1, 6), F.lit("******"))
+                )
             )
         elif style == "postcode":
             out = F.when(F.length(c) <= 2, c).otherwise(

@@ -358,8 +358,14 @@ def test_expand_env_vars_semantics():
     assert got["regex"] == r"a$b[${}]?"
     assert "${KEY}" in got
     assert got["mixed"] == "pre-s-env-post"
+    # undefined outside params: verbatim + warning by default (a ported
+    # config may carry literal ${...} for other tooling and must load);
+    # strict=True restores the loud failure
+    with pytest.warns(UserWarning, match="UNDEF"):
+        kept = expand_env_vars({"x": "${UNDEF}"}, env)
+    assert kept == {"x": "${UNDEF}"}
     with pytest.raises(KeyError, match="UNDEF"):
-        expand_env_vars({"x": "${UNDEF}"}, env)
+        expand_env_vars({"x": "${UNDEF}"}, env, strict=True)
 
 
 def test_params_interpolation_opt_in():

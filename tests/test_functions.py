@@ -1754,6 +1754,13 @@ def test_strip_html(spark):
     assert "Title\n" in got          # h1 closer -> newline
     assert "Line A\nLine B" in got   # <br> -> newline
     assert out[2] is None and out[3] == "plain text"
+    # &amp; decodes LAST: escaped markup shown as text must not
+    # double-unescape ('&amp;lt;' is displayed as the literal '&lt;',
+    # '&amp;#65;' as '&#65;' — neither may become '<' or be blanked)
+    esc = spark.createDataFrame(
+        [(1, "a &amp;lt;b&amp;gt; c &amp;#65; d")], "id long, text string")
+    got_esc = esc.select(strip_html(F.col("text")).alias("t")).head().t
+    assert got_esc == "a &lt;b&gt; c &#65; d"
     # plan stays codegen (no Python)
     plan = df.select(strip_html(F.col("text"))) \
         ._jdf.queryExecution().executedPlan().toString()

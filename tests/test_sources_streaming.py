@@ -347,6 +347,16 @@ def test_jdbc_partition_predicates_spark_semantics():
     assert len(jdbc_partition_predicates("id", 10, 12, 8)) == 2
     # degenerate range -> single full-scan partition
     assert jdbc_partition_predicates("id", 5, 5, 4) == ["1=1"]
+    # negative bounds: JVM integer division truncates toward zero
+    # (Python // floors) — stride = trunc(3/4) - trunc(-10/4) = 0-(-2)=2,
+    # boundaries -8, -6, -4; a floor-division stride (3) would put them
+    # at -7, -4, -1 and break parity with spark.read.jdbc
+    assert jdbc_partition_predicates("id", -10, 3, 4) == [
+        "id < -8 OR id IS NULL",
+        "id >= -8 AND id < -6",
+        "id >= -6 AND id < -4",
+        "id >= -4",
+    ]
     with pytest.raises(ValueError):
         jdbc_partition_predicates("id", 10, 0, 4)
     with pytest.raises(ValueError):

@@ -49,7 +49,12 @@ MASKING_VECTORS = [
     ("name", "ABCD", "A**D"),
     ("name", "abcdef test", "a**def t**t"),           # *
     ("password", "password_secure", "************"),  # *
-    ("addr", "Larnaca, makarios st", "Larnac**************"),
+    # go-masker v1.1.0 m.Address runtime: fixed 6-star tail; ≤6 chars
+    # fully mask (the doc-table example shows per-char stars but the
+    # shipped runtime is the go-masker method — runtime wins)
+    ("addr", "Larnaca, makarios st", "Larnac******"),
+    ("addr", "abc", "******"),
+    ("addr", "6chars", "******"),
     ("mobile", "0987654321", "0987***321"),
     ("mobile", "+35798665784", "+357***65784"),       # *
     ("tel", "0227993078", "(02)2799-****"),

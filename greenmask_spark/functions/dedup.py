@@ -182,8 +182,9 @@ def lsh_recall_eval(
     num_perm: int = 16,
     bands: int = 4,
     k: int = 5,
-    sample_fraction: float | None = None,
+    sample_fraction: float = 0.01,
     seed: int = 42,
+    max_docs: int = 10_000,
 ) -> dict:
     """The MinHash-LSH quality dial (the dedup twin of
     ``similarity.recall_at_k``): of the TRUE near-duplicate pairs
@@ -193,16 +194,32 @@ def lsh_recall_eval(
     "true_pairs": …, "candidate_pairs": …}`` for tuning
     num_perm/bands/k before a production dedup run.
 
-    Ground truth is all-pairs by definition — ALWAYS evaluate on a
-    sample (``sample_fraction``; the hash gate keeps it reproducible).
-    A few thousand docs bound the exact stage to ~10⁷ cheap
-    integer-set intersections expressed through the same agg-formulated
-    ``ngram_jaccard``; only the four scalars reach the driver."""
+    Ground truth is all-pairs by definition, so this function is
+    QUADRATIC in the evaluated doc count — two hard rails keep an eval
+    dial pointed at a production corpus from launching an accidental
+    all-pairs join over it: ``sample_fraction`` defaults to 0.01 (the
+    hash gate keeps the sample reproducible across runs/partitionings;
+    pass 1.0 explicitly for a corpus known to be small), and the
+    sampled doc count is checked against ``max_docs`` BEFORE the
+    all-pairs stage — above it the call raises with sizing guidance
+    instead of running (10k docs ≈ 5·10⁷ pair rows ≈ the practical
+    ceiling for the cheap integer-set intersections; only the four
+    scalars ever reach the driver)."""
     src = df.select(id_col, text_col)
-    if sample_fraction is not None:
+    if sample_fraction < 1.0:
         from greenmask_spark.functions.sampling import hash_sample
 
         src = hash_sample(src, float(sample_fraction), id_col, seed)
+    n_docs = src.count()
+    if n_docs > max_docs:
+        raise ValueError(
+            f"lsh_recall_eval: {n_docs} sampled docs exceed max_docs="
+            f"{max_docs}; the exact ground-truth stage is all-pairs "
+            f"(~{n_docs * (n_docs - 1) // 2:.2g} pairs). Lower "
+            f"sample_fraction (currently {sample_fraction}) to target "
+            f"<= {max_docs} docs, or raise max_docs deliberately if the "
+            f"cluster can carry the quadratic verify stage."
+        )
     ids = src.select(F.col(id_col).alias("id"))
     all_pairs = (
         ids.withColumnsRenamed({"id": "id_a"})
@@ -265,19 +282,34 @@ def dedup_against(
     Scale shape: both sides reduce to (id, digest) or (id, band_key)
     rows before any shuffle; the verify stage reuses ``ngram_jaccard``
     over the union restricted to candidate ids. Document bodies never
-    cross an exchange. If the same reference is reused across many
-    shards, precompute+persist its digest/band frame once and pass a
-    frame with a ``__ref_key`` column directly.
+    cross an exchange.
+
+    When the same reference is reused across many shards (the rolling-
+    crawl shape), compute its keyed form ONCE with
+    ``prepare_reference(reference, level, ...)`` — persist it or write
+    it to parquet — and pass that frame here as ``reference``: prepared
+    frames are detected by their ``__ref_*`` columns and the reference
+    text is never re-shingled per shard. The num_perm/bands/k of the
+    prepare call must match this call (the stored signatures encode
+    them). A fuzzy ``min_jaccard`` verify against a prepared reference
+    needs the shingle sets ``prepare_reference(..., with_shingles=
+    True)`` stores (the default).
     """
     if level == "exact":
-        key = F.sha2(F.col(text_col), 256)
-        ref_keys = reference.select(key.alias("__ref_key")).distinct()
+        if "__ref_key" in reference.columns:
+            ref_keys = reference.select("__ref_key")
+        else:
+            ref_keys = reference.select(
+                F.sha2(F.col(text_col), 256).alias("__ref_key")
+            ).distinct()
         return df.join(
-            ref_keys, key == F.col("__ref_key"), "left_anti"
+            ref_keys, F.sha2(F.col(text_col), 256) == F.col("__ref_key"),
+            "left_anti",
         )
     if level != "fuzzy":
         raise ValueError(f"level {level!r}: exact|fuzzy")
     rows_per_band = num_perm // bands
+    prepared = "__ref_sig" in reference.columns
     def keys_of(frame, side):
         sigs = minhash_signatures_df(frame, text_col, id_col, num_perm, k)
         return sigs.select(
@@ -287,8 +319,43 @@ def dedup_against(
             ).alias("bk"),
         )
     new_keys = keys_of(df, "a")
-    ref_keys = keys_of(reference, "b")
+    if prepared:
+        # stored signature → band keys is a pure projection+explode:
+        # the per-shard cost of the reference side is zero shingling
+        ref_keys = reference.select(
+            F.col("__ref_id").alias("id_b"),
+            F.explode(
+                band_keys(F.col("__ref_sig"), bands, rows_per_band)
+            ).alias("bk"),
+        )
+    else:
+        ref_keys = keys_of(reference, "b")
     cand = new_keys.join(ref_keys, "bk").select("id_a", "id_b").distinct()
+    if min_jaccard is not None and prepared:
+        if "__ref_hs" not in reference.columns:
+            raise ValueError(
+                "dedup_against: min_jaccard verify against a prepared "
+                "reference needs its shingle sets — re-run "
+                "prepare_reference(..., level='fuzzy', with_shingles=True)"
+            )
+        a_ids = cand.select(F.col("id_a").alias(id_col)).distinct()
+        ex_a = (
+            _hash_stream(df.join(a_ids, id_col, "left_semi"),
+                         text_col, id_col, k)
+            .distinct()
+            .withColumnsRenamed({"id": "id_a"})
+        )
+        b_ids = cand.select(F.col("id_b").alias("__ref_id")).distinct()
+        ex_b = (
+            reference.join(b_ids, "__ref_id", "left_semi")
+            .select(F.col("__ref_id").alias("id_b"),
+                    F.explode("__ref_hs").alias("h"))
+        )
+        verified = _jaccard_from_streams(cand, ex_a, ex_b)
+        drop_ids = verified.filter(
+            F.col("jaccard") >= float(min_jaccard)
+        ).select(F.col("id_a").alias(id_col)).distinct()
+        return df.join(drop_ids, id_col, "left_anti")
     if min_jaccard is not None:
         # verify against the union restricted to candidate ids — bodies
         # of non-candidates are never shingled. Ids are side-prefixed
@@ -324,6 +391,63 @@ def dedup_against(
     return df.join(drop_ids, id_col, "left_anti")
 
 
+def prepare_reference(
+    reference: DataFrame,
+    level: str = "exact",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    k: int = 5,
+    with_shingles: bool = True,
+) -> DataFrame:
+    """The reusable keyed form of a ``dedup_against`` reference corpus —
+    compute once per reference, persist or write to parquet, then pass
+    the frame to ``dedup_against`` for every incoming shard (detected
+    by its ``__ref_*`` columns). The rolling-crawl production shape:
+    the reference's text is shingled exactly once, not once per shard.
+
+    - ``level="exact"`` → one ``__ref_key`` (sha256 hex digest) row per
+      distinct document body; bytes stored per doc: 64.
+    - ``level="fuzzy"`` → one row per document: ``__ref_id``,
+      ``__ref_sig`` (the num_perm MinHash values — band keys for ANY
+      bands choice dividing num_perm derive from it by projection), and
+      ``__ref_hs`` (the distinct hashed-shingle set, needed only for
+      ``min_jaccard`` verification; ``with_shingles=False`` drops it
+      for band-only dedup at ~k× less storage). Built in ONE pass over
+      the text: the flat (id, h) stream aggregates min-per-permutation
+      and collect_set together, so preparation costs the same as one
+      signature computation.
+
+    The num_perm/k here must match the later ``dedup_against`` call —
+    the stored values encode them. NULL-text reference docs are
+    excluded from the fuzzy frame (they have no shingles and cannot
+    meaningfully near-duplicate anything; the direct path's
+    null-filled signatures could only band-collide with other NULLs).
+    """
+    if level == "exact":
+        return reference.select(
+            F.sha2(F.col(text_col), 256).alias("__ref_key")
+        ).distinct()
+    if level != "fuzzy":
+        raise ValueError(f"level {level!r}: exact|fuzzy")
+    ex = _hash_stream(reference, text_col, id_col, k)
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE)))
+        .alias(f"m{i}")
+        for i, (a, b) in enumerate(perm_constants(num_perm))
+    ]
+    if with_shingles:
+        aggs.append(F.collect_set("h").alias("__ref_hs"))
+    per_doc = ex.groupBy("id").agg(*aggs)
+    cols = [
+        F.col("id").alias("__ref_id"),
+        F.array(*[f"m{i}" for i in range(num_perm)]).alias("__ref_sig"),
+    ]
+    if with_shingles:
+        cols.append(F.col("__ref_hs"))
+    return per_doc.select(*cols)
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -354,6 +478,69 @@ def minhash_candidates(
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def _hash_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Flat (id, h) hashed-k-shingle rows — the shared codegen'd
+    explode shape behind ngram_jaccard / prepare_reference: one sha256
+    per shingle, positional (duplicates retained — min/set consumers
+    are insensitive), repartitioned first so a small single-row-group
+    parquet file still uses every core."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return (
+        df.repartition(n_part)
+        .select(F.col(id_col).alias("id"), norm.alias("t"))
+        .select(
+            "id", "t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("t") - k + 1, F.lit(1))
+                )
+            ).alias("i"),
+        )
+        .select("id", _shingle_hash(F.expr(f"substr(t, i, {k})")).alias("h"))
+    )
+
+
+def _jaccard_from_streams(
+    pairs: DataFrame, ex_a: DataFrame, ex_b: DataFrame
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for candidate ``pairs`` given two DISTINCT
+    (id_a|id_b, h) hashed-shingle streams — the two-corpus core of
+    ``ngram_jaccard``'s agg strategy (used by the prepared-reference
+    ``dedup_against`` path, where the reference stream comes from a
+    stored frame rather than text). Shuffle payloads are (id, int)
+    rows; bodies never cross an exchange."""
+    sizes_a = ex_a.groupBy("id_a").agg(F.count(F.lit(1)).alias("sz_a"))
+    sizes_b = ex_b.groupBy("id_b").agg(F.count(F.lit(1)).alias("sz_b"))
+    inter = (
+        pairs.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes_a, "id_a")
+        .join(sizes_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                .cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -391,22 +578,7 @@ def ngram_jaccard(
     ran the whole pipeline interpreted and re-evaluated it per consumer
     (~25-45s at sf0.1; ~2s now).
     """
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    ex = (
-        df.repartition(n_part)
-        .select(F.col(id_col).alias("id"), norm.alias("t"))
-        .select(
-            "id", "t",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.length("t") - k + 1, F.lit(1))
-                )
-            ).alias("i"),
-        )
-        .select("id", _shingle_hash(F.expr(f"substr(t, i, {k})")).alias("h"))
-        .distinct()
-    )
+    ex = _hash_stream(df, text_col, id_col, k).distinct()
     if strategy == "auto":
         # plan-time statistics only (no action): Catalyst's logical-plan
         # size estimate over the source relation. sizeInBytes is always

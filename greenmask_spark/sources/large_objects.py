@@ -153,11 +153,33 @@ def dump_large_objects(
         return iter(())
 
     src.rdd.mapPartitions(write_part).count()  # force the writes
-    oids = [r.loid for r in src.select("loid").orderBy("loid").collect()]
-    with open(os.path.join(out_dir, "blobs.toc"), "w") as fh:
-        for oid in oids:
-            fh.write(f"{oid} blob_{oid}.dat\n")
-    return len(oids)
+    # the toc is a single-partition sorted text WRITE, not a collect:
+    # loids never materialize on the driver (a billion-blob dump would
+    # hold a billion ints in driver memory otherwise); one partition is
+    # correct here because the toc is one file by contract
+    import glob
+    import shutil
+
+    tmp = os.path.join(out_dir, "_blobs_toc_tmp")
+    (
+        src.select(
+            F.col("loid").cast("long").alias("loid"),
+            F.format_string("%d blob_%d.dat", "loid", "loid").alias("value"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("loid")
+        .select("value")
+        .write.mode("overwrite")
+        .text(tmp)
+    )
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+    toc = os.path.join(out_dir, "blobs.toc")
+    if parts:
+        shutil.move(parts[0], toc)
+    else:  # zero blobs: legitimate empty dump
+        open(toc, "w").close()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return src.count()
 
 
 def read_large_object_dump(

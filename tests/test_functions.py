@@ -1661,6 +1661,69 @@ def test_dedup_against_reference_corpus(spark):
         dedup_against(new, ref, level="nope")
 
 
+def test_dedup_against_prepared_reference(spark):
+    """The rolling-crawl shape: prepare_reference computes the keyed
+    form once; dedup_against over the prepared frame must return
+    byte-identical results to the recompute path, across multiple
+    shards, for exact AND fuzzy(+verify) levels — and a fuzzy verify
+    without stored shingles fails loudly."""
+    import pytest
+
+    from greenmask_spark.functions.dedup import dedup_against, prepare_reference
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    ref = spark.createDataFrame(
+        [(1, base), (2, "completely different reference text about ships "
+                        "sailing across the wide open ocean")],
+        "doc_id long, text string",
+    )
+    shard1 = spark.createDataFrame(
+        [(1, "a totally novel document about cooking pasta at home"),
+         (2, base),
+         (3, base.replace("tonight", "tonite"))],
+        "doc_id long, text string",
+    )
+    shard2 = spark.createDataFrame(
+        [(7, base),  # exact dup again — reference reused, not recomputed
+         (8, "another novel doc on gardening and soil quality today")],
+        "doc_id long, text string",
+    )
+    prep_exact = prepare_reference(ref, "exact").cache()
+    prep_fuzzy = prepare_reference(
+        ref, "fuzzy", num_perm=8, k=3).cache()
+    for shard in (shard1, shard2):
+        got = {r.doc_id for r in dedup_against(shard, prep_exact).collect()}
+        want = {r.doc_id for r in dedup_against(shard, ref).collect()}
+        assert got == want
+        got_f = {r.doc_id for r in dedup_against(
+            shard, prep_fuzzy, level="fuzzy", num_perm=8, bands=4, k=3,
+            min_jaccard=0.7).collect()}
+        want_f = {r.doc_id for r in dedup_against(
+            shard, ref, level="fuzzy", num_perm=8, bands=4, k=3,
+            min_jaccard=0.7).collect()}
+        assert got_f == want_f
+        # band-only fuzzy (no verify) also agrees
+        got_b = {r.doc_id for r in dedup_against(
+            shard, prep_fuzzy, level="fuzzy", num_perm=8, bands=4,
+            k=3).collect()}
+        want_b = {r.doc_id for r in dedup_against(
+            shard, ref, level="fuzzy", num_perm=8, bands=4, k=3).collect()}
+        assert got_b == want_b
+    assert {r.doc_id for r in dedup_against(
+        shard1, prep_fuzzy, level="fuzzy", num_perm=8, bands=4, k=3,
+        min_jaccard=0.7).collect()} == {1}
+    # verify without stored shingles: loud, actionable
+    lean = prepare_reference(ref, "fuzzy", num_perm=8, k=3,
+                             with_shingles=False)
+    assert "__ref_hs" not in lean.columns
+    with pytest.raises(ValueError, match="with_shingles"):
+        dedup_against(shard1, lean, level="fuzzy", num_perm=8, bands=4,
+                      k=3, min_jaccard=0.7)
+    prep_exact.unpersist()
+    prep_fuzzy.unpersist()
+
+
 def test_ngram_lm_train_and_score(spark):
     """Stupid Backoff (Brants et al. 2007) end to end: counts match
     hand-counted n-grams; per-doc scores match the pure-Python
@@ -1811,10 +1874,29 @@ def test_lsh_recall_eval(docs):
     counts are consistent."""
     from greenmask_spark.functions.dedup import lsh_recall_eval
 
-    m = lsh_recall_eval(docs, min_jaccard=0.5, num_perm=8, bands=8, k=3)
+    m = lsh_recall_eval(docs, min_jaccard=0.5, num_perm=8, bands=8, k=3,
+                        sample_fraction=1.0)
     assert 0.0 <= m["recall"] <= 1.0 and 0.0 <= m["precision"] <= 1.0
     assert m["true_pairs"] > 0       # the fixture plants near-dups
     assert m["recall"] == 1.0        # 8 bands of 1 row → max sensitivity
     # stricter banding can only lower candidate count
-    m2 = lsh_recall_eval(docs, min_jaccard=0.5, num_perm=8, bands=2, k=3)
+    m2 = lsh_recall_eval(docs, min_jaccard=0.5, num_perm=8, bands=2, k=3,
+                         sample_fraction=1.0)
     assert m2["candidate_pairs"] <= m["candidate_pairs"]
+
+
+def test_lsh_recall_eval_quadratic_rails(docs):
+    """The eval dial must refuse an accidental all-pairs join: the doc
+    count is checked against max_docs BEFORE the quadratic stage, and
+    sampling defaults ON (0.01) rather than full-corpus."""
+    import inspect
+
+    import pytest
+
+    from greenmask_spark.functions.dedup import lsh_recall_eval
+
+    with pytest.raises(ValueError, match="max_docs"):
+        lsh_recall_eval(docs, sample_fraction=1.0, max_docs=2)
+    # the default is a sample, not the full corpus
+    sig = inspect.signature(lsh_recall_eval)
+    assert sig.parameters["sample_fraction"].default == 0.01

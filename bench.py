@@ -40,6 +40,12 @@ HEADLINE = [
     "ann_topk",
     "ann_topk_ivf",
     "ann_topk_lsh",
+    # r6: the two heavy text operators promoted to driver rows — the LM
+    # scorer (train on the even-id half, score the odd half: the
+    # windows × count-tables join stream) and the codegen'd
+    # regexp_replace HTML-stripping chain
+    "lm_score",
+    "strip_html",
 ]
 
 

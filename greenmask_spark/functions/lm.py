@@ -105,6 +105,34 @@ def train_ngram_lm(
     return out.unionByName(total)
 
 
+def save_ngram_lm(model: DataFrame, table: str,
+                  num_buckets: int = 32) -> None:
+    """Persist a ``train_ngram_lm`` model bucketed by ``gram`` — the
+    model-reuse shape for scoring many shards against one reference
+    model. ``ngram_lm_score``'s per-order lookups are equi-joins on
+    ``gram``; against a bucketed table scan Spark joins WITHOUT
+    re-shuffling the model side (only the shard's much smaller gram
+    stream exchanges onto the bucketing), so a 10B-gram model is
+    shuffled exactly once — at save time — no matter how many shards
+    score against it. Load with ``load_ngram_lm`` and pass to
+    ``ngram_lm_score`` unchanged (keep ``broadcast_model=False`` so the
+    bucketing, not a broadcast, carries the join).
+
+    Sorted within buckets by gram: the sort-merge join reads each
+    bucket pre-sorted, skipping the per-task sort."""
+    from greenmask_spark.sources.io import write_bucketed
+
+    write_bucketed(model, table, ["gram"], num_buckets,
+                   sort_cols=["gram"])
+
+
+def load_ngram_lm(spark, table: str) -> DataFrame:
+    """The bucketed-model twin of ``spark.table`` — named so pipelines
+    read symmetrically with ``save_ngram_lm``. The per-order filters
+    inside ``ngram_lm_score`` preserve the table's bucketing."""
+    return spark.table(table)
+
+
 def ngram_lm_score(
     df: DataFrame,
     model: DataFrame,

@@ -1791,6 +1791,52 @@ def test_ngram_lm_score_plan_stays_jvm(spark, tables):
     assert h["python"] == 0
 
 
+def test_ngram_lm_bucketed_model_reuse(spark, tables, tmp_path):
+    """The model-reuse fast path: a save_ngram_lm/load_ngram_lm round
+    trip scores hash-identically to the in-memory model, and — with
+    broadcasts disabled so the join strategy is visible — the bucketed
+    model side feeds the per-order joins WITHOUT an exchange (the
+    10B-gram model shuffles once at save time, not once per shard)."""
+    from greenmask_spark.functions.lm import (
+        load_ngram_lm,
+        ngram_lm_score,
+        save_ngram_lm,
+        train_ngram_lm,
+    )
+
+    docs = tables["documents"].limit(120)
+    train = docs.filter("doc_id % 2 = 0")
+    shard = docs.filter("doc_id % 2 = 1")
+    model = train_ngram_lm(train, n=2)
+    save_ngram_lm(model, "lm_bucket_test", num_buckets=4)
+    try:
+        loaded = load_ngram_lm(spark, "lm_bucket_test")
+        direct = {tuple(r) for r in
+                  ngram_lm_score(shard, model, n=2).collect()}
+        bucketed = {tuple(r) for r in
+                    ngram_lm_score(shard, loaded, n=2).collect()}
+        assert bucketed == direct and direct
+
+        thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = ngram_lm_score(shard, loaded, n=2)
+            out.count()
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            # every model-side scan selects its buckets; an Exchange
+            # directly over a bucketed file scan would mean the model
+            # re-shuffled per shard
+            assert "SelectedBucketsCount" in plan
+            import re
+
+            assert not re.search(
+                r"Exchange hashpartitioning\((?:gram|cnt)\b", plan), plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lm_bucket_test")
+
+
 def test_strip_html(spark):
     """Tag removal: scripts/styles drop with content, block closers
     become newlines, entities decode, text survives intact."""

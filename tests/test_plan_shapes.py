@@ -49,6 +49,27 @@ SHAPES = {
     # text profile: winnow window + stats assembly — 3 integer-payload
     # shuffles is the audited shape (PLANS.md); a 4th means a regression
     "text_profile": (3, 0),
+    # r6 — HTML stripping: a chained regexp_replace projection; any
+    # shuffle or Python node is a regression
+    "strip_html": (0, 0),
+    # r6 — Stupid-Backoff LM scoring (n=2): 3 count-table groupBys on
+    # the train side + the scoring per-doc agg + id-restore; all model
+    # lookups broadcast at test sf (AQE flips them to shuffle joins as
+    # the model outgrows the threshold — that's the design, not a
+    # regression, but it can't happen at the pinned sf). No Python, no
+    # HOF (the gram windows are codegen'd element_at/concat_ws)
+    "lm_score": (6, 0),
+    # r6 — incremental exact dedup vs a prepared reference: the
+    # reference digest distinct is the single exchange; the anti-join
+    # broadcasts at test sf
+    "dedup_against": (1, 0),
+    # r6 — band-only fuzzy dedup vs a prepared reference: new-side sig
+    # agg (repartition + groupBy), the band-key join, candidate
+    # distinct, and the anti-join
+    "dedup_against_fuzzy": (5, 0),
+    # r6 — linear quality scoring: token-explode agg pair + id-restore;
+    # the weights table stays a broadcast
+    "linear_text_score": (3, 0),
 }
 
 
@@ -75,3 +96,15 @@ def test_lsh_corpus_tagging_not_interpreted_hof(spark, sf_dir):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("aggregate(") <= 2, plan.count("aggregate(")
+
+
+def test_lm_score_no_interpreted_hofs(spark, sf_dir):
+    """The LM gram windows must stay codegen'd (element_at + concat_ws
+    over an exploded position sequence) — transform()/aggregate()/
+    zip_with() in the executed plan would mean the interpreted-HOF
+    formulation crept back into a per-token hot path."""
+    df = entrymod.queries()["lm_score"](spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for hof in ("transform(", "aggregate(", "zip_with("):
+        assert hof not in plan, hof

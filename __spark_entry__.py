@@ -2342,6 +2342,77 @@ def _oracle_lsh_recall_eval() -> str:
     """
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time enrichment (functions/asof.asof_join): every click
+    event carries the most recent purchase value at-or-before it for
+    the same user. Spark-first shape: union + ONE keyed window pass
+    (no per-row lookup, no range cross-join); the oracle is DuckDB's
+    native ASOF JOIN. The purchase side is deduped to one row per
+    (user, ts) so tie resolution can't differ between engines."""
+    from greenmask_spark.functions.asof import asof_join
+
+    ev = _tables(spark, sf_dir, "events")["events"]
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts").agg(F.max("value").alias("val"))
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts",
+                    right_ts="ts", direction="backward")
+    return out.select("event_id", "user_id", "ts", "val",
+                      F.col("ts_right"))
+
+
+def _oracle_asof_join() -> str:
+    return """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, ts, max(value) AS val FROM events
+      WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id, l.ts, r.val, r.ts AS ts_right
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+
+def q_range_join(spark, sf_dir):
+    """Point-in-interval join (functions/asof.range_join): event values
+    against overlapping nation-derived value bands. The bare range
+    predicate would plan as BroadcastNestedLoopJoin (O(|P|·|I|));
+    bucketizing turns it into an equi-join with a residual filter —
+    the oracle is the plain SQL range predicate."""
+    from greenmask_spark.functions.asof import range_join
+
+    t = _tables(spark, sf_dir, "events", "nation")
+    points = t["events"].select("event_id", "value")
+    intervals = t["nation"].select(
+        F.col("n_nationkey").alias("iid"),
+        (F.col("n_nationkey") * 18.0).alias("i_start"),
+        (F.col("n_nationkey") * 18.0 + 36.0).alias("i_end"),
+    )
+    out = range_join(points, intervals, "value", "i_start", "i_end",
+                     bucket_size=36, how="inner")
+    return out.select("event_id", "value", "iid", "i_start", "i_end")
+
+
+def _oracle_range_join() -> str:
+    return """
+    WITH i AS (
+      -- CAST to DOUBLE: bare 18.0 literals run the arithmetic in
+      -- DECIMAL and change the output schema vs Spark's doubles
+      SELECT n_nationkey AS iid,
+             CAST(n_nationkey * 18.0 AS DOUBLE) AS i_start,
+             CAST(n_nationkey * 18.0 + 36.0 AS DOUBLE) AS i_end
+      FROM nation
+    )
+    SELECT p.event_id, p.value, i.iid, i.i_start, i.i_end
+    FROM events p JOIN i
+      ON i.i_start <= p.value AND p.value < i.i_end
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2421,6 +2492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequencies": q_term_frequencies,
         "quantize_embeddings": q_quantize_embeddings,
         "winnow_pairs": q_winnow_pairs,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -2482,4 +2555,6 @@ def oracle_sql() -> dict[str, str]:
         "term_frequencies": _oracle_term_frequencies(),
         "quantize_embeddings": _oracle_quantize_embeddings(),
         "winnow_pairs": _oracle_winnow_pairs(),
+        "asof_join": _oracle_asof_join(),
+        "range_join": _oracle_range_join(),
     }

@@ -1,13 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The compressed-format decode kernels are STUBS (image/audio codec
-libraries are not available in this container — they raise
-NotImplementedError unless ``fake=True`` substitutes a deterministic fake
-decoder). Everything downstream of decode is real: raw-buffer
-nearest-neighbor resize (``resize_raw_images``, exact numpy pixel math),
-frame sampling, and the Spark-side plumbing — schemas, Arrow batch
-shapes, mapInPandas signatures, partition sizing — exactly what a 100 TB
-media pipeline needs before plugging in a codec.
+Decode status, honestly partitioned by what this container can do:
+
+- REAL decode for self-contained uncompressed formats that need no
+  codec library: PPM P6 and BMP 24-bit BI_RGB images (pure byte
+  parsing → H×W×3 uint8 RGB buffers) and PCM WAV audio (stdlib
+  ``wave`` → float samples). See ``decode_image_bytes`` /
+  ``decode_wav_bytes`` / ``decode_images``.
+- STUBS for compressed codecs (JPEG/PNG/MP3/video — the libraries are
+  not available in this container): these raise NotImplementedError
+  unless ``fake=True`` substitutes the deterministic fake decoder.
+
+Everything downstream of decode is real: raw-buffer nearest-neighbor
+resize (``resize_raw_images``, exact numpy pixel math), frame sampling,
+real windowed features over decoded pixels/samples, and the Spark-side
+plumbing — schemas, Arrow batch shapes, mapInPandas signatures,
+partition sizing — exactly what a 100 TB media pipeline needs before
+plugging in the remaining codecs.
 """
 
 from __future__ import annotations
@@ -55,10 +64,206 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     return out
 
 
+def decode_image_bytes(payload: bytes):
+    """REAL image decode for the self-contained uncompressed formats —
+    returns ``(width, height, raw_rgb_bytes)`` (H×W×3 uint8, row-major,
+    top-down) or ``None`` when the payload is not a format this
+    container can decode without a codec library.
+
+    - **PPM P6** (netpbm): 'P6' magic, whitespace-separated width/
+      height/maxval header with '#' comments, one whitespace byte,
+      then raw RGB triplets. maxval must be 255 (the 16-bit variant is
+      out of scope).
+    - **BMP** 24-bit uncompressed (BI_RGB): BITMAPFILEHEADER +
+      BITMAPINFOHEADER parse; rows are 4-byte padded, stored
+      bottom-up (positive height) in BGR order — converted to
+      top-down RGB.
+    """
+    import struct
+
+    if payload is None or len(payload) < 2:
+        return None
+    if payload[:2] == b"P6":
+        # tokenize header: skip whitespace and '#' comments
+        pos, toks = 2, []
+        n = len(payload)
+        while len(toks) < 3 and pos < n:
+            c = payload[pos:pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                while pos < n and payload[pos:pos + 1] != b"\n":
+                    pos += 1
+            else:
+                start = pos
+                while pos < n and not payload[pos:pos + 1].isspace():
+                    pos += 1
+                toks.append(payload[start:pos])
+        if len(toks) < 3:
+            return None
+        try:
+            w, h, maxval = (int(t) for t in toks)
+        except ValueError:
+            return None
+        pos += 1  # exactly ONE whitespace byte separates header and data
+        if maxval != 255 or w <= 0 or h <= 0:
+            return None
+        data = payload[pos:pos + w * h * 3]
+        if len(data) != w * h * 3:
+            return None
+        return (w, h, bytes(data))
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if hdr_size < 40 or bpp != 24 or compression != 0 or w <= 0:
+            return None
+        bottom_up = h > 0
+        h = abs(h)
+        row_stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        if len(payload) < data_off + row_stride * h:
+            return None
+        rows = []
+        for r in range(h):
+            src = (h - 1 - r) if bottom_up else r
+            row = payload[data_off + src * row_stride:
+                          data_off + src * row_stride + w * 3]
+            rows.append(bytes(row))
+        bgr = b"".join(rows)
+        # BGR → RGB without a per-pixel Python loop
+        import numpy as np
+
+        arr = np.frombuffer(bgr, dtype=np.uint8).reshape(h, w, 3)
+        return (w, h, arr[:, :, ::-1].tobytes())
+    return None
+
+
+def decode_wav_bytes(payload: bytes):
+    """REAL audio decode for PCM WAV via the stdlib ``wave`` module —
+    returns ``(framerate, mono_float_samples)`` (channel-averaged,
+    scaled to [-1, 1]) or ``None`` for non-WAV / non-PCM payloads."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload is None or payload[:4] != b"RIFF":
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as wf:
+            nch, sw, rate, nframes = (
+                wf.getnchannels(), wf.getsampwidth(),
+                wf.getframerate(), wf.getnframes(),
+            )
+            raw = wf.readframes(nframes)
+    except (wave.Error, EOFError):
+        return None
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+               - 128.0) / 128.0
+    else:
+        return None
+    if nch > 1:
+        arr = arr[: (len(arr) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return (rate, arr)
+
+
+def _real_feature(payload: bytes, dim: int):
+    """dim floats from a REAL decode when the format allows it:
+    per-slice mean pixel intensity in [0,1] for PPM/BMP images,
+    per-window RMS for PCM WAV. None = format needs a codec stub."""
+    import numpy as np
+
+    img = decode_image_bytes(payload)
+    if img is not None:
+        _w, _h, raw = img
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) / 255.0
+    else:
+        wav = decode_wav_bytes(payload)
+        if wav is None:
+            return None
+        arr = np.abs(wav[1])
+    if len(arr) == 0:
+        return [0.0] * dim
+    # dim equal slices (last absorbs the remainder); RMS for audio-like
+    # magnitudes == mean of squares rooted — use mean for both, over
+    # the magnitude stream, which is deterministic and comparable
+    bounds = [(i * len(arr)) // dim for i in range(dim + 1)]
+    return [
+        float(arr[bounds[i]:bounds[i + 1]].mean())
+        if bounds[i + 1] > bounds[i] else 0.0
+        for i in range(dim)
+    ]
+
+
+def decode_images(
+    df: DataFrame, on_unsupported: str = "raise"
+) -> DataFrame:
+    """Encoded image payloads → raw H×W×3 RGB buffers with width/height
+    metadata filled from the ACTUAL decode (media-frame in, media-frame
+    out; mime becomes ``image/raw``). PPM P6 and 24-bit BMP decode for
+    real; compressed formats follow ``on_unsupported``:
+
+    - ``"raise"`` (default): loud NotImplementedError naming the format
+      gap — no silent passthrough;
+    - ``"null"``: corrupt/undecodable rows keep their metadata with a
+      NULL payload (the skip-don't-fail policy of training pipelines).
+
+    Feed the output to ``resize_raw_images`` / ``extract_features``.
+    """
+    if on_unsupported not in ("raise", "null"):
+        raise ValueError(f"on_unsupported {on_unsupported!r}: raise|null")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, widths, heights = [], [], []
+            for p in pdf["payload"]:
+                got = decode_image_bytes(p) if p is not None else None
+                if got is None:
+                    if p is not None and on_unsupported == "raise":
+                        head = bytes(p[:8]) if p else b""
+                        raise NotImplementedError(
+                            f"payload starting {head!r} is not a "
+                            "self-contained format (PPM P6 / 24-bit "
+                            "BMP); compressed codecs are not available "
+                            "in this environment — decode upstream or "
+                            "pass on_unsupported='null'"
+                        )
+                    payloads.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                else:
+                    w, h, raw = got
+                    payloads.append(raw)
+                    widths.append(w)
+                    heights.append(h)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
+            out["mime"] = [
+                "image/raw" if p is not None else m
+                for p, m in zip(payloads, pdf["mime"])
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def extract_features(
     df: DataFrame, dim: int = 8, fake: bool = False, batch_limit_mb: int = 64
 ) -> DataFrame:
     """media table → (media_id, feature[dim], n_bytes) via mapInPandas.
+
+    With ``fake=False`` (the default), payloads in the self-contained
+    formats decode for REAL — per-slice mean pixel intensity for
+    PPM/BMP, per-window mean magnitude for PCM WAV — and any other
+    format raises loudly (compressed codecs are not available in this
+    environment). ``fake=True`` forces the deterministic fake decoder
+    for every row (test harnesses and synthetic payloads).
 
     Partition discipline: media payloads are large; callers should ensure
     ``spark.sql.files.maxPartitionBytes`` keeps a partition's payloads
@@ -68,13 +273,24 @@ def extract_features(
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires an image/audio library not "
-                    "present in this environment; pass fake=True for the "
-                    "deterministic test decoder"
-                )
-            feats = [_fake_decode(p, dim) for p in pdf["payload"]]
+            feats = []
+            for p in pdf["payload"]:
+                if fake:
+                    feats.append(_fake_decode(p, dim))
+                    continue
+                if p is None:
+                    feats.append(None)
+                    continue
+                got = _real_feature(p, dim)
+                if got is None:
+                    head = bytes(p[:8])
+                    raise NotImplementedError(
+                        f"payload starting {head!r}: real decode covers "
+                        "PPM P6 / 24-bit BMP / PCM WAV; other codecs "
+                        "are not available in this environment (pass "
+                        "fake=True for the deterministic test decoder)"
+                    )
+                feats.append([float(x) for x in got])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -94,17 +310,17 @@ def resize_images(
 
     ``payload_format="raw"`` (H×W×C uint8 buffers — the post-decode
     layout) delegates to the real ``resize_raw_images``. The default
-    ``"encoded"`` (compressed JPEG/PNG/…) would need a codec library not
-    present in this environment and raises — an earlier revision
+    ``"encoded"`` first decodes self-contained formats (PPM P6 /
+    24-bit BMP) through ``decode_images`` and resizes the result;
+    compressed JPEG/PNG/… need a codec library not present in this
+    environment and raise inside the decode — an earlier revision
     silently updated width/height metadata while leaving the payload
     untouched, which handed callers "resized" images that weren't."""
     if payload_format == "raw":
         return resize_raw_images(df, width, height)
-    raise NotImplementedError(
-        "resizing encoded image payloads requires an image codec library "
-        "not present in this environment; decode first and call with "
-        "payload_format='raw' (resize_raw_images handles raw buffers)"
-    )
+    if payload_format == "encoded":
+        return resize_raw_images(decode_images(df), width, height)
+    raise ValueError(f"payload_format {payload_format!r}: raw|encoded")
 
 
 def resize_raw_images(

@@ -515,14 +515,24 @@ def test_multimodal_plumbing(spark):
     assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
 
 
+def _udf_err_text(excinfo) -> str:
+    """Full text of a Spark-executed Python failure: depending on conf
+    the driver surfaces PythonException (str carries the worker
+    traceback) or a raw Py4JJavaError (the traceback hides in
+    java_exception) — check both."""
+    e = excinfo.value
+    return str(e) + str(getattr(e, "java_exception", ""))
+
+
 def test_multimodal_decode_stub_raises(spark):
     from greenmask_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
 
     df = spark.createDataFrame(
         [(1, "image", "image/png", b"x", None, None, None)], MEDIA_SCHEMA
     )
-    with pytest.raises(Exception, match="NotImplementedError|image/audio"):
+    with pytest.raises(Exception) as ei:
         extract_features(df, fake=False).collect()
+    assert "NotImplementedError" in _udf_err_text(ei)
 
 
 def test_validate_diff_and_schema_diff(spark):
@@ -710,9 +720,10 @@ def test_ngram_jaccard_builds_without_running_jobs(docs, spark):
 
 
 def test_resize_images_honest(spark):
-    """resize_images must never silently return unresized payloads: encoded
-    formats raise (no codec in this env); raw buffers delegate to the real
-    nearest-neighbor resize."""
+    """resize_images must never silently return unresized payloads:
+    compressed encoded formats raise at decode (no codec in this env);
+    raw buffers delegate to the real nearest-neighbor resize; PPM P6
+    payloads decode for REAL and resize end-to-end from bytes."""
     import numpy as np
     from pyspark.sql import Row as R
 
@@ -722,13 +733,135 @@ def test_resize_images_honest(spark):
     df = spark.createDataFrame(
         [R(media_id=1, kind="image", mime="raw", payload=img.tobytes(),
            width=4, height=4, duration_ms=None)], MEDIA_SCHEMA)
-    with pytest.raises(NotImplementedError, match="codec"):
-        resize_images(df, 2, 2)
+    # a raw buffer is NOT an encoded format: the decode raises at
+    # action time (the plan is lazy), never a silent passthrough
+    with pytest.raises(Exception) as ei:
+        resize_images(df, 2, 2).collect()
+    assert "NotImplementedError" in _udf_err_text(ei)
     out = resize_images(df, 2, 2, payload_format="raw").collect()[0]
     assert out.width == 2 and out.height == 2
     want = img[[0, 2]][:, [0, 2], :]
     assert (np.frombuffer(out.payload, dtype=np.uint8).reshape(2, 2, 3)
             == want).all()
+    # PPM P6 bytes → REAL decode → resize, fully end-to-end
+    ppm = b"P6\n# c\n4 4\n255\n" + img.tobytes()
+    df2 = spark.createDataFrame(
+        [R(media_id=2, kind="image", mime="image/x-portable-pixmap",
+           payload=ppm, width=None, height=None, duration_ms=None)],
+        MEDIA_SCHEMA)
+    out2 = resize_images(df2, 2, 2).collect()[0]
+    assert out2.width == 2 and out2.height == 2
+    assert (np.frombuffer(out2.payload, dtype=np.uint8).reshape(2, 2, 3)
+            == want).all()
+
+
+def test_multimodal_real_decoders(spark):
+    """The self-contained formats decode for REAL — PPM and BMP byte
+    parsing reproduce known pixels (incl. BMP bottom-up BGR with row
+    padding), WAV decodes via the stdlib, and extract_features
+    (fake=False) computes real windowed stats from the decoded
+    streams while still raising loudly for compressed formats."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+    from pyspark.sql import Row as R
+
+    from greenmask_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_bytes,
+        decode_images,
+        decode_wav_bytes,
+        extract_features,
+    )
+
+    # --- PPM: 2x2 with distinct corner colors + header comment
+    px = np.array([[[255, 0, 0], [0, 255, 0]],
+                   [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8)
+    ppm = b"P6 # inline\n2 2\n255\n" + px.tobytes()
+    w, h, raw = decode_image_bytes(ppm)
+    assert (w, h) == (2, 2)
+    assert np.array_equal(
+        np.frombuffer(raw, dtype=np.uint8).reshape(2, 2, 3), px)
+
+    # --- BMP: same pixels, bottom-up BGR, 4-byte row padding (2px*3=6
+    # bytes → stride 8)
+    stride = 8
+    rows = []
+    for r in (1, 0):  # bottom-up storage
+        row = b"".join(bytes([b, g, rr]) for rr, g, b in px[r])
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pixel_data = b"".join(rows)
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                         len(pixel_data), 2835, 2835, 0, 0)
+           + pixel_data)
+    w, h, raw = decode_image_bytes(bmp)
+    assert (w, h) == (2, 2)
+    assert np.array_equal(
+        np.frombuffer(raw, dtype=np.uint8).reshape(2, 2, 3), px)
+
+    # --- WAV: 16-bit PCM mono ramp
+    samples = np.array([0, 16384, -16384, 32767], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(samples.tobytes())
+    rate, arr = decode_wav_bytes(buf.getvalue())
+    assert rate == 8000
+    assert np.allclose(arr, samples / 32768.0)
+
+    # --- unknown bytes stay None at the kernel level
+    assert decode_image_bytes(b"\x89PNG...") is None
+    assert decode_wav_bytes(b"\x89PNG...") is None
+
+    # --- Spark tier: decode_images fills metadata from the REAL decode
+    df = spark.createDataFrame(
+        [R(media_id=1, kind="image", mime="image/x-portable-pixmap",
+           payload=ppm, width=None, height=None, duration_ms=None),
+         R(media_id=2, kind="image", mime="image/bmp", payload=bmp,
+           width=None, height=None, duration_ms=None),
+         R(media_id=3, kind="image", mime="image/png",
+           payload=b"\x89PNG fake", width=None, height=None,
+           duration_ms=None)],
+        MEDIA_SCHEMA)
+    ok = {r.media_id: r for r in decode_images(
+        df.filter("media_id < 3")).collect()}
+    assert ok[1].width == 2 and ok[1].height == 2
+    assert ok[1].mime == "image/raw" and ok[1].payload == ok[2].payload
+    with pytest.raises(Exception) as ei:
+        decode_images(df).collect()
+    assert "NotImplementedError" in _udf_err_text(ei)
+    nulled = {r.media_id: r for r in decode_images(
+        df, on_unsupported="null").collect()}
+    assert nulled[3].payload is None and nulled[1].payload is not None
+
+    # --- real features: image = per-slice mean intensity; wav payload
+    wav_bytes = buf.getvalue()
+    media = spark.createDataFrame(
+        [R(media_id=1, kind="image", mime="ppm", payload=ppm,
+           width=None, height=None, duration_ms=None),
+         R(media_id=2, kind="audio", mime="wav", payload=wav_bytes,
+           width=None, height=None, duration_ms=None)],
+        MEDIA_SCHEMA)
+    feats = {r.media_id: r.feature for r in
+             extract_features(media, dim=4, fake=False).collect()}
+    flat = px.reshape(-1).astype(float) / 255.0  # 12 values → slices of 3
+    want_img = [float(flat[i * 3:(i + 1) * 3].mean()) for i in range(4)]
+    assert np.allclose(feats[1], want_img, atol=1e-6)
+    want_wav = [float(abs(s)) for s in samples / 32768.0]
+    assert np.allclose(feats[2], want_wav, atol=1e-6)
+    # compressed format still raises loudly under fake=False
+    bad = spark.createDataFrame(
+        [R(media_id=9, kind="image", mime="image/png",
+           payload=b"\x89PNG fake", width=None, height=None,
+           duration_ms=None)], MEDIA_SCHEMA)
+    with pytest.raises(Exception) as ei:
+        extract_features(bad, fake=False).collect()
+    assert "NotImplementedError" in _udf_err_text(ei)
 
 
 def test_dynamic_param_template_and_default(spark):

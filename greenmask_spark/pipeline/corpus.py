@@ -392,7 +392,14 @@ def _step_dedup_against(df: DataFrame, p: dict) -> DataFrame:
     spec via pipeline context): drop documents duplicating
     already-ingested shards or a benchmark set, without re-clustering
     the union. ``level``: exact (digest anti-join) | fuzzy (shared
-    MinHash band + optional ``min_jaccard`` verify)."""
+    MinHash band + optional ``min_jaccard`` verify).
+
+    The reference spec may point at a PREPARED frame — the parquet
+    output of ``functions.dedup.prepare_reference`` — which
+    ``dedup_against`` detects by its ``__ref_*`` columns: the rolling-
+    crawl shape where the reference is keyed once and every shard's
+    pipeline run skips re-shingling it (num_perm/k of the prepare must
+    match this step's params)."""
     from greenmask_spark.functions.dedup import dedup_against
 
     ctx = p.get("_context") or {}
@@ -413,10 +420,17 @@ def _step_dedup_against(df: DataFrame, p: dict) -> DataFrame:
 
 
 def _resolve_lm_model(df: DataFrame, p: dict):
-    from greenmask_spark.functions.lm import train_ngram_lm
+    from greenmask_spark.functions.lm import load_ngram_lm, train_ngram_lm
 
     ctx = p.get("_context") or {}
     n = int(p.get("n", 2))
+    if "model_table" in p:
+        # a saved model (save_ngram_lm: bucketed by gram) — the
+        # model-reuse shape: per-order lookups join the bucketed scans
+        # without re-shuffling the counts per pipeline run
+        if "spark" not in ctx:
+            raise ValueError("lm model_table needs pipeline context")
+        return load_ngram_lm(ctx["spark"], p["model_table"]), n
     if "reference" in p:
         if "spark" not in ctx:
             raise ValueError("lm reference spec needs pipeline context")

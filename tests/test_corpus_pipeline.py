@@ -427,6 +427,67 @@ def test_dedup_against_step(spark, sf_dir, tmp_path):
         }, sf_dir=sf_dir)
 
 
+def test_dedup_against_step_prepared_reference(spark, sf_dir, tmp_path):
+    """The rolling-crawl config shape: the reference is keyed ONCE with
+    prepare_reference and written to parquet; pointing the step's
+    reference spec at that frame gives identical results to the raw
+    corpus, for exact and fuzzy levels — no per-run re-shingling."""
+    from greenmask_spark.functions.dedup import prepare_reference
+    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    raw_ref = docs.filter("pmod(doc_id, 2) = 0")
+    exact_path = str(tmp_path / "prep_exact.parquet")
+    fuzzy_path = str(tmp_path / "prep_fuzzy.parquet")
+    prepare_reference(raw_ref, "exact").write.parquet(exact_path)
+    prepare_reference(raw_ref, "fuzzy", num_perm=8, k=3,
+                      with_shingles=False).write.parquet(fuzzy_path)
+
+    def run(ref_spec, **extra):
+        cfg = {"input": {"table": "documents"},
+               "steps": [{"op": "dedup_against", "reference": ref_spec,
+                          **extra}]}
+        out = run_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+        return {r.doc_id for r in out.select("doc_id").collect()}
+
+    raw_path = str(tmp_path / "raw_ref.parquet")
+    raw_ref.write.parquet(raw_path)
+    assert run({"path": exact_path}, level="exact") == \
+        run({"path": raw_path}, level="exact")
+    assert run({"path": fuzzy_path}, level="fuzzy", num_perm=8,
+               bands=4, k=3) == \
+        run({"path": raw_path}, level="fuzzy", num_perm=8, bands=4, k=3)
+
+
+def test_lm_score_step_model_table(spark, sf_dir):
+    """A saved bucketed LM (save_ngram_lm) plugs into the lm_score step
+    via model_table and scores identically to the train-per-run path."""
+    from greenmask_spark.functions.lm import save_ngram_lm, train_ngram_lm
+    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    save_ngram_lm(train_ngram_lm(docs, n=2), "lm_step_model", num_buckets=4)
+    try:
+        via_table = run_corpus_pipeline(spark, {
+            "input": {"table": "documents"},
+            "steps": [{"op": "lm_score", "n": 2,
+                       "model_table": "lm_step_model"}],
+        }, sf_dir=sf_dir)
+        via_train = run_corpus_pipeline(spark, {
+            "input": {"table": "documents"},
+            "steps": [{"op": "lm_score", "n": 2,
+                       "reference": {"table": "documents"}}],
+        }, sf_dir=sf_dir)
+        cols = ["doc_id", "lm_logprob", "ppl", "n_scored"]
+        a = {tuple(r) for r in via_table.select(cols).collect()}
+        b = {tuple(r) for r in via_train.select(cols).collect()}
+        assert a == b and a
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lm_step_model")
+
+
 def test_lm_score_and_filter_steps(spark, sf_dir):
     """CCNet-style LM quality gate: a model trained on the REAL corpus
     gives planted gibberish a tail-end perplexity (all-OOV floor), and

@@ -70,6 +70,13 @@ SHAPES = {
     # r6 — linear quality scoring: token-explode agg pair + id-restore;
     # the weights table stays a broadcast
     "linear_text_score": (3, 0),
+    # r6 — as-of join: union + ONE keyed window pass (the second
+    # exchange is the window partitionBy after the union); a range
+    # cross-join or Python lookup here would explode these counts
+    "asof_join": (2, 0),
+    # r6 — bucketized range join: intervals broadcast at test sf, the
+    # residual filter rides the join — at most the points-side exchange
+    "range_join": (1, 0),
 }
 
 

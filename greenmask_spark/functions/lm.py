@@ -85,24 +85,56 @@ def train_ngram_lm(
 ) -> DataFrame:
     """(order, gram, cnt) count tables for orders 1..n, plus the
     order-0 total row ('' → total token count). Entirely lazy; persist
-    (or write to parquet) when the same model scores many shards."""
-    parts = []
-    for k in range(1, n + 1):
-        parts.append(
-            doc_ngrams(corpus, k, text_col, id_col)
-            .groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(F.lit(k).alias("order"), "gram", "cnt")
+    (``ngram_lm_score`` does this for you by default), write to
+    parquet, or ``save_ngram_lm`` when the same model scores many
+    shards.
+
+    ONE corpus scan for all orders: each token position explodes its
+    valid window lengths (k ≤ min(n, tokens_left)) and the gram is a
+    codegen'd array_join(slice(...)) — the earlier per-order
+    formulation scanned and re-tokenized the corpus once per order,
+    which at a 100 TB training corpus is n-1 scans too many. The
+    order-0 total is a second (cheap) aggregation branch over the same
+    exploded stream."""
+    toks = tokens(F.col(text_col))
+    # split("") yields [""]: a blank document must emit zero windows
+    nonempty = (F.length(F.trim(F.col(text_col))) > 0).alias("__ne")
+    ln = F.size(F.col("__t"))
+    ex = (
+        corpus.select(toks.alias("__t"), nonempty)
+        .select(
+            "__t",
+            F.explode(
+                F.when(F.col("__ne"), F.sequence(F.lit(1), ln))
+                .otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
         )
+        .select(
+            "__t", "i",
+            # valid orders at position i: k = 1 .. min(n, L - i + 1)
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(n), F.size("__t") - F.col("i") + 1),
+                )
+            ).alias("order"),
+        )
+        .select(
+            "order",
+            F.array_join(
+                F.slice(F.col("__t"), F.col("i"), F.col("order")), " "
+            ).alias("gram"),
+        )
+    )
+    counts = ex.groupBy("order", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     total = (
-        parts[0]
-        .agg(F.sum("cnt").alias("cnt"))
+        ex.filter(F.col("order") == 1)
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.lit(0).alias("order"), F.lit("").alias("gram"), "cnt")
     )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.unionByName(total)
+    return counts.unionByName(total)
 
 
 def save_ngram_lm(model: DataFrame, table: str,
@@ -141,6 +173,8 @@ def ngram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_model: bool = False,
+    reuse: str = "auto",
+    _persisted: list | None = None,
 ) -> DataFrame:
     """(id, lm_logprob, ppl, n_scored) — mean log10 Stupid-Backoff
     score over every full-context window (targets at positions n..len;
@@ -149,7 +183,31 @@ def ngram_lm_score(
     ``model`` is a ``train_ngram_lm`` frame of order >= ``n``. One join
     per backoff order (numerators) + one per context order
     (denominators); ``broadcast_model=True`` forces broadcast joins for
-    models known to fit (else AQE decides from sizes)."""
+    models known to fit (else AQE decides from sizes).
+
+    The model feeds 2n lookups and Spark does not share the subtree
+    across joins — an unpersisted computed model would re-scan and
+    re-aggregate its TRAINING CORPUS once per lookup (measured: 6
+    corpus scans at n=2). ``reuse`` controls this: ``"persist"`` caches
+    the model counts (vocab-bounded — a sliver of the corpus) before
+    fan-out, ``"recompute"`` leaves the plan untouched (right when the
+    model is already a materialized parquet/bucketed table: caching
+    would trade pruned bucketed scans for an InMemoryTableScan), and
+    the default ``"auto"`` persists exactly when the model plan
+    contains an aggregation (i.e. it is computed, not stored). As with
+    ``ngram_jaccard``, pass a ``_persisted`` list to receive the cache
+    handle for explicit ``unpersist()`` after your action."""
+    if reuse == "auto":
+        plan = model._jdf.queryExecution().optimizedPlan().toString()
+        reuse = "persist" if "Aggregate" in plan else "recompute"
+    if reuse == "persist":
+        from pyspark import StorageLevel
+
+        model = model.persist(StorageLevel.MEMORY_AND_DISK)
+        if _persisted is not None:
+            _persisted.append(model)
+    elif reuse != "recompute":
+        raise ValueError(f"unknown reuse {reuse!r}: auto|persist|recompute")
     toks = tokens(F.col(text_col))
     # split("") yields [""]: a blank document must emit zero windows,
     # not one phantom empty-string token (__ne rides along because the
@@ -242,13 +300,16 @@ def lm_quality_filter(
     id_col: str = "doc_id",
     keep_unscored: bool = False,
     broadcast_model: bool = False,
+    reuse: str = "auto",
+    _persisted: list | None = None,
 ) -> DataFrame:
     """Drop documents whose Stupid-Backoff perplexity under the
     reference model exceeds ``max_ppl`` (the CCNet head/middle/tail
     split reduced to one threshold). Documents too short to score
     (fewer than n tokens) drop unless ``keep_unscored``."""
     scored = ngram_lm_score(
-        df, model, n, alpha, text_col, id_col, broadcast_model
+        df, model, n, alpha, text_col, id_col, broadcast_model,
+        reuse=reuse, _persisted=_persisted,
     )
     cond = F.col("ppl") <= float(max_ppl)
     if keep_unscored:

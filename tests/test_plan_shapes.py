@@ -52,13 +52,17 @@ SHAPES = {
     # r6 — HTML stripping: a chained regexp_replace projection; any
     # shuffle or Python node is a regression
     "strip_html": (0, 0),
-    # r6 — Stupid-Backoff LM scoring (n=2): 3 count-table groupBys on
-    # the train side + the scoring per-doc agg + id-restore; all model
-    # lookups broadcast at test sf (AQE flips them to shuffle joins as
-    # the model outgrows the threshold — that's the design, not a
-    # regression, but it can't happen at the pinned sf). No Python, no
-    # HOF (the gram windows are codegen'd element_at/concat_ws)
-    "lm_score": (6, 0),
+    # r6 — Stupid-Backoff LM scoring (n=2): the computed model is
+    # persisted before its 2n-lookup fan-out (reuse="auto"), so the
+    # audited shape is the ONE single-pass train fill (all orders from
+    # one corpus scan) + the scoring per-doc agg + id-restore, with
+    # cache reads feeding the lookups; all model joins broadcast at
+    # test sf (AQE flips them to shuffle joins as the model outgrows
+    # the threshold — design, not regression, and impossible at the
+    # pinned sf). 6 shuffles / 6 scans here means the per-lookup model
+    # recompute crept back. No Python, no HOF (gram windows are
+    # codegen'd element_at/concat_ws + array_join(slice))
+    "lm_score": (5, 0),
     # r6 — incremental exact dedup vs a prepared reference: the
     # reference digest distinct is the single exchange; the anti-join
     # broadcasts at test sf

@@ -2413,6 +2413,100 @@ def _oracle_range_join() -> str:
     """
 
 
+def q_normalize_urls(spark, sf_dir):
+    """Web-hygiene URL canonicalization (functions/web.normalize_url +
+    url_domain): deterministic URLs synthesized from customer rows
+    exercise case folding, default-port drop, tracking-param removal,
+    dangling-separator cleanup and fragment strip — all pure codegen'd
+    regexp chains, replayed verbatim in the RE2 oracle."""
+    from greenmask_spark.functions.web import normalize_url, url_domain
+
+    cust = _tables(spark, sf_dir, "customer")["customer"]
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        F.pmod(F.col("c_custkey"), F.lit(5)).cast("string"),
+        F.lit(".COM:443/seg/"), F.col("c_mktsegment"),
+        F.lit("/item?utm_source=news&id="), F.col("c_custkey").cast("string"),
+        F.lit("&gclid=g"), F.col("c_custkey").cast("string"),
+        F.lit("&fbclid=f#frag"),
+    )
+    df = cust.select("c_custkey", url.alias("url"))
+    return df.select(
+        "c_custkey",
+        normalize_url(F.col("url")).alias("norm"),
+        url_domain(F.col("url")).alias("dom"),
+        url_domain(F.col("url"), registered_only=True).alias("dom2"),
+    )
+
+
+def _oracle_normalize_urls() -> str:
+    from greenmask_spark.functions.web import TRACKING_PARAMS
+
+    url = ("('HTTPS://WWW.Example' || CAST(c_custkey % 5 AS VARCHAR) || "
+           "'.COM:443/seg/' || c_mktsegment || '/item?utm_source=news&id=' "
+           "|| CAST(c_custkey AS VARCHAR) || '&gclid=g' || "
+           "CAST(c_custkey AS VARCHAR) || '&fbclid=f#frag')")
+    u = f"regexp_replace(trim({url}), '#.*$', '', 'g')"
+    head = f"regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)"
+    u = f"(lower({head}) || substr({u}, length({head}) + 1))"
+    u = f"regexp_replace({u}, '^(http://[^/:?#]+):80(/|\\?|$)', '\\1\\2', 'g')"
+    u = f"regexp_replace({u}, '^(https://[^/:?#]+):443(/|\\?|$)', '\\1\\2', 'g')"
+    for p in TRACKING_PARAMS:
+        u = f"regexp_replace({u}, '([?&]){p}=[^&#]*', '\\1', 'g')"
+    u = f"regexp_replace({u}, '&&+', '&', 'g')"
+    u = f"regexp_replace({u}, '\\?&+', '?', 'g')"
+    u = f"regexp_replace({u}, '[?&]$', '', 'g')"
+    u = f"regexp_replace({u}, '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\\1', 'g')"
+    dom = (f"lower(regexp_extract({url}, "
+           f"'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))")
+    dom2 = f"regexp_extract({dom}, '([^.]+\\.[^.]+)$', 1)"
+    return (f"SELECT c_custkey, {u} AS norm, {dom} AS dom, {dom2} AS dom2 "
+            f"FROM customer")
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Source-weighted training-mixture building (functions/sampling.
+    sample_mixture): single-digit sources form a 0.6-rate 'web' pool,
+    double-digit a 2.5-rate 'books' pool (two full epochs + a
+    hash-gated half epoch with ':e{n}' key suffixes). Pure hash-gated
+    scan+project per source — every gate replays in SQL."""
+    from greenmask_spark.functions.sampling import sample_mixture
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    web = docs.filter(F.length("source") == 4)
+    books = docs.filter(F.length("source") == 5)
+    out = sample_mixture(
+        {"web": web, "books": books},
+        {"web": 0.6, "books": 2.5},
+    )
+    return out.select("doc_id", "lang", "n_chars", "source_name")
+
+
+def _oracle_sample_mixture() -> str:
+    def gate(key_sql: str, op: str, thresh: int) -> str:
+        h = (f"(CAST(('0x' || substr(sha256({key_sql} || ':{op}:42'), "
+             f"1, 15)) AS BIGINT) % 1000000)")
+        return f"{h} < {thresh}"
+
+    k = "CAST(doc_id AS VARCHAR)"
+    return f"""
+    WITH web AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE length(source) = 4
+    ), books AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE length(source) = 5
+    )
+    SELECT {k} AS doc_id, lang, n_chars, 'web' AS source_name
+      FROM web WHERE {gate(k, "mix:web:0", 600000)}
+    UNION ALL
+    SELECT {k}, lang, n_chars, 'books' FROM books
+    UNION ALL
+    SELECT {k} || ':e1', lang, n_chars, 'books' FROM books
+    UNION ALL
+    SELECT {k} || ':e2', lang, n_chars, 'books' FROM books
+      WHERE {gate(f"({k} || ':e2')", "mix:books:2", 500000)}
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2494,6 +2588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "normalize_urls": q_normalize_urls,
+        "sample_mixture": q_sample_mixture,
     }
 
 
@@ -2557,4 +2653,6 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": _oracle_winnow_pairs(),
         "asof_join": _oracle_asof_join(),
         "range_join": _oracle_range_join(),
+        "normalize_urls": _oracle_normalize_urls(),
+        "sample_mixture": _oracle_sample_mixture(),
     }

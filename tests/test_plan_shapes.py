@@ -81,6 +81,10 @@ SHAPES = {
     # r6 — bucketized range join: intervals broadcast at test sf, the
     # residual filter rides the join — at most the points-side exchange
     "range_join": (1, 0),
+    # r6 — URL canonicalization: pure regexp chain, scan bandwidth
+    "normalize_urls": (0, 0),
+    # r6 — mixture building: hash-gated scan+project per source, union
+    "sample_mixture": (0, 0),
 }
 
 

@@ -2207,6 +2207,49 @@ def _oracle_dedup_against_fuzzy() -> str:
     """
 
 
+_DA_MIN_J = 0.5
+
+
+def q_dedup_against_verified(spark, sf_dir):
+    """Jaccard-VERIFIED fuzzy incremental dedup vs a prepared
+    reference: band collisions nominate candidates, exact hashed-
+    shingle Jaccard (the two-stream core, computed off the reference's
+    STORED shingle sets) confirms them, and only confirmed hits drop —
+    the full production rolling-crawl path including the verify tier
+    that band-only dedup skips."""
+    from greenmask_spark.functions.dedup import dedup_against, prepare_reference
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    prep = prepare_reference(ref, "fuzzy", num_perm=_NUM_PERM, k=_SHINGLE_K)
+    return dedup_against(
+        docs, prep, level="fuzzy", num_perm=_NUM_PERM, bands=_BANDS,
+        k=_SHINGLE_K, min_jaccard=_DA_MIN_J,
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _oracle_dedup_against_verified() -> str:
+    return f"""
+    WITH h AS MATERIALIZED ({_duck_hs_cte()}),
+    keyed AS (
+      SELECT doc_id AS id, unnest({_duck_bands_list()}) AS bk FROM h
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM keyed a JOIN keyed b ON a.bk = b.bk AND b.id % 5 = 0
+    ), sh AS (
+      SELECT doc_id AS id, list_distinct(hs) AS sh FROM h
+    ), dropped AS (
+      SELECT DISTINCT c.id_a AS id
+      FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+      WHERE round(len(list_intersect(a.sh, b.sh)) /
+                  CAST(len(list_distinct(list_cat(a.sh, b.sh)))
+                       AS DOUBLE), 4) >= {_DA_MIN_J}
+    )
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.id = d.doc_id)
+    """
+
+
 #: fixed (term, weight) vector in the shape train_quality_classifier
 #: emits (functions/classifier.py) — the classifier TRAINING is
 #: pytest-verified (LBFGS isn't SQL-replayable); scoring a trained
@@ -2590,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "normalize_urls": q_normalize_urls,
         "sample_mixture": q_sample_mixture,
+        "dedup_against_verified": q_dedup_against_verified,
     }
 
 
@@ -2655,4 +2699,5 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _oracle_range_join(),
         "normalize_urls": _oracle_normalize_urls(),
         "sample_mixture": _oracle_sample_mixture(),
+        "dedup_against_verified": _oracle_dedup_against_verified(),
     }

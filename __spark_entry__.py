@@ -921,6 +921,34 @@ def _oracle_ann_topk_lsh() -> str:
     )""")
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality dial (functions/similarity.recall_at_k): mean
+    per-query recall of the hyperplane-LSH top-k against the exact
+    brute-force top-k — one metrics row. Both inputs are themselves
+    driver-verified queries; the only driver value is the scalar."""
+    from greenmask_spark.functions.similarity import recall_at_k
+
+    exact = q_ann_topk(spark, sf_dir)
+    approx = q_ann_topk_lsh(spark, sf_dir)
+    r = recall_at_k(approx, exact)
+    raw = spark.createDataFrame([(float(r),)], "recall double")
+    # rounding in Spark SQL (HALF_UP, matches DuckDB), not Python round
+    return raw.select(F.round("recall", 6).alias("recall"))
+
+
+def _oracle_ann_recall() -> str:
+    return f"""
+    WITH e AS ({_oracle_ann_topk()}), a AS ({_oracle_ann_topk_lsh()}),
+    per AS (
+      SELECT e.query_id, count(*) AS n, count(a.neighbor_id) AS h
+      FROM e LEFT JOIN a ON a.query_id = e.query_id
+                        AND a.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    )
+    SELECT round(avg(h / CAST(n AS DOUBLE)), 6) AS recall FROM per
+    """
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """Approximate ANN via an IVF coarse quantizer (the FAISS-style scale
     path: inverted lists by nearest centroid, n_probe lists scored per
@@ -2634,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_urls": q_normalize_urls,
         "sample_mixture": q_sample_mixture,
         "dedup_against_verified": q_dedup_against_verified,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -2700,4 +2729,5 @@ def oracle_sql() -> dict[str, str]:
         "normalize_urls": _oracle_normalize_urls(),
         "sample_mixture": _oracle_sample_mixture(),
         "dedup_against_verified": _oracle_dedup_against_verified(),
+        "ann_recall": _oracle_ann_recall(),
     }

@@ -688,6 +688,71 @@ def _oracle_text_profile() -> str:
             f"FROM (SELECT *, {hs} AS hs FROM documents)")
 
 
+def q_corpus_summary(spark, sf_dir):
+    """Per-source curation report (functions/text_analysis.
+    corpus_summary): doc counts, token totals + exact percentiles,
+    mean quality, dominant language + share — one scan, one map-side-
+    combined aggregation, one tiny top-lang window."""
+    from greenmask_spark.functions.text_analysis import corpus_summary
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return corpus_summary(docs)
+
+
+def _oracle_corpus_summary() -> str:
+    ntok = (f"CASE WHEN length(trim(text)) = 0 THEN 0 "
+            f"ELSE len({_DUCK_TOKENS_RAW}) END")
+    sw_en = _duck_stop_hits("en")
+    sw = (f"(CASE WHEN {ntok} = 0 THEN 0.0 "
+          f"ELSE {sw_en} / CAST({ntok} AS DOUBLE) END)")
+    pr = ("(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - "
+          "length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
+          "/ CAST(length(text) AS DOUBLE) END)")
+    mwl = (f"(CASE WHEN {ntok} = 0 THEN 0.0 ELSE "
+           f"length(regexp_replace(trim(text), '\\s+', '', 'g')) "
+           f"/ CAST({ntok} AS DOUBLE) END)")
+    quality = (f"round(0.4 * least(CAST(1.0 AS DOUBLE), {sw} / 0.4) "
+               f"+ 0.3 * (CAST(1.0 AS DOUBLE) - {pr}) "
+               f"+ CASE WHEN {mwl} >= 3.0 AND {mwl} <= 10.0 "
+               f"THEN 0.3 ELSE 0.0 END, 4)")
+    hits = {lg: _duck_stop_hits(lg) for lg in ("en", "de", "fr", "es")}
+    lang = (f"CASE WHEN {hits['en']} > 0 AND {hits['en']} >= {hits['de']} AND "
+            f"{hits['en']} >= {hits['fr']} AND {hits['en']} >= {hits['es']} "
+            f"THEN 'en' "
+            f"WHEN {hits['de']} > 0 AND {hits['de']} >= {hits['fr']} AND "
+            f"{hits['de']} >= {hits['es']} THEN 'de' "
+            f"WHEN {hits['fr']} > 0 AND {hits['fr']} >= {hits['es']} "
+            f"THEN 'fr' "
+            f"WHEN {hits['es']} > 0 THEN 'es' ELSE 'und' END")
+    # CAST(double AS BIGINT) rounds in DuckDB but truncates in Spark —
+    # floor() first (token counts are non-negative, so floor == trunc);
+    # quantile_cont shares Spark percentile's linear interpolation
+    return f"""
+    WITH per AS (
+      SELECT source, {ntok} AS nt, {quality} AS q, {lang} AS lg
+      FROM documents
+    ), base AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS total_tokens,
+             round(avg(nt), 2) AS avg_tokens,
+             CAST(floor(quantile_cont(nt, 0.5)) AS BIGINT) AS p50_tokens,
+             CAST(floor(quantile_cont(nt, 0.95)) AS BIGINT) AS p95_tokens,
+             round(avg(q), 4) AS avg_quality
+      FROM per GROUP BY 1
+    ), lc AS (
+      SELECT source, lg, count(*) AS c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lg ASC) AS rk
+      FROM per GROUP BY source, lg
+    )
+    SELECT b.source, b.n_docs, b.total_tokens, b.avg_tokens,
+           b.p50_tokens, b.p95_tokens, b.avg_quality,
+           l.lg AS top_lang,
+           round(l.c / CAST(b.n_docs AS DOUBLE), 4) AS top_lang_share
+    FROM base b JOIN lc l ON l.source = b.source AND l.rk = 1
+    """
+
+
 _SHINGLE_K = 5
 _NUM_PERM = 16
 _BANDS = 4
@@ -2663,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "dedup_against_verified": q_dedup_against_verified,
         "ann_recall": q_ann_recall,
+        "corpus_summary": q_corpus_summary,
     }
 
 
@@ -2730,4 +2796,5 @@ def oracle_sql() -> dict[str, str]:
         "sample_mixture": _oracle_sample_mixture(),
         "dedup_against_verified": _oracle_dedup_against_verified(),
         "ann_recall": _oracle_ann_recall(),
+        "corpus_summary": _oracle_corpus_summary(),
     }

@@ -688,6 +688,50 @@ def _oracle_text_profile() -> str:
             f"FROM (SELECT *, {hs} AS hs FROM documents)")
 
 
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe splitting (functions/sampling.cluster_aware_split):
+    the split hash keys on the near-duplicate CLUSTER id (dedup_clusters
+    output), so every member of a cluster lands in the same split —
+    contamination-by-construction prevention, composed end-to-end from
+    two independently driver-verified stages."""
+    from greenmask_spark.functions.dedup import dedup_clusters
+    from greenmask_spark.functions.sampling import cluster_aware_split
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    clusters = dedup_clusters(
+        docs, num_perm=_NUM_PERM, bands=_BANDS, k=_SHINGLE_K
+    )
+    return cluster_aware_split(docs, clusters).select("doc_id", "split")
+
+
+def _oracle_cluster_split() -> str:
+    u = ("(CAST(('0x' || substr(sha256(CAST(c.cluster_id AS VARCHAR) || "
+         "':split:42'), 1, 15)) AS BIGINT) % 1000000)")
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      {_oracle_minhash_pairs()}
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(n, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n
+    ),
+    clusters AS (
+      SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n
+    )
+    SELECT d.doc_id,
+           CASE WHEN {u} < 800000 THEN 'train'
+                WHEN {u} < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+    """
+
+
 def q_corpus_summary(spark, sf_dir):
     """Per-source curation report (functions/text_analysis.
     corpus_summary): doc counts, token totals + exact percentiles,
@@ -2729,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_verified": q_dedup_against_verified,
         "ann_recall": q_ann_recall,
         "corpus_summary": q_corpus_summary,
+        "cluster_split": q_cluster_split,
     }
 
 
@@ -2797,4 +2842,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_against_verified": _oracle_dedup_against_verified(),
         "ann_recall": _oracle_ann_recall(),
         "corpus_summary": _oracle_corpus_summary(),
+        "cluster_split": _oracle_cluster_split(),
     }

@@ -1058,6 +1058,81 @@ def _oracle_ann_recall() -> str:
     """
 
 
+_RERANK_COARSE_K = 10
+
+
+def q_ann_rerank(spark, sf_dir):
+    """The production coarse→fine ANN composition
+    (functions/similarity.rerank_topk): the coarse recall stage scores
+    int8-DEQUANTIZED vectors (4× narrower storage tier) for top-10
+    candidates, then the fine stage re-scores ONLY those pairs at full
+    precision and keeps top-k. Quantization, both cosine stages and
+    the ranking all replay in SQL."""
+    from greenmask_spark.functions.quantize import (
+        dequantize_vec,
+        quantize_embeddings,
+    )
+    from greenmask_spark.functions.similarity import cosine_topk, rerank_topk
+
+    emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
+    deq = quantize_embeddings(emb).select(
+        "vec_id", dequantize_vec(F.col("qvec")).alias("embedding")
+    )
+    coarse = cosine_topk(
+        deq, deq.filter(F.col("vec_id") < _ANN_NQUERY), k=_RERANK_COARSE_K
+    )
+    return rerank_topk(
+        coarse, emb, emb.filter(F.col("vec_id") < _ANN_NQUERY), k=_ANN_K
+    )
+
+
+def _oracle_ann_rerank() -> str:
+    qexpr = ("CASE WHEN scale = 0 THEN 0 ELSE "
+             "greatest(-127, least(127, "
+             "CAST(round(x / scale * 127.0, 0) AS INTEGER))) END")
+    nrm = "sqrt(list_sum(list_transform({t}.v, x -> x * x)))"
+    cos = (f"round({_sql_dot('q.v', 'c.v')} / "
+           f"({nrm.format(t='q')} * {nrm.format(t='c')}), 4)")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 coalesce(list_max(list_transform(v, x -> abs(x))), 0.0)
+                   AS scale
+          FROM e),
+    deq AS (SELECT vec_id,
+                   list_transform(
+                     list_transform(v, x -> {qexpr}),
+                     x -> x * scale / 127.0) AS v
+            FROM s),
+    coarse_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cs
+      FROM deq q JOIN deq c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {_ANN_NQUERY}
+    ),
+    coarse AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, neighbor_id) AS rk
+        FROM coarse_scored
+      ) WHERE rk <= {_RERANK_COARSE_K}
+    ),
+    scored AS (
+      SELECT co.query_id, co.neighbor_id, {cos} AS cos_sim
+      FROM coarse co
+      JOIN e q ON q.vec_id = co.query_id
+      JOIN e c ON c.vec_id = co.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+    WHERE rank <= {_ANN_K}
+    """
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """Approximate ANN via an IVF coarse quantizer (the FAISS-style scale
     path: inverted lists by nearest centroid, n_probe lists scored per
@@ -2774,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "corpus_summary": q_corpus_summary,
         "cluster_split": q_cluster_split,
+        "ann_rerank": q_ann_rerank,
     }
 
 
@@ -2843,4 +2919,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _oracle_ann_recall(),
         "corpus_summary": _oracle_corpus_summary(),
         "cluster_split": _oracle_cluster_split(),
+        "ann_rerank": _oracle_ann_rerank(),
     }

@@ -1183,6 +1183,76 @@ def _oracle_ann_topk_ivf() -> str:
     )""")
 
 
+_SEM_K = 8
+_SEM_THR = 0.45
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) end to end
+    (functions/similarity.semantic_dedup): deterministic hash centroids
+    partition the embedding space, exact pairwise cosine runs ONLY
+    within each cluster (tiled BLAS block products), connected
+    components cluster the near-dup pairs, and each cluster keeps its
+    minimum id. Assignment, pairs, CC labeling and the anti-join all
+    replay in SQL."""
+    from greenmask_spark.functions.similarity import (
+        hash_centroids,
+        semantic_dedup,
+    )
+
+    emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = hash_centroids(64, _SEM_K, seed=42)
+    return semantic_dedup(emb, cents, threshold=_SEM_THR).select("vec_id")
+
+
+def _oracle_semantic_dedup() -> str:
+    from greenmask_spark.functions.similarity import hash_centroids
+
+    cents = hash_centroids(64, _SEM_K, seed=42)
+    values = ", ".join(
+        f"({i}, CAST({_sql_arr(c)} AS DOUBLE[]))" for i, c in enumerate(cents)
+    )
+    sqd = ("list_sum(list_transform(list_zip(e.v, cent.c), "
+           "x -> (x[1] - x[2]) * (x[1] - x[2])))")
+    nrm = "sqrt(list_sum(list_transform({t}, x -> x * x)))"
+    cos = (f"round({_sql_dot('a.v', 'b.v')} / "
+           f"({nrm.format(t='a.v')} * {nrm.format(t='b.v')}), 4)")
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+    ),
+    cent(i, c) AS (SELECT * FROM (VALUES {values})),
+    ed AS (
+      SELECT e.vec_id, e.v, cent.i,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {sqd}, cent.i) AS rn
+      FROM e CROSS JOIN cent
+    ),
+    assigned AS (SELECT vec_id, v, i AS cid FROM ed WHERE rn = 1),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {cos} >= {_SEM_THR}
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(n, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT ee.v, reach.r FROM reach JOIN edges ee ON ee.u = reach.n
+    ),
+    comp AS (SELECT n, MIN(r) AS component FROM reach GROUP BY n)
+    SELECT d.vec_id FROM embeddings d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM comp x WHERE x.n = d.vec_id AND x.n != x.component
+    )
+    """
+
+
 def q_validate_diff(spark, sf_dir):
     """Validate mode: diff original vs transformed rows keyed by PK
     (reference cmd/validate.go) — counts changed columns per row."""
@@ -2850,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_summary": q_corpus_summary,
         "cluster_split": q_cluster_split,
         "ann_rerank": q_ann_rerank,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2920,4 +2991,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_summary": _oracle_corpus_summary(),
         "cluster_split": _oracle_cluster_split(),
         "ann_rerank": _oracle_ann_rerank(),
+        "semantic_dedup": _oracle_semantic_dedup(),
     }

@@ -732,6 +732,78 @@ def _oracle_cluster_split() -> str:
     """
 
 
+_PACK_MAX = 2048
+_PACK_SEP = 2
+_PACK_N = 8
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (functions/sampling.pack_sequences,
+    sequential strategy): documents hash into 8 independent packing
+    streams (portable sha-slice assignment) and fill fixed-budget bins
+    in id order with a per-doc separator charge. The per-stream greedy
+    state machine — bin open/close, positions, offsets, overflow —
+    replays in a recursive-CTE oracle, one recursion step per stream
+    row."""
+    from greenmask_spark.functions.sampling import pack_sequences
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return pack_sequences(
+        docs, token_col="n_chars", max_tokens=_PACK_MAX,
+        n_packers=_PACK_N, sep_tokens=_PACK_SEP,
+    )
+
+
+def _oracle_pack_sequences() -> str:
+    m = _PACK_MAX
+    # state after each row: (s_bin, s_used, s_cnt); per-row transition
+    # mirrors _pack_sequential exactly — open a new bin when the OPEN
+    # bin can't take the doc (strict >), emit, then eagerly close when
+    # the bin hits the budget (>=)
+    new = f"(st.s_cnt > 0 AND st.s_used + o.cost > {m})"
+    b1 = f"CASE WHEN {new} THEN st.s_bin + 1 ELSE st.s_bin END"
+    u1 = f"CASE WHEN {new} THEN 0 ELSE st.s_used END"
+    c1 = f"CASE WHEN {new} THEN 0 ELSE st.s_cnt END"
+    return f"""
+    WITH RECURSIVE src AS (
+      SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS n_tokens,
+             CAST(n_chars AS BIGINT) + {_PACK_SEP} AS cost,
+             (CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) ||
+                    ':pack:42'), 1, 15)) AS BIGINT) % {_PACK_N}) AS packer
+      FROM documents
+    ), ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY packer ORDER BY id) AS rn
+      FROM src
+    ),
+    st(packer, rn, id, n_tokens, bin, pos, off, overflow,
+       s_bin, s_used, s_cnt) AS (
+      SELECT packer, rn, id, n_tokens,
+             0, 0, CAST(0 AS BIGINT), cost > {m},
+             CASE WHEN cost >= {m} THEN 1 ELSE 0 END,
+             CASE WHEN cost >= {m} THEN 0 ELSE cost END,
+             CASE WHEN cost >= {m} THEN 0 ELSE 1 END
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.packer, o.rn, o.id, o.n_tokens,
+             {b1}, {c1}, {u1}, o.cost > {m},
+             CASE WHEN ({u1}) + o.cost >= {m}
+                  THEN ({b1}) + 1 ELSE {b1} END,
+             CASE WHEN ({u1}) + o.cost >= {m}
+                  THEN 0 ELSE ({u1}) + o.cost END,
+             CASE WHEN ({u1}) + o.cost >= {m}
+                  THEN 0 ELSE ({c1}) + 1 END
+      FROM st JOIN ordered o
+        ON o.packer = st.packer AND o.rn = st.rn + 1
+    )
+    SELECT id, n_tokens,
+           CAST(packer AS VARCHAR) || ':' || CAST(bin AS VARCHAR) AS seq_id,
+           CAST(pos AS INTEGER) AS seq_pos,
+           CAST(off AS BIGINT) AS seq_offset,
+           overflow
+    FROM st
+    """
+
+
 def q_corpus_summary(spark, sf_dir):
     """Per-source curation report (functions/text_analysis.
     corpus_summary): doc counts, token totals + exact percentiles,
@@ -2925,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": q_cluster_split,
         "ann_rerank": q_ann_rerank,
         "semantic_dedup": q_semantic_dedup,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2996,4 +3069,5 @@ def oracle_sql() -> dict[str, str]:
         "cluster_split": _oracle_cluster_split(),
         "ann_rerank": _oracle_ann_rerank(),
         "semantic_dedup": _oracle_semantic_dedup(),
+        "pack_sequences": _oracle_pack_sequences(),
     }

@@ -240,11 +240,21 @@ def pack_sequences(
     import pandas as pd
     from pyspark.sql import types as T
 
+    # packer assignment uses the repo's PORTABLE sha-slice hash (not
+    # xxhash64) so the whole packing run — assignment included — is
+    # replayable in an ANSI-SQL oracle; one sha per row is noise next
+    # to the packing pass itself
+    tagged = F.concat(
+        F.col(id_col).cast("string"), F.lit(f":pack:{seed}")
+    )
     src = df.select(
         F.col(id_col).alias("id"),
         F.col(token_col).cast("long").alias("n_tokens"),
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_packers))
-        .alias("packer"),
+        F.pmod(
+            F.conv(F.substring(F.sha2(tagged, 256), 1, 15), 16, 10)
+            .cast("bigint"),
+            F.lit(n_packers),
+        ).alias("packer"),
     )
     schema = T.StructType([
         T.StructField("id", src.schema["id"].dataType),

@@ -732,6 +732,70 @@ def _oracle_cluster_split() -> str:
     """
 
 
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-stage aggregation (functions/skew.salted_agg):
+    the hot-key mitigation must be RESULT-INVISIBLE — partial aggs over
+    a content-derived salt re-combine to exactly the plain groupBy
+    (algebraic functions only), which is precisely what the plain-SQL
+    oracle asserts. Exact-integer aggregates keep the two-stage float
+    question out of the equality."""
+    from greenmask_spark.functions.skew import salted_agg
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return salted_agg(
+        docs, ["lang"],
+        {
+            "n_docs": ("count", "n_chars"),
+            "total_chars": ("sum", "n_chars"),
+            "min_id": ("min", "doc_id"),
+            "max_id": ("max", "doc_id"),
+        },
+        buckets=8,
+    )
+
+
+def _oracle_salted_agg() -> str:
+    return """
+    SELECT lang, count(n_chars) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    """
+
+
+def q_det_shuffle(spark, sf_dir):
+    """Deterministic global shuffle (functions/sampling.
+    deterministic_shuffle): the pre-training randomization must be a
+    pure function of (key, seed) — the produced physical row order is
+    materialized into a rank column (monotonically_increasing_id over
+    the range-sorted output preserves the global order) and compared
+    against the oracle's replay of the salted-hash sort."""
+    from pyspark.sql import Window
+
+    from greenmask_spark.functions.sampling import deterministic_shuffle
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    out = deterministic_shuffle(docs).select("doc_id")
+    return (
+        out.withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn(
+            "shuffle_rank",
+            F.row_number().over(Window.orderBy("__mid")).cast("int"),
+        )
+        .drop("__mid")
+    )
+
+
+def _oracle_det_shuffle() -> str:
+    return """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY sha256(CAST(doc_id AS VARCHAR) || ':shuffle:42'),
+                      doc_id) AS INTEGER) AS shuffle_rank
+    FROM documents
+    """
+
+
 _PACK_MAX = 2048
 _PACK_SEP = 2
 _PACK_N = 8
@@ -2998,6 +3062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rerank": q_ann_rerank,
         "semantic_dedup": q_semantic_dedup,
         "pack_sequences": q_pack_sequences,
+        "salted_agg": q_salted_agg,
+        "det_shuffle": q_det_shuffle,
     }
 
 
@@ -3070,4 +3136,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_rerank": _oracle_ann_rerank(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "pack_sequences": _oracle_pack_sequences(),
+        "salted_agg": _oracle_salted_agg(),
+        "det_shuffle": _oracle_det_shuffle(),
     }

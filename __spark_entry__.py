@@ -763,6 +763,30 @@ def _oracle_salted_agg() -> str:
     """
 
 
+def q_skew_join(spark, sf_dir):
+    """Replicated skew join (functions/skew.replicate_skew_join): the
+    big side salts on row content, the medium side replicates to every
+    salt bucket, and the (key, salt) equi-join must produce EXACTLY
+    the plain equi-join's rows — which is what the plain-SQL oracle
+    asserts. Events join their per-user event counts."""
+    from greenmask_spark.functions.skew import replicate_skew_join
+
+    ev = _tables(spark, sf_dir, "events")["events"]
+    big = ev.select("event_id", "user_id")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("u_events"))
+    return replicate_skew_join(big, dim, ["user_id"], buckets=4)
+
+
+def _oracle_skew_join() -> str:
+    return """
+    WITH dim AS (
+      SELECT user_id, count(*) AS u_events FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, d.u_events
+    FROM events e JOIN dim d ON d.user_id = e.user_id
+    """
+
+
 def q_det_shuffle(spark, sf_dir):
     """Deterministic global shuffle (functions/sampling.
     deterministic_shuffle): the pre-training randomization must be a
@@ -3064,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "salted_agg": q_salted_agg,
         "det_shuffle": q_det_shuffle,
+        "skew_join": q_skew_join,
     }
 
 
@@ -3138,4 +3163,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _oracle_pack_sequences(),
         "salted_agg": _oracle_salted_agg(),
         "det_shuffle": _oracle_det_shuffle(),
+        "skew_join": _oracle_skew_join(),
     }

@@ -180,14 +180,29 @@ def expand_env_vars(
     return walk(obj)
 
 
-def load_config(path: str, env: dict[str, str] | None = None) -> dict[str, Any]:
+def load_config(
+    path: str,
+    env: dict[str, str] | None = None,
+    strict_env: bool | None = None,
+) -> dict[str, Any]:
+    """Parse + env-expand a YAML/JSON config. ``strict_env=True`` makes
+    an undefined ``${VAR}`` outside params a hard failure instead of a
+    warn-and-leave-verbatim (the right setting for CI configs where a
+    typo'd variable name must not ship a literal '${MASK_SALT}' as the
+    salt); defaults to the ``GREENMASK_STRICT_ENV`` environment
+    variable (1/true/yes) so CLI runs can opt in without a code
+    change."""
+    if strict_env is None:
+        strict_env = (env or os.environ).get(
+            "GREENMASK_STRICT_ENV", ""
+        ).lower() in ("1", "true", "yes")
     with open(path) as fh:
         text = fh.read()
     if path.endswith(".json"):
-        return expand_env_vars(json.loads(text), env)
+        return expand_env_vars(json.loads(text), env, strict=strict_env)
     import yaml
 
-    return expand_env_vars(yaml.safe_load(text), env)
+    return expand_env_vars(yaml.safe_load(text), env, strict=strict_env)
 
 
 def _spark(app: str):

@@ -246,6 +246,17 @@ def lsh_recall_eval(
     n_cand = cand.count()
     n_hit = truth.join(cand, ["id_a", "id_b"], "left_semi").count()
     n_prec_hit = cand.join(truth, ["id_a", "id_b"], "left_semi").count()
+    if n_truth == 0:
+        import warnings
+
+        warnings.warn(
+            f"lsh_recall_eval: the evaluated sample ({n_docs} docs, "
+            f"sample_fraction={sample_fraction}) contains NO true "
+            f"near-duplicate pairs at min_jaccard={min_jaccard} — "
+            f"recall=1.0 is vacuous, not a measurement; raise "
+            f"sample_fraction or lower min_jaccard",
+            stacklevel=2,
+        )
     return {
         "recall": (n_hit / n_truth) if n_truth else 1.0,
         "precision": (n_prec_hit / n_cand) if n_cand else 1.0,
@@ -264,6 +275,7 @@ def dedup_against(
     bands: int = 4,
     k: int = 5,
     min_jaccard: float | None = None,
+    _persisted: list | None = None,
 ) -> DataFrame:
     """Incremental dedup: drop documents of ``df`` that duplicate a
     REFERENCE corpus — already-ingested shards, a previous training
@@ -311,7 +323,13 @@ def dedup_against(
     rows_per_band = num_perm // bands
     prepared = "__ref_sig" in reference.columns
     def keys_of(frame, side):
-        sigs = minhash_signatures_df(frame, text_col, id_col, num_perm, k)
+        # NULL-text docs have no shingles and cannot meaningfully
+        # near-duplicate anything; without this filter their null-filled
+        # signatures band-collide with every other NULL doc
+        sigs = minhash_signatures_df(
+            frame.filter(F.col(text_col).isNotNull()),
+            text_col, id_col, num_perm, k,
+        )
         return sigs.select(
             F.col("id").alias(f"id_{side}"),
             F.explode(
@@ -338,19 +356,36 @@ def dedup_against(
                 "reference needs its shingle sets — re-run "
                 "prepare_reference(..., level='fuzzy', with_shingles=True)"
             )
+        # cand feeds FOUR consumers (both id projections + twice inside
+        # the two-stream Jaccard) and each hash stream feeds two
+        # (sizes + intersection); ReuseExchange does not unify them
+        # (see the measured 8-scans note in ngram_jaccard), so without
+        # a persist the shard would re-shingle and the band join re-run
+        # once per consumer — defeating the prepared path's purpose.
+        # Same convention as ngram_jaccard: MEMORY_AND_DISK (the rows
+        # are (id, id) / (id, int) slivers), handles surfaced via
+        # ``_persisted`` for callers that want to unpersist after
+        # their action.
+        from pyspark import StorageLevel
+
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
         a_ids = cand.select(F.col("id_a").alias(id_col)).distinct()
         ex_a = (
             _hash_stream(df.join(a_ids, id_col, "left_semi"),
                          text_col, id_col, k)
             .distinct()
             .withColumnsRenamed({"id": "id_a"})
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         b_ids = cand.select(F.col("id_b").alias("__ref_id")).distinct()
         ex_b = (
             reference.join(b_ids, "__ref_id", "left_semi")
             .select(F.col("__ref_id").alias("id_b"),
                     F.explode("__ref_hs").alias("h"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if _persisted is not None:
+            _persisted.extend((cand, ex_a, ex_b))
         verified = _jaccard_from_streams(cand, ex_a, ex_b)
         drop_ids = verified.filter(
             F.col("jaccard") >= float(min_jaccard)
@@ -430,7 +465,12 @@ def prepare_reference(
         ).distinct()
     if level != "fuzzy":
         raise ValueError(f"level {level!r}: exact|fuzzy")
-    ex = _hash_stream(reference, text_col, id_col, k)
+    # NULL-text docs are excluded (matching dedup_against's fuzzy
+    # sides): they have no shingles and their null-filled signatures
+    # could only band-collide with other NULLs
+    ex = _hash_stream(
+        reference.filter(F.col(text_col).isNotNull()), text_col, id_col, k
+    )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE)))
         .alias(f"m{i}")

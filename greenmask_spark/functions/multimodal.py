@@ -220,7 +220,8 @@ def decode_images(
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads, widths, heights = [], [], []
-            for p in pdf["payload"]:
+            for p, w0, h0 in zip(pdf["payload"], pdf["width"],
+                                 pdf["height"]):
                 got = decode_image_bytes(p) if p is not None else None
                 if got is None:
                     if p is not None and on_unsupported == "raise":
@@ -232,9 +233,13 @@ def decode_images(
                             "in this environment — decode upstream or "
                             "pass on_unsupported='null'"
                         )
+                    # only the payload nulls out — the row keeps its
+                    # DECLARED metadata (a later real decoder, or
+                    # partition sizing, may still need the upstream
+                    # width/height)
                     payloads.append(None)
-                    widths.append(None)
-                    heights.append(None)
+                    widths.append(None if pd.isna(w0) else int(w0))
+                    heights.append(None if pd.isna(h0) else int(h0))
                 else:
                     w, h, raw = got
                     payloads.append(raw)

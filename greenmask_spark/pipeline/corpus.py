@@ -458,6 +458,13 @@ def _step_lm_score(df: DataFrame, p: dict) -> DataFrame:
         df, model, n=n, alpha=float(p.get("alpha", 0.4)),
         text_col=p.get("text_col", "text"), id_col=id_col,
         broadcast_model=bool(p.get("broadcast_model", False)),
+        # "auto" persists a COMPUTED model's counts before the 2n-join
+        # fan-out; the cache entry lives for the session (one per
+        # distinct model plan — Spark's CacheManager dedupes identical
+        # plans, so re-running the same pipeline reuses, not leaks).
+        # Long-lived sessions scoring against many DIFFERENT models
+        # should pass reuse: recompute or save_ngram_lm + model_table.
+        reuse=p.get("reuse", "auto"),
     ).withColumnsRenamed({"id": id_col})
     return df.drop("lm_logprob", "ppl", "n_scored").join(scored, id_col)
 
@@ -475,6 +482,7 @@ def _step_lm_filter(df: DataFrame, p: dict) -> DataFrame:
         id_col=p.get("id_col", "doc_id"),
         keep_unscored=bool(p.get("keep_unscored", False)),
         broadcast_model=bool(p.get("broadcast_model", False)),
+        reuse=p.get("reuse", "auto"),
     )
 
 

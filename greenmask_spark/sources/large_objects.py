@@ -179,7 +179,12 @@ def dump_large_objects(
     else:  # zero blobs: legitimate empty dump
         open(toc, "w").close()
     shutil.rmtree(tmp, ignore_errors=True)
-    return src.count()
+    # the object count comes from the toc just written (a streaming
+    # line count of one local file), NOT a third src.count() action —
+    # a re-evaluated lineage over a live source could disagree with
+    # the files actually on disk
+    with open(toc) as fh:
+        return sum(1 for _ in fh)
 
 
 def read_large_object_dump(

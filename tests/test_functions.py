@@ -825,7 +825,7 @@ def test_multimodal_real_decoders(spark):
          R(media_id=2, kind="image", mime="image/bmp", payload=bmp,
            width=None, height=None, duration_ms=None),
          R(media_id=3, kind="image", mime="image/png",
-           payload=b"\x89PNG fake", width=None, height=None,
+           payload=b"\x89PNG fake", width=640, height=480,
            duration_ms=None)],
         MEDIA_SCHEMA)
     ok = {r.media_id: r for r in decode_images(
@@ -838,6 +838,10 @@ def test_multimodal_real_decoders(spark):
     nulled = {r.media_id: r for r in decode_images(
         df, on_unsupported="null").collect()}
     assert nulled[3].payload is None and nulled[1].payload is not None
+    # the undecodable row keeps its DECLARED metadata — only the
+    # payload nulls out
+    assert nulled[3].width == 640 and nulled[3].height == 480
+    assert nulled[3].mime == "image/png"
 
     # --- real features: image = per-slice mean intensity; wav payload
     wav_bytes = buf.getvalue()

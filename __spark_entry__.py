@@ -732,6 +732,35 @@ def _oracle_cluster_split() -> str:
     """
 
 
+def q_events_windowed(spark, sf_dir):
+    """Event-time tumbling-window counts (streaming/pipeline.
+    windowed_event_counts — the same code path Structured Streaming
+    runs, watermark a batch no-op): 6-hour UTC-epoch-aligned windows
+    per event type. The sum goes through DECIMAL(18,2) by design so
+    the aggregate is order-independent and the oracle replays it
+    exactly."""
+    from greenmask_spark.streaming.pipeline import windowed_event_counts
+
+    ev = _tables(spark, sf_dir, "events")["events"]
+    return windowed_event_counts(ev, window="6 hours")
+
+
+def _oracle_events_windowed() -> str:
+    us = 6 * 3600 * 1_000_000
+    return f"""
+    WITH b AS (
+      SELECT make_timestamp(
+               CAST(floor(epoch_us(ts) / {us}) AS BIGINT) * {us}) AS ws,
+             event_type, value
+      FROM events
+    )
+    SELECT ws AS window_start, ws + INTERVAL 6 HOUR AS window_end,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS sum_value
+    FROM b GROUP BY 1, 2, 3
+    """
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation (functions/skew.salted_agg):
     the hot-key mitigation must be RESULT-INVISIBLE — partial aggs over
@@ -3089,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "det_shuffle": q_det_shuffle,
         "skew_join": q_skew_join,
+        "events_windowed": q_events_windowed,
     }
 
 
@@ -3164,4 +3194,5 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": _oracle_salted_agg(),
         "det_shuffle": _oracle_det_shuffle(),
         "skew_join": _oracle_skew_join(),
+        "events_windowed": _oracle_events_windowed(),
     }

@@ -85,6 +85,12 @@ SHAPES = {
     "normalize_urls": (0, 0),
     # r6 — mixture building: hash-gated scan+project per source, union
     "sample_mixture": (0, 0),
+    # r6 — event-time tumbling windows: one partial+final agg exchange,
+    # exactly like events_daily
+    "events_windowed": (1, 0),
+    # r6 — skew-safe two-stage agg: the salted partial + the final
+    # combine are the two exchanges; a third means the salting collapsed
+    "salted_agg": (2, 0),
 }
 
 

@@ -732,6 +732,51 @@ def _oracle_cluster_split() -> str:
     """
 
 
+_DECON_N = 8
+
+
+def q_ngram_decontaminate(spark, sf_dir):
+    """GPT-3 Appendix-C benchmark decontamination (functions/dedup.
+    ngram_decontaminate): training docs sharing any 8-gram with the
+    doc_id%17 'benchmark' slice drop (the slice itself drops by
+    construction — its own grams always collide). Broadcast semi-join
+    of the benchmark's distinct grams against the training gram
+    stream."""
+    from greenmask_spark.functions.dedup import ngram_decontaminate
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return ngram_decontaminate(docs, bench, n=_DECON_N).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _oracle_ngram_decontaminate() -> str:
+    n = _DECON_N
+    return f"""
+    WITH d AS (
+      SELECT doc_id, str_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), g AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, CAST(i AS INTEGER),
+                                        CAST(i + {n - 1} AS INTEGER)),
+                             ' ') AS gram
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - {n} + 1, 0) + 1)) AS i
+        FROM d
+      )
+    ), bg AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0
+    ), bad AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bg ON bg.gram = g.gram
+    )
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.doc_id = d.doc_id)
+    """
+
+
 def q_events_windowed(spark, sf_dir):
     """Event-time tumbling-window counts (streaming/pipeline.
     windowed_event_counts — the same code path Structured Streaming
@@ -3119,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_shuffle": q_det_shuffle,
         "skew_join": q_skew_join,
         "events_windowed": q_events_windowed,
+        "ngram_decontaminate": q_ngram_decontaminate,
     }
 
 
@@ -3195,4 +3241,5 @@ def oracle_sql() -> dict[str, str]:
         "det_shuffle": _oracle_det_shuffle(),
         "skew_join": _oracle_skew_join(),
         "events_windowed": _oracle_events_windowed(),
+        "ngram_decontaminate": _oracle_ngram_decontaminate(),
     }

@@ -426,6 +426,57 @@ def dedup_against(
     return df.join(drop_ids, id_col, "left_anti")
 
 
+def ngram_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    min_hits: int = 1,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination by n-gram collision — the GPT-3
+    Appendix-C rule (Brown et al. 2020; PaLM and Llama report the same
+    scheme): drop any TRAINING document sharing at least ``min_hits``
+    distinct word n-grams (default: any single 13-gram) with an
+    evaluation benchmark. This is stricter and cheaper than fuzzy
+    document dedup (``dedup_against``): a contaminated doc need only
+    EMBED a benchmark item, not resemble it overall.
+
+    Scale shape: the benchmark's distinct grams are a few million rows
+    for real eval suites → broadcast semi-join against the training
+    side's gram stream (``broadcast=False`` falls back to a shuffle
+    join for pathological benchmark sizes); the training corpus
+    explodes to (id, gram) windows via the same codegen'd path the LM
+    scorer uses. Documents shorter than ``n`` tokens can never be
+    flagged. Bodies never cross an exchange — only gram strings and
+    ids.
+    """
+    from greenmask_spark.functions.lm import doc_ngrams
+
+    doc_g = doc_ngrams(df, n, text_col, id_col)
+    bench_g = doc_ngrams(
+        benchmark, n, bench_text_col or text_col, id_col
+    ).select("gram").distinct()
+    if broadcast:
+        bench_g = F.broadcast(bench_g)
+    hits = doc_g.join(bench_g, "gram", "left_semi")
+    if min_hits <= 1:
+        contaminated = hits.select("id").distinct()
+    else:
+        contaminated = (
+            hits.select("id", "gram").distinct()
+            .groupBy("id").agg(F.count(F.lit(1)).alias("__h"))
+            .filter(F.col("__h") >= int(min_hits))
+            .select("id")
+        )
+    return df.join(
+        contaminated.withColumnsRenamed({"id": id_col}), id_col,
+        "left_anti",
+    )
+
+
 def prepare_reference(
     reference: DataFrame,
     level: str = "exact",

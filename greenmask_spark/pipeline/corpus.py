@@ -419,6 +419,29 @@ def _step_dedup_against(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_decontaminate(df: DataFrame, p: dict) -> DataFrame:
+    """GPT-3 Appendix-C benchmark decontamination: drop training docs
+    sharing at least ``min_hits`` distinct word n-grams (default: any
+    single 13-gram) with the ``benchmark`` input spec ({table}/{path})
+    — the eval-leakage gate that runs before packing."""
+    from greenmask_spark.functions.dedup import ngram_decontaminate
+
+    ctx = p.get("_context") or {}
+    if "spark" not in ctx or "benchmark" not in p:
+        raise ValueError("decontaminate needs a 'benchmark' input spec "
+                         "and pipeline context")
+    bench = _load_input(ctx["spark"], p["benchmark"], ctx.get("sf_dir"))
+    return ngram_decontaminate(
+        df, bench,
+        n=int(p.get("n", 13)),
+        text_col=p.get("text_col", "text"),
+        id_col=p.get("id_col", "doc_id"),
+        bench_text_col=p.get("bench_text_col"),
+        min_hits=int(p.get("min_hits", 1)),
+        broadcast=bool(p.get("broadcast", True)),
+    )
+
+
 def _resolve_lm_model(df: DataFrame, p: dict):
     from greenmask_spark.functions.lm import load_ngram_lm, train_ngram_lm
 
@@ -601,6 +624,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "ann_rerank": _step_ann_rerank,
     "packing_report": _step_packing_report,
     "dedup_against": _step_dedup_against,
+    "decontaminate": _step_decontaminate,
     "lm_score": _step_lm_score,
     "lm_filter": _step_lm_filter,
 }

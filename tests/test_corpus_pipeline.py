@@ -460,6 +460,32 @@ def test_dedup_against_step_prepared_reference(spark, sf_dir, tmp_path):
         run({"path": raw_path}, level="fuzzy", num_perm=8, bands=4, k=3)
 
 
+def test_decontaminate_step(spark, sf_dir, tmp_path):
+    """Config-driven benchmark decontamination: docs sharing any n-gram
+    with the benchmark parquet drop; everything else survives."""
+    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bench_path = str(tmp_path / "bench.parquet")
+    docs.filter("pmod(doc_id, 11) = 0").write.parquet(bench_path)
+    out = run_corpus_pipeline(spark, {
+        "input": {"table": "documents"},
+        "steps": [{"op": "decontaminate", "n": 8,
+                   "benchmark": {"path": bench_path, "format": "parquet"}}],
+    }, sf_dir=sf_dir)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    # the benchmark docs themselves always collide with their own grams
+    assert kept and all(k % 11 != 0 for k in kept)
+
+    import pytest as _p
+    with _p.raises(ValueError, match="benchmark"):
+        run_corpus_pipeline(spark, {
+            "input": {"table": "documents"},
+            "steps": [{"op": "decontaminate"}],
+        }, sf_dir=sf_dir)
+
+
 def test_lm_score_step_model_table(spark, sf_dir):
     """A saved bucketed LM (save_ngram_lm) plugs into the lm_score step
     via model_table and scores identically to the train-per-run path."""

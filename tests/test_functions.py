@@ -1876,6 +1876,45 @@ def test_dedup_against_prepared_reference(spark):
     prep_fuzzy.unpersist()
 
 
+def test_ngram_decontaminate(spark):
+    """GPT-3 Appendix-C benchmark decontamination: a training doc
+    EMBEDDING a benchmark n-gram drops even when the doc as a whole is
+    dissimilar; short docs never flag; min_hits raises the bar; the
+    benchmark side itself is untouched."""
+    from greenmask_spark.functions.dedup import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(10, "a long article that quotes the quick brown fox jumps "
+              "over the lazy dog and then talks about other things at "
+              "length for many more words"),
+         (11, "a completely unrelated piece about cooking pasta with "
+              "plenty of words and no overlap whatsoever here"),
+         (12, "quick brown fox"),  # shorter than n -> can never flag
+         (13, "the quick brown fox jumps over the lazy dog")],  # exact
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in ngram_decontaminate(
+        train, bench, n=5).collect()}
+    assert kept == {11, 12}
+    # min_hits=2 distinct colliding grams: doc 10 contains the whole
+    # 9-token quote -> five 5-gram windows collide; still drops
+    kept2 = {r.doc_id for r in ngram_decontaminate(
+        train, bench, n=5, min_hits=2).collect()}
+    assert kept2 == {11, 12}
+    # a benchmark gram count above any doc's overlap keeps everything
+    kept3 = {r.doc_id for r in ngram_decontaminate(
+        train, bench, n=5, min_hits=99).collect()}
+    assert kept3 == {10, 11, 12, 13}
+    # shuffle-join fallback agrees with the broadcast path
+    kept4 = {r.doc_id for r in ngram_decontaminate(
+        train, bench, n=5, broadcast=False).collect()}
+    assert kept4 == kept
+
+
 def test_ngram_lm_train_and_score(spark):
     """Stupid Backoff (Brants et al. 2007) end to end: counts match
     hand-counted n-grams; per-doc scores match the pure-Python

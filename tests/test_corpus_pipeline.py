@@ -614,6 +614,65 @@ def test_full_crawl_pipeline_with_r5_steps(spark, sf_dir, tmp_path):
     assert all(r.seq_offset >= 0 for r in rows)
 
 
+def test_rolling_crawl_pipeline_with_r6_artifacts(spark, sf_dir, tmp_path):
+    """The r6 production shape end to end: reference artifacts are
+    computed ONCE (prepared dedup frame on parquet + bucketed LM model
+    table) and two crawl shards run the same config against them —
+    strip_html → benchmark decontamination → incremental dedup vs the
+    prepared frame → LM perplexity gate via model_table →
+    cluster-aware split. Asserts both shards process independently,
+    benchmark/reference contamination is gone, and cluster-keyed
+    splitting yields valid splits."""
+    from greenmask_spark.functions.dedup import prepare_reference
+    from greenmask_spark.functions.lm import save_ngram_lm, train_ngram_lm
+    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ref = docs.filter("pmod(doc_id, 4) = 0")
+    bench_path = str(tmp_path / "bench.parquet")
+    docs.filter("pmod(doc_id, 13) = 0").write.parquet(bench_path)
+    prep_path = str(tmp_path / "prep_ref.parquet")
+    prepare_reference(ref, "exact").write.parquet(prep_path)
+    save_ngram_lm(train_ngram_lm(ref, n=2), "r6_crawl_lm", num_buckets=4)
+    try:
+        def run_shard(mod: int):
+            cfg = {
+                "input": {"table": "documents"},
+                "steps": [
+                    {"op": "hash_sample", "fraction": 1.0},  # shard gate stub
+                    {"op": "strip_html"},
+                    {"op": "decontaminate", "n": 8,
+                     "benchmark": {"path": bench_path,
+                                   "format": "parquet"}},
+                    {"op": "dedup_against", "level": "exact",
+                     "reference": {"path": prep_path,
+                                   "format": "parquet"}},
+                    {"op": "lm_filter", "n": 2, "max_ppl": 1e9,
+                     "keep_unscored": True,
+                     "model_table": "r6_crawl_lm"},
+                    {"op": "cluster_split",
+                     "weights": {"train": 0.9, "val": 0.1},
+                     "num_perm": 8, "bands": 4},
+                ],
+            }
+            out = run_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+            return out.filter(f"pmod(doc_id, 2) = {mod}").collect()
+
+        shard0, shard1 = run_shard(0), run_shard(1)
+        ids = {r.doc_id for r in shard0} | {r.doc_id for r in shard1}
+        assert ids
+        # benchmark docs (any %13) and reference digests (%4) are gone
+        assert not {i for i in ids if i % 13 == 0}
+        assert not {i for i in ids if i % 4 == 0}
+        assert all(r.split in ("train", "val") for r in shard0 + shard1)
+        # shards partition the surviving universe (no overlap, no loss)
+        assert {r.doc_id for r in shard0}.isdisjoint(
+            {r.doc_id for r in shard1})
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r6_crawl_lm")
+
+
 def test_checkpoint_step(spark, tmp_path):
     """checkpoint materializes state and continues from files: results
     unchanged, the parquet exists, and the continued plan reads from

@@ -1876,6 +1876,50 @@ def test_dedup_against_prepared_reference(spark):
     prep_fuzzy.unpersist()
 
 
+def test_dedup_against_prepared_equivalence_property(spark):
+    """Property: for ANY corpus pair (including empty strings,
+    whitespace-only and duplicate texts), dedup_against over a
+    prepare_reference frame returns exactly the recompute path's ids,
+    at every level."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from greenmask_spark.functions.dedup import dedup_against, prepare_reference
+
+    words = st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon",
+                         "zeta", "eta", "theta"]),
+        min_size=0, max_size=12,
+    ).map(" ".join)
+
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(words, min_size=1, max_size=8),
+           st.lists(words, min_size=1, max_size=8))
+    def check(ref_texts, new_texts):
+        ref = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(ref_texts)],
+            "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(new_texts)],
+            "doc_id long, text string")
+        pe = prepare_reference(ref, "exact")
+        pf = prepare_reference(ref, "fuzzy", num_perm=8, k=3)
+        for prepped, kwargs in (
+            (pe, {"level": "exact"}),
+            (pf, {"level": "fuzzy", "num_perm": 8, "bands": 4, "k": 3}),
+            (pf, {"level": "fuzzy", "num_perm": 8, "bands": 4, "k": 3,
+                  "min_jaccard": 0.6}),
+        ):
+            got = {r.doc_id for r in
+                   dedup_against(new, prepped, **kwargs).collect()}
+            want = {r.doc_id for r in
+                    dedup_against(new, ref, **kwargs).collect()}
+            assert got == want, (kwargs, ref_texts, new_texts)
+
+    check()
+
+
 def test_ngram_decontaminate(spark):
     """GPT-3 Appendix-C benchmark decontamination: a training doc
     EMBEDDING a benchmark n-gram drops even when the doc as a whole is

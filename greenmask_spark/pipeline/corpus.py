@@ -419,6 +419,31 @@ def _step_dedup_against(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_bpe_count(df: DataFrame, p: dict) -> DataFrame:
+    """Attach a REAL token count column from a trained BPE merge table
+    (``merges`` input spec — the (rank, left, right) parquet written
+    via ``merges_to_df``), so downstream ``pack_sequences`` budgets in
+    actual tokenizer tokens instead of a whitespace proxy. Only the
+    merge TABLE is collected (a few 10k rows); counting runs as one
+    Arrow-batched projection."""
+    from greenmask_spark.functions.bpe import bpe_token_count, merges_from_df
+
+    ctx = p.get("_context") or {}
+    if "spark" not in ctx or "merges" not in p:
+        raise ValueError("bpe_count needs a 'merges' input spec "
+                         "and pipeline context")
+    merges = merges_from_df(
+        _load_input(ctx["spark"], p["merges"], ctx.get("sf_dir"))
+    )
+    return df.withColumn(
+        p.get("token_col", "n_tokens"),
+        bpe_token_count(
+            F.col(p.get("text_col", "text")), merges,
+            lowercase=bool(p.get("lowercase", True)),
+        ),
+    )
+
+
 def _step_decontaminate(df: DataFrame, p: dict) -> DataFrame:
     """GPT-3 Appendix-C benchmark decontamination: drop training docs
     sharing at least ``min_hits`` distinct word n-grams (default: any
@@ -625,6 +650,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "packing_report": _step_packing_report,
     "dedup_against": _step_dedup_against,
     "decontaminate": _step_decontaminate,
+    "bpe_count": _step_bpe_count,
     "lm_score": _step_lm_score,
     "lm_filter": _step_lm_filter,
 }

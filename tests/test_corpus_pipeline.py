@@ -673,6 +673,46 @@ def test_rolling_crawl_pipeline_with_r6_artifacts(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS r6_crawl_lm")
 
 
+def test_bpe_count_step(spark, sf_dir, tmp_path):
+    """Config path for real token budgets: train BPE once, write the
+    merge table, and the bpe_count step attaches counts that match the
+    direct bpe_token_count call and feed pack_sequences."""
+    from greenmask_spark.functions.bpe import (
+        bpe_token_count,
+        merges_to_df,
+        train_bpe,
+    )
+    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    merges = train_bpe(docs.limit(100), num_merges=64)
+    mp = str(tmp_path / "merges.parquet")
+    merges_to_df(spark, merges).write.parquet(mp)
+
+    out = run_corpus_pipeline(spark, {
+        "input": {"table": "documents"},
+        "steps": [
+            {"op": "bpe_count", "merges": {"path": mp,
+                                           "format": "parquet"}},
+            {"op": "pack_sequences", "max_tokens": 512, "n_packers": 8},
+        ],
+    }, sf_dir=sf_dir)
+    rows = out.limit(50).collect()
+    assert rows and all(r.n_tokens > 0 for r in rows)
+    direct = {r.doc_id: r.n for r in docs.select(
+        "doc_id", bpe_token_count(F.col("text"), merges).alias("n")
+    ).collect()}
+    assert all(r.n_tokens == direct[r.doc_id] for r in rows)
+
+    import pytest as _p
+    with _p.raises(ValueError, match="merges"):
+        run_corpus_pipeline(spark, {
+            "input": {"table": "documents"},
+            "steps": [{"op": "bpe_count"}],
+        }, sf_dir=sf_dir)
+
+
 def test_checkpoint_step(spark, tmp_path):
     """checkpoint materializes state and continues from files: results
     unchanged, the parquet exists, and the continued plan reads from

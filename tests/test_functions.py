@@ -1920,6 +1920,77 @@ def test_dedup_against_prepared_equivalence_property(spark):
     check()
 
 
+def test_bpe_train_and_encode(spark):
+    """Classic BPE on the Sennrich et al. toy corpus: the first merges
+    are the expected high-frequency pairs, encoding is deterministic
+    and reconstructs the input, unseen words back off to characters,
+    token counts feed pack_sequences as a real budget, and the merge
+    table round-trips through its DataFrame form."""
+    from greenmask_spark.functions.bpe import (
+        EOW,
+        bpe_encode,
+        bpe_token_count,
+        merges_from_df,
+        merges_to_df,
+        train_bpe,
+    )
+
+    # the canonical BPE example: {low:5, lower:2, newest:6, widest:3}
+    rows = []
+    rid = 0
+    for word, freq in (("low", 5), ("lower", 2), ("newest", 6),
+                       ("widest", 3)):
+        for _ in range(freq):
+            rows.append((rid, word))
+            rid += 1
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(corpus, num_merges=10, min_pair_freq=2)
+    # 'es' (freq 9 from newest+widest) is the first merge; 'est</w>'
+    # forms within the first few
+    assert merges[0] == ("e", "s")
+    assert ("es", "t" + EOW) in merges[:3]
+
+    df = spark.createDataFrame(
+        [(1, "newest widest"), (2, "low lower"), (3, "zzz"), (4, None)],
+        "doc_id long, text string",
+    )
+    enc = {r.doc_id: r.toks for r in df.select(
+        "doc_id", bpe_encode(F.col("text"), merges).alias("toks")
+    ).collect()}
+    # tokens reconstruct the input (EOW marks word ends)
+    assert "".join(enc[1]).replace(EOW, " ").strip() == "newest widest"
+    assert "".join(enc[2]).replace(EOW, " ").strip() == "low lower"
+    # seen whole words compress well below character count
+    assert len(enc[1]) < len("newestwidest")
+    # unseen word backs off toward characters but stays lossless
+    assert "".join(enc[3]).replace(EOW, "") == "zzz"
+    assert enc[4] is None
+
+    counts = {r.doc_id: r.n for r in df.select(
+        "doc_id", bpe_token_count(F.col("text"), merges).alias("n")
+    ).collect()}
+    assert counts[1] == len(enc[1]) and counts[4] is None
+
+    # merge-table round trip through the storable frame
+    rt = merges_from_df(merges_to_df(spark, merges))
+    assert rt == merges
+
+    # real-token packing: budget respected with the BPE count column
+    from greenmask_spark.functions.sampling import pack_sequences
+
+    budget = df.filter("text IS NOT NULL").withColumn(
+        "n_tokens", bpe_token_count(F.col("text"), merges))
+    packed = pack_sequences(budget, max_tokens=8, n_packers=2).collect()
+    fill: dict[str, int] = {}
+    docs_in: dict[str, int] = {}
+    for r in packed:
+        fill[r.seq_id] = fill.get(r.seq_id, 0) + r.n_tokens
+        docs_in[r.seq_id] = docs_in.get(r.seq_id, 0) + 1
+    # every multi-doc bin respects the REAL token budget (a single
+    # over-budget doc legitimately gets a bin of its own)
+    assert all(fill[b] <= 8 for b in fill if docs_in[b] > 1)
+
+
 def test_ngram_decontaminate(spark):
     """GPT-3 Appendix-C benchmark decontamination: a training doc
     EMBEDDING a benchmark n-gram drops even when the doc as a whole is

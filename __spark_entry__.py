@@ -3072,7 +3072,7 @@ def _oracle_sample_mixture() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """70 entries, ordered so the r6 verdict-brief additions
+    """72 entries, ordered so the r6 verdict-brief additions
     (strip_html, lm_score, dedup_against exact+fuzzy,
     linear_text_score, lsh_recall_eval) sit INSIDE the first 50: the
     r1 harness checked only the first 50 entries, so if that cap still

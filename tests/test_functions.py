@@ -524,6 +524,22 @@ def _udf_err_text(excinfo) -> str:
     return str(e) + str(getattr(e, "java_exception", ""))
 
 
+def _collect_retry(df, attempts: int = 2):
+    """Collect with ONE retry for actions that run right after an
+    intentionally-failed Python UDF action: a reused python worker
+    whose previous task raised can poison the next task with
+    CancelledKeyException (a known worker-reuse flake; local mode has
+    maxFailures=1 so Spark itself won't retry). Deterministic results
+    make the retry safe."""
+    last = None
+    for _ in range(attempts):
+        try:
+            return df.collect()
+        except Exception as e:  # pragma: no cover - flake path
+            last = e
+    raise last
+
+
 def _assert_loud_udf_failure(excinfo, *markers: str) -> None:
     """The honesty contract under test is that the ACTION FAILED — no
     silent passthrough. When the driver surfaced the worker traceback
@@ -748,11 +764,6 @@ def test_resize_images_honest(spark):
     df = spark.createDataFrame(
         [R(media_id=1, kind="image", mime="raw", payload=img.tobytes(),
            width=4, height=4, duration_ms=None)], MEDIA_SCHEMA)
-    # a raw buffer is NOT an encoded format: the decode raises at
-    # action time (the plan is lazy), never a silent passthrough
-    with pytest.raises(Exception) as ei:
-        resize_images(df, 2, 2).collect()
-    _assert_loud_udf_failure(ei, "NotImplementedError", "self-contained")
     out = resize_images(df, 2, 2, payload_format="raw").collect()[0]
     assert out.width == 2 and out.height == 2
     want = img[[0, 2]][:, [0, 2], :]
@@ -768,6 +779,13 @@ def test_resize_images_honest(spark):
     assert out2.width == 2 and out2.height == 2
     assert (np.frombuffer(out2.payload, dtype=np.uint8).reshape(2, 2, 3)
             == want).all()
+    # a raw buffer is NOT an encoded format: the decode raises at
+    # action time (the plan is lazy), never a silent passthrough.
+    # LAST in the test: an intentionally-failed UDF task can poison a
+    # reused python worker for the next UDF action (see _collect_retry)
+    with pytest.raises(Exception) as ei:
+        resize_images(df, 2, 2).collect()
+    _assert_loud_udf_failure(ei, "NotImplementedError", "self-contained")
 
 
 def test_multimodal_real_decoders(spark):
@@ -850,8 +868,8 @@ def test_multimodal_real_decoders(spark):
     with pytest.raises(Exception) as ei:
         decode_images(df).collect()
     _assert_loud_udf_failure(ei, "NotImplementedError", "self-contained")
-    nulled = {r.media_id: r for r in decode_images(
-        df, on_unsupported="null").collect()}
+    nulled = {r.media_id: r for r in _collect_retry(decode_images(
+        df, on_unsupported="null"))}
     assert nulled[3].payload is None and nulled[1].payload is not None
     # the undecodable row keeps its DECLARED metadata — only the
     # payload nulls out
@@ -867,7 +885,7 @@ def test_multimodal_real_decoders(spark):
            width=None, height=None, duration_ms=None)],
         MEDIA_SCHEMA)
     feats = {r.media_id: r.feature for r in
-             extract_features(media, dim=4, fake=False).collect()}
+             _collect_retry(extract_features(media, dim=4, fake=False))}
     flat = px.reshape(-1).astype(float) / 255.0  # 12 values → slices of 3
     want_img = [float(flat[i * 3:(i + 1) * 3].mean()) for i in range(4)]
     assert np.allclose(feats[1], want_img, atol=1e-6)

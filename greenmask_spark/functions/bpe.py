@@ -79,28 +79,51 @@ def train_bpe(
         corpus, text_col, lowercase, min_word_freq
     ).collect()
     # word → symbol sequence; every word ends with its final char + EOW
-    vocab: dict[tuple[str, ...], int] = {}
+    agg: dict[tuple[str, ...], int] = {}
     for r in rows:
         w = r["word"]
         seq = tuple(list(w[:-1]) + [w[-1] + EOW])
-        vocab[seq] = vocab.get(seq, 0) + int(r["cnt"])
+        agg[seq] = agg.get(seq, 0) + int(r["cnt"])
+    seqs: list[list[str]] = [list(s) for s in agg]
+    freqs: list[int] = list(agg.values())
+
+    # incremental index (the subword-nmt shape): pair → total count and
+    # pair → words containing it. Each merge touches ONLY the words
+    # holding the chosen pair — O(merges × vocab) full recounts would
+    # burn driver minutes at web-scale vocabularies. Membership sets
+    # may go stale (a word rewritten away from a pair stays listed);
+    # stale entries are harmless — rewriting a pair-free word is a
+    # no-op and counts stay exact because every rewrite adjusts them
+    # by the word's actual pair multiset.
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (seq, f) in enumerate(zip(seqs, freqs)):
+        for p in zip(seq, seq[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(wi)
 
     merges: list[tuple[str, str]] = []
     for _ in range(int(num_merges)):
-        pairs: dict[tuple[str, str], int] = {}
-        for seq, f in vocab.items():
-            for a, b in zip(seq, seq[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + f
-        if not pairs:
+        if not pair_counts:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < int(min_pair_freq):
+        best, cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if cnt < int(min_pair_freq):
             break
-        (a, b), _f = best
-        merges.append((a, b))
+        a, b = best
+        merges.append(best)
         merged = a + b
-        out: dict[tuple[str, ...], int] = {}
-        for seq, f in vocab.items():
+        for wi in pair_words.pop(best, set()):
+            seq, f = seqs[wi], freqs[wi]
+            if len(seq) < 2:
+                continue
+            for p in zip(seq, seq[1:]):
+                left = pair_counts.get(p, 0) - f
+                if left > 0:
+                    pair_counts[p] = left
+                else:
+                    pair_counts.pop(p, None)
             i, new = 0, []
             while i < len(seq):
                 if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
@@ -109,18 +132,26 @@ def train_bpe(
                 else:
                     new.append(seq[i])
                     i += 1
-            t = tuple(new)
-            out[t] = out.get(t, 0) + f
-        vocab = out
+            seqs[wi] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                pair_words.setdefault(p, set()).add(wi)
     return merges
 
 
-def merges_to_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
-    """(rank, left, right) frame — the storable/shippable form of a
-    merge table (write to parquet next to the corpus manifest)."""
+def merges_to_df(
+    spark, merges: list[tuple[str, str]], lowercase: bool = True
+) -> DataFrame:
+    """(rank, left, right, lowercase) frame — the storable/shippable
+    form of a merge table (write to parquet next to the corpus
+    manifest). ``lowercase`` records the TRAINING-time case folding so
+    encode-side consumers (the ``bpe_count`` step) apply the same
+    folding — encoding case-sensitive text through a lowercased table
+    (or vice versa) silently backs every word off toward characters
+    and inflates token counts several-fold."""
     return spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)],
-        "rank int, left string, right string",
+        [(i, a, b, bool(lowercase)) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, lowercase boolean",
     )
 
 
@@ -159,9 +190,16 @@ def bpe_encode(
     """array<string> of BPE tokens for a text column — Arrow-batched
     pandas UDF; the rank dict rides the task closure (merge tables are
     small by construction). NULL text stays NULL."""
+    import re
+
     from pyspark.sql.functions import pandas_udf
 
     ranks = {pair: i for i, pair in enumerate(merges)}
+    # the SAME whitespace class training used: Spark's Java regex \s
+    # is ASCII-only ([ \t\n\x0B\f\r]) while Python str.split()/re \s
+    # are Unicode — a U+00A0 non-breaking space in web text would split into
+    # words the trained table never saw
+    ws = re.compile("[ \t\n\x0b\f\r]+")
 
     @pandas_udf("array<string>")
     def _enc(s: pd.Series) -> pd.Series:
@@ -170,8 +208,9 @@ def bpe_encode(
                 return None
             t = x.lower() if lowercase else x
             out: list[str] = []
-            for w in t.split():
-                out.extend(_encode_word(w, ranks))
+            for w in ws.split(t.strip(" \t\n\x0b\f\r")):
+                if w:
+                    out.extend(_encode_word(w, ranks))
             return out
 
         return s.map(one)

@@ -456,8 +456,15 @@ def ngram_decontaminate(
     from greenmask_spark.functions.lm import doc_ngrams
 
     doc_g = doc_ngrams(df, n, text_col, id_col)
+    # the benchmark needs ONLY its text column — eval-suite tables
+    # rarely share the training corpus's id column, and the ids are
+    # discarded anyway (a synthetic constant id feeds doc_ngrams)
+    bench_src = benchmark.select(
+        F.lit(0).alias("__bid"),
+        F.col(bench_text_col or text_col).alias("__btxt"),
+    )
     bench_g = doc_ngrams(
-        benchmark, n, bench_text_col or text_col, id_col
+        bench_src, n, "__btxt", "__bid"
     ).select("gram").distinct()
     if broadcast:
         bench_g = F.broadcast(bench_g)

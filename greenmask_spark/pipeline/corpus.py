@@ -432,14 +432,21 @@ def _step_bpe_count(df: DataFrame, p: dict) -> DataFrame:
     if "spark" not in ctx or "merges" not in p:
         raise ValueError("bpe_count needs a 'merges' input spec "
                          "and pipeline context")
-    merges = merges_from_df(
-        _load_input(ctx["spark"], p["merges"], ctx.get("sf_dir"))
-    )
+    mdf = _load_input(ctx["spark"], p["merges"], ctx.get("sf_dir"))
+    merges = merges_from_df(mdf)
+    # case folding MUST match training: the merge frame records the
+    # training-time flag (merges_to_df) — honor it unless the config
+    # explicitly overrides
+    if "lowercase" in p:
+        lc = bool(p["lowercase"])
+    elif "lowercase" in mdf.columns:
+        lc = bool(mdf.select("lowercase").head()["lowercase"])
+    else:
+        lc = True
     return df.withColumn(
         p.get("token_col", "n_tokens"),
         bpe_token_count(
-            F.col(p.get("text_col", "text")), merges,
-            lowercase=bool(p.get("lowercase", True)),
+            F.col(p.get("text_col", "text")), merges, lowercase=lc,
         ),
     )
 

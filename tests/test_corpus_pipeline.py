@@ -475,8 +475,13 @@ def test_decontaminate_step(spark, sf_dir, tmp_path):
                    "benchmark": {"path": bench_path, "format": "parquet"}}],
     }, sf_dir=sf_dir)
     kept = {r.doc_id for r in out.select("doc_id").collect()}
-    # the benchmark docs themselves always collide with their own grams
-    assert kept and all(k % 11 != 0 for k in kept)
+    # benchmark docs LONG ENOUGH to emit an 8-gram always collide with
+    # their own grams (a sub-8-token benchmark doc legitimately cannot
+    # flag anything — keep the assertion data-independent)
+    ntok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    long_bench = {r.doc_id for r in docs.filter("pmod(doc_id, 11) = 0")
+                  .filter(ntok >= 8).select("doc_id").collect()}
+    assert kept and long_bench and not (kept & long_bench)
 
     import pytest as _p
     with _p.raises(ValueError, match="benchmark"):
@@ -636,39 +641,49 @@ def test_rolling_crawl_pipeline_with_r6_artifacts(spark, sf_dir, tmp_path):
     prepare_reference(ref, "exact").write.parquet(prep_path)
     save_ngram_lm(train_ngram_lm(ref, n=2), "r6_crawl_lm", num_buckets=4)
     try:
+        cfg = {
+            "input": {"table": "documents"},
+            "steps": [
+                {"op": "strip_html"},
+                {"op": "decontaminate", "n": 8,
+                 "benchmark": {"path": bench_path, "format": "parquet"}},
+                {"op": "dedup_against", "level": "exact",
+                 "reference": {"path": prep_path, "format": "parquet"}},
+                {"op": "lm_filter", "n": 2, "max_ppl": 1e9,
+                 "keep_unscored": True, "model_table": "r6_crawl_lm"},
+                {"op": "cluster_split",
+                 "weights": {"train": 0.9, "val": 0.1},
+                 "num_perm": 8, "bands": 4},
+            ],
+        }
+
         def run_shard(mod: int):
-            cfg = {
-                "input": {"table": "documents"},
-                "steps": [
-                    {"op": "hash_sample", "fraction": 1.0},  # shard gate stub
-                    {"op": "strip_html"},
-                    {"op": "decontaminate", "n": 8,
-                     "benchmark": {"path": bench_path,
-                                   "format": "parquet"}},
-                    {"op": "dedup_against", "level": "exact",
-                     "reference": {"path": prep_path,
-                                   "format": "parquet"}},
-                    {"op": "lm_filter", "n": 2, "max_ppl": 1e9,
-                     "keep_unscored": True,
-                     "model_table": "r6_crawl_lm"},
-                    {"op": "cluster_split",
-                     "weights": {"train": 0.9, "val": 0.1},
-                     "num_perm": 8, "bands": 4},
-                ],
-            }
             out = run_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
             return out.filter(f"pmod(doc_id, 2) = {mod}").collect()
 
         shard0, shard1 = run_shard(0), run_shard(1)
-        ids = {r.doc_id for r in shard0} | {r.doc_id for r in shard1}
+        ids0 = {r.doc_id for r in shard0}
+        ids1 = {r.doc_id for r in shard1}
+        ids = ids0 | ids1
         assert ids
-        # benchmark docs (any %13) and reference digests (%4) are gone
-        assert not {i for i in ids if i % 13 == 0}
+        # benchmark docs long enough to emit an 8-gram are gone
+        # (sub-8-token benchmark docs legitimately cannot self-flag);
+        # every reference digest (%4) is gone regardless of length
+        ntok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        long_bench = {r.doc_id for r in docs
+                      .filter("pmod(doc_id, 13) = 0").filter(ntok >= 8)
+                      .select("doc_id").collect()}
+        assert long_bench and not (ids & long_bench)
         assert not {i for i in ids if i % 4 == 0}
         assert all(r.split in ("train", "val") for r in shard0 + shard1)
-        # shards partition the surviving universe (no overlap, no loss)
-        assert {r.doc_id for r in shard0}.isdisjoint(
-            {r.doc_id for r in shard1})
+        # the two shard runs partition the FULL pipeline's surviving
+        # universe: no overlap (disjoint parities) and no loss (their
+        # union equals an unsharded run's ids)
+        full_ids = {r.doc_id for r in
+                    run_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+                    .select("doc_id").collect()}
+        assert ids0.isdisjoint(ids1)
+        assert ids == full_ids
     finally:
         spark.sql("DROP TABLE IF EXISTS r6_crawl_lm")
 

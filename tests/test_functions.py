@@ -542,17 +542,38 @@ def _collect_retry(df, attempts: int = 2):
 
 def _assert_loud_udf_failure(excinfo, *markers: str) -> None:
     """The honesty contract under test is that the ACTION FAILED — no
-    silent passthrough. When the driver surfaced the worker traceback
-    the marker text must be present; some conversion paths
-    (suite-order dependent) bubble a raw Py4JJavaError whose message
-    omits the Python frames entirely — a hard JVM-side task failure
-    still satisfies the contract, so only the marker check relaxes."""
+    silent passthrough. The marker text (the stub's own message) must
+    be present UNLESS the failure is the known worker-reuse
+    infrastructure flake (CancelledKeyException / worker crash), whose
+    surfaced text omits the Python frames entirely — accepting any
+    Py4JJavaError would stop pinning that NotImplementedError is what
+    actually fires."""
     t = _udf_err_text(excinfo)
-    if any(m in t for m in markers):
-        return
-    import py4j.protocol
+    assert any(m in t for m in markers) or any(
+        infra in t
+        for infra in ("CancelledKeyException", "Python worker")
+    ), t
 
-    assert isinstance(excinfo.value, py4j.protocol.Py4JJavaError), t
+
+def _drain_poisoned_workers(spark) -> None:
+    """Run (and discard) a tiny UDF action after an intentional UDF
+    failure so a poisoned reused python worker dies HERE, inside the
+    test that caused it, instead of failing the next test's first UDF
+    action (see _collect_retry for the mechanism)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("int", PandasUDFType.SCALAR)
+    def _noop(s):
+        return pd.Series(s)
+
+    probe = spark.range(4).select(_noop(F.col("id").cast("int")))
+    for _ in range(2):
+        try:
+            probe.collect()
+            return
+        except Exception:
+            continue
 
 
 def test_multimodal_decode_stub_raises(spark):
@@ -564,6 +585,7 @@ def test_multimodal_decode_stub_raises(spark):
     with pytest.raises(Exception) as ei:
         extract_features(df, fake=False).collect()
     _assert_loud_udf_failure(ei, "NotImplementedError")
+    _drain_poisoned_workers(spark)
 
 
 def test_validate_diff_and_schema_diff(spark):
@@ -786,6 +808,7 @@ def test_resize_images_honest(spark):
     with pytest.raises(Exception) as ei:
         resize_images(df, 2, 2).collect()
     _assert_loud_udf_failure(ei, "NotImplementedError", "self-contained")
+    _drain_poisoned_workers(spark)
 
 
 def test_multimodal_real_decoders(spark):
@@ -861,8 +884,8 @@ def test_multimodal_real_decoders(spark):
            payload=b"\x89PNG fake", width=640, height=480,
            duration_ms=None)],
         MEDIA_SCHEMA)
-    ok = {r.media_id: r for r in decode_images(
-        df.filter("media_id < 3")).collect()}
+    ok = {r.media_id: r for r in _collect_retry(decode_images(
+        df.filter("media_id < 3")))}
     assert ok[1].width == 2 and ok[1].height == 2
     assert ok[1].mime == "image/raw" and ok[1].payload == ok[2].payload
     with pytest.raises(Exception) as ei:
@@ -899,6 +922,7 @@ def test_multimodal_real_decoders(spark):
     with pytest.raises(Exception) as ei:
         extract_features(bad, fake=False).collect()
     _assert_loud_udf_failure(ei, "NotImplementedError", "PPM")
+    _drain_poisoned_workers(spark)
 
 
 def test_dynamic_param_template_and_default(spark):

@@ -34,16 +34,42 @@ from pyspark.sql import functions as F
 #: distinguish word-final units ("est</w>") from word-internal ("est")
 EOW = "</w>"
 
+#: GPT-2-style pre-tokenization pattern (contractions, letter runs,
+#: digit runs, punctuation runs) applied WITHIN whitespace tokens when
+#: ``pretokenize="gpt2"``. Deliberately ASCII classes only: ASCII
+#: character classes behave identically in Java regex (the training
+#: side runs ``regexp_extract_all`` JVM-side) and Python ``re`` (the
+#: encode side runs in an Arrow UDF), so train/encode can never split
+#: differently. Non-ASCII letters fall into the punctuation class —
+#: consistently on both sides. The real GPT-2 pattern additionally
+#: uses Unicode categories and leading-space attachment; this is the
+#: "style" (class-run splitting) without the engine-divergence risk.
+GPT2_PRETOK = r"'s|'t|'re|'ve|'m|'ll|'d|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+_PRETOK_MODES = ("whitespace", "gpt2")
+
+
+def _check_pretok(pretokenize: str) -> str:
+    if pretokenize not in _PRETOK_MODES:
+        raise ValueError(
+            f"pretokenize {pretokenize!r}: expected one of {_PRETOK_MODES}"
+        )
+    return pretokenize
+
 
 def _word_counts(
     corpus: DataFrame,
     text_col: str,
     lowercase: bool,
     min_word_freq: int,
+    pretokenize: str = "whitespace",
 ) -> DataFrame:
     """(word, cnt) over whitespace tokens — the ONE corpus-scale pass
     of BPE training; map-side combined, and the frequency floor prunes
-    the long tail before anything reaches the driver."""
+    the long tail before anything reaches the driver. With
+    ``pretokenize="gpt2"`` each whitespace token is further split into
+    contraction/letter/digit/punctuation runs (JVM-side
+    ``regexp_extract_all``) so merges never bridge a class boundary."""
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
@@ -51,6 +77,12 @@ def _word_counts(
         corpus.select(F.explode(F.split(F.trim(t), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
     )
+    if _check_pretok(pretokenize) == "gpt2":
+        toks = toks.select(
+            F.explode(
+                F.regexp_extract_all("word", F.lit(GPT2_PRETOK), F.lit(0))
+            ).alias("word")
+        )
     wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     if min_word_freq > 1:
         wc = wc.filter(F.col("cnt") >= int(min_word_freq))
@@ -63,7 +95,9 @@ def train_bpe(
     text_col: str = "text",
     lowercase: bool = True,
     min_pair_freq: int = 2,
-    min_word_freq: int = 1,
+    min_word_freq: int = 2,
+    max_vocab: int = 5_000_000,
+    pretokenize: str = "whitespace",
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges; returns them in rank order
     (rank 0 first). Deterministic: ties on pair frequency break
@@ -72,12 +106,45 @@ def train_bpe(
 
     Scale shape: one distributed word-count; the merge loop runs on
     the driver over the collected (word, cnt) table — bounded by the
-    distinct-word vocabulary (floor it with ``min_word_freq`` on
-    web-scale corpora). Stops early when no pair reaches
-    ``min_pair_freq``."""
-    rows = _word_counts(
-        corpus, text_col, lowercase, min_word_freq
-    ).collect()
+    distinct-word vocabulary. Two rails keep a default call on a
+    production corpus from OOMing the driver (the same medicine as
+    ``lsh_recall_eval``'s count-before-the-quadratic-stage check):
+    ``min_word_freq`` defaults to 2 (hapax "words" — URLs, hashes,
+    code tokens — dominate a noisy web corpus's distinct-word table
+    while contributing negligible pair mass), and the floored
+    vocabulary is COUNTED before collect; above ``max_vocab`` the call
+    raises with sizing guidance instead of collecting. Stops early
+    when no pair reaches ``min_pair_freq``.
+
+    ``pretokenize="gpt2"`` splits whitespace tokens into contraction/
+    letter/digit/punctuation runs before counting (and ``bpe_encode``
+    must be called with the same mode — ``merges_to_df`` records it),
+    so trained budgets approximate production tokenizers on
+    punctuated text instead of treating "word." as one unit."""
+    from pyspark import StorageLevel
+
+    _check_pretok(pretokenize)
+    # the (word, cnt) table feeds two actions (the rail count + the
+    # collect); persist so the corpus-scale explode+agg runs once
+    wc = _word_counts(
+        corpus, text_col, lowercase, min_word_freq, pretokenize
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_vocab = wc.count()
+        if n_vocab > max_vocab:
+            raise ValueError(
+                f"train_bpe: {n_vocab} distinct words survive the "
+                f"min_word_freq={min_word_freq} floor, exceeding "
+                f"max_vocab={max_vocab}; the merge loop collects this "
+                f"table to the driver. Raise min_word_freq (noisy web "
+                f"corpora are dominated by near-hapax URLs/hashes/code "
+                f"tokens that add negligible pair mass), or raise "
+                f"max_vocab deliberately if the driver has the memory "
+                f"(~100 bytes/word)."
+            )
+        rows = wc.collect()
+    finally:
+        wc.unpersist()
     # word → symbol sequence; every word ends with its final char + EOW
     agg: dict[tuple[str, ...], int] = {}
     for r in rows:
@@ -140,18 +207,26 @@ def train_bpe(
 
 
 def merges_to_df(
-    spark, merges: list[tuple[str, str]], lowercase: bool = True
+    spark,
+    merges: list[tuple[str, str]],
+    lowercase: bool = True,
+    pretokenize: str = "whitespace",
 ) -> DataFrame:
-    """(rank, left, right, lowercase) frame — the storable/shippable
-    form of a merge table (write to parquet next to the corpus
-    manifest). ``lowercase`` records the TRAINING-time case folding so
-    encode-side consumers (the ``bpe_count`` step) apply the same
-    folding — encoding case-sensitive text through a lowercased table
-    (or vice versa) silently backs every word off toward characters
-    and inflates token counts several-fold."""
+    """(rank, left, right, lowercase, pretokenize) frame — the
+    storable/shippable form of a merge table (write to parquet next to
+    the corpus manifest). ``lowercase`` and ``pretokenize`` record the
+    TRAINING-time preprocessing so encode-side consumers (the
+    ``bpe_count`` step) apply the same — encoding case-sensitive text
+    through a lowercased table (or punctuated text through a table
+    trained with a different splitter) silently backs words off toward
+    characters and inflates token counts several-fold."""
     return spark.createDataFrame(
-        [(i, a, b, bool(lowercase)) for i, (a, b) in enumerate(merges)],
-        "rank int, left string, right string, lowercase boolean",
+        [
+            (i, a, b, bool(lowercase), _check_pretok(pretokenize))
+            for i, (a, b) in enumerate(merges)
+        ],
+        "rank int, left string, right string, lowercase boolean, "
+        "pretokenize string",
     )
 
 
@@ -186,20 +261,27 @@ def bpe_encode(
     text: Column,
     merges: list[tuple[str, str]],
     lowercase: bool = True,
+    pretokenize: str = "whitespace",
 ) -> Column:
     """array<string> of BPE tokens for a text column — Arrow-batched
     pandas UDF; the rank dict rides the task closure (merge tables are
-    small by construction). NULL text stays NULL."""
+    small by construction). NULL text stays NULL. ``lowercase`` and
+    ``pretokenize`` MUST match training (read them back from the
+    stored table via ``merges_to_df``'s columns)."""
     import re
 
     from pyspark.sql.functions import pandas_udf
 
+    _check_pretok(pretokenize)
     ranks = {pair: i for i, pair in enumerate(merges)}
     # the SAME whitespace class training used: Spark's Java regex \s
     # is ASCII-only ([ \t\n\x0B\f\r]) while Python str.split()/re \s
     # are Unicode — a U+00A0 non-breaking space in web text would split into
     # words the trained table never saw
     ws = re.compile("[ \t\n\x0b\f\r]+")
+    # GPT2_PRETOK is ASCII-class-only by design: re.findall here and
+    # regexp_extract_all in training split identically
+    pretok = re.compile(GPT2_PRETOK) if pretokenize == "gpt2" else None
 
     @pandas_udf("array<string>")
     def _enc(s: pd.Series) -> pd.Series:
@@ -209,8 +291,13 @@ def bpe_encode(
             t = x.lower() if lowercase else x
             out: list[str] = []
             for w in ws.split(t.strip(" \t\n\x0b\f\r")):
-                if w:
+                if not w:
+                    continue
+                if pretok is None:
                     out.extend(_encode_word(w, ranks))
+                else:
+                    for sub in pretok.findall(w):
+                        out.extend(_encode_word(sub, ranks))
             return out
 
         return s.map(one)
@@ -222,10 +309,11 @@ def bpe_token_count(
     text: Column,
     merges: list[tuple[str, str]],
     lowercase: bool = True,
+    pretokenize: str = "whitespace",
 ) -> Column:
     """int token count under a trained merge table — the column to
     hand ``pack_sequences`` as its ``token_col`` for REAL token
     budgets."""
     return F.when(text.isNull(), F.lit(None).cast("int")).otherwise(
-        F.size(bpe_encode(text, merges, lowercase))
+        F.size(bpe_encode(text, merges, lowercase, pretokenize))
     )

@@ -434,19 +434,33 @@ def _step_bpe_count(df: DataFrame, p: dict) -> DataFrame:
                          "and pipeline context")
     mdf = _load_input(ctx["spark"], p["merges"], ctx.get("sf_dir"))
     merges = merges_from_df(mdf)
-    # case folding MUST match training: the merge frame records the
-    # training-time flag (merges_to_df) — honor it unless the config
-    # explicitly overrides
-    if "lowercase" in p:
-        lc = bool(p["lowercase"])
-    elif "lowercase" in mdf.columns:
-        lc = bool(mdf.select("lowercase").head()["lowercase"])
-    else:
-        lc = True
+    if not merges:
+        raise ValueError(
+            "bpe_count: the merges table at "
+            f"{p['merges']!r} is empty — train_bpe produced no merges "
+            "(corpus too small / min_pair_freq too high?) or the "
+            "wrong path was given"
+        )
+    # preprocessing MUST match training: the merge frame records the
+    # training-time lowercase/pretokenize flags (merges_to_df) —
+    # honor them unless the config explicitly overrides
+    meta = mdf.select(
+        *(c for c in ("lowercase", "pretokenize") if c in mdf.columns)
+    ).head()
+
+    def _flag(name, default):
+        if name in p:
+            return p[name]
+        if meta is not None and name in mdf.columns:
+            return meta[name]
+        return default
+
     return df.withColumn(
         p.get("token_col", "n_tokens"),
         bpe_token_count(
-            F.col(p.get("text_col", "text")), merges, lowercase=lc,
+            F.col(p.get("text_col", "text")), merges,
+            lowercase=bool(_flag("lowercase", True)),
+            pretokenize=str(_flag("pretokenize", "whitespace")),
         ),
     )
 

@@ -727,6 +727,18 @@ def test_bpe_count_step(spark, sf_dir, tmp_path):
             "steps": [{"op": "bpe_count"}],
         }, sf_dir=sf_dir)
 
+    # an EMPTY merges table (train produced nothing / wrong path) is a
+    # clear error, not a TypeError from head() returning None
+    empty_mp = str(tmp_path / "empty_merges.parquet")
+    merges_to_df(spark, []).write.parquet(empty_mp)
+    with _p.raises(ValueError, match="empty"):
+        run_corpus_pipeline(spark, {
+            "input": {"table": "documents"},
+            "steps": [{"op": "bpe_count",
+                       "merges": {"path": empty_mp,
+                                  "format": "parquet"}}],
+        }, sf_dir=sf_dir)
+
 
 def test_checkpoint_step(spark, tmp_path):
     """checkpoint materializes state and continues from files: results

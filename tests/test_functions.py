@@ -2033,6 +2033,101 @@ def test_bpe_train_and_encode(spark):
     assert all(fill[b] <= 8 for b in fill if docs_in[b] > 1)
 
 
+def test_bpe_train_vocab_rail(spark):
+    """train_bpe counts the floored vocabulary BEFORE collecting it:
+    above max_vocab the call raises with sizing guidance (the
+    lsh_recall_eval medicine — no unguarded driver collect), the
+    min_word_freq floor shrinks the counted table, and the default
+    floor of 2 drops hapax words from training."""
+    import pytest
+
+    from greenmask_spark.functions.bpe import train_bpe
+
+    # 30 distinct words, each appearing twice (so the default
+    # min_word_freq=2 floor keeps them all)
+    rows = [(i, f"word{i:02d} word{i:02d}") for i in range(30)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_vocab"):
+        train_bpe(corpus, num_merges=4, max_vocab=10)
+    # the floor is applied BEFORE the rail count: floor at 3 empties
+    # the table, so even max_vocab=10 passes (and yields no merges)
+    assert train_bpe(corpus, num_merges=4, max_vocab=10,
+                     min_word_freq=3) == []
+
+    # default min_word_freq=2: hapax-only corpora train nothing
+    hapax = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string")
+    assert train_bpe(hapax, num_merges=4) == []
+    # while min_word_freq=1 restores the classic behavior
+    assert train_bpe(hapax, num_merges=4, min_word_freq=1) != []
+
+
+def test_bpe_gpt2_pretokenize(spark):
+    """GPT-2-style pre-tokenization: punctuation and contractions
+    split off before merging, so merges never bridge a class boundary;
+    encode matches training's splitter (the stored table records the
+    mode); token counts exceed the whitespace path on punctuated text
+    by a bounded factor."""
+    from greenmask_spark.functions.bpe import (
+        EOW,
+        bpe_encode,
+        bpe_token_count,
+        merges_to_df,
+        train_bpe,
+    )
+
+    rows = [(i, "it's low-cost, it's low-cost!") for i in range(5)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    m_ws = train_bpe(corpus, num_merges=20, min_word_freq=1)
+    m_gpt = train_bpe(corpus, num_merges=20, min_word_freq=1,
+                      pretokenize="gpt2")
+    # whitespace mode happily merges across the apostrophe/hyphen;
+    # gpt2 mode never does: no merged symbol mixes a letter with
+    # punctuation (the contraction tokens "'s</w>" are the exception
+    # and exactly the GPT-2 behavior)
+    for a, b in m_gpt:
+        sym = (a + b).replace(EOW, "")
+        if sym.startswith("'"):
+            continue  # contraction unit
+        has_alpha = any(c.isalpha() for c in sym)
+        has_punct = any(not c.isalnum() for c in sym)
+        assert not (has_alpha and has_punct), sym
+    # whitespace mode DOES produce such a bridge on this corpus
+    # (\"it's\" / \"low-cost,\" are single training units)
+    bridged = [
+        (a + b) for a, b in m_ws
+        if any(c.isalpha() for c in (a + b).replace(EOW, ""))
+        and any(not c.isalnum() for c in (a + b).replace(EOW, ""))
+    ]
+    assert bridged
+
+    df = spark.createDataFrame(
+        [(1, "it's low-cost, isn't it?")], "doc_id long, text string")
+    toks = df.select(
+        bpe_encode(F.col("text"), m_gpt, pretokenize="gpt2").alias("t")
+    ).head()["t"]
+    # lossless modulo EOW/whitespace: rejoining reconstructs the text
+    assert "".join(toks).replace(EOW, "") == "it'slow-cost,isn'tit?"
+    # the contraction pre-token trained as a unit surfaces whole
+    assert "'s" + EOW in toks
+
+    n_ws = df.select(bpe_token_count(
+        F.col("text"), m_ws).alias("n")).head()["n"]
+    n_gpt = df.select(bpe_token_count(
+        F.col("text"), m_gpt, pretokenize="gpt2").alias("n")).head()["n"]
+    # pre-tokenization splits more units, but within a pinned factor
+    # of the whitespace path (not an explosion to characters)
+    assert n_ws <= n_gpt <= 3 * n_ws
+
+    # the storable frame records the mode alongside lowercase
+    mdf = merges_to_df(spark, m_gpt, pretokenize="gpt2")
+    assert mdf.head()["pretokenize"] == "gpt2"
+    import pytest
+
+    with pytest.raises(ValueError, match="pretokenize"):
+        train_bpe(corpus, num_merges=2, pretokenize="bogus")
+
+
 def test_ngram_decontaminate(spark):
     """GPT-3 Appendix-C benchmark decontamination: a training doc
     EMBEDDING a benchmark n-gram drops even when the doc as a whole is

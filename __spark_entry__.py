@@ -1817,16 +1817,49 @@ for row in r:
 """
 
 
+_JSON_CHILD = (
+    "import sys, json\n"
+    "for line in sys.stdin:\n"
+    "    rec = json.loads(line)\n"
+    # a deliberately bogus answer for UNAFFECTED column index 0
+    # (c_custkey): json_api.go copies back affectedColumns only, so
+    # the host must ignore it
+    "    out = {'0': {'d': 'GARBAGE', 'n': False}}\n"
+    "    for k, cell in rec.items():\n"
+    "        if cell['n']:\n"
+    "            out[k] = {'d': None, 'n': True}\n"
+    "        elif isinstance(cell['d'], (int, float)):\n"
+    "            out[k] = {'d': cell['d'] * 2, 'n': False}\n"
+    "        else:\n"
+    "            out[k] = {'d': str(cell['d']).upper(), 'n': False}\n"
+    "    print(json.dumps(out), flush=True)"
+)
+
+
 def q_t_cmd(spark, sf_dir):
-    """Cmd transformer, BOTH protocol drivers in one driver row (the csv
-    member merged from r3's standalone t_cmd_csv): a text-driver child
-    uppercases c_name, then a csv-driver child (pkg/toolkit/csv_api.go —
-    the whole record travels as one CSV line) reverses the rev copy at
-    field index 5; only declared columns are copied back."""
+    """Cmd transformer, ALL THREE protocol drivers in one driver row:
+    a text-driver child uppercases c_name, a csv-driver child
+    (pkg/toolkit/csv_api.go — the whole record travels as one CSV
+    line) reverses the rev copy at field index 5, then a json-driver
+    child (pkg/toolkit/json_api.go — the reference's DEFAULT driver;
+    wire format raw_record_test.go:25 '{"idx":{"d":…,"n":…}}')
+    doubles the jkey int, uppercases the nullable jnote string, and
+    passes planted nulls through as n=true; its GARBAGE answer for
+    unaffected index 0 must be ignored. Only declared columns are
+    copied back on every driver."""
     import sys as _sys
 
     t = _tables(spark, sf_dir, "customer")
-    df = t["customer"].withColumn("rev", F.col("c_name"))
+    df = (
+        t["customer"]
+        .withColumn("rev", F.col("c_name"))
+        .withColumn("jkey", F.col("c_custkey"))
+        .withColumn(
+            "jnote",
+            F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+            .otherwise(F.col("c_name")),
+        )
+    )
     plan = _plan({"name": "customer", "transformers": _steps(
         {"name": "Cmd", "params": {
             "executable": _sys.executable,
@@ -1842,13 +1875,22 @@ def q_t_cmd(spark, sf_dir):
             "args": ["-u", "-c", _CSV_CHILD],
             "driver": "csv",
             "columns": ["rev"],
+        }},
+        {"name": "Cmd", "params": {
+            "executable": _sys.executable,
+            "args": ["-u", "-c", _JSON_CHILD],
+            "driver": "json",
+            "columns": ["jkey", "jnote"],
         }})})
-    return apply_plan(df, plan).select("c_custkey", "c_name", "rev")
+    return apply_plan(df, plan).select(
+        "c_custkey", "c_name", "rev", "jkey", "jnote")
 
 
 def _oracle_t_cmd() -> str:
     return ("SELECT c_custkey, upper(c_name) AS c_name, "
-            "reverse(c_name) AS rev FROM customer")
+            "reverse(c_name) AS rev, c_custkey * 2 AS jkey, "
+            "CASE WHEN c_custkey % 5 = 0 THEN NULL "
+            "ELSE upper(c_name) END AS jnote FROM customer")
 
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
@@ -3067,86 +3109,202 @@ def _oracle_sample_mixture() -> str:
 
 
 # ---------------------------------------------------------------------------
+# training-data operators, batch 4 (r7: classifier training artifact,
+# stratified sampling, shard-writer contract)
+# ---------------------------------------------------------------------------
+
+
+def q_classifier_weights(spark, sf_dir):
+    """Quality-classifier TRAINING with an oracle-checked artifact
+    (functions/classifier.train_nb_weights): closed-form Bernoulli-NB
+    log-odds over deterministic labels (English vs rest — the
+    GPT-3/CCNet "looks like reference text" stage shape), vocabulary
+    bounded top-50 by document frequency. The LR twin
+    (train_quality_classifier) trains the same artifact schema but is
+    reproducible only to float noise — it stays pytest-covered
+    (test_train_quality_classifier_roundtrip); NB's exact count ratios
+    replay bit-identically in SQL."""
+    from greenmask_spark.functions.classifier import train_nb_weights
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    labeled = docs.select(
+        "doc_id", "text",
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    weights, _bias = train_nb_weights(
+        labeled, min_df=2, vocab_size=50, id_col="doc_id"
+    )
+    return weights.select(
+        "term", "df_pos", "df_neg",
+        F.round(F.col("weight"), 6).alias("weight"),
+    )
+
+
+def _oracle_classifier_weights() -> str:
+    return f"""
+    WITH lab AS (
+      SELECT doc_id, text,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    ), n AS (
+      SELECT sum(label) AS n_pos, sum(1 - label) AS n_neg FROM lab
+    ), ex AS (
+      SELECT DISTINCT doc_id, label, term FROM (
+        SELECT doc_id, label, unnest({_DUCK_TOKENS_RAW}) AS term FROM lab
+      ) WHERE term <> ''
+    ), per_term AS (
+      SELECT term, sum(label) AS df_pos, sum(1 - label) AS df_neg,
+             count(*) AS df
+      FROM ex GROUP BY term
+    ), vocab AS (
+      SELECT * FROM per_term WHERE df >= 2
+      ORDER BY df DESC, term LIMIT 50
+    )
+    SELECT term, CAST(df_pos AS BIGINT) AS df_pos,
+           CAST(df_neg AS BIGINT) AS df_neg,
+           round(ln((df_pos + 1.0) / (n_pos + 2.0))
+                 - ln((df_neg + 1.0) / (n_neg + 2.0)), 6) AS weight
+    FROM vocab, n
+    """
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (functions/sampling.
+    stratified_hash_sample — sampleBy without the RNG): each language
+    keeps its own hash-gated fraction; zh is deliberately absent from
+    the fractions map and must be dropped (sampleBy semantics). Pure
+    scan+filter, zero shuffles; the gate replays in SQL."""
+    from greenmask_spark.functions.sampling import stratified_hash_sample
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    out = stratified_hash_sample(
+        docs,
+        {"en": 0.5, "de": 0.8, "fr": 0.25, "es": 1.0},
+        strata_col="lang",
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def _oracle_stratified_sample() -> str:
+    u = ("(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || "
+         "':strat:42'), 1, 15)) AS BIGINT) % 1000000)")
+    return f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE CASE lang WHEN 'en' THEN {u} < 500000
+                    WHEN 'de' THEN {u} < 800000
+                    WHEN 'fr' THEN {u} < 250000
+                    WHEN 'es' THEN {u} < 1000000
+                    ELSE FALSE END
+    """
+
+
+def q_shard_write(spark, sf_dir):
+    """Training-shard writer contract (functions/sampling.
+    write_training_shards): deterministically-shuffled rows land in
+    fixed-size parquet shards via repartitionByRange +
+    maxRecordsPerFile. File COUNT depends on parallelism and range
+    sampling, so the oracle checks the invariants that don't: row
+    conservation through the write, the per-file size cap, and the
+    shard-count lower bound."""
+    import tempfile
+
+    from greenmask_spark.functions.sampling import write_training_shards
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    rows_per_shard = 64
+    path = tempfile.mkdtemp(prefix="gm_shard_write_") + "/shards"
+    write_training_shards(
+        docs, path, rows_per_shard=rows_per_shard,
+        compression="snappy",
+    )
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_file.agg(
+        F.sum("n").cast("bigint").alias("total_rows"),
+        (F.max("n") <= rows_per_shard).alias("max_rows_ok"),
+        (
+            F.count(F.lit(1))
+            >= F.ceil(F.sum("n") / F.lit(rows_per_shard))
+        ).alias("n_shards_ok"),
+    )
+
+
+def _oracle_shard_write() -> str:
+    return """
+    SELECT count(*) AS total_rows,
+           TRUE AS max_rows_ok,
+           TRUE AS n_shards_ok
+    FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """72 entries, ordered so the r6 verdict-brief additions
-    (strip_html, lm_score, dedup_against exact+fuzzy,
-    linear_text_score, lsh_recall_eval) sit INSIDE the first 50: the
-    r1 harness checked only the first 50 entries, so if that cap still
-    applies the new operator families still gain their CORRECTNESS
-    rows; ngram_decontaminate (a genuinely new operator family) is
-    also placed inside the first 50 (displacing dedup_lines, whose
-    dedup family keeps seven other rows there). The tail (positions
-    51+) carries rows whose families keep other green coverage above
-    (events_json→events_daily/t_json_ops, dedup_lines→dedup family,
-    multimodal_frames→multimodal_features, train_split→
-    cross_split_contamination, term_frequencies→text_profile,
-    quantize_embeddings→ann_* family, winnow_pairs→dedup family,
-    events_windowed→events_daily+sessionize) plus the r6 extra-credit
-    promotions (asof/range joins, URL normalization, mixture sampling,
-    verified incremental dedup, ANN recall + re-rank, corpus summary,
-    cluster-aware split, SemDeDup, salted/skew/shuffle, packing) —
-    all checked when the harness takes every entry.
+    """75 entries. The driver harness has so far recorded CORRECTNESS
+    rows for the FIRST 50 entries only, so the window is ROTATED each
+    round per the r6 verdict brief: the 22 entries that were tail
+    (never-driver-checked) in r6 — asof_join, range_join,
+    pack_sequences, det_shuffle, salted_agg, skew_join, semantic_dedup,
+    ann_rerank, cluster_split, sample_mixture, normalize_urls,
+    corpus_summary, dedup_against_verified, ann_recall, events_json,
+    dedup_lines, multimodal_frames, train_split, term_frequencies,
+    quantize_embeddings, winnow_pairs, events_windowed — now sit
+    INSIDE the first 50, together with the three r7 additions
+    (classifier_weights, stratified_sample, shard_write). The 25 rows
+    displaced to the tail all earned green driver rows in
+    CORRECTNESS_r06 AND keep ≥1 same-family row in the window
+    (t_random_float/numeric→t_random_int; t_net_company/t_real_address
+    →t_faker+t_masking+t_random_person; t_json_ops→events_json;
+    subset_lineitem/polymorphic→subset_orders+subset_cycle;
+    q3→q1+q5; events_daily→events_json+events_windowed;
+    text_profile/scrub_pii/repetition_profile→term_frequencies+
+    corpus_summary; minhash_sigs/simhash/ngram_jaccard/lsh_recall_eval
+    →dedup_clusters+winnow_pairs+dedup_lines; ann_topk{,_lsh,_ivf}→
+    ann_recall+ann_rerank; embedding_near_dup→semantic_dedup+
+    quantize_embeddings; strip_html/linear_text_score→lm_score+
+    classifier_weights; dedup_against{,_fuzzy}→dedup_against_verified;
+    cross_split_contamination→train_split+cluster_split). The union of
+    driver rows across r6+r7 therefore covers all 75 entries.
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its
     original key/params, so per-transformer semantics are unchanged;
     the docstring of each family query lists its members."""
     return {
+        # --- window: r6-tail rotation + r7 additions + family reps ---
         "mask_customer": q_mask_customer,        # +Hash max_length (h16)
         "t_random_int": q_t_random_int,          # +NoiseInt/RandomString/RegexpReplace
         "t_masking": q_t_masking,                # +RandomUuid/RandomEmail
         "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
-        "t_random_float": q_t_random_float,      # +NoiseFloat
-        "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
-        "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
         "t_random_person": q_t_random_person,
-        "t_real_address": q_t_real_address,
         "t_faker": q_t_faker,                    # all 22 faker transformers
         "t_when_condition": q_t_when_condition,
         "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
         "t_query_override": q_t_query_override,
-        "t_json_ops": q_t_json_ops,              # +RandomBool/RandomUnixTimestamp
         "t_template": q_t_template,              # +TemplateRecord
-        "t_cmd": q_t_cmd,                        # text + csv protocol drivers
+        "t_cmd": q_t_cmd,                        # json + text + csv protocol drivers
         "t_custom_plugin": q_t_custom_plugin,
         "t_apply_for_references": q_t_apply_for_references,
         "subset_orders": q_subset_orders,
         "subset_cycle": q_subset_cycle,
-        "subset_lineitem": q_subset_lineitem,
-        "subset_polymorphic": q_subset_polymorphic,
         "q1_pricing_summary": q_q1_pricing_summary,
-        "q3_shipping_priority": q_q3_shipping_priority,
         "q5_region_revenue": q_q5_region_revenue,
-        "events_daily": q_events_daily,
         "dedup_exact": q_dedup_exact,
-        "text_profile": q_text_profile,
-        "minhash_sigs": q_minhash_sigs,
         "dedup_clusters": q_dedup_clusters,  # +minhash_pairs (strict intermediate)
-        "simhash": q_simhash,
-        "ann_topk": q_ann_topk,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "validate_diff": q_validate_diff,
         "copy_roundtrip": q_copy_roundtrip,
         "sessionize": q_sessionize,
-        "repetition_profile": q_repetition_profile,
-        "cross_split_contamination": q_cross_split_contamination,
-        "scrub_pii": q_scrub_pii,
-        # --- r6 additions (inside the first 50) ---
         "ngram_decontaminate": q_ngram_decontaminate,
-        "strip_html": q_strip_html,
         "lm_score": q_lm_score,
-        "dedup_against": q_dedup_against,
-        "dedup_against_fuzzy": q_dedup_against_fuzzy,
-        "linear_text_score": q_linear_text_score,
-        "lsh_recall_eval": q_lsh_recall_eval,
-        # --- tail: families with other green rows above (see docstring) ---
+        # r6 tail, rotated into the window this round
         "events_json": q_events_json,
         "dedup_lines": q_dedup_lines,
         "multimodal_frames": q_multimodal_frames,
@@ -3169,6 +3327,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_shuffle": q_det_shuffle,
         "skew_join": q_skew_join,
         "events_windowed": q_events_windowed,
+        # r7 additions
+        "classifier_weights": q_classifier_weights,
+        "stratified_sample": q_stratified_sample,
+        "shard_write": q_shard_write,
+        # --- tail: green in CORRECTNESS_r06; families covered above ---
+        "t_random_float": q_t_random_float,      # +NoiseFloat
+        "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
+        "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
+        "t_real_address": q_t_real_address,
+        "t_json_ops": q_t_json_ops,              # +RandomBool/RandomUnixTimestamp
+        "subset_lineitem": q_subset_lineitem,
+        "subset_polymorphic": q_subset_polymorphic,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "events_daily": q_events_daily,
+        "text_profile": q_text_profile,
+        "minhash_sigs": q_minhash_sigs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "strip_html": q_strip_html,
+        "dedup_against": q_dedup_against,
+        "dedup_against_fuzzy": q_dedup_against_fuzzy,
+        "linear_text_score": q_linear_text_score,
+        "lsh_recall_eval": q_lsh_recall_eval,
+        "repetition_profile": q_repetition_profile,
+        "cross_split_contamination": q_cross_split_contamination,
+        "scrub_pii": q_scrub_pii,
     }
 
 
@@ -3246,4 +3434,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": _oracle_skew_join(),
         "events_windowed": _oracle_events_windowed(),
         "ngram_decontaminate": _oracle_ngram_decontaminate(),
+        "classifier_weights": _oracle_classifier_weights(),
+        "stratified_sample": _oracle_stratified_sample(),
+        "shard_write": _oracle_shard_write(),
     }

@@ -62,6 +62,17 @@ _CONFIG_ENV_RE = _re.compile(
     r"\$(\$)?\{([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}"
 )
 
+#: config keys whose values are strict-by-default under env expansion:
+#: shipping a literal "${MASK_SALT}" as a salt/password/DSN is a
+#: security failure, not a loadability concern. Segment-anchored so
+#: "salt" matches but "basalt_path" doesn't; "token" is deliberately
+#: absent (token_col and friends are column names, not credentials).
+_SENSITIVE_KEY_RE = _re.compile(
+    r"(?:^|[_.-])(salt|password|passwd|secret|dsn|credentials?|"
+    r"api_key|access_key)(?:[_.-]|$)",
+    _re.IGNORECASE,
+)
+
 
 def interpolate_posix(value: str, env: dict[str, str]) -> str:
     """POSIX parameter expansion over a transformer param value —
@@ -123,35 +134,55 @@ def expand_env_vars(
       load); pass ``strict=True`` to raise instead for configs that
       treat every ``${VAR}`` as required (a silently empty salt or
       path is a corruption hazard, not a default).
+    - **security-sensitive keys are strict EVEN in non-strict mode**:
+      an undefined ``${VAR}`` in a value whose key names a salt,
+      password, secret, DSN or credential always raises — a typo'd
+      ``${MASK_SALT}`` shipping as the literal salt string would
+      silently weaken every hash it feeds, which is a security
+      failure, not a loadability concern. Escape as ``$${...}`` for
+      the rare literal.
 
     Keys are never expanded, only values.
     """
     if env is None:
         env = dict(os.environ)
 
-    def config_sub(m: "_re.Match[str]") -> str:
-        if m.group(1):  # $${...} escape
-            return m.group(0)[1:]
-        var, default = m.group(2), m.group(3)
-        if var in env:
-            return env[var]
-        if default is not None:
-            return default
-        if strict:
-            raise KeyError(
-                f"config references undefined environment variable "
-                f"${{{var}}} (use ${{{var}:-default}} for an optional "
-                f"value)"
-            )
-        import warnings
+    def make_sub(sensitive_key: str | None):
+        def config_sub(m: "_re.Match[str]") -> str:
+            if m.group(1):  # $${...} escape
+                return m.group(0)[1:]
+            var, default = m.group(2), m.group(3)
+            if var in env:
+                return env[var]
+            if default is not None:
+                return default
+            if sensitive_key is not None:
+                raise KeyError(
+                    f"config key {sensitive_key!r} is security-"
+                    f"sensitive and references undefined environment "
+                    f"variable ${{{var}}} — refusing to ship the "
+                    f"literal string as its value (set {var}, use "
+                    f"${{{var}:-default}}, or escape as $${{{var}}} "
+                    f"for a deliberate literal)"
+                )
+            if strict:
+                raise KeyError(
+                    f"config references undefined environment variable "
+                    f"${{{var}}} (use ${{{var}:-default}} for an "
+                    f"optional value)"
+                )
+            import warnings
 
-        warnings.warn(
-            f"config string contains ${{{var}}} but {var} is not set — "
-            f"left verbatim (set the variable, use ${{{var}:-default}}, "
-            f"or escape as $${{{var}}} to silence)",
-            stacklevel=2,
-        )
-        return m.group(0)
+            warnings.warn(
+                f"config string contains ${{{var}}} but {var} is not "
+                f"set — left verbatim (set the variable, use "
+                f"${{{var}:-default}}, or escape as $${{{var}}} to "
+                f"silence)",
+                stacklevel=2,
+            )
+            return m.group(0)
+
+        return config_sub
 
     def walk_posix(v: Any) -> Any:
         if isinstance(v, str):
@@ -162,19 +193,24 @@ def expand_env_vars(
             return [walk_posix(x) for x in v]
         return v
 
-    def walk(v: Any) -> Any:
+    def walk(v: Any, key: str | None = None) -> Any:
         if isinstance(v, str):
-            return _CONFIG_ENV_RE.sub(config_sub, v)
+            sensitive = (
+                key if key is not None and _SENSITIVE_KEY_RE.search(key)
+                else None
+            )
+            return _CONFIG_ENV_RE.sub(make_sub(sensitive), v)
         if isinstance(v, dict):
             out = {}
             for k, x in v.items():
                 if k == "params" and isinstance(v.get("params"), (dict, list)):
                     out[k] = walk_posix(x) if v.get("resolve_env") else x
                 else:
-                    out[k] = walk(x)
+                    out[k] = walk(x, k)
             return out
         if isinstance(v, list):
-            return [walk(x) for x in v]
+            # list values inherit the owning key's sensitivity
+            return [walk(x, key) for x in v]
         return v
 
     return walk(obj)

@@ -66,3 +66,87 @@ def train_quality_classifier(
         "term string, weight double",
     )
     return weights, float(lr_model.intercept)
+
+
+def train_nb_weights(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    alpha: float = 1.0,
+    min_df: int = 1,
+    vocab_size: int = 4096,
+    id_col: str | None = None,
+) -> tuple[DataFrame, float]:
+    """Closed-form Bernoulli-Naive-Bayes log-odds training — the
+    deterministic, oracle-checkable twin of ``train_quality_classifier``
+    (LR's iterative float aggregation is reproducible only to float
+    noise; these weights are exact ratios of document counts, so the
+    same corpus yields bit-identical weights on any engine):
+
+        weight(t) = ln((df_pos(t)+α)/(n_pos+2α))
+                  − ln((df_neg(t)+α)/(n_neg+2α))
+        bias      = ln((n_pos+α)/(n_neg+α))
+
+    with df_pos/df_neg = positive/negative documents CONTAINING the
+    term (Bernoulli presence, not counts) and Laplace smoothing α.
+    The returned ``(weights_df, bias)`` feeds ``linear_text_score``
+    exactly like the LR table. Vocabulary is bounded by ``vocab_size``
+    (top total document frequency, ties broken by term) and floored at
+    ``min_df`` — the same driver-materialization budget class as the
+    LR path (and here not even the weights reach the driver; only the
+    two class-count scalars do).
+
+    Scale shape: one explode → per-(doc,term) distinct → per-term agg;
+    document bodies never shuffle (the distinct carries (id, label,
+    term) rows). Weights stay a DataFrame end-to-end."""
+    from greenmask_spark.functions.text_analysis import tokens
+
+    doc = (
+        F.col(id_col) if id_col is not None
+        # assigned in its own projection BEFORE the explode so every
+        # exploded term of a document shares one id (inside the same
+        # select as a generator, each OUTPUT row would get its own)
+        else F.monotonically_increasing_id()
+    )
+    base = labeled.select(
+        doc.alias("__doc"),
+        F.col(label_col).cast("int").alias("label"),
+        F.col(text_col).alias("__text"),
+    )
+    counts = base.agg(
+        F.sum("label").alias("n_pos"),
+        F.sum(1 - F.col("label")).alias("n_neg"),
+    ).head()
+    n_pos, n_neg = int(counts["n_pos"] or 0), int(counts["n_neg"] or 0)
+    ex = (
+        base.select(
+            "__doc", "label",
+            F.explode(tokens(F.col("__text"))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    per_term = ex.groupBy("term").agg(
+        F.sum("label").alias("df_pos"),
+        F.sum(1 - F.col("label")).alias("df_neg"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    if min_df > 1:
+        per_term = per_term.filter(F.col("df") >= int(min_df))
+    vocab = per_term.orderBy(F.desc("df"), F.asc("term")).limit(
+        int(vocab_size)
+    )
+    a = float(alpha)
+    weights = vocab.select(
+        "term",
+        F.col("df_pos").cast("bigint").alias("df_pos"),
+        F.col("df_neg").cast("bigint").alias("df_neg"),
+        (
+            F.log((F.col("df_pos") + a) / F.lit(n_pos + 2 * a))
+            - F.log((F.col("df_neg") + a) / F.lit(n_neg + 2 * a))
+        ).alias("weight"),
+    )
+    import math
+
+    bias = math.log((n_pos + a) / (n_neg + a))
+    return weights, float(bias)

@@ -182,7 +182,7 @@ def lsh_recall_eval(
     num_perm: int = 16,
     bands: int = 4,
     k: int = 5,
-    sample_fraction: float = 0.01,
+    sample_fraction: float | None = 0.01,
     seed: int = 42,
     max_docs: int = 10_000,
 ) -> dict:
@@ -206,6 +206,12 @@ def lsh_recall_eval(
     ceiling for the cheap integer-set intersections; only the four
     scalars ever reach the driver)."""
     src = df.select(id_col, text_col)
+    if sample_fraction is None:
+        # the pre-r6 signature's "no sampling" spelling — kept as an
+        # alias for 1.0 so legacy call sites don't hit an opaque
+        # TypeError at the comparison below (max_docs still rails the
+        # unsampled corpus)
+        sample_fraction = 1.0
     if sample_fraction < 1.0:
         from greenmask_spark.functions.sampling import hash_sample
 
@@ -265,6 +271,55 @@ def lsh_recall_eval(
     }
 
 
+def _validate_prepared(
+    reference: DataFrame, num_perm: int, k: int
+) -> None:
+    """Enforce the prepare_reference ↔ dedup_against num_perm/k
+    contract: a mismatched call (prepared num_perm=8, dedup
+    num_perm=16) would read past the stored ``__ref_sig`` array and
+    silently degrade to NULL band keys — incorrect dedup, no error.
+    Frames written by current ``prepare_reference`` carry
+    ``__ref_num_perm``/``__ref_k`` columns; older frames fall back to
+    checking the stored signature length (k stays unverifiable there —
+    documented, not silent: the error message says so on sig-length
+    mismatch). One column-pruned head() — a single tiny job per
+    dedup_against call, negligible against the band join it guards."""
+    sel = [F.size("__ref_sig").alias("__n")]
+    has_meta = "__ref_num_perm" in reference.columns
+    if has_meta:
+        sel += [F.col("__ref_num_perm"), F.col("__ref_k")]
+    row = reference.select(*sel).head()
+    if row is None:
+        return  # empty reference: nothing to mismatch against
+    if has_meta:
+        if row["__ref_num_perm"] != int(num_perm):
+            raise ValueError(
+                f"dedup_against: prepared reference was built with "
+                f"num_perm={row['__ref_num_perm']} but this call uses "
+                f"num_perm={num_perm}; band keys derived from a "
+                f"mismatched signature are meaningless. Re-run "
+                f"prepare_reference with num_perm={num_perm} or pass "
+                f"num_perm={row['__ref_num_perm']} here."
+            )
+        if row["__ref_k"] != int(k):
+            raise ValueError(
+                f"dedup_against: prepared reference was built with "
+                f"shingle k={row['__ref_k']} but this call uses k={k}; "
+                f"signatures/shingle sets over different shingle sizes "
+                f"are incomparable. Re-run prepare_reference with "
+                f"k={k} or pass k={row['__ref_k']} here."
+            )
+    elif row["__n"] != int(num_perm):
+        raise ValueError(
+            f"dedup_against: prepared reference stores "
+            f"{row['__n']}-value signatures but this call uses "
+            f"num_perm={num_perm} (legacy frame without "
+            f"__ref_num_perm/__ref_k metadata — its shingle k "
+            f"cannot be verified; re-run prepare_reference to "
+            f"record the full contract)."
+        )
+
+
 def dedup_against(
     df: DataFrame,
     reference: DataFrame,
@@ -322,6 +377,8 @@ def dedup_against(
         raise ValueError(f"level {level!r}: exact|fuzzy")
     rows_per_band = num_perm // bands
     prepared = "__ref_sig" in reference.columns
+    if prepared:
+        _validate_prepared(reference, num_perm, k)
     def keys_of(frame, side):
         # NULL-text docs have no shingles and cannot meaningfully
         # near-duplicate anything; without this filter their null-filled
@@ -540,6 +597,13 @@ def prepare_reference(
     cols = [
         F.col("id").alias("__ref_id"),
         F.array(*[f"m{i}" for i in range(num_perm)]).alias("__ref_sig"),
+        # the num_perm/k contract with dedup_against, stored IN the
+        # frame (constant ints — free after parquet RLE): a mismatched
+        # later call would read past the stored signature array and
+        # silently degrade to NULL band keys; dedup_against validates
+        # these instead
+        F.lit(int(num_perm)).alias("__ref_num_perm"),
+        F.lit(int(k)).alias("__ref_k"),
     ]
     if with_shingles:
         cols.append(F.col("__ref_hs"))

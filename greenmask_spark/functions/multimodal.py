@@ -174,10 +174,12 @@ def decode_wav_bytes(payload: bytes):
 def _real_feature(payload: bytes, dim: int):
     """dim floats from a REAL decode when the format allows it:
     per-slice mean pixel intensity in [0,1] for PPM/BMP images,
-    per-window RMS for PCM WAV. None = format needs a codec stub."""
+    per-window RMS (sqrt of the mean squared sample) for PCM WAV.
+    None = format needs a codec stub."""
     import numpy as np
 
     img = decode_image_bytes(payload)
+    rms = False
     if img is not None:
         _w, _h, raw = img
         arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) / 255.0
@@ -185,15 +187,20 @@ def _real_feature(payload: bytes, dim: int):
         wav = decode_wav_bytes(payload)
         if wav is None:
             return None
-        arr = np.abs(wav[1])
+        arr, rms = wav[1], True
     if len(arr) == 0:
         return [0.0] * dim
-    # dim equal slices (last absorbs the remainder); RMS for audio-like
-    # magnitudes == mean of squares rooted — use mean for both, over
-    # the magnitude stream, which is deterministic and comparable
+    # dim equal slices (last absorbs the remainder): mean intensity for
+    # pixels, true RMS for audio samples
     bounds = [(i * len(arr)) // dim for i in range(dim + 1)]
+
+    def agg(seg):
+        if rms:
+            return float(np.sqrt(np.mean(seg * seg)))
+        return float(seg.mean())
+
     return [
-        float(arr[bounds[i]:bounds[i + 1]].mean())
+        agg(arr[bounds[i]:bounds[i + 1]])
         if bounds[i + 1] > bounds[i] else 0.0
         for i in range(dim)
     ]
@@ -265,8 +272,8 @@ def extract_features(
 
     With ``fake=False`` (the default), payloads in the self-contained
     formats decode for REAL — per-slice mean pixel intensity for
-    PPM/BMP, per-window mean magnitude for PCM WAV — and any other
-    format raises loudly (compressed codecs are not available in this
+    PPM/BMP, per-window RMS for PCM WAV — and any other format raises
+    loudly (compressed codecs are not available in this
     environment). ``fake=True`` forces the deterministic fake decoder
     for every row (test harnesses and synthetic payloads).
 

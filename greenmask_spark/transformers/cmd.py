@@ -35,6 +35,17 @@ from greenmask_spark.transformers.base import BuildContext, Transformer, registe
 _NULL = "\\N"
 
 
+def _isnull(v) -> bool:
+    """Arrow→pandas nulls arrive as None (object cols) OR NaN (numeric
+    cols promoted to float64); both must hit the protocol NULL paths."""
+    return v is None or (isinstance(v, float) and v != v)
+
+
+def _plain(v):
+    """numpy scalar → native Python (json.dumps rejects np.int64)."""
+    return v.item() if hasattr(v, "item") else v
+
+
 class _DeadlineReader:
     """Reads subprocess stdout lines on a daemon thread so every read has
     a hard deadline — a hung or under-producing subprocess raises instead
@@ -113,7 +124,8 @@ class Cmd(Transformer):
             # lineterminator="" a field's raw newline went out unquoted
             # and silently split the record
             w = csv.writer(buf, lineterminator="\r\n")
-            w.writerow([_NULL if v is None else str(v) for v in rec])
+            w.writerow([_NULL if _isnull(v) else str(_plain(v))
+                        for v in rec])
             return buf.getvalue().rstrip("\r\n")
 
         def _decode_csv(line: str) -> list[str]:
@@ -158,7 +170,7 @@ class Cmd(Transformer):
                         if when_skip is not None and when_skip[rowno]:
                             out_rows.append(rec)
                             continue
-                        nulls = [rec[col_idx[c]] is None for c in affected]
+                        nulls = [_isnull(rec[col_idx[c]]) for c in affected]
                         skip = (
                             skip_on_null
                             and (all(nulls) if skip_behaviour == "all" else any(nulls))
@@ -168,16 +180,27 @@ class Cmd(Transformer):
                             continue
                         proc, reader = ensure_proc()
                         if driver == "json":
+                            # the reference's RawRecord wire format
+                            # (pkg/toolkit/raw_record_test.go:25):
+                            # {"<col idx>": {"d": <value>, "n": <null?>}}
+                            # — null rides the "n" flag, not "d"
                             payload = {
-                                str(col_idx[c]): {
-                                    "d": rec[col_idx[c]],
-                                    "n": rec[col_idx[c]] is None,
-                                }
+                                str(col_idx[c]): (
+                                    {"d": None, "n": True}
+                                    if _isnull(rec[col_idx[c]])
+                                    else {"d": _plain(rec[col_idx[c]]),
+                                          "n": False}
+                                )
                                 for c in affected
                             }
                             proc.stdin.write(json.dumps(payload) + "\n")
                             proc.stdin.flush()
                             resp = json.loads(reader.readline(timeout))
+                            # only AFFECTED columns are copied back
+                            # (json_api.go SetRowDriverToRecord iterates
+                            # affectedColumns); extra keys in the answer
+                            # are ignored, a missing affected key leaves
+                            # the original value
                             for c in affected:
                                 cell = resp.get(str(col_idx[c]))
                                 if cell is not None:
@@ -206,7 +229,8 @@ class Cmd(Transformer):
                         else:  # text: single affected column raw line
                             c = affected[0]
                             v = rec[col_idx[c]]
-                            proc.stdin.write(("" if v is None else str(v)) + "\n")
+                            proc.stdin.write(
+                                ("" if _isnull(v) else str(_plain(v))) + "\n")
                             proc.stdin.flush()
                             rec[col_idx[c]] = reader.readline(timeout).rstrip("\n")
                         out_rows.append(rec)

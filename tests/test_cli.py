@@ -368,6 +368,43 @@ def test_expand_env_vars_semantics():
         expand_env_vars({"x": "${UNDEF}"}, env, strict=True)
 
 
+def test_expand_env_vars_sensitive_keys_strict():
+    """Security-sensitive keys (salt/password/dsn/secret/credentials)
+    are strict-by-default: a typo'd ${MASK_SALT} must NOT ship as the
+    literal salt string even in non-strict mode — that silently
+    weakens every hash it feeds. Escape and defined-variable paths
+    still work; lookalike keys (salted_agg, token_col) stay lenient."""
+    import pytest
+
+    from greenmask_spark.cli import expand_env_vars
+
+    env = {"SALT": "real"}
+    # defined: expands as usual
+    assert expand_env_vars({"salt": "${SALT}"}, env) == {"salt": "real"}
+    # undefined under a sensitive key: hard error even without strict
+    for key in ("salt", "mask_salt", "password", "db-password",
+                "secret", "dsn", "credentials", "api_key"):
+        with pytest.raises(KeyError, match="security-sensitive"):
+            expand_env_vars({key: "${TYPO_VAR}"}, env)
+    # nested and list values under the sensitive key are covered
+    with pytest.raises(KeyError, match="security-sensitive"):
+        expand_env_vars({"common": {"salt": "${TYPO_VAR}"}}, env)
+    with pytest.raises(KeyError, match="security-sensitive"):
+        expand_env_vars({"dsn": ["${TYPO_VAR}"]}, env)
+    # defaults and escapes remain available for deliberate values
+    assert expand_env_vars({"salt": "${TYPO:-fallback}"}, env) == {
+        "salt": "fallback"}
+    assert expand_env_vars({"salt": "$${LITERAL}"}, env) == {
+        "salt": "${LITERAL}"}
+    # segment anchoring: lookalike keys stay warn-and-verbatim
+    with pytest.warns(UserWarning):
+        got = expand_env_vars(
+            {"salted_agg": "${U1}", "token_col": "${U2}",
+             "basalt_path": "${U3}"}, env)
+    assert got == {"salted_agg": "${U1}", "token_col": "${U2}",
+                   "basalt_path": "${U3}"}
+
+
 def test_params_interpolation_opt_in():
     """Transformer params: the reference's documented resolve_env gate
     (parameters_env_vars_interpolation.md) — without the flag a $

@@ -39,6 +39,94 @@ CSV_REVERSE = ("import sys, csv\n"
                "    sys.stdout.flush()\n")
 
 
+# json driver child implementing the reference RowDriver round trip
+# (pkg/toolkit/raw_record_test.go:25 wire format): doubles ints,
+# uppercases strings, passes nulls through as {"n": true}, and — to
+# prove the host ignores non-affected keys — always emits a GARBAGE
+# cell for column index 0.
+JSON_CHILD = ("import sys, json\n"
+              "for line in sys.stdin:\n"
+              "    rec = json.loads(line)\n"
+              "    out = {'0': {'d': 'GARBAGE', 'n': False}}\n"
+              "    for k, cell in rec.items():\n"
+              "        if cell['n']:\n"
+              "            out[k] = {'d': None, 'n': True}\n"
+              "        elif isinstance(cell['d'], (int, float)):\n"
+              "            out[k] = {'d': cell['d'] * 2, 'n': False}\n"
+              "        else:\n"
+              "            out[k] = {'d': str(cell['d']).upper(),"
+              " 'n': False}\n"
+              "    print(json.dumps(out), flush=True)")
+
+
+def test_cmd_json_driver_roundtrip(spark):
+    """The reference's DEFAULT protocol driver (pkg/toolkit/
+    json_api.go; wire format raw_record_test.go:25 '{"8":{"d":...,
+    "n":...}}'): affected cells travel keyed by COLUMN INDEX with a
+    "d"/"n" pair, typed values survive (int stays int, not a string),
+    null-in flows as n=true and null-out comes back the same way, and
+    only affected columns are copied back — the child's GARBAGE cell
+    for unaffected index 0 must be ignored
+    (json_api.go SetRowDriverToRecord iterates affectedColumns)."""
+    plan = _plan_cmd({"executable": sys.executable,
+                      "args": ["-u", "-c", JSON_CHILD],
+                      "driver": "json", "columns": ["name", "score"]})
+    rows = {r.id: r for r in apply_plan(_df(spark), plan).collect()}
+    # typed round trip: score is numeric through json, not a string
+    assert rows[1].name == "ALPHA" and rows[1].score == 3.0
+    assert rows[2].name == "BETA" and rows[2].score == 5.0
+    # null travels as {"n": true} both ways (no skip configured:
+    # the CHILD saw the null and answered n=true)
+    assert rows[3].name is None and rows[3].score == 7.0
+    # unaffected column id=0 untouched despite the GARBAGE answer
+    assert set(rows) == {1, 2, 3}
+
+
+def test_cmd_json_driver_int_columns_and_defaults(spark):
+    """json is the DEFAULT driver (cmd.go/defaults) — an unspecified
+    driver lands here; int64 columns serialize (numpy scalars are not
+    json-encodable without the host normalizing them) and a response
+    MISSING an affected key leaves the original value unchanged."""
+    from pyspark.sql import Row as R
+
+    echo_half = ("import sys, json\n"
+                 "for line in sys.stdin:\n"
+                 "    rec = json.loads(line)\n"
+                 "    out = {}\n"
+                 "    for k, cell in rec.items():\n"
+                 "        if not cell['n'] and isinstance(cell['d'], int)"
+                 " and cell['d'] % 2 == 0:\n"
+                 "            out[k] = {'d': cell['d'] + 100, 'n': False}\n"
+                 "    print(json.dumps(out), flush=True)")
+    df = spark.createDataFrame([R(id=1, n=10), R(id=2, n=11)])
+    # no "driver" param: must default to json
+    plan = _plan_cmd({"executable": sys.executable,
+                      "args": ["-u", "-c", echo_half],
+                      "columns": ["n"]})
+    out = {r.id: r.n for r in apply_plan(df, plan).collect()}
+    assert out == {1: 110, 2: 11}  # odd value: key omitted → unchanged
+
+
+def test_cmd_json_driver_null_skip(spark):
+    """skip_on_null_input with the json driver: null rows never reach
+    the subprocess at all (the reference skips invocation, not just
+    the write-back)."""
+    asserting_child = ("import sys, json\n"
+                       "for line in sys.stdin:\n"
+                       "    rec = json.loads(line)\n"
+                       "    assert not any(c['n'] for c in rec.values()),"
+                       " 'null row leaked to child'\n"
+                       "    out = {k: {'d': str(c['d']).upper(), 'n': False}"
+                       " for k, c in rec.items()}\n"
+                       "    print(json.dumps(out), flush=True)")
+    plan = _plan_cmd({"executable": sys.executable,
+                      "args": ["-u", "-c", asserting_child],
+                      "driver": "json", "columns": ["name"],
+                      "skip_on_null_input": True})
+    out = {r.id: r.name for r in apply_plan(_df(spark), plan).collect()}
+    assert out == {1: "ALPHA", 2: "BETA", 3: None}
+
+
 def test_cmd_text_driver(spark):
     plan = _plan_cmd({"executable": sys.executable,
                       "args": ["-u", "-c", UPPER_TEXT],

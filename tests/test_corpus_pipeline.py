@@ -460,6 +460,61 @@ def test_dedup_against_step_prepared_reference(spark, sf_dir, tmp_path):
         run({"path": raw_path}, level="fuzzy", num_perm=8, bands=4, k=3)
 
 
+def test_dedup_against_step_prepared_verified_two_shards(
+        spark, sf_dir, tmp_path):
+    """The VERIFIED rolling-crawl shape: one prepared frame (stored
+    WITH shingle sets — the default; ~k× storage vs band-only, see
+    SCALE.md) serves min_jaccard-verified fuzzy dedup across TWO
+    incoming shards with results identical to the recompute path; a
+    band-only frame under min_jaccard fails loudly naming
+    with_shingles; a num_perm mismatch between prepare and step params
+    is a hard error, not silent mis-dedup."""
+    import pytest
+
+    from greenmask_spark.functions.dedup import prepare_reference
+    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    raw_ref = docs.filter("pmod(doc_id, 3) = 0")
+    prep_path = str(tmp_path / "prep_verified.parquet")
+    prepare_reference(raw_ref, "fuzzy", num_perm=8, k=3).write.parquet(
+        prep_path)
+    raw_path = str(tmp_path / "raw_ref2.parquet")
+    raw_ref.write.parquet(raw_path)
+    shard1 = str(tmp_path / "shard1.parquet")
+    shard2 = str(tmp_path / "shard2.parquet")
+    docs.filter("pmod(doc_id, 3) = 1").write.parquet(shard1)
+    docs.filter("pmod(doc_id, 3) != 1").write.parquet(shard2)
+
+    def run(shard_path, ref_spec, **extra):
+        cfg = {"input": {"path": shard_path, "format": "parquet"},
+               "steps": [{"op": "dedup_against", "reference": ref_spec,
+                          "level": "fuzzy", "num_perm": 8, "bands": 4,
+                          "k": 3, **extra}]}
+        out = run_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+        return {r.doc_id for r in out.select("doc_id").collect()}
+
+    for shard in (shard1, shard2):
+        got = run(shard, {"path": prep_path}, min_jaccard=0.6)
+        want = run(shard, {"path": raw_path}, min_jaccard=0.6)
+        assert got == want
+    # band-only frame + min_jaccard: loud, actionable
+    lean_path = str(tmp_path / "prep_lean.parquet")
+    prepare_reference(raw_ref, "fuzzy", num_perm=8, k=3,
+                      with_shingles=False).write.parquet(lean_path)
+    with pytest.raises(ValueError, match="with_shingles"):
+        run(shard1, {"path": lean_path}, min_jaccard=0.6)
+    # prepare/step num_perm contract enforced through the config path
+    with pytest.raises(ValueError, match="num_perm"):
+        cfg = {"input": {"path": shard1, "format": "parquet"},
+               "steps": [{"op": "dedup_against",
+                          "reference": {"path": prep_path},
+                          "level": "fuzzy", "num_perm": 16, "bands": 4,
+                          "k": 3}]}
+        run_corpus_pipeline(spark, cfg, sf_dir=sf_dir).count()
+
+
 def test_decontaminate_step(spark, sf_dir, tmp_path):
     """Config-driven benchmark decontamination: docs sharing any n-gram
     with the benchmark parquet drop; everything else survives."""

@@ -912,8 +912,21 @@ def test_multimodal_real_decoders(spark):
     flat = px.reshape(-1).astype(float) / 255.0  # 12 values → slices of 3
     want_img = [float(flat[i * 3:(i + 1) * 3].mean()) for i in range(4)]
     assert np.allclose(feats[1], want_img, atol=1e-6)
+    # per-window RMS; one sample per window here, so RMS == |sample|
     want_wav = [float(abs(s)) for s in samples / 32768.0]
     assert np.allclose(feats[2], want_wav, atol=1e-6)
+    # multi-sample windows: TRUE RMS (sqrt of mean square), not the
+    # mean of absolute magnitudes — the two differ on this ramp
+    feats2 = {r.media_id: r.feature for r in _collect_retry(
+        extract_features(media.filter("media_id = 2"), dim=2,
+                         fake=False))}
+    scaled = samples / 32768.0
+    want_rms = [float(np.sqrt(np.mean(scaled[:2] ** 2))),
+                float(np.sqrt(np.mean(scaled[2:] ** 2)))]
+    assert np.allclose(feats2[2], want_rms, atol=1e-6)
+    assert not np.allclose(
+        feats2[2], [float(np.abs(scaled[:2]).mean()),
+                    float(np.abs(scaled[2:]).mean())], atol=1e-4)
     # compressed format still raises loudly under fake=False
     bad = spark.createDataFrame(
         [R(media_id=9, kind="image", mime="image/png",
@@ -1918,6 +1931,47 @@ def test_dedup_against_prepared_reference(spark):
     prep_fuzzy.unpersist()
 
 
+def test_dedup_against_prepared_contract_validated(spark):
+    """The num_perm/k contract between prepare_reference and
+    dedup_against is ENFORCED, not just documented: a mismatched call
+    would read past the stored signature (NULL band keys → silently
+    wrong dedup), so it raises with the stored values named; legacy
+    frames without the metadata columns still catch a signature-length
+    mismatch."""
+    import pytest
+
+    from greenmask_spark.functions.dedup import dedup_against, prepare_reference
+
+    ref = spark.createDataFrame(
+        [(1, "some reference text with enough words to shingle over")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(9, "a new shard document that shares nothing with it")],
+        "doc_id long, text string",
+    )
+    prep = prepare_reference(ref, "fuzzy", num_perm=8, k=3)
+    assert {"__ref_num_perm", "__ref_k"} <= set(prep.columns)
+    with pytest.raises(ValueError, match="num_perm=8"):
+        dedup_against(new, prep, level="fuzzy", num_perm=16, bands=4, k=3)
+    with pytest.raises(ValueError, match="k=3"):
+        dedup_against(new, prep, level="fuzzy", num_perm=8, bands=4, k=5)
+    # matched call passes the gate (and still dedups correctly)
+    assert dedup_against(new, prep, level="fuzzy", num_perm=8, bands=4,
+                         k=3).count() == 1
+    # legacy frame (no metadata columns): sig-length mismatch still
+    # raises, naming the missing-metadata limitation
+    legacy = prep.drop("__ref_num_perm", "__ref_k")
+    with pytest.raises(ValueError, match="legacy"):
+        dedup_against(new, legacy, level="fuzzy", num_perm=16, bands=4,
+                      k=3)
+    # an EMPTY prepared reference is valid (nothing to dedup against)
+    empty = prepare_reference(
+        ref.filter("doc_id < 0"), "fuzzy", num_perm=8, k=3)
+    assert dedup_against(new, empty, level="fuzzy", num_perm=16,
+                         bands=4, k=4).count() == 1
+
+
 def test_dedup_against_prepared_equivalence_property(spark):
     """Property: for ANY corpus pair (including empty strings,
     whitespace-only and duplicate texts), dedup_against over a
@@ -2355,6 +2409,54 @@ def test_train_quality_classifier_roundtrip(spark):
         labeled, weights, normalize=False, bias=bias).collect()}
     assert all(tr_scores[i] > 0.5 for i in range(40))
     assert all(tr_scores[100 + i] < 0.5 for i in range(40))
+
+
+def test_train_nb_weights(spark):
+    """Closed-form NB log-odds training: weights match the hand
+    formula exactly, Bernoulli presence (not counts) drives df,
+    min_df/vocab_size bound the table, and the trained table separates
+    the planted classes through linear_text_score."""
+    import math
+
+    from greenmask_spark.functions.classifier import train_nb_weights
+    from greenmask_spark.functions.text_analysis import linear_text_score
+
+    labeled = spark.createDataFrame(
+        [(1, "good good great solid", 1),     # 'good' twice: df counts ONCE
+         (2, "good fine great", 1),
+         (3, "bad awful spam", 0),
+         (4, "bad spam good", 0)],
+        "doc_id long, text string, label int",
+    )
+    weights, bias = train_nb_weights(labeled, alpha=1.0)
+    w = {r.term: r for r in weights.collect()}
+    # n_pos = n_neg = 2; 'good': df_pos=2 (presence, not 3), df_neg=1
+    assert (w["good"].df_pos, w["good"].df_neg) == (2, 1)
+    assert math.isclose(
+        w["good"].weight,
+        math.log((2 + 1) / (2 + 2)) - math.log((1 + 1) / (2 + 2)),
+        rel_tol=1e-12,
+    )
+    assert (w["great"].df_pos, w["great"].df_neg) == (2, 0)
+    assert (w["spam"].df_pos, w["spam"].df_neg) == (0, 2)
+    assert w["great"].weight > 0 > w["spam"].weight
+    assert math.isclose(bias, math.log(3 / 3), rel_tol=1e-12)
+
+    # vocab bounding: top-df terms survive, ties broken by term
+    small, _ = train_nb_weights(labeled, vocab_size=2)
+    assert small.count() == 2
+    floored, _ = train_nb_weights(labeled, min_df=2)
+    assert {r.term for r in floored.collect()} == {
+        "good", "great", "bad", "spam"}
+
+    # the artifact drives the scorer like the LR table does
+    test = spark.createDataFrame(
+        [(10, "great good fine"), (11, "awful spam bad")],
+        "doc_id long, text string")
+    scored = {r.id: r.score for r in linear_text_score(
+        test, weights.select("term", "weight"), normalize=False,
+        bias=bias).collect()}
+    assert scored[10] > 0.5 > scored[11]
 
 
 def test_lsh_recall_eval(docs):

@@ -2491,3 +2491,12 @@ def test_lsh_recall_eval_quadratic_rails(docs):
     # the default is a sample, not the full corpus
     sig = inspect.signature(lsh_recall_eval)
     assert sig.parameters["sample_fraction"].default == 0.01
+    # the pre-r6 "no sampling" spelling stays valid: None == 1.0 (and
+    # still subject to the max_docs rail), not an opaque TypeError
+    with pytest.raises(ValueError, match="max_docs"):
+        lsh_recall_eval(docs, sample_fraction=None, max_docs=2)
+    m_none = lsh_recall_eval(docs, min_jaccard=0.5, num_perm=8,
+                             bands=8, k=3, sample_fraction=None)
+    m_full = lsh_recall_eval(docs, min_jaccard=0.5, num_perm=8,
+                             bands=8, k=3, sample_fraction=1.0)
+    assert m_none == m_full

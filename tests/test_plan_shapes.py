@@ -91,6 +91,17 @@ SHAPES = {
     # r6 — skew-safe two-stage agg: the salted partial + the final
     # combine are the two exchanges; a third means the salting collapsed
     "salted_agg": (2, 0),
+    # r7 — NB classifier training: the (doc,label,term) distinct and
+    # the per-term agg are the two exchanges (the vocab cut is a
+    # TakeOrdered, not a sort exchange); document bodies never shuffle
+    "classifier_weights": (2, 0),
+    # r7 — per-stratum hash sampling: pure scan+filter, sampleBy
+    # without the RNG — any exchange is a regression
+    "stratified_sample": (0, 0),
+    # r7 — shard-writer contract probe: per-file count agg + the final
+    # one-row combine over the read-back (the write itself happens at
+    # plan-build time)
+    "shard_write": (2, 0),
 }
 
 

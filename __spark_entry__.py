@@ -3114,6 +3114,35 @@ def _oracle_sample_mixture() -> str:
 # ---------------------------------------------------------------------------
 
 
+def q_repeated_spans(spark, sf_dir):
+    """ExactSubstr-style repeated-substring detection (Lee et al.
+    2022; functions/dedup.repeated_substring_spans): every 25-char
+    window (stride 5) whose content occurs >= 2 times among the
+    sampled windows — within or across documents — is flagged as
+    (doc_id, pos). The hash-candidate stage shuffles (id, pos, h)
+    slivers only; the verify stage re-groups candidates by actual
+    window text, so the 60-bit hash can never flag an innocent span
+    (which also makes the oracle a plain text-group replay)."""
+    from greenmask_spark.functions.dedup import repeated_substring_spans
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    spans = repeated_substring_spans(docs, length=25, stride=5)
+    return spans.select(F.col("id").alias("doc_id"), "pos")
+
+
+def _oracle_repeated_spans() -> str:
+    return """
+    WITH w AS (
+      SELECT doc_id, CAST(p AS INTEGER) AS pos,
+             substr(text, CAST(p AS INTEGER), 25) AS g
+      FROM documents, unnest(range(1, length(text) - 25 + 2, 5)) AS t(p)
+      WHERE text IS NOT NULL AND length(text) >= 25
+    )
+    SELECT doc_id, pos FROM w
+    WHERE g IN (SELECT g FROM w GROUP BY g HAVING count(*) >= 2)
+    """
+
+
 def q_classifier_weights(spark, sf_dir):
     """Quality-classifier TRAINING with an oracle-checked artifact
     (functions/classifier.train_nb_weights): closed-form Bernoulli-NB
@@ -3296,7 +3325,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subset_cycle": q_subset_cycle,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q5_region_revenue": q_q5_region_revenue,
-        "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,  # +minhash_pairs (strict intermediate)
         "multimodal_features": q_multimodal_features,
         "validate_diff": q_validate_diff,
@@ -3331,7 +3359,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_weights": q_classifier_weights,
         "stratified_sample": q_stratified_sample,
         "shard_write": q_shard_write,
+        "repeated_spans": q_repeated_spans,  # displaces dedup_exact
+        #   (r6-green; exact-dedup family keeps dedup_lines,
+        #   dedup_clusters, dedup_against_verified in the window)
         # --- tail: green in CORRECTNESS_r06; families covered above ---
+        "dedup_exact": q_dedup_exact,
         "t_random_float": q_t_random_float,      # +NoiseFloat
         "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
         "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
@@ -3437,4 +3469,5 @@ def oracle_sql() -> dict[str, str]:
         "classifier_weights": _oracle_classifier_weights(),
         "stratified_sample": _oracle_stratified_sample(),
         "shard_write": _oracle_shard_write(),
+        "repeated_spans": _oracle_repeated_spans(),
     }

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd  # noqa: F401 — resolves stringified UDF type hints
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -974,6 +975,179 @@ def dedup_lines(
         ids.join(rebuilt, "id", "left")
         .select("id", F.coalesce("text", F.lit("")).alias("text"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-repeat detection/removal (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr pass)
+# ---------------------------------------------------------------------------
+
+
+def _window_hash(s: Column) -> Column:
+    """Portable 60-bit window hash (sha256 hex slice → bigint) — the
+    same SQL twin as the sampling/minhash hashes but WITHOUT the 31-bit
+    MERSENNE fold: substring-repeat detection groups billions of
+    windows and a 31-bit space would birthday-collide constantly."""
+    return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("bigint")
+
+
+def substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 50,
+    stride: int = 1,
+) -> DataFrame:
+    """(id, pos, h) for every length-``length`` character window of
+    every document (1-based positions, every ``stride``-th start). The
+    flat window stream behind ``repeated_substring_spans`` — exposed so
+    callers can reuse/persist it across analyses.
+
+    ``stride=1`` (the default) is EXACT: every repeat of ``length``+
+    characters is guaranteed to produce colliding windows regardless of
+    alignment. ``stride=s > 1`` trades completeness for an s× smaller
+    stream: a repeat is only guaranteed to collide when it spans
+    ``length + s - 1`` characters (some window start then falls inside
+    it on both sides at the same phase ONLY if the alignment difference
+    is a multiple of s — document-shifted copies may be missed). Rows
+    are (long, int, long) slivers; the downstream groupBy combines
+    map-side, so even stride=1 at corpus scale shuffles counts, not
+    text."""
+    if length < 1 or stride < 1:
+        raise ValueError(f"length={length} and stride={stride} must be >= 1")
+    t = F.col(text_col)
+    w = (
+        df.filter(t.isNotNull() & (F.length(t) >= length))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length(t) - length + 1, F.lit(stride)
+                )
+            ).alias("pos"),
+            t.alias("__t"),
+        )
+    )
+    return w.select(
+        "id", "pos",
+        _window_hash(F.col("__t").substr(F.col("pos"), F.lit(length)))
+        .alias("h"),
+    )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 50,
+    stride: int = 1,
+    min_count: int = 2,
+    verify: bool = True,
+) -> DataFrame:
+    """(id, pos) of every window whose content occurs at least
+    ``min_count`` times in the corpus (within OR across documents —
+    both count, per ExactSubstr). This is the detection half of
+    substring dedup: feed the spans to ``remove_repeated_spans`` or
+    inspect them as a boilerplate report.
+
+    Scale shape: windows reduce to (id, pos, h) BEFORE any shuffle;
+    the repeat test is one map-side-combined count over h. With
+    ``verify=True`` (default) the surviving candidates — typically a
+    tiny fraction — are re-extracted from the documents and re-grouped
+    by the actual window TEXT, so a 60-bit hash collision can never
+    flag an innocent span; the verify join touches only candidate
+    (id, pos) rows and their source docs."""
+    w = substring_spans(df, text_col, id_col, length, stride)
+    hot = (
+        w.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= int(min_count))
+        .select("h")
+    )
+    cand = w.join(hot, "h", "left_semi")
+    if not verify:
+        return cand.select("id", "pos")
+    texts = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    )
+    grams = (
+        cand.join(texts, "id")
+        .select(
+            "id", "pos",
+            F.col("__t").substr(F.col("pos"), F.lit(length)).alias("g"),
+        )
+    )
+    hot_g = (
+        grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= int(min_count))
+        .select("g")
+    )
+    return grams.join(hot_g, "g", "left_semi").select("id", "pos")
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 50,
+    stride: int = 1,
+    min_count: int = 2,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """ExactSubstr removal: cut every character covered by a repeated
+    length-``length`` window out of the documents (overlapping spans
+    merge into one cut). Pass a precomputed ``spans`` frame — the
+    (id, pos) output of ``repeated_substring_spans``, possibly built
+    once and persisted — to skip re-detection.
+
+    The surgery runs in an Arrow-batched pandas UDF over (text, sorted
+    span starts): per-doc span lists are bounded by document length,
+    and only documents WITH spans join the repair path — clean docs
+    stream through untouched."""
+    from pyspark.sql.functions import pandas_udf
+
+    if spans is None:
+        spans = repeated_substring_spans(
+            df, text_col, id_col, length, stride, min_count
+        )
+    per_doc = spans.groupBy("id").agg(
+        F.sort_array(F.collect_list("pos")).alias("__ps")
+    )
+    L = int(length)
+
+    # non-string annotations: pandas is imported locally, so a string
+    # hint ('pd.Series') can't resolve from module globals
+    @pandas_udf("string")
+    def _cut(text: pd.Series, ps: pd.Series) -> pd.Series:  # noqa: F821
+        def one(t, starts):
+            if t is None or starts is None or len(starts) == 0:
+                return t
+            out, keep_from = [], 0
+            cut_start, cut_end = None, None
+            for p in starts:
+                a, b = int(p) - 1, int(p) - 1 + L  # 1-based → [a, b)
+                if cut_end is None:
+                    cut_start, cut_end = a, b
+                elif a <= cut_end:
+                    cut_end = max(cut_end, b)
+                else:
+                    out.append(t[keep_from:cut_start])
+                    keep_from = cut_end
+                    cut_start, cut_end = a, b
+            out.append(t[keep_from:cut_start])
+            out.append(t[cut_end:])
+            return "".join(out)
+
+        return pd.Series([one(t, s) for t, s in zip(text, ps)])
+
+    joined = df.join(
+        per_doc, df[id_col] == per_doc["id"], "left"
+    ).drop(per_doc["id"])
+    return joined.withColumn(
+        text_col,
+        F.when(F.col("__ps").isNull(), F.col(text_col)).otherwise(
+            _cut(F.col(text_col), F.col("__ps"))
+        ),
+    ).drop("__ps")
 
 
 # ---------------------------------------------------------------------------

@@ -419,6 +419,25 @@ def _step_dedup_against(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_remove_repeated_spans(df: DataFrame, p: dict) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2022): cut every character
+    covered by a corpus-repeated ``length``-char window (default 50,
+    the paper's threshold) out of the documents. ``stride`` > 1 trades
+    completeness for an s× smaller window stream (see
+    functions/dedup.substring_spans); ``min_count`` raises the repeat
+    bar."""
+    from greenmask_spark.functions.dedup import remove_repeated_spans
+
+    return remove_repeated_spans(
+        df,
+        text_col=p.get("text_col", "text"),
+        id_col=p.get("id_col", "doc_id"),
+        length=int(p.get("length", 50)),
+        stride=int(p.get("stride", 1)),
+        min_count=int(p.get("min_count", 2)),
+    )
+
+
 def _step_bpe_count(df: DataFrame, p: dict) -> DataFrame:
     """Attach a REAL token count column from a trained BPE merge table
     (``merges`` input spec — the (rank, left, right) parquet written
@@ -671,6 +690,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "packing_report": _step_packing_report,
     "dedup_against": _step_dedup_against,
     "decontaminate": _step_decontaminate,
+    "remove_repeated_spans": _step_remove_repeated_spans,
     "bpe_count": _step_bpe_count,
     "lm_score": _step_lm_score,
     "lm_filter": _step_lm_filter,

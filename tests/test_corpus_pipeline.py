@@ -795,6 +795,46 @@ def test_bpe_count_step(spark, sf_dir, tmp_path):
         }, sf_dir=sf_dir)
 
 
+def test_remove_repeated_spans_step(spark, sf_dir):
+    """Config path for ExactSubstr removal: a planted cross-document
+    boilerplate block disappears from every document containing it,
+    unique text survives, and the step matches the direct call."""
+    import hashlib
+
+    from greenmask_spark.functions.dedup import remove_repeated_spans
+    from greenmask_spark.pipeline import build_corpus_pipeline
+
+    def filler(tag, n):
+        out, i = [], 0
+        while sum(len(x) for x in out) < n:
+            out.append(hashlib.sha256(f"{tag}:{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    boiler = filler("banner", 80)
+    # the char adjacent to the planted block must DIFFER per doc:
+    # two docs sharing boiler + the same next hex char legitimately
+    # repeat a 40-char window one past the block (observed: sha
+    # fillers collide on their first char 1/16 per pair) and the cut
+    # would rightly extend one char further
+    uniq = "ghijkl"  # non-hex, cannot occur inside the sha fillers
+    parts = {i: (filler(f"u{i}", 59) + uniq[i],
+                 uniq[::-1][i] + filler(f"v{i}", 59)) for i in range(6)}
+    rows = [(i, parts[i][0] + boiler + parts[i][1]) for i in range(6)]
+    rows.append((99, filler("clean", 200)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = build_corpus_pipeline(
+        df, [{"op": "remove_repeated_spans", "length": 40}])
+    got = {r.doc_id: r.text for r in out.collect()}
+    for i in range(6):
+        assert boiler not in got[i]
+        assert got[i] == parts[i][0] + parts[i][1]
+    assert got[99] == filler("clean", 200)
+    direct = {r.doc_id: r.text for r in
+              remove_repeated_spans(df, length=40).collect()}
+    assert got == direct
+
+
 def test_checkpoint_step(spark, tmp_path):
     """checkpoint materializes state and continues from files: results
     unchanged, the parquet exists, and the continued plan reads from

@@ -2182,6 +2182,103 @@ def test_bpe_gpt2_pretokenize(spark):
         train_bpe(corpus, num_merges=2, pretokenize="bogus")
 
 
+def _pseudo_text(tag: str, n: int) -> str:
+    """Deterministic filler with no repeated 30-char windows (sha256
+    blocks — a cyclic generator would self-collide)."""
+    import hashlib
+
+    out = []
+    i = 0
+    while sum(len(x) for x in out) < n:
+        out.append(hashlib.sha256(f"{tag}:{i}".encode()).hexdigest())
+        i += 1
+    return "".join(out)[:n]
+
+
+def test_repeated_substring_spans(spark):
+    """ExactSubstr detection (Lee et al. 2022): windows inside a span
+    repeated ACROSS documents flag in both, a WITHIN-document repeat
+    flags too, unique text never flags, stride=1 catches arbitrary
+    alignment, and the verified output is a subset of the hash-only
+    candidates."""
+    from greenmask_spark.functions.dedup import (
+        repeated_substring_spans,
+        substring_spans,
+    )
+
+    boiler = _pseudo_text("boiler", 60)
+    a = _pseudo_text("a", 40) + boiler + _pseudo_text("a2", 40)
+    b = _pseudo_text("b", 25) + boiler + _pseudo_text("b2", 55)
+    block = _pseudo_text("blk", 40)
+    c = block + _pseudo_text("c", 30) + block  # within-doc repeat
+    d = _pseudo_text("d", 120)                 # clean
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d), (5, None), (6, "short")],
+        "doc_id long, text string",
+    )
+    spans = repeated_substring_spans(docs, length=30, stride=1)
+    got = {(r.id, r.pos) for r in spans.collect()}
+    by_doc = {}
+    for i, p in got:
+        by_doc.setdefault(i, set()).add(p)
+    # every window fully inside the cross-doc boiler span flags, at
+    # each doc's own (different) alignment
+    assert {p for p in range(41, 72)} <= by_doc[1]
+    assert {p for p in range(26, 57)} <= by_doc[2]
+    # the within-doc repeated block flags at both its occurrences
+    assert {p for p in range(1, 12)} <= by_doc[3]
+    assert {p for p in range(71, 82)} <= by_doc[3]
+    # clean / NULL / too-short docs never flag
+    assert 4 not in by_doc and 5 not in by_doc and 6 not in by_doc
+    # windows crossing the span boundary carry unique context → unflagged
+    assert 40 not in by_doc[1] and 72 not in by_doc[1]
+
+    # hash-only candidates ⊇ verified spans (the verify stage can only
+    # remove 60-bit collisions, never add)
+    cand = {(r.id, r.pos) for r in repeated_substring_spans(
+        docs, length=30, stride=1, verify=False).collect()}
+    assert got <= cand
+
+    # the flat window stream covers every stride-aligned position
+    w = substring_spans(docs.filter("doc_id = 4"), length=30, stride=7)
+    assert [r.pos for r in w.orderBy("pos").collect()] == \
+        list(range(1, 120 - 30 + 2, 7))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="stride"):
+        substring_spans(docs, length=30, stride=0)
+
+
+def test_remove_repeated_spans(spark):
+    """ExactSubstr removal: every character covered by a repeated
+    window is cut (overlapping windows merge into one cut), unique
+    text survives byte-for-byte, and clean/NULL docs pass through the
+    repair join untouched."""
+    from greenmask_spark.functions.dedup import remove_repeated_spans
+
+    boiler = _pseudo_text("boiler", 60)
+    pre_a, post_a = _pseudo_text("a", 40), _pseudo_text("a2", 40)
+    pre_b, post_b = _pseudo_text("b", 25), _pseudo_text("b2", 55)
+    docs = spark.createDataFrame(
+        [(1, pre_a + boiler + post_a),
+         (2, pre_b + boiler + post_b),
+         (3, _pseudo_text("d", 120)),
+         (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in remove_repeated_spans(
+        docs, length=30, stride=1).collect()}
+    # the repeated region is excised exactly; unique context survives
+    assert out[1] == pre_a + post_a
+    assert out[2] == pre_b + post_b
+    assert out[3] == _pseudo_text("d", 120)
+    assert out[4] is None
+    # schema preserved (same columns in, same out)
+    cols = remove_repeated_spans(docs, length=30).columns
+    assert cols == ["doc_id", "text"]
+
+
 def test_ngram_decontaminate(spark):
     """GPT-3 Appendix-C benchmark decontamination: a training doc
     EMBEDDING a benchmark n-gram drops even when the doc as a whole is

@@ -287,3 +287,86 @@ def near_dedup_stream(
     )
     staged = staged.withColumn("__sig", sig).drop("__hs")
     return dedup_stream(staged, ["__sig"], ts_col, watermark).drop("__sig")
+
+
+def dedup_stream_against(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    level: str = "exact",
+    num_perm: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Streaming incremental dedup against a STATIC reference corpus —
+    the ingestion tier of ``functions.dedup.dedup_against`` (the
+    rolling-crawl shape: the reference is keyed once with
+    ``prepare_reference``, written to parquet, and every arriving
+    micro-batch anti-joins it; raw reference frames work too).
+    Stream-static ``left_anti`` needs NO state store: the reference
+    side is a plain (re-broadcastable) scan, so an unbounded stream
+    dedups against a trillion-doc reference in bounded memory.
+
+    - ``level="exact"``: content-digest anti-join (the batch path's
+      semantics, verbatim).
+    - ``level="fuzzy"``: FULL-signature match — a document whose
+      MinHash signature equals a reference document's is dropped
+      (signature-identical ≈ very-high-Jaccard; the same bounded
+      tier rationale as ``near_dedup_stream`` — banded candidates +
+      Jaccard verification need stream-side aggregation and stay a
+      batch concern). The signature is a pure projection (staged
+      hashed-shingle array, no aggregation), so the plan stays a
+      stateless map + one anti-join. num_perm/k must match a
+      prepared reference (validated, like the batch path).
+    """
+    from greenmask_spark.functions.dedup import (
+        _shingle_hash,
+        _validate_prepared,
+        minhash_signature_from_hashes,
+        shingles,
+    )
+
+    t = F.col(text_col)
+    if level == "exact":
+        if "__ref_key" in reference.columns:
+            keys = reference.select("__ref_key")
+        else:
+            keys = reference.select(
+                F.sha2(t, 256).alias("__ref_key")
+            ).distinct()
+        return docs.join(
+            keys, F.sha2(t, 256) == F.col("__ref_key"), "left_anti"
+        )
+    if level != "fuzzy":
+        raise ValueError(f"level {level!r}: exact|fuzzy")
+
+    def sig_str(sig_col):
+        return F.concat_ws(
+            "_", F.transform(sig_col, lambda x: x.cast("string"))
+        )
+
+    if "__ref_sig" in reference.columns:
+        _validate_prepared(reference, num_perm, k)
+        ref_sigs = reference.select(
+            sig_str(F.col("__ref_sig")).alias("__rsig")
+        ).distinct()
+    else:
+        staged_ref = reference.filter(t.isNotNull()).withColumn(
+            "__hs", F.transform(shingles(t, k), _shingle_hash)
+        )
+        ref_sigs = staged_ref.select(
+            sig_str(
+                minhash_signature_from_hashes(F.col("__hs"), num_perm)
+            ).alias("__rsig")
+        ).distinct()
+    # staged hashes: the plain minhash_signature expression would
+    # recompute the sha256 subtree once per permutation (see
+    # near_dedup_stream)
+    staged = docs.withColumn(
+        "__hs", F.transform(shingles(t, k), _shingle_hash)
+    ).withColumn(
+        "__sig",
+        sig_str(minhash_signature_from_hashes(F.col("__hs"), num_perm)),
+    ).drop("__hs")
+    return staged.join(
+        ref_sigs, F.col("__sig") == F.col("__rsig"), "left_anti"
+    ).drop("__sig")

@@ -402,3 +402,75 @@ def test_read_dbapi_table_partitioned(spark, tmp_path):
         predicates=["id < 0", "id >= 0 OR id IS NULL"],
     )
     assert df2.count() == len(rows)
+
+
+def test_dedup_stream_against_reference(spark, tmp_path):
+    """Streaming incremental dedup vs a STATIC prepared reference (the
+    rolling-crawl ingestion tier): exact replays of reference docs are
+    dropped from every micro-batch, novel docs pass, fuzzy drops
+    signature-identical docs via the stateless stream-static anti-join,
+    and the prepared num_perm/k contract is enforced on streams too."""
+    from pyspark.sql import functions as F
+
+    from greenmask_spark.functions.dedup import prepare_reference
+    from greenmask_spark.streaming.pipeline import dedup_stream_against
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    other = ("completely different reference text about ships sailing "
+             "across the wide open ocean waters")
+    ref = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string")
+    prep_exact = str(tmp_path / "sref_exact.parquet")
+    prep_fuzzy = str(tmp_path / "sref_fuzzy.parquet")
+    prepare_reference(ref, "exact").write.parquet(prep_exact)
+    prepare_reference(ref, "fuzzy", num_perm=8, k=3,
+                      with_shingles=False).write.parquet(prep_fuzzy)
+
+    src = str(tmp_path / "sda_src")
+    spark.createDataFrame(
+        [(10, base), (11, "a totally novel document about cooking")],
+        "doc_id long, text string",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1000))).write.parquet(src)
+    spark.createDataFrame(
+        [(12, other), (13, "another new doc on gardening and soil")],
+        "doc_id long, text string",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1010))).write.mode(
+        "append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp").parquet(src)
+
+    def run(out, name):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            return {r.doc_id for r in
+                    spark.sql(f"SELECT doc_id FROM {name}").collect()}
+        finally:
+            q.stop()
+
+    exact_ref = spark.read.parquet(prep_exact)
+    assert run(dedup_stream_against(stream, exact_ref), "sda_e") == {11, 13}
+    fuzzy_ref = spark.read.parquet(prep_fuzzy)
+    assert run(dedup_stream_against(
+        stream, fuzzy_ref, level="fuzzy", num_perm=8, k=3,
+    ), "sda_f") == {11, 13}
+    # raw (unprepared) reference agrees with the prepared frame
+    assert run(dedup_stream_against(
+        stream, ref, level="fuzzy", num_perm=8, k=3), "sda_r") == {11, 13}
+
+    # batch twin: the same call works on a batch frame
+    batch = spark.read.parquet(src)
+    got = dedup_stream_against(batch, exact_ref)
+    assert {r.doc_id for r in got.collect()} == {11, 13}
+
+    # the prepared num_perm/k contract holds on the streaming path too
+    import pytest
+
+    with pytest.raises(ValueError, match="num_perm"):
+        dedup_stream_against(stream, fuzzy_ref, level="fuzzy",
+                             num_perm=16, k=3)
+    with pytest.raises(ValueError, match="exact|fuzzy"):
+        dedup_stream_against(stream, exact_ref, level="bogus")

@@ -3277,7 +3277,7 @@ def _oracle_shard_write() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """75 entries. The driver harness has so far recorded CORRECTNESS
+    """76 entries. The driver harness has so far recorded CORRECTNESS
     rows for the FIRST 50 entries only, so the window is ROTATED each
     round per the r6 verdict brief: the 22 entries that were tail
     (never-driver-checked) in r6 — asof_join, range_join,
@@ -3286,10 +3286,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_summary, dedup_against_verified, ann_recall, events_json,
     dedup_lines, multimodal_frames, train_split, term_frequencies,
     quantize_embeddings, winnow_pairs, events_windowed — now sit
-    INSIDE the first 50, together with the three r7 additions
-    (classifier_weights, stratified_sample, shard_write). The 25 rows
-    displaced to the tail all earned green driver rows in
-    CORRECTNESS_r06 AND keep ≥1 same-family row in the window
+    INSIDE the first 50, together with the four r7 additions
+    (classifier_weights, stratified_sample, shard_write,
+    repeated_spans). The 26 rows displaced to the tail all earned
+    green driver rows in CORRECTNESS_r06 AND keep ≥1 same-family row
+    in the window
     (t_random_float/numeric→t_random_int; t_net_company/t_real_address
     →t_faker+t_masking+t_random_person; t_json_ops→events_json;
     subset_lineitem/polymorphic→subset_orders+subset_cycle;
@@ -3300,8 +3301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ann_recall+ann_rerank; embedding_near_dup→semantic_dedup+
     quantize_embeddings; strip_html/linear_text_score→lm_score+
     classifier_weights; dedup_against{,_fuzzy}→dedup_against_verified;
-    cross_split_contamination→train_split+cluster_split). The union of
-    driver rows across r6+r7 therefore covers all 75 entries.
+    cross_split_contamination→train_split+cluster_split; dedup_exact→
+    dedup_lines+dedup_clusters+repeated_spans). The union of driver
+    rows across r6+r7 therefore covers all 76 entries.
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its
     original key/params, so per-transformer semantics are unchanged;

@@ -46,6 +46,10 @@ HEADLINE = [
     # regexp_replace HTML-stripping chain
     "lm_score",
     "strip_html",
+    # r7: ExactSubstr repeated-substring detection — the heaviest new
+    # operator (per-window sha256 stream, persisted once, then the
+    # repeat-count + verify joins)
+    "repeated_spans",
 ]
 
 

@@ -1016,8 +1016,13 @@ def substring_spans(
     if length < 1 or stride < 1:
         raise ValueError(f"length={length} and stride={stride} must be >= 1")
     t = F.col(text_col)
+    # repartition first (the _hash_stream rationale): a small
+    # single-row-group parquet source is ONE task, serializing the
+    # per-window sha256 work onto one core
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     w = (
         df.filter(t.isNotNull() & (F.length(t) >= length))
+        .repartition(n_part)
         .select(
             F.col(id_col).alias("id"),
             F.explode(
@@ -1043,6 +1048,7 @@ def repeated_substring_spans(
     stride: int = 1,
     min_count: int = 2,
     verify: bool = True,
+    _persisted: list | None = None,
 ) -> DataFrame:
     """(id, pos) of every window whose content occurs at least
     ``min_count`` times in the corpus (within OR across documents —
@@ -1056,8 +1062,21 @@ def repeated_substring_spans(
     tiny fraction — are re-extracted from the documents and re-grouped
     by the actual window TEXT, so a 60-bit hash collision can never
     flag an innocent span; the verify join touches only candidate
-    (id, pos) rows and their source docs."""
-    w = substring_spans(df, text_col, id_col, length, stride)
+    (id, pos) rows and their source docs.
+
+    The window stream feeds two consumers (the repeat count and the
+    candidate semi-join) — it persists once (MEMORY_AND_DISK,
+    (id, pos, h) slivers; the ngram_jaccard convention) so the
+    per-window sha256 pass runs exactly once; handles surface via
+    ``_persisted`` for callers that want to unpersist after their
+    action."""
+    from pyspark import StorageLevel
+
+    w = substring_spans(df, text_col, id_col, length, stride).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if _persisted is not None:
+        _persisted.append(w)
     hot = (
         w.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= int(min_count))

@@ -102,12 +102,13 @@ SHAPES = {
     # one-row combine over the read-back (the write itself happens at
     # plan-build time)
     "shard_write": (2, 0),
-    # r7 — ExactSubstr detection: window-hash repeat count, candidate
-    # semi-join, text re-extraction join, verify re-group — four
-    # exchanges whose rows are (id, pos, h) slivers; detection never
-    # runs Python (the surgery UDF lives in remove_repeated_spans,
-    # not this query)
-    "repeated_spans": (4, 0),
+    # r7 — ExactSubstr detection: the persisted window stream's
+    # parallelizing repartition + its repeat-count agg, the candidate
+    # semi-join, the text re-extraction join and the verify re-group —
+    # five exchanges whose rows are (id, pos, h) slivers; detection
+    # never runs Python (the surgery UDF lives in
+    # remove_repeated_spans, not this query)
+    "repeated_spans": (5, 0),
 }
 
 

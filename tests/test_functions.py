@@ -2279,6 +2279,69 @@ def test_remove_repeated_spans(spark):
     assert cols == ["doc_id", "text"]
 
 
+def test_repeated_substring_spans_property(spark):
+    """Property (full spec replay in Python): for ANY corpus — tiny
+    alphabets force heavy within- and cross-document repeats — the
+    flagged (id, pos) set equals exactly the stride-sampled windows
+    whose text occurs >= 2 times."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from greenmask_spark.functions.dedup import repeated_substring_spans
+
+    texts = st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=14),
+        min_size=1, max_size=5,
+    )
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(texts, st.integers(2, 4), st.integers(1, 2))
+    def check(bodies, length, stride):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(bodies)],
+            "doc_id long, text string")
+        got = {(r.id, r.pos) for r in repeated_substring_spans(
+            df, length=length, stride=stride).collect()}
+        # spec replay: stride-sampled windows, grouped by text
+        windows = {}
+        for i, t in enumerate(bodies):
+            for p in range(1, len(t) - length + 2, stride):
+                windows.setdefault(t[p - 1:p - 1 + length], []).append(
+                    (i, p))
+        want = {span for g, spans in windows.items()
+                if len(spans) >= 2 for span in spans}
+        assert got == want, (bodies, length, stride)
+
+    check()
+
+
+def test_bpe_gpt2_pretok_engine_parity(spark):
+    """The load-bearing claim behind pretokenize='gpt2': the ASCII-class
+    pattern splits IDENTICALLY under Java regex (training's
+    regexp_extract_all) and Python re (encode's findall) — checked over
+    adversarial inputs (contractions, digit/letter/punct boundaries,
+    unicode letters falling into the punct class on both sides)."""
+    import re
+
+    from greenmask_spark.functions.bpe import GPT2_PRETOK
+
+    pat = re.compile(GPT2_PRETOK)
+    samples = [
+        "it's", "don't", "they're", "we've", "i'm", "you'll", "he'd",
+        "o'clock", "'''", "a1b2c3", "low-cost,", "x'y", "'s", "'",
+        "abc'", "42", "3.14", "...!?", "café", "naïve", "日本語x9",
+        "tab\tmixed", "under_score", "MiXeD'Re",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "i long, w string")
+    got = {r.i: r.toks for r in df.select(
+        "i", F.regexp_extract_all("w", F.lit(GPT2_PRETOK), F.lit(0))
+        .alias("toks")).collect()}
+    for i, s in enumerate(samples):
+        assert got[i] == pat.findall(s), (s, got[i], pat.findall(s))
+
+
 def test_ngram_decontaminate(spark):
     """GPT-3 Appendix-C benchmark decontamination: a training doc
     EMBEDDING a benchmark n-gram drops even when the doc as a whole is

@@ -3143,6 +3143,58 @@ def _oracle_repeated_spans() -> str:
     """
 
 
+_BM25_QUERY = "spark query table stream"
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 lexical relevance (functions/text_analysis.
+    bm25_scores) of every document against a fixed query — the lexical
+    twin of the embedding ANN rows (corpus exploration without an
+    embedding column). Query terms broadcast; only matching tokens
+    survive the explode; corpus N/avgdl ride a 1-row broadcast. Scores
+    round to 6 decimals for cross-engine double parity (sums of <= 4
+    idf·tf terms; ulp-level engine differences sit at 1e-13)."""
+    from greenmask_spark.functions.text_analysis import bm25_scores
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    out = bm25_scores(docs, _BM25_QUERY)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+def _oracle_bm25() -> str:
+    terms = ", ".join(
+        f"'{t}'" for t in sorted(set(_BM25_QUERY.split()))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter({_DUCK_TOKENS_RAW}, t -> t <> '') AS toks
+      FROM documents
+    ), stats AS (
+      SELECT count(*) AS N, avg(len(toks)) AS avgdl FROM base
+    ), ex AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base
+    ), tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM ex
+      WHERE term IN ({terms}) GROUP BY doc_id, dl, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df_t FROM tf GROUP BY term
+    ), sc AS (
+      SELECT doc_id,
+             sum(ln((N - df_t + 0.5) / (df_t + 0.5))
+                 * tf * 2.2
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, round(coalesce(sc.s, 0.0), 6) AS score
+    FROM base b LEFT JOIN sc USING (doc_id)
+    """
+
+
 def q_classifier_weights(spark, sf_dir):
     """Quality-classifier TRAINING with an oracle-checked artifact
     (functions/classifier.train_nb_weights): closed-form Bernoulli-NB
@@ -3277,7 +3329,7 @@ def _oracle_shard_write() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """76 entries. The driver harness has so far recorded CORRECTNESS
+    """77 entries. The driver harness has so far recorded CORRECTNESS
     rows for the FIRST 50 entries only, so the window is ROTATED each
     round per the r6 verdict brief: the 22 entries that were tail
     (never-driver-checked) in r6 — asof_join, range_join,
@@ -3286,11 +3338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_summary, dedup_against_verified, ann_recall, events_json,
     dedup_lines, multimodal_frames, train_split, term_frequencies,
     quantize_embeddings, winnow_pairs, events_windowed — now sit
-    INSIDE the first 50, together with the four r7 additions
+    INSIDE the first 50, together with the five r7 additions
     (classifier_weights, stratified_sample, shard_write,
-    repeated_spans). The 26 rows displaced to the tail all earned
-    green driver rows in CORRECTNESS_r06 AND keep ≥1 same-family row
-    in the window
+    repeated_spans, bm25). The 27 rows displaced to the tail all
+    earned green driver rows in CORRECTNESS_r06 AND keep ≥1
+    same-family row in the window
     (t_random_float/numeric→t_random_int; t_net_company/t_real_address
     →t_faker+t_masking+t_random_person; t_json_ops→events_json;
     subset_lineitem/polymorphic→subset_orders+subset_cycle;
@@ -3302,8 +3354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     quantize_embeddings; strip_html/linear_text_score→lm_score+
     classifier_weights; dedup_against{,_fuzzy}→dedup_against_verified;
     cross_split_contamination→train_split+cluster_split; dedup_exact→
-    dedup_lines+dedup_clusters+repeated_spans). The union of driver
-    rows across r6+r7 therefore covers all 76 entries.
+    dedup_lines+dedup_clusters+repeated_spans; multimodal_features→
+    multimodal_frames). The union of driver rows across r6+r7
+    therefore covers all 77 entries.
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its
     original key/params, so per-transformer semantics are unchanged;
@@ -3328,12 +3381,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "q5_region_revenue": q_q5_region_revenue,
         "dedup_clusters": q_dedup_clusters,  # +minhash_pairs (strict intermediate)
-        "multimodal_features": q_multimodal_features,
         "validate_diff": q_validate_diff,
         "copy_roundtrip": q_copy_roundtrip,
         "sessionize": q_sessionize,
         "ngram_decontaminate": q_ngram_decontaminate,
         "lm_score": q_lm_score,
+        "bm25": q_bm25,  # displaces multimodal_features (r6-green;
+        #   multimodal family keeps multimodal_frames in the window)
         # r6 tail, rotated into the window this round
         "events_json": q_events_json,
         "dedup_lines": q_dedup_lines,
@@ -3366,6 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   dedup_clusters, dedup_against_verified in the window)
         # --- tail: green in CORRECTNESS_r06; families covered above ---
         "dedup_exact": q_dedup_exact,
+        "multimodal_features": q_multimodal_features,
         "t_random_float": q_t_random_float,      # +NoiseFloat
         "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
         "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
@@ -3472,4 +3527,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _oracle_stratified_sample(),
         "shard_write": _oracle_shard_write(),
         "repeated_spans": _oracle_repeated_spans(),
+        "bm25": _oracle_bm25(),
     }

@@ -653,3 +653,102 @@ def normalize_text(
     if collapse_ws:
         out = F.regexp_replace(F.trim(out), r"\s+", " ")
     return out
+
+
+def bm25_scores(
+    df: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a query string
+    (Robertson & Spärck Jones; the standard probabilistic-IDF form
+    with the +1 floor Lucene uses is NOT applied — negative-IDF terms
+    appearing in >half the corpus contribute negatively, the classic
+    behavior). The lexical twin of the embedding ANN operators: corpus
+    exploration ("which training docs look like this benchmark
+    prompt") without an embedding column.
+
+        idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5))
+        score(d) = Σ_t idf(t) · tf_td·(k1+1) / (tf_td + k1·(1−b+b·|d|/avgdl))
+
+    Scale shape: the query's distinct terms broadcast (a query is a
+    few tokens); documents explode ONLY matching terms (the explode is
+    semi-joined by the broadcast before any shuffle), per-(doc, term)
+    tf aggregates map-side, and the two corpus scalars (N, avgdl)
+    ride a broadcast 1-row frame. Documents with no query term score
+    0.0 and never shuffle. Output: (id, score) for every document.
+    """
+    q_terms = [
+        t for t in query.strip().lower().split() if t
+    ]
+    if not q_terms:
+        raise ValueError("bm25_scores: empty query")
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(t,) for t in sorted(set(q_terms))], "term string"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        "id",
+        F.filter(F.col("__toks"), lambda t: t != "").alias("__toks"),
+    )
+    # corpus stats: one agg → a 1-row broadcast (N, avgdl)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    )
+    ex = (
+        base.select("id", F.size("__toks").alias("dl"),
+                    F.explode("__toks").alias("term"))
+        .join(F.broadcast(qdf), "term")  # only query terms survive
+    )
+    tf = ex.groupBy("id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_t")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("N") - F.col("df_t") + 0.5)
+                  / (F.col("df_t") + 0.5)),
+        )
+        .withColumn(
+            "__s",
+            F.col("idf") * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf")
+               + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("id").agg(F.sum("__s").alias("score"))
+    )
+    ids = base.select("id")
+    return ids.join(scored, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-n documents by BM25 relevance (ties broken by id for
+    determinism). The ordering limit compiles to TakeOrderedAndProject
+    — no global sort exchange."""
+    return (
+        bm25_scores(df, query, text_col, id_col, k1, b)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(int(n))
+    )

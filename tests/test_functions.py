@@ -2571,6 +2571,50 @@ def test_train_quality_classifier_roundtrip(spark):
     assert all(tr_scores[100 + i] < 0.5 for i in range(40))
 
 
+def test_bm25_scores_and_topk(spark):
+    """Okapi BM25 against the hand formula: tf saturation, length
+    normalization, negative IDF for >half-corpus terms, zero for
+    query-miss docs, deterministic top-k tie-break."""
+    import math
+
+    from greenmask_spark.functions.text_analysis import bm25_scores, bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark query"),        # tf(spark)=2, dl=3
+         (2, "spark table"),              # tf(spark)=1, dl=2
+         (3, "unrelated words entirely"),
+         (4, "spark")],                   # tf=1, dl=1
+        "doc_id long, text string",
+    )
+    got = {r.id: r.score for r in bm25_scores(docs, "spark").collect()}
+    N, avgdl, df_t, k1, b = 4, 9 / 4, 3, 1.2, 0.75
+    idf = math.log((N - df_t + 0.5) / (df_t + 0.5))
+
+    def s(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert math.isclose(got[1], s(2, 3), rel_tol=1e-12)
+    assert math.isclose(got[2], s(1, 2), rel_tol=1e-12)
+    assert got[3] == 0.0
+    assert math.isclose(got[4], s(1, 1), rel_tol=1e-12)
+    # 'spark' is in 3 of 4 docs -> idf = ln(1.5/3.5) < 0 (classic
+    # probabilistic form, no Lucene +1 floor)
+    assert idf < 0 and got[1] < 0
+    # a rare term scores positively and multi-term queries sum
+    got2 = {r.id: r.score for r in
+            bm25_scores(docs, "table query").collect()}
+    assert got2[2] > 0 and got2[1] > 0 and got2[3] == 0.0 and got2[4] == 0.0
+
+    top = bm25_topk(docs, "table query", n=2).collect()
+    assert [r.id for r in top] == sorted(
+        got2, key=lambda i: (-got2[i], i))[:2]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_scores(docs, "   ")
+
+
 def test_train_nb_weights(spark):
     """Closed-form NB log-odds training: weights match the hand
     formula exactly, Bernoulli presence (not counts) drives df,

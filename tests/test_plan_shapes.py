@@ -109,6 +109,10 @@ SHAPES = {
     # never runs Python (the surgery UDF lives in
     # remove_repeated_spans, not this query)
     "repeated_spans": (5, 0),
+    # r7 — BM25: query terms/dfreq/corpus-stats broadcast; the tf agg,
+    # per-term df agg, per-doc sum and the zero-restore id join are
+    # the exchanges, all carrying (id, score)-class slivers
+    "bm25": (6, 0),
 }
 
 

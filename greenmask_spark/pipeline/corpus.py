@@ -419,6 +419,32 @@ def _step_dedup_against(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_bm25(df: DataFrame, p: dict) -> DataFrame:
+    """Okapi BM25 relevance against a config ``query`` string: attach
+    a ``score_col`` (default ``bm25``) and optionally keep only rows
+    with ``min_score``/the ``top_n`` most relevant — config-driven
+    corpus search ("which documents look like this prompt") without
+    an embedding column."""
+    from greenmask_spark.functions.text_analysis import bm25_scores
+
+    if not p.get("query"):
+        raise ValueError("bm25 needs a 'query' string")
+    id_col = p.get("id_col", "doc_id")
+    out_col = p.get("score_col", "bm25")
+    scored = bm25_scores(
+        df, str(p["query"]),
+        text_col=p.get("text_col", "text"), id_col=id_col,
+        k1=float(p.get("k1", 1.2)), b=float(p.get("b", 0.75)),
+    ).withColumnsRenamed({"id": id_col, "score": out_col})
+    out = df.drop(out_col).join(scored, id_col, "left")
+    if "min_score" in p:
+        out = out.filter(F.col(out_col) >= float(p["min_score"]))
+    if "top_n" in p:
+        out = out.orderBy(
+            F.desc(out_col), F.asc(id_col)).limit(int(p["top_n"]))
+    return out
+
+
 def _step_remove_repeated_spans(df: DataFrame, p: dict) -> DataFrame:
     """ExactSubstr removal (Lee et al. 2022): cut every character
     covered by a corpus-repeated ``length``-char window (default 50,
@@ -691,6 +717,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "dedup_against": _step_dedup_against,
     "decontaminate": _step_decontaminate,
     "remove_repeated_spans": _step_remove_repeated_spans,
+    "bm25": _step_bm25,
     "bpe_count": _step_bpe_count,
     "lm_score": _step_lm_score,
     "lm_filter": _step_lm_filter,

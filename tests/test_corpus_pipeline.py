@@ -835,6 +835,50 @@ def test_remove_repeated_spans_step(spark, sf_dir):
     assert got == direct
 
 
+def test_bm25_step(spark, sf_dir):
+    """Config-driven BM25: scores attach and match the direct call,
+    min_score filters, top_n keeps the most relevant with a
+    deterministic tie-break, and a missing query fails loudly."""
+    import pytest
+
+    from greenmask_spark.functions.text_analysis import bm25_scores
+    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    q = "spark table query"
+    out = run_corpus_pipeline(spark, {
+        "input": {"table": "documents"},
+        "steps": [{"op": "bm25", "query": q}],
+    }, sf_dir=sf_dir)
+    got = {r.doc_id: r.bm25 for r in out.select("doc_id", "bm25").collect()}
+    direct = {r.id: r.score for r in bm25_scores(docs, q).collect()}
+    assert got == direct
+    # original columns survive alongside the score
+    assert {"doc_id", "text", "lang", "source", "n_chars", "bm25"} <= \
+        set(out.columns)
+
+    top = run_corpus_pipeline(spark, {
+        "input": {"table": "documents"},
+        "steps": [{"op": "bm25", "query": q, "top_n": 5}],
+    }, sf_dir=sf_dir).select("doc_id").collect()
+    want = sorted(direct, key=lambda i: (-direct[i], i))[:5]
+    assert [r.doc_id for r in top] == want
+
+    kept = run_corpus_pipeline(spark, {
+        "input": {"table": "documents"},
+        "steps": [{"op": "bm25", "query": q, "min_score": 0.0,
+                   "score_col": "rel"}],
+    }, sf_dir=sf_dir)
+    assert kept.filter("rel < 0").count() == 0
+
+    with pytest.raises(ValueError, match="query"):
+        run_corpus_pipeline(spark, {
+            "input": {"table": "documents"},
+            "steps": [{"op": "bm25"}],
+        }, sf_dir=sf_dir)
+
+
 def test_checkpoint_step(spark, tmp_path):
     """checkpoint materializes state and continues from files: results
     unchanged, the parquet exists, and the continued plan reads from

@@ -68,7 +68,7 @@ _CONFIG_ENV_RE = _re.compile(
 #: "salt" matches but "basalt_path" doesn't; "token" is deliberately
 #: absent (token_col and friends are column names, not credentials).
 _SENSITIVE_KEY_RE = _re.compile(
-    r"(?:^|[_.-])(salt|password|passwd|secret|dsn|credentials?|"
+    r"(?:^|[_.-])(salt|password|passwd|secrets?|dsn|credentials?|"
     r"api_key|access_key)(?:[_.-]|$)",
     _re.IGNORECASE,
 )
@@ -136,7 +136,8 @@ def expand_env_vars(
       path is a corruption hazard, not a default).
     - **security-sensitive keys are strict EVEN in non-strict mode**:
       an undefined ``${VAR}`` in a value whose key names a salt,
-      password, secret, DSN or credential always raises — a typo'd
+      password, secret, DSN or credential — or in ANY value nested
+      under such a key (``credentials: {user: ...}``) — always raises — a typo'd
       ``${MASK_SALT}`` shipping as the literal salt string would
       silently weaken every hash it feeds, which is a security
       failure, not a loadability concern. Escape as ``$${...}`` for
@@ -193,24 +194,28 @@ def expand_env_vars(
             return [walk_posix(x) for x in v]
         return v
 
-    def walk(v: Any, key: str | None = None) -> Any:
+    def walk(
+        v: Any, key: str | None = None, sens_key: str | None = None
+    ) -> Any:
+        # sensitivity propagates DOWN: {'credentials': {'user': ...}}
+        # is as sensitive at the leaf as a flat 'credentials_user' —
+        # sens_key carries the nearest sensitive ancestor's name so
+        # the strict-always guarantee covers nested-credentials shapes
+        if key is not None and _SENSITIVE_KEY_RE.search(key):
+            sens_key = key
         if isinstance(v, str):
-            sensitive = (
-                key if key is not None and _SENSITIVE_KEY_RE.search(key)
-                else None
-            )
-            return _CONFIG_ENV_RE.sub(make_sub(sensitive), v)
+            return _CONFIG_ENV_RE.sub(make_sub(sens_key), v)
         if isinstance(v, dict):
             out = {}
             for k, x in v.items():
                 if k == "params" and isinstance(v.get("params"), (dict, list)):
                     out[k] = walk_posix(x) if v.get("resolve_env") else x
                 else:
-                    out[k] = walk(x, k)
+                    out[k] = walk(x, k, sens_key)
             return out
         if isinstance(v, list):
             # list values inherit the owning key's sensitivity
-            return [walk(x, key) for x in v]
+            return [walk(x, key, sens_key) for x in v]
         return v
 
     return walk(obj)

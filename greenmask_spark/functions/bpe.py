@@ -40,10 +40,14 @@ EOW = "</w>"
 #: character classes behave identically in Java regex (the training
 #: side runs ``regexp_extract_all`` JVM-side) and Python ``re`` (the
 #: encode side runs in an Arrow UDF), so train/encode can never split
-#: differently. Non-ASCII letters fall into the punctuation class —
-#: consistently on both sides. The real GPT-2 pattern additionally
-#: uses Unicode categories and leading-space attachment; this is the
-#: "style" (class-run splitting) without the engine-divergence risk.
+#: differently. The one non-literal class, ``\s`` inside the negated
+#: run, is ASCII-only under Java but Unicode under Python — the encode
+#: side therefore compiles with ``re.ASCII`` so a U+00A0/U+2009 inside
+#: a word lands in the punctuation run on BOTH engines. Non-ASCII
+#: letters fall into the punctuation class — consistently on both
+#: sides. The real GPT-2 pattern additionally uses Unicode categories
+#: and leading-space attachment; this is the "style" (class-run
+#: splitting) without the engine-divergence risk.
 GPT2_PRETOK = r"'s|'t|'re|'ve|'m|'ll|'d|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 _PRETOK_MODES = ("whitespace", "gpt2")
@@ -141,6 +145,32 @@ def train_bpe(
                 f"tokens that add negligible pair mass), or raise "
                 f"max_vocab deliberately if the driver has the memory "
                 f"(~100 bytes/word)."
+            )
+        if (
+            n_vocab == 0
+            and min_word_freq > 1
+            # cheap probe (limit-1 scan, no shuffle): only warn about
+            # the floor when the corpus itself was non-empty
+            and corpus.select(text_col)
+            .filter(F.trim(F.col(text_col)) != "")
+            .limit(1)
+            .count()
+            > 0
+        ):
+            # a small/clean corpus can be ALL hapax words — the default
+            # floor (min_word_freq=2, sized for noisy web corpora) then
+            # yields zero merges and downstream bpe_count raises
+            # "empty merges table" far from the cause. Warn at the
+            # cause instead of failing later without one.
+            import warnings
+
+            warnings.warn(
+                f"train_bpe: no word survives the "
+                f"min_word_freq={min_word_freq} floor — every distinct "
+                f"word in the corpus is rarer than the floor, so the "
+                f"merge table will be EMPTY. On small or deduplicated "
+                f"corpora pass min_word_freq=1.",
+                stacklevel=2,
             )
         rows = wc.collect()
     finally:
@@ -279,9 +309,15 @@ def bpe_encode(
     # are Unicode — a U+00A0 non-breaking space in web text would split into
     # words the trained table never saw
     ws = re.compile("[ \t\n\x0b\f\r]+")
-    # GPT2_PRETOK is ASCII-class-only by design: re.findall here and
-    # regexp_extract_all in training split identically
-    pretok = re.compile(GPT2_PRETOK) if pretokenize == "gpt2" else None
+    # re.ASCII pins Python \s to the Java-regex ASCII class so
+    # re.findall here and regexp_extract_all in training split
+    # identically — without it a word-internal U+00A0/U+2009 (common in
+    # scraped web text, survives the ASCII whitespace split above) is
+    # "whitespace" to Python only, and encode would silently DROP the
+    # characters training turned into tokens
+    pretok = (
+        re.compile(GPT2_PRETOK, re.ASCII) if pretokenize == "gpt2" else None
+    )
 
     @pandas_udf("array<string>")
     def _enc(s: pd.Series) -> pd.Series:

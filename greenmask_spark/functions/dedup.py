@@ -1067,9 +1067,13 @@ def repeated_substring_spans(
     The window stream feeds two consumers (the repeat count and the
     candidate semi-join) — it persists once (MEMORY_AND_DISK,
     (id, pos, h) slivers; the ngram_jaccard convention) so the
-    per-window sha256 pass runs exactly once; handles surface via
-    ``_persisted`` for callers that want to unpersist after their
-    action."""
+    per-window sha256 pass runs exactly once. Pass a ``_persisted``
+    list to receive the cache handle and control its lifetime
+    yourself; WITHOUT it the function materializes the (small) span
+    result eagerly via ``localCheckpoint`` and unpersists the window
+    stream before returning, so the largest intermediate in this
+    module never outlives the call (it would otherwise sit in the
+    cache for the session, accumulating across pipeline runs)."""
     from pyspark import StorageLevel
 
     w = substring_spans(df, text_col, id_col, length, stride).persist(
@@ -1084,7 +1088,8 @@ def repeated_substring_spans(
     )
     cand = w.join(hot, "h", "left_semi")
     if not verify:
-        return cand.select("id", "pos")
+        out = cand.select("id", "pos")
+        return _finish_spans(out, w, _persisted)
     texts = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__t")
     )
@@ -1100,7 +1105,24 @@ def repeated_substring_spans(
         .filter(F.col("c") >= int(min_count))
         .select("g")
     )
-    return grams.join(hot_g, "g", "left_semi").select("id", "pos")
+    out = grams.join(hot_g, "g", "left_semi").select("id", "pos")
+    return _finish_spans(out, w, _persisted)
+
+
+def _finish_spans(
+    out: DataFrame, w: DataFrame, _persisted: list | None
+) -> DataFrame:
+    """Default-path cleanup for ``repeated_substring_spans``: with no
+    caller-owned ``_persisted`` handle, materialize the span result
+    (tiny — candidate (id, pos) rows only) as an eager localCheckpoint
+    and release the corpus-scale window stream NOW. Checkpoint blocks
+    are freed by the ContextCleaner once the returned frame is
+    unreachable, unlike CacheManager entries which pin forever."""
+    if _persisted is not None:
+        return out
+    out = out.localCheckpoint(eager=True)
+    w.unpersist()
+    return out
 
 
 def remove_repeated_spans(

@@ -391,6 +391,26 @@ def test_expand_env_vars_sensitive_keys_strict():
         expand_env_vars({"common": {"salt": "${TYPO_VAR}"}}, env)
     with pytest.raises(KeyError, match="security-sensitive"):
         expand_env_vars({"dsn": ["${TYPO_VAR}"]}, env)
+    # sensitivity propagates into DICT children too: the common
+    # nested-credentials shape must not warn-and-ship a literal
+    with pytest.raises(KeyError, match="security-sensitive"):
+        expand_env_vars(
+            {"credentials": {"user": "${TYPO_VAR}"}}, env)
+    with pytest.raises(KeyError, match="security-sensitive"):
+        expand_env_vars(
+            {"connection": {"credentials": {
+                "auth": {"password_file": "${TYPO_VAR}"}}}}, env)
+    # ...and through lists of dicts under a sensitive ancestor
+    with pytest.raises(KeyError, match="security-sensitive"):
+        expand_env_vars(
+            {"secrets": [{"value": "${TYPO_VAR}"}]}, env)
+    # a non-sensitive subtree NEXT TO a sensitive one stays lenient
+    with pytest.warns(UserWarning):
+        got = expand_env_vars(
+            {"credentials": {"user": "${SALT}"},
+             "paths": {"base": "${U9}"}}, env)
+    assert got["paths"]["base"] == "${U9}"
+    assert got["credentials"]["user"] == "real"
     # defaults and escapes remain available for deliberate values
     assert expand_env_vars({"salt": "${TYPO:-fallback}"}, env) == {
         "salt": "fallback"}

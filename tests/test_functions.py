@@ -2104,16 +2104,33 @@ def test_bpe_train_vocab_rail(spark):
     with pytest.raises(ValueError, match="max_vocab"):
         train_bpe(corpus, num_merges=4, max_vocab=10)
     # the floor is applied BEFORE the rail count: floor at 3 empties
-    # the table, so even max_vocab=10 passes (and yields no merges)
-    assert train_bpe(corpus, num_merges=4, max_vocab=10,
-                     min_word_freq=3) == []
+    # the table, so even max_vocab=10 passes (and yields no merges) —
+    # AND warns at the cause, pointing at min_word_freq, instead of
+    # letting bpe_count fail later with "empty merges table"
+    with pytest.warns(UserWarning, match="min_word_freq"):
+        assert train_bpe(corpus, num_merges=4, max_vocab=10,
+                         min_word_freq=3) == []
 
-    # default min_word_freq=2: hapax-only corpora train nothing
+    # default min_word_freq=2: hapax-only corpora train nothing (warned)
     hapax = spark.createDataFrame(
         [(1, "alpha beta gamma delta")], "doc_id long, text string")
-    assert train_bpe(hapax, num_merges=4) == []
-    # while min_word_freq=1 restores the classic behavior
-    assert train_bpe(hapax, num_merges=4, min_word_freq=1) != []
+    with pytest.warns(UserWarning, match="min_word_freq"):
+        assert train_bpe(hapax, num_merges=4) == []
+    # while min_word_freq=1 restores the classic behavior, silently
+    import warnings as _w
+
+    def _no_floor_warning(call):
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            out = call()
+        assert not [r for r in rec if "min_word_freq" in str(r.message)]
+        return out
+
+    assert _no_floor_warning(
+        lambda: train_bpe(hapax, num_merges=4, min_word_freq=1)) != []
+    # a genuinely EMPTY corpus doesn't blame the floor
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert _no_floor_warning(lambda: train_bpe(empty, num_merges=4)) == []
 
 
 def test_bpe_gpt2_pretokenize(spark):
@@ -2239,6 +2256,31 @@ def test_repeated_substring_spans(spark):
         docs, length=30, stride=1, verify=False).collect()}
     assert got <= cand
 
+    # default path (no _persisted handle) must NOT leave the window
+    # stream pinned in the CacheManager for the session — the largest
+    # intermediate in the module would otherwise accumulate across
+    # pipeline runs. DataFrame.persist registers in the CacheManager
+    # (pinned until explicit unpersist); the eager localCheckpoint the
+    # default path returns does not — so CacheManager emptiness right
+    # after the call is exactly "the stream was unpersisted". (The
+    # guard tolerates cache left behind by OTHER tests/fixtures.)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cm.isEmpty()
+    extra = repeated_substring_spans(docs, length=30, stride=1)
+    if was_empty:
+        assert cm.isEmpty(), "window-stream persist leaked"
+    assert {(r.id, r.pos) for r in extra.collect()} == got
+
+    # the caller-owned handle path still works: handle surfaces,
+    # caller unpersists
+    handles = []
+    spans2 = repeated_substring_spans(
+        docs, length=30, stride=1, _persisted=handles)
+    assert {(r.id, r.pos) for r in spans2.collect()} == got
+    assert len(handles) == 1
+    for h in handles:
+        h.unpersist()
+
     # the flat window stream covers every stride-aligned position
     w = substring_spans(docs.filter("doc_id = 4"), length=30, stride=7)
     assert [r.pos for r in w.orderBy("pos").collect()] == \
@@ -2326,12 +2368,21 @@ def test_bpe_gpt2_pretok_engine_parity(spark):
 
     from greenmask_spark.functions.bpe import GPT2_PRETOK
 
-    pat = re.compile(GPT2_PRETOK)
+    # re.ASCII is load-bearing: Java \s is ASCII-only, Python \s is
+    # Unicode — the encode side must compile with re.ASCII (as
+    # bpe_encode does) or a word-internal U+00A0/U+2009/U+0085 splits
+    # differently between the engines
+    pat = re.compile(GPT2_PRETOK, re.ASCII)
     samples = [
         "it's", "don't", "they're", "we've", "i'm", "you'll", "he'd",
         "o'clock", "'''", "a1b2c3", "low-cost,", "x'y", "'s", "'",
         "abc'", "42", "3.14", "...!?", "café", "naïve", "日本語x9",
         "tab\tmixed", "under_score", "MiXeD'Re",
+        # Unicode whitespace INSIDE a word (survives the ASCII
+        # whitespace split): NBSP, thin space, NEL, ogham space mark —
+        # all must land in the punctuation run on BOTH engines
+        "a\xa0b", "x\u2009y", "p\u0085q", "m\u1680n", "1\xa02",
+        "price:\xa0$9", "\xa0", "\u2009\u2009",
     ]
     df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
                                "i long, w string")

@@ -2,14 +2,16 @@
 
 Decode status, honestly partitioned by what this container can do:
 
-- REAL decode for self-contained uncompressed formats that need no
-  codec library: PPM P6 and BMP 24-bit BI_RGB images (pure byte
-  parsing → H×W×3 uint8 RGB buffers) and PCM WAV audio (stdlib
-  ``wave`` → float samples). See ``decode_image_bytes`` /
-  ``decode_wav_bytes`` / ``decode_images``.
-- STUBS for compressed codecs (JPEG/PNG/MP3/video — the libraries are
-  not available in this container): these raise NotImplementedError
-  unless ``fake=True`` substitutes the deterministic fake decoder.
+- REAL decode for formats needing no codec library: PPM P6 and BMP
+  24-bit BI_RGB images (pure byte parsing → H×W×3 uint8 RGB buffers),
+  PNG 8-bit gray/truecolor/palette/alpha non-interlaced (stdlib
+  ``zlib`` inflate + the five spec scanline filters), and PCM WAV
+  audio (stdlib ``wave`` → float samples). See ``decode_image_bytes``
+  / ``_decode_png`` / ``decode_wav_bytes`` / ``decode_images``.
+- STUBS for the remaining compressed codecs (JPEG/MP3/video — the
+  libraries are not available in this container): these raise
+  NotImplementedError unless ``fake=True`` substitutes the
+  deterministic fake decoder.
 
 Everything downstream of decode is real: raw-buffer nearest-neighbor
 resize (``resize_raw_images``, exact numpy pixel math), frame sampling,
@@ -64,11 +66,120 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     return out
 
 
+#: PNG filter-type byte values (PNG spec §6, public W3C/RFC 2083)
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes):
+    """PNG decode with ONLY the stdlib (``zlib`` inflate + the five
+    per-scanline filters from the public spec — None/Sub/Up/Average/
+    Paeth). Supports bit depth 8, color types 0 (gray), 2 (truecolor),
+    3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced; alpha is
+    dropped (training features read RGB). Returns
+    ``(width, height, raw_rgb_bytes)`` or ``None`` for variants out of
+    scope (16-bit, Adam7 interlace, <8-bit palette) or corrupt streams.
+    Chunk CRCs are not verified — a flipped bit surfaces as a zlib
+    error or size mismatch, and this tier's contract is decode-or-None.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        return None
+    n = len(payload)
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            return None
+        pos += 12 + length  # data + length/type/crc
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = bytes(data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if (comp != 0 or filt != 0 or interlace != 0 or depth != 8
+            or channels is None or w <= 0 or h <= 0
+            or (color == 3 and plte is None)):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        return None
+    bpp = channels  # bytes per whole pixel at depth 8
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rp = 0
+    for r in range(h):
+        ftype = raw[rp]
+        line = np.frombuffer(raw, np.uint8, stride, rp + 1).copy()
+        rp += stride + 1
+        if ftype == 0:                      # None
+            cur = line
+        elif ftype == 2:                    # Up (uint8 add wraps mod 256)
+            cur = line + prev
+        elif ftype == 1:                    # Sub: per-lane prefix sum
+            lanes = line.reshape(w, bpp).astype(np.int64)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).astype(
+                np.uint8).reshape(stride)
+        elif ftype == 3:                    # Average
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:                    # Paeth
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            return None
+        out[r] = cur
+        prev = cur
+    if color == 2:
+        rgb = out.reshape(h, w, 3)
+    elif color == 0:
+        rgb = np.repeat(out.reshape(h, w, 1), 3, axis=2)
+    elif color == 4:
+        rgb = np.repeat(out.reshape(h, w, 2)[:, :, :1], 3, axis=2)
+    elif color == 6:
+        rgb = out.reshape(h, w, 4)[:, :, :3]
+    else:                                   # 3: palette
+        pal = np.frombuffer(plte, np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if pal.size == 0 or int(idx.max(initial=0)) >= len(pal):
+            return None
+        rgb = pal[idx]
+    return (w, h, np.ascontiguousarray(rgb).tobytes())
+
+
 def decode_image_bytes(payload: bytes):
-    """REAL image decode for the self-contained uncompressed formats —
-    returns ``(width, height, raw_rgb_bytes)`` (H×W×3 uint8, row-major,
-    top-down) or ``None`` when the payload is not a format this
-    container can decode without a codec library.
+    """REAL image decode for the formats this container can handle with
+    no codec library — returns ``(width, height, raw_rgb_bytes)``
+    (H×W×3 uint8, row-major, top-down) or ``None`` when the payload is
+    not one of them.
 
     - **PPM P6** (netpbm): 'P6' magic, whitespace-separated width/
       height/maxval header with '#' comments, one whitespace byte,
@@ -78,11 +189,17 @@ def decode_image_bytes(payload: bytes):
       BITMAPINFOHEADER parse; rows are 4-byte padded, stored
       bottom-up (positive height) in BGR order — converted to
       top-down RGB.
+    - **PNG** 8-bit gray/truecolor/palette/gray-alpha/RGBA,
+      non-interlaced — stdlib ``zlib`` inflate + the five spec filters
+      (see ``_decode_png``); alpha dropped. JPEG stays an honest stub
+      (a baseline DCT decoder is out of scope without a codec lib).
     """
     import struct
 
     if payload is None or len(payload) < 2:
         return None
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(bytes(payload))
     if payload[:2] == b"P6":
         # tokenize header: skip whitespace and '#' comments
         pos, toks = 2, []
@@ -173,7 +290,7 @@ def decode_wav_bytes(payload: bytes):
 
 def _real_feature(payload: bytes, dim: int):
     """dim floats from a REAL decode when the format allows it:
-    per-slice mean pixel intensity in [0,1] for PPM/BMP images,
+    per-slice mean pixel intensity in [0,1] for PPM/BMP/PNG images,
     per-window RMS (sqrt of the mean squared sample) for PCM WAV.
     None = format needs a codec stub."""
     import numpy as np
@@ -211,8 +328,9 @@ def decode_images(
 ) -> DataFrame:
     """Encoded image payloads → raw H×W×3 RGB buffers with width/height
     metadata filled from the ACTUAL decode (media-frame in, media-frame
-    out; mime becomes ``image/raw``). PPM P6 and 24-bit BMP decode for
-    real; compressed formats follow ``on_unsupported``:
+    out; mime becomes ``image/raw``). PPM P6, 24-bit BMP, and 8-bit
+    non-interlaced PNG decode for real; remaining compressed formats
+    follow ``on_unsupported``:
 
     - ``"raise"`` (default): loud NotImplementedError naming the format
       gap — no silent passthrough;
@@ -235,10 +353,11 @@ def decode_images(
                         head = bytes(p[:8]) if p else b""
                         raise NotImplementedError(
                             f"payload starting {head!r} is not a "
-                            "self-contained format (PPM P6 / 24-bit "
-                            "BMP); compressed codecs are not available "
-                            "in this environment — decode upstream or "
-                            "pass on_unsupported='null'"
+                            "decodable format (PPM P6 / 24-bit BMP / "
+                            "8-bit non-interlaced PNG); other codecs "
+                            "are not available in this environment — "
+                            "decode upstream or pass "
+                            "on_unsupported='null'"
                         )
                     # only the payload nulls out — the row keeps its
                     # DECLARED metadata (a later real decoder, or
@@ -298,9 +417,10 @@ def extract_features(
                     head = bytes(p[:8])
                     raise NotImplementedError(
                         f"payload starting {head!r}: real decode covers "
-                        "PPM P6 / 24-bit BMP / PCM WAV; other codecs "
-                        "are not available in this environment (pass "
-                        "fake=True for the deterministic test decoder)"
+                        "PPM P6 / 24-bit BMP / 8-bit PNG / PCM WAV; "
+                        "other codecs are not available in this "
+                        "environment (pass fake=True for the "
+                        "deterministic test decoder)"
                     )
                 feats.append([float(x) for x in got])
             yield pd.DataFrame(

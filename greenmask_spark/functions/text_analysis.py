@@ -662,6 +662,7 @@ def bm25_scores(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    include_misses: bool = True,
 ) -> DataFrame:
     """Okapi BM25 relevance of every document against a query string
     (Robertson & Spärck Jones; the standard probabilistic-IDF form
@@ -679,7 +680,11 @@ def bm25_scores(
     semi-joined by the broadcast before any shuffle), per-(doc, term)
     tf aggregates map-side, and the two corpus scalars (N, avgdl)
     ride a broadcast 1-row frame. Documents with no query term score
-    0.0 and never shuffle. Output: (id, score) for every document.
+    0.0 and never shuffle. Output: (id, score) for every document —
+    unless ``include_misses=False``, which emits ONLY documents
+    matching ≥1 query term and skips the full-corpus ids left-join
+    entirely (at 100 TB that join shuffles every document id just to
+    emit 0.0 rows; the top-k path never needs them).
     """
     q_terms = [
         t for t in query.strip().lower().split() if t
@@ -729,6 +734,8 @@ def bm25_scores(
         )
         .groupBy("id").agg(F.sum("__s").alias("score"))
     )
+    if not include_misses:
+        return scored
     ids = base.select("id")
     return ids.join(scored, "id", "left").select(
         "id", F.coalesce("score", F.lit(0.0)).alias("score")
@@ -743,12 +750,23 @@ def bm25_topk(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    include_misses: bool = False,
 ) -> DataFrame:
     """Top-n documents by BM25 relevance (ties broken by id for
     determinism). The ordering limit compiles to TakeOrderedAndProject
-    — no global sort exchange."""
+    — no global sort exchange.
+
+    ``include_misses=False`` (default) ranks only documents matching
+    ≥1 query term, skipping ``bm25_scores``'s full-corpus ids
+    left-join — the scale path. The one semantic difference: if fewer
+    than ``n`` documents match, the result has fewer than ``n`` rows
+    instead of padding with arbitrary 0.0-score misses (every-term-
+    negative-IDF corpora, where misses can outrank matches, are the
+    other degenerate case — pass ``include_misses=True`` if you need
+    exact parity with the dense scoring)."""
     return (
-        bm25_scores(df, query, text_col, id_col, k1, b)
+        bm25_scores(df, query, text_col, id_col, k1, b,
+                    include_misses=include_misses)
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(int(n))
     )

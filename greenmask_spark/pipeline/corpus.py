@@ -431,12 +431,17 @@ def _step_bm25(df: DataFrame, p: dict) -> DataFrame:
         raise ValueError("bm25 needs a 'query' string")
     id_col = p.get("id_col", "doc_id")
     out_col = p.get("score_col", "bm25")
+    # include_misses=False: the step's own attach join below already
+    # touches every row, so bm25_scores's full-corpus ids join would be
+    # a second redundant shuffle — misses surface here as NULL → 0.0
     scored = bm25_scores(
         df, str(p["query"]),
         text_col=p.get("text_col", "text"), id_col=id_col,
         k1=float(p.get("k1", 1.2)), b=float(p.get("b", 0.75)),
+        include_misses=False,
     ).withColumnsRenamed({"id": id_col, "score": out_col})
-    out = df.drop(out_col).join(scored, id_col, "left")
+    out = df.drop(out_col).join(scored, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0.0)))
     if "min_score" in p:
         out = out.filter(F.col(out_col) >= float(p["min_score"]))
     if "top_n" in p:

@@ -65,6 +65,9 @@ class TablePlan:
     subset_cond: str | None = None   # raw filter ANDed into the scan
     query: str | None = None         # full custom SQL override
     limit: int | None = None         # validate-mode rows_limit
+    #: column → Spark DDL type, from config ``columns_type_override``
+    #: (already resolved from PG type names by ``build_plan``)
+    type_overrides: dict[str, str] = field(default_factory=dict)
 
 
 def build_plan(
@@ -96,6 +99,10 @@ def build_plan(
             subset_cond=" AND ".join(tcfg.get("subset_conds", [])) or None,
             query=tcfg.get("query"),
             limit=tcfg.get("rows_limit"),
+            type_overrides={
+                c: resolve_type_override(t)
+                for c, t in (tcfg.get("columns_type_override") or {}).items()
+            },
         )
         if any(fnmatch.fnmatch(name, p) for p in exclude_data):
             # --exclude-table-data: table stays in the plan (schema/manifest)
@@ -150,6 +157,126 @@ def _render_static_template_params(params: dict) -> dict:
         else v
         for k, v in params.items()
     }
+
+
+#: PostgreSQL type name → Spark DDL type, for ``columns_type_override``
+#: configs ported verbatim from reference YAML (reference:
+#: internal/domains/config.go:171 ColumnsTypeOverride;
+#: internal/db/postgres/context/config_builder.go:582-598 rebinds the
+#: column's driver type so every later tier — conditions, transformer
+#: parameter decoding, sinks — sees the overridden type). Spark DDL type
+#: strings are also accepted as-is, so native configs need no PG names.
+_PG_TO_SPARK_TYPE = {
+    "int2": "smallint", "smallint": "smallint",
+    "int4": "int", "int": "int", "integer": "int",
+    "int8": "bigint", "bigint": "bigint",
+    "float4": "float", "real": "float",
+    "float8": "double", "double precision": "double",
+    "numeric": "decimal(38,9)", "decimal": "decimal(38,9)",
+    "money": "decimal(19,2)",
+    "text": "string", "varchar": "string", "character varying": "string",
+    "bpchar": "string", "char": "string", "character": "string",
+    "name": "string", "uuid": "string", "json": "string",
+    "jsonb": "string", "xml": "string", "cidr": "string",
+    "inet": "string", "macaddr": "string", "macaddr8": "string",
+    "bool": "boolean", "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp", "timestamptz": "timestamp",
+    "timestamp without time zone": "timestamp",
+    "timestamp with time zone": "timestamp",
+    "time": "string", "timetz": "string",
+    "interval": "interval day to second",
+    "bytea": "binary",
+}
+
+#: width rank for the narrowing-cast validation warning (higher holds more)
+_NUMERIC_RANK = {
+    "smallint": 1, "int": 2, "bigint": 3, "float": 2, "double": 3,
+}
+
+
+def resolve_type_override(target: str) -> str:
+    """Resolve a ``columns_type_override`` target type to a Spark DDL type.
+
+    Accepts PG type names (``int4``, ``timestamptz``, ``varchar(30)``,
+    ``numeric(10,2)``) and Spark DDL types verbatim. Unknown targets raise
+    ``ValueError`` at plan build — the reference resolves the name against
+    the pgtype map at schema build (config_builder.go:589-595), so a typo
+    fails before any data moves, not mid-dump.
+    """
+    t = target.strip().lower()
+    if t in _PG_TO_SPARK_TYPE:
+        return _PG_TO_SPARK_TYPE[t]
+    m = re.fullmatch(r"(numeric|decimal)\s*\((\d+)\s*(?:,\s*(\d+))?\)", t)
+    if m:
+        return f"decimal({m.group(2)},{m.group(3) or 0})"
+    m = re.fullmatch(r"(varchar|character varying|char|bpchar|character)"
+                     r"\s*\(\d+\)", t)
+    if m:
+        return "string"
+    # Spark DDL type? Validate by parsing; without an active session fall
+    # back to a primitive whitelist (complex types are accepted and left
+    # to cast() to reject at apply time).
+    err = ValueError(
+        f"columns_type_override: unknown target type {target!r} "
+        f"(expected a PostgreSQL type name or a Spark DDL type)")
+    try:
+        from pyspark.sql.types import _parse_datatype_string
+
+        _parse_datatype_string(t)
+        return t
+    except ValueError:
+        raise
+    except Exception as e:
+        if "ParseException" in type(e).__name__ or "PARSE" in str(e).upper():
+            raise err from None
+    if t in {"tinyint", "byte", "long", "short", "timestamp_ntz", "void",
+             "interval year to month"} or re.match(r"(array|map|struct)<", t):
+        return t
+    raise err
+
+
+def _apply_type_overrides(df: DataFrame, plan: TablePlan) -> DataFrame:
+    """Cast overridden columns in ONE projection before the transformer
+    chain, so conditions and transformers see the overridden type — the
+    Spark twin of the reference's driver-type rebind (config_builder.go:
+    582-598 + pkg/toolkit/column.go:58-62 OverrideType). Uses ``try_cast``
+    (ANSI-safe): out-of-range / unparseable values become NULL with a
+    narrowing warning, rather than failing the whole dump mid-flight; the
+    DuckDB oracle twin is ``TRY_CAST``. Also warns on override keys naming
+    columns the table doesn't have.
+    """
+    import warnings
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    casts: dict[str, Column] = {}
+    for c, target in plan.type_overrides.items():
+        if c not in fields:
+            warnings.warn(
+                f"columns_type_override: table {plan.table!r} has no "
+                f"column {c!r}; override ignored", stacklevel=3)
+            continue
+        src = fields[c].simpleString()
+        tgt = target.split("(")[0]
+        narrowing = (
+            (src in _NUMERIC_RANK and tgt in _NUMERIC_RANK
+             and _NUMERIC_RANK[tgt] < _NUMERIC_RANK[src])
+            or (src == "string" and tgt != "string")
+            or (src == "double" and tgt == "float")
+            or (src in ("double", "float") and tgt in
+                ("smallint", "int", "bigint"))
+            or (src.startswith("decimal") and tgt in
+                ("smallint", "int", "bigint", "float"))
+        )
+        if narrowing:
+            warnings.warn(
+                f"columns_type_override: {plan.table}.{c} {src} → {target} "
+                f"is a narrowing cast; out-of-range or unparseable values "
+                f"become NULL", stacklevel=3)
+        casts[c] = F.col(c).try_cast(target).alias(c)
+    if not casts:
+        return df
+    return df.select(*[casts.get(c, F.col(c)) for c in df.columns])
 
 
 def _fold_conds(*conds: Column | None) -> Column | None:
@@ -274,6 +401,12 @@ def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
         df = df.filter(plan.subset_cond)
     if plan.limit is not None:
         df = df.limit(plan.limit)
+    if plan.type_overrides:
+        # after subset/limit (reference subset conds run in the DB against
+        # original types) but before ``when``/transformers (the condition
+        # language and transformer decode see the overridden type —
+        # config_builder.go:582, record decode via Column.GetType)
+        df = _apply_type_overrides(df, plan)
     if plan.when:
         df = df.withColumn(_TABLE_WHEN, F.expr(plan.when))
     table_cond = F.col(_TABLE_WHEN) if plan.when else None

@@ -807,7 +807,7 @@ def test_resize_images_honest(spark):
     # reused python worker for the next UDF action (see _collect_retry)
     with pytest.raises(Exception) as ei:
         resize_images(df, 2, 2).collect()
-    _assert_loud_udf_failure(ei, "NotImplementedError", "self-contained")
+    _assert_loud_udf_failure(ei, "NotImplementedError", "decodable format")
     _drain_poisoned_workers(spark)
 
 
@@ -890,7 +890,7 @@ def test_multimodal_real_decoders(spark):
     assert ok[1].mime == "image/raw" and ok[1].payload == ok[2].payload
     with pytest.raises(Exception) as ei:
         decode_images(df).collect()
-    _assert_loud_udf_failure(ei, "NotImplementedError", "self-contained")
+    _assert_loud_udf_failure(ei, "NotImplementedError", "decodable format")
     nulled = {r.media_id: r for r in _collect_retry(decode_images(
         df, on_unsupported="null"))}
     assert nulled[3].payload is None and nulled[1].payload is not None
@@ -2660,6 +2660,22 @@ def test_bm25_scores_and_topk(spark):
     assert [r.id for r in top] == sorted(
         got2, key=lambda i: (-got2[i], i))[:2]
 
+    # include_misses=False (scale path): only matching docs, same scores
+    sparse = {r.id: r.score for r in
+              bm25_scores(docs, "table query",
+                          include_misses=False).collect()}
+    assert set(sparse) == {1, 2}
+    assert all(math.isclose(sparse[i], got2[i], rel_tol=1e-12)
+               for i in sparse)
+    # topk defaults to the sparse path: n beyond the match count
+    # returns ONLY matches (no arbitrary 0.0 padding)...
+    top4 = bm25_topk(docs, "table query", n=4).collect()
+    assert [r.id for r in top4] == [2, 1]
+    # ...unless include_misses=True restores dense padding semantics
+    top4d = bm25_topk(docs, "table query", n=4,
+                      include_misses=True).collect()
+    assert len(top4d) == 4 and [r.id for r in top4d[:2]] == [2, 1]
+
     import pytest
 
     with pytest.raises(ValueError, match="empty query"):
@@ -2755,3 +2771,128 @@ def test_lsh_recall_eval_quadratic_rails(docs):
     m_full = lsh_recall_eval(docs, min_jaccard=0.5, num_perm=8,
                              bands=8, k=3, sample_fraction=1.0)
     assert m_none == m_full
+
+
+def test_png_decode_stdlib():
+    """PNG decodes for REAL with only stdlib zlib: truecolor exercising
+    all five scanline filters, palette, gray, RGBA (alpha dropped), and
+    honest None for out-of-scope variants (16-bit, interlaced).
+    Fixtures are written by an independent in-test encoder (struct +
+    zlib, public spec), pixels asserted exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from greenmask_spark.functions.multimodal import decode_image_bytes
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    def png(w, h, color, filtered_rows, plte=None, depth=8, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        body = b"".join(filtered_rows)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+    # --- truecolor 3x5, one row per filter type; unfiltered target px
+    px = np.arange(3 * 5 * 3, dtype=np.uint32).reshape(5, 3, 3)
+    px = ((px * 37 + 11) % 256).astype(np.uint8)
+    rows = []
+    prev = np.zeros(9, dtype=np.uint8)
+    for r, ftype in enumerate([0, 1, 2, 3, 4]):  # None Sub Up Avg Paeth
+        cur = px[r].reshape(9).astype(np.int64)
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            left = np.concatenate([[0, 0, 0], cur[:-3]])
+            enc = cur - left
+        elif ftype == 2:
+            enc = cur - prev
+        elif ftype == 3:
+            left = np.concatenate([[0, 0, 0], cur[:-3]])
+            enc = cur - ((left + prev) >> 1)
+        else:
+            left = np.concatenate([[0, 0, 0], cur[:-3]])
+            ul = np.concatenate([[0, 0, 0], prev[:-3]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            enc = cur - pred
+        rows.append(bytes([ftype]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur.astype(np.int64)
+    got = decode_image_bytes(png(3, 5, 2, rows))
+    assert got is not None
+    w, h, raw = got
+    assert (w, h) == (3, 5)
+    assert np.array_equal(
+        np.frombuffer(raw, dtype=np.uint8).reshape(5, 3, 3), px)
+
+    # --- palette 2x2: indices map through PLTE to exact colors
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    idx_rows = [b"\x00" + bytes([0, 3]), b"\x00" + bytes([2, 1])]
+    w, h, raw = decode_image_bytes(png(2, 2, 3, idx_rows, plte=plte))
+    assert (w, h) == (2, 2)
+    want = np.array([[[255, 0, 0], [7, 8, 9]],
+                     [[0, 0, 255], [0, 255, 0]]], dtype=np.uint8)
+    assert np.array_equal(
+        np.frombuffer(raw, dtype=np.uint8).reshape(2, 2, 3), want)
+    # out-of-range palette index → None, not a crash
+    bad = [b"\x00" + bytes([0, 9]), b"\x00" + bytes([2, 1])]
+    assert decode_image_bytes(png(2, 2, 3, bad, plte=plte)) is None
+
+    # --- gray 2x1 replicates to RGB; RGBA drops alpha
+    w, h, raw = decode_image_bytes(png(2, 1, 0, [b"\x00" + bytes([5, 250])]))
+    assert (w, h) == (2, 1) and raw == bytes([5, 5, 5, 250, 250, 250])
+    rgba_row = b"\x00" + bytes([1, 2, 3, 128, 4, 5, 6, 7])
+    w, h, raw = decode_image_bytes(png(2, 1, 6, [rgba_row]))
+    assert (w, h) == (2, 1) and raw == bytes([1, 2, 3, 4, 5, 6])
+
+    # --- honest None: 16-bit depth, Adam7 interlace, truncated stream
+    assert decode_image_bytes(
+        png(2, 1, 0, [b"\x00" + bytes(4)], depth=16)) is None
+    assert decode_image_bytes(
+        png(2, 1, 0, [b"\x00" + bytes([5, 250])], interlace=1)) is None
+    trunc = png(3, 5, 2, rows)[:60]
+    assert decode_image_bytes(trunc) is None
+
+
+def test_png_decode_spark_tier(spark):
+    """decode_images fills width/height/mime from a REAL PNG decode —
+    the full Arrow round trip, not just the byte kernel."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from pyspark.sql import Row as R
+
+    from greenmask_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_images,
+        extract_features,
+    )
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    px = np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    body = b"\x00" + px.tobytes()
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b""))
+    df = spark.createDataFrame(
+        [R(media_id=1, kind="image", mime="image/png", payload=payload,
+           width=None, height=None, duration_ms=None)], MEDIA_SCHEMA)
+    out = _collect_retry(decode_images(df))[0]
+    assert (out.width, out.height, out.mime) == (2, 1, "image/raw")
+    assert np.array_equal(
+        np.frombuffer(out.payload, dtype=np.uint8).reshape(1, 2, 3), px)
+    # real features flow from the decoded pixels
+    feat = _collect_retry(extract_features(df, dim=2, fake=False))[0].feature
+    flat = px.reshape(-1).astype(float) / 255.0
+    assert np.allclose(feat, [flat[:3].mean(), flat[3:].mean()], atol=1e-6)

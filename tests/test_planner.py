@@ -196,3 +196,116 @@ def test_plan_health_counts(spark, tables):
     h2 = plan_health(two)
     assert h2["cache_reads"] == 2 and h2["scans"] == 1  # fill counted once
     cached.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# columns_type_override (reference: internal/domains/config.go:171,
+# context/config_builder.go:582-598, pkg/toolkit/column.go:58-62)
+# ---------------------------------------------------------------------------
+
+
+def test_type_override_cast_before_transformers(spark):
+    """text→int4 rebinds the driver type so RandomInt hashes the INT
+    value (canonical string '7', not the raw text '007')."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from greenmask_spark.engines import kernel
+    from greenmask_spark.plan import apply_plan, build_plan
+
+    df = spark.createDataFrame([Row(id=1, v="007"), Row(id=2, v="12")])
+    plan = build_plan({"tables": [{
+        "name": "t",
+        "columns_type_override": {"v": "int4"},
+        "transformers": [
+            {"name": "RandomInt", "salt": "",
+             "params": {"column": "v", "min": 0, "max": 99}},
+        ],
+    }]})[0]
+    out = apply_plan(df, plan)
+    assert out.schema["v"].dataType.simpleString() == "int"
+    got = {r.id: r.v for r in out.collect()}
+    exp = df.select(
+        "id",
+        kernel.uniform_int(F.col("v").cast("int"), F.lit(0), F.lit(99), "")
+        .cast("int").alias("v"),
+    ).collect()
+    assert got == {r.id: r.v for r in exp}
+    # and the hash key really was the canonical int string: '007' ≡ '7'
+    same = spark.createDataFrame([Row(id=1, v="7")])
+    exp2 = apply_plan(same, plan).collect()[0].v
+    assert got[1] == exp2
+
+
+def test_type_override_pg_name_resolution():
+    from greenmask_spark.plan.planner import resolve_type_override
+
+    assert resolve_type_override("int4") == "int"
+    assert resolve_type_override("timestamptz") == "timestamp"
+    assert resolve_type_override("varchar(30)") == "string"
+    assert resolve_type_override("numeric(10,2)") == "decimal(10,2)"
+    assert resolve_type_override("double precision") == "double"
+    assert resolve_type_override("TEXT") == "string"
+    # Spark DDL passthrough
+    assert resolve_type_override("decimal(5,1)") == "decimal(5,1)"
+
+
+def test_type_override_invalid_target_raises():
+    import pytest as _pytest
+
+    from greenmask_spark.plan import build_plan
+
+    with _pytest.raises(ValueError, match="unknown target type"):
+        build_plan({"tables": [{
+            "name": "t", "columns_type_override": {"v": "int44"},
+        }]})
+
+
+def test_type_override_narrowing_warns(spark):
+    import warnings as _w
+
+    from pyspark.sql import Row
+
+    from greenmask_spark.plan import apply_plan, build_plan
+
+    df = spark.createDataFrame([Row(big=2**40, s="x")])
+    plan = build_plan({"tables": [{
+        "name": "t", "columns_type_override": {"big": "int4"},
+    }]})[0]
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = apply_plan(df, plan).collect()[0]
+    assert any("narrowing" in str(r.message) for r in rec)
+    # widening + missing column: no narrowing warning, a missing-col warning
+    plan2 = build_plan({"tables": [{
+        "name": "t",
+        "columns_type_override": {"s": "text", "nope": "int8"},
+    }]})[0]
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        apply_plan(df, plan2).collect()
+    msgs = [str(r.message) for r in rec2]
+    assert not any("narrowing" in m for m in msgs)
+    assert any("no column 'nope'" in m for m in msgs)
+
+
+def test_type_override_when_sees_overridden_type(spark):
+    """The condition tier evaluates against the overridden type — a
+    numeric comparison on a text-overridden-to-int column."""
+    from pyspark.sql import Row
+
+    from greenmask_spark.plan import apply_plan, build_plan
+
+    df = spark.createDataFrame(
+        [Row(id=1, v="5"), Row(id=2, v="50")])
+    plan = build_plan({"tables": [{
+        "name": "t",
+        "when": "record.v > 10",
+        "columns_type_override": {"v": "integer"},
+        "transformers": [
+            {"name": "Replace", "salt": "",
+             "params": {"column": "v", "value": 0, "keep_null": False}},
+        ],
+    }]})[0]
+    got = {r.id: r.v for r in apply_plan(df, plan).collect()}
+    assert got == {1: 5, 2: 0}

@@ -1048,6 +1048,7 @@ def repeated_substring_spans(
     stride: int = 1,
     min_count: int = 2,
     verify: bool = True,
+    prefilter_buckets: int | None = None,
     _persisted: list | None = None,
 ) -> DataFrame:
     """(id, pos) of every window whose content occurs at least
@@ -1063,6 +1064,22 @@ def repeated_substring_spans(
     by the actual window TEXT, so a 60-bit hash collision can never
     flag an innocent span; the verify join touches only candidate
     (id, pos) rows and their source docs.
+
+    ``prefilter_buckets=m`` engages a heavy-hitter sketch prefilter
+    (two-pass) for 100 TB-scale low-dup corpora: pass 1 counts windows
+    per ``h mod m`` bucket — the map-side combine caps that exchange
+    at m (int, long) rows per task no matter how many windows a task
+    holds — and only windows in buckets with ≥ ``min_count`` members
+    proceed to the exact per-h count. The filter is a strict SUPERSET
+    of the true repeats (a repeated h forces its bucket count ≥ its
+    own count), so results are bit-identical to the unfiltered path;
+    mod-collisions only cost false-positive pass-through, ~W/m per
+    window on a low-dup corpus of W windows. Size m ≥ ~10× the
+    expected windows per executor core; the hot-bucket list is ≤ the
+    number of TRUE repeats + collision noise on low-dup corpora
+    (AQE broadcasts it), but is capped at m rows by construction —
+    pick m within broadcast budget. Default off: below ~10M windows
+    the extra aggregation pass costs more than it saves.
 
     The window stream feeds two consumers (the repeat count and the
     candidate semi-join) — it persists once (MEMORY_AND_DISK,
@@ -1081,12 +1098,28 @@ def repeated_substring_spans(
     )
     if _persisted is not None:
         _persisted.append(w)
+    wf = w
+    if prefilter_buckets is not None:
+        m = int(prefilter_buckets)
+        if m < 2:
+            raise ValueError(f"prefilter_buckets={m} must be >= 2")
+        hot_buckets = (
+            w.groupBy(F.pmod(F.col("h"), F.lit(m)).alias("__b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= int(min_count))
+            .select("__b")
+        )
+        wf = w.join(
+            hot_buckets,
+            F.pmod(F.col("h"), F.lit(m)) == F.col("__b"),
+            "left_semi",
+        )
     hot = (
-        w.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+        wf.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= int(min_count))
         .select("h")
     )
-    cand = w.join(hot, "h", "left_semi")
+    cand = wf.join(hot, "h", "left_semi")
     if not verify:
         out = cand.select("id", "pos")
         return _finish_spans(out, w, _persisted)
@@ -1133,12 +1166,16 @@ def remove_repeated_spans(
     stride: int = 1,
     min_count: int = 2,
     spans: DataFrame | None = None,
+    prefilter_buckets: int | None = None,
 ) -> DataFrame:
     """ExactSubstr removal: cut every character covered by a repeated
     length-``length`` window out of the documents (overlapping spans
     merge into one cut). Pass a precomputed ``spans`` frame — the
     (id, pos) output of ``repeated_substring_spans``, possibly built
-    once and persisted — to skip re-detection.
+    once and persisted — to skip re-detection. ``prefilter_buckets``
+    forwards to the detection pass (heavy-hitter bucket prefilter;
+    see ``repeated_substring_spans`` — exact results, much smaller
+    count exchange on low-dup corpora).
 
     The surgery runs in an Arrow-batched pandas UDF over (text, sorted
     span starts): per-doc span lists are bounded by document length,
@@ -1148,7 +1185,8 @@ def remove_repeated_spans(
 
     if spans is None:
         spans = repeated_substring_spans(
-            df, text_col, id_col, length, stride, min_count
+            df, text_col, id_col, length, stride, min_count,
+            prefilter_buckets=prefilter_buckets,
         )
     per_doc = spans.groupBy("id").agg(
         F.sort_array(F.collect_list("pos")).alias("__ps")

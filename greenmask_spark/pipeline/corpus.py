@@ -456,9 +456,12 @@ def _step_remove_repeated_spans(df: DataFrame, p: dict) -> DataFrame:
     the paper's threshold) out of the documents. ``stride`` > 1 trades
     completeness for an s× smaller window stream (see
     functions/dedup.substring_spans); ``min_count`` raises the repeat
-    bar."""
+    bar; ``prefilter_buckets`` engages the exact heavy-hitter bucket
+    prefilter for corpus-scale runs (see
+    functions/dedup.repeated_substring_spans)."""
     from greenmask_spark.functions.dedup import remove_repeated_spans
 
+    pb = p.get("prefilter_buckets")
     return remove_repeated_spans(
         df,
         text_col=p.get("text_col", "text"),
@@ -466,6 +469,7 @@ def _step_remove_repeated_spans(df: DataFrame, p: dict) -> DataFrame:
         length=int(p.get("length", 50)),
         stride=int(p.get("stride", 1)),
         min_count=int(p.get("min_count", 2)),
+        prefilter_buckets=None if pb is None else int(pb),
     )
 
 

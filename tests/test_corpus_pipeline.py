@@ -833,6 +833,12 @@ def test_remove_repeated_spans_step(spark, sf_dir):
     direct = {r.doc_id: r.text for r in
               remove_repeated_spans(df, length=40).collect()}
     assert got == direct
+    # the exact heavy-hitter prefilter is config-reachable and
+    # changes nothing
+    pre = build_corpus_pipeline(
+        df, [{"op": "remove_repeated_spans", "length": 40,
+              "prefilter_buckets": 1 << 16}])
+    assert {r.doc_id: r.text for r in pre.collect()} == got
 
 
 def test_bm25_step(spark, sf_dir):

@@ -2286,10 +2286,21 @@ def test_repeated_substring_spans(spark):
     assert [r.pos for r in w.orderBy("pos").collect()] == \
         list(range(1, 120 - 30 + 2, 7))
 
+    # heavy-hitter bucket prefilter is EXACT (a strict superset
+    # filter): results identical to the plain path even with a tiny
+    # bucket count that forces heavy mod-collisions, and with a large
+    # one where most buckets are cold
+    for m in (2, 1 << 20):
+        pre = {(r.id, r.pos) for r in repeated_substring_spans(
+            docs, length=30, stride=1, prefilter_buckets=m).collect()}
+        assert pre == got, f"prefilter_buckets={m} changed results"
+
     import pytest
 
     with pytest.raises(ValueError, match="stride"):
         substring_spans(docs, length=30, stride=0)
+    with pytest.raises(ValueError, match="prefilter_buckets"):
+        repeated_substring_spans(docs, length=30, prefilter_buckets=1)
 
 
 def test_remove_repeated_spans(spark):

@@ -113,6 +113,13 @@ SHAPES = {
     # per-term df agg, per-doc sum and the zero-restore id join are
     # the exchanges, all carrying (id, score)-class slivers
     "bm25": (6, 0),
+    # r8 — sparse top-k path: include_misses=False drops the
+    # full-corpus zero-restore join (one fewer exchange than bm25);
+    # the ordered limit is TakeOrderedAndProject, not a global sort
+    "bm25_topk": (5, 0),
+    # r8 — columns_type_override + RandomInt: casts fuse into the
+    # transformer projection, zero exchanges
+    "t_type_override": (0, 0),
 }
 
 

@@ -3362,6 +3362,36 @@ def _oracle_stratified_sample() -> str:
     """
 
 
+def q_cap_per_domain(spark, sf_dir):
+    """Per-domain quota (functions/web.cap_per_domain — the Gopher/
+    MassiveText per-domain document cap), r8 two-phase shape: a
+    map-side-combined per-group count finds over-quota groups, which
+    broadcast back; ONLY their rows pay the window-rank exchange,
+    under-quota rows stream through sort-free. Capping lang at 100
+    exercises both paths at sf0.01 (en≈218 over; zh/es/de/fr under).
+    Selection = salted-hash rank of doc_id, replayed verbatim in SQL
+    (lexicographic hex compare in both engines)."""
+    from greenmask_spark.functions.web import cap_per_domain
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    out = cap_per_domain(docs, 100, domain_col="lang", key_col="doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
+def _oracle_cap_per_domain() -> str:
+    return """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    r AS (
+      SELECT d.doc_id, d.lang, d.source, c.n,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY sha256(CAST(d.doc_id AS VARCHAR) || ':cap:42'),
+                        d.doc_id) AS rk
+      FROM documents d JOIN c USING (lang))
+    SELECT doc_id, lang, source FROM r WHERE n <= 100 OR rk <= 100
+    """
+
+
 def q_shard_write(spark, sf_dir):
     """Training-shard writer contract (functions/sampling.
     write_training_shards): deterministically-shuffled rows land in
@@ -3411,68 +3441,124 @@ def _oracle_shard_write() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """77 entries. The driver harness has so far recorded CORRECTNESS
-    rows for the FIRST 50 entries only, so the window is ROTATED each
-    round per the r6 verdict brief: the 22 entries that were tail
-    (never-driver-checked) in r6 — asof_join, range_join,
-    pack_sequences, det_shuffle, salted_agg, skew_join, semantic_dedup,
-    ann_rerank, cluster_split, sample_mixture, normalize_urls,
-    corpus_summary, dedup_against_verified, ann_recall, events_json,
-    dedup_lines, multimodal_frames, train_split, term_frequencies,
-    quantize_embeddings, winnow_pairs, events_windowed — now sit
-    INSIDE the first 50, together with the five r7 additions
-    (classifier_weights, stratified_sample, shard_write,
-    repeated_spans, bm25). The 27 rows displaced to the tail all
-    earned green driver rows in CORRECTNESS_r06 AND keep ≥1
-    same-family row in the window
-    (t_random_float/numeric→t_random_int; t_net_company/t_real_address
-    →t_faker+t_masking+t_random_person; t_json_ops→events_json;
-    subset_lineitem/polymorphic→subset_orders+subset_cycle;
-    q3→q1+q5; events_daily→events_json+events_windowed;
-    text_profile/scrub_pii/repetition_profile→term_frequencies+
-    corpus_summary; minhash_sigs/simhash/ngram_jaccard/lsh_recall_eval
-    →dedup_clusters+winnow_pairs+dedup_lines; ann_topk{,_lsh,_ivf}→
-    ann_recall+ann_rerank; embedding_near_dup→semantic_dedup+
-    quantize_embeddings; strip_html/linear_text_score→lm_score+
-    classifier_weights; dedup_against{,_fuzzy}→dedup_against_verified;
-    cross_split_contamination→train_split+cluster_split; dedup_exact→
-    dedup_lines+dedup_clusters+repeated_spans; multimodal_features→
-    multimodal_frames). The union of driver rows across r6+r7
-    therefore covers all 77 entries.
+    """79 entries. The driver harness records CORRECTNESS rows for the
+    FIRST 50 entries only, so the window ROTATES each round (r6 verdict
+    brief; executed in r7, r8) — no entry's driver row goes more than
+    two rounds stale.
+
+    r8 WINDOW = the 27 rows that sat in the r7 tail (all r6-green:
+    t_random_float, t_random_numeric, t_net_company, t_real_address,
+    t_json_ops, subset_lineitem, subset_polymorphic,
+    q3_shipping_priority, events_daily, dedup_exact, text_profile,
+    minhash_sigs, simhash, ngram_jaccard, lsh_recall_eval,
+    dedup_against, dedup_against_fuzzy, cross_split_contamination,
+    ann_topk, ann_topk_lsh, ann_topk_ivf, embedding_near_dup,
+    multimodal_features, strip_html, scrub_pii, repetition_profile,
+    linear_text_score) + the 3 r8 additions (t_type_override,
+    bm25_topk, cap_per_domain — the last previously pytest-only, now
+    oracle-checked in its new two-phase shape) + 20 keepers whose
+    family has no other window representative (t_masking,
+    t_orders_temporal, t_random_person, t_when_condition,
+    t_dynamic_param, t_query_override, t_template, t_cmd,
+    t_custom_plugin, t_apply_for_references, subset_cycle,
+    validate_diff, copy_roundtrip, sessionize, lm_score,
+    repeated_spans, stratified_sample, pack_sequences, asof_join,
+    salted_agg).
+
+    r8 TAIL = 30 rows, every one green in CORRECTNESS_r07, each with
+    >= 1 same-family row in the window: bm25 (→ bm25_topk, same
+    formula family — its dense-scores oracle re-verifies next
+    rotation), mask_customer (→ t_masking),
+    t_random_int (→ t_random_float/t_random_numeric), t_faker
+    (→ t_real_address/t_net_company), subset_orders
+    (→ subset_lineitem/subset_polymorphic/subset_cycle),
+    q1_pricing_summary + q5_region_revenue (→ q3_shipping_priority),
+    dedup_clusters (→ minhash_sigs/simhash/lsh_recall_eval),
+    ngram_decontaminate (→ cross_split_contamination), events_json
+    (→ t_json_ops/events_daily), dedup_lines (→ dedup_exact),
+    multimodal_frames (→ multimodal_features), train_split +
+    cluster_split (→ stratified_sample/cross_split_contamination),
+    term_frequencies + corpus_summary (→ text_profile),
+    quantize_embeddings + semantic_dedup (→ embedding_near_dup),
+    winnow_pairs (→ text_profile/simhash), range_join (→ asof_join),
+    normalize_urls (→ strip_html/scrub_pii), sample_mixture +
+    det_shuffle + shard_write (→ stratified_sample/pack_sequences),
+    dedup_against_verified (→ dedup_against/dedup_against_fuzzy),
+    ann_recall + ann_rerank (→ ann_topk/ann_topk_lsh/ann_topk_ivf),
+    skew_join (→ salted_agg), events_windowed (→ events_daily),
+    classifier_weights (→ linear_text_score).
+
+    Union coverage: CORRECTNESS_r08 ∪ r07 covers all 80 entries
+    (the 30 tail rows were green in r07's window; the 50 window rows
+    get fresh r08 rows).
+
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its
     original key/params, so per-transformer semantics are unchanged;
     the docstring of each family query lists its members."""
     return {
-        # --- window: r6-tail rotation + r7 additions + family reps ---
-        "mask_customer": q_mask_customer,        # +Hash max_length (h16)
-        "t_random_int": q_t_random_int,          # +NoiseInt/RandomString/RegexpReplace
+        # --- r8 window: transformer/config family reps + r8 additions ---
         "t_masking": q_t_masking,                # +RandomUuid/RandomEmail
         "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
         "t_random_person": q_t_random_person,
-        "t_faker": q_t_faker,                    # all 22 faker transformers
         "t_when_condition": q_t_when_condition,
         "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
         "t_query_override": q_t_query_override,
         "t_template": q_t_template,              # +TemplateRecord
-        "t_cmd": q_t_cmd,                        # json + text + csv protocol drivers
+        "t_cmd": q_t_cmd,                        # json + text + csv drivers
         "t_custom_plugin": q_t_custom_plugin,
         "t_apply_for_references": q_t_apply_for_references,
-        "t_type_override": q_t_type_override,
-        "subset_orders": q_subset_orders,
+        "t_type_override": q_t_type_override,    # NEW r8: columns_type_override
+        # r7 tail, rotated back into the window this round
+        "t_random_float": q_t_random_float,      # +NoiseFloat
+        "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
+        "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
+        "t_real_address": q_t_real_address,
+        "t_json_ops": q_t_json_ops,              # +RandomBool/RandomUnixTimestamp
         "subset_cycle": q_subset_cycle,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q5_region_revenue": q_q5_region_revenue,
-        "dedup_clusters": q_dedup_clusters,  # +minhash_pairs (strict intermediate)
+        "subset_lineitem": q_subset_lineitem,
+        "subset_polymorphic": q_subset_polymorphic,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "events_daily": q_events_daily,
         "validate_diff": q_validate_diff,
         "copy_roundtrip": q_copy_roundtrip,
         "sessionize": q_sessionize,
-        "ngram_decontaminate": q_ngram_decontaminate,
+        "dedup_exact": q_dedup_exact,
+        "text_profile": q_text_profile,
+        "minhash_sigs": q_minhash_sigs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_recall_eval": q_lsh_recall_eval,
+        "dedup_against": q_dedup_against,
+        "dedup_against_fuzzy": q_dedup_against_fuzzy,
+        "cross_split_contamination": q_cross_split_contamination,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "strip_html": q_strip_html,
+        "scrub_pii": q_scrub_pii,
+        "repetition_profile": q_repetition_profile,
+        "linear_text_score": q_linear_text_score,
         "lm_score": q_lm_score,
-        "bm25": q_bm25,  # displaces multimodal_features (r6-green;
-        #   multimodal family keeps multimodal_frames in the window)
-        "bm25_topk": q_bm25_topk,
-        # r6 tail, rotated into the window this round
+        "bm25_topk": q_bm25_topk,                # NEW r8: sparse top-k path
+        "cap_per_domain": q_cap_per_domain,      # NEW r8 oracle row: two-phase quota
+        "repeated_spans": q_repeated_spans,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "asof_join": q_asof_join,
+        "salted_agg": q_salted_agg,
+        # --- r8 tail: all green in CORRECTNESS_r07; family reps above ---
+        "bm25": q_bm25,                          # → bm25_topk in window
+        "mask_customer": q_mask_customer,        # +Hash max_length (h16)
+        "t_random_int": q_t_random_int,          # +NoiseInt/RandomString/RegexpReplace
+        "t_faker": q_t_faker,                    # all 22 faker transformers
+        "subset_orders": q_subset_orders,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q5_region_revenue": q_q5_region_revenue,
+        "dedup_clusters": q_dedup_clusters,      # +minhash_pairs
+        "ngram_decontaminate": q_ngram_decontaminate,
         "events_json": q_events_json,
         "dedup_lines": q_dedup_lines,
         "multimodal_frames": q_multimodal_frames,
@@ -3480,7 +3566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequencies": q_term_frequencies,
         "quantize_embeddings": q_quantize_embeddings,
         "winnow_pairs": q_winnow_pairs,
-        "asof_join": q_asof_join,
         "range_join": q_range_join,
         "normalize_urls": q_normalize_urls,
         "sample_mixture": q_sample_mixture,
@@ -3490,46 +3575,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": q_cluster_split,
         "ann_rerank": q_ann_rerank,
         "semantic_dedup": q_semantic_dedup,
-        "pack_sequences": q_pack_sequences,
-        "salted_agg": q_salted_agg,
         "det_shuffle": q_det_shuffle,
         "skew_join": q_skew_join,
         "events_windowed": q_events_windowed,
-        # r7 additions
         "classifier_weights": q_classifier_weights,
-        "stratified_sample": q_stratified_sample,
         "shard_write": q_shard_write,
-        "repeated_spans": q_repeated_spans,  # displaces dedup_exact
-        #   (r6-green; exact-dedup family keeps dedup_lines,
-        #   dedup_clusters, dedup_against_verified in the window)
-        # --- tail: green in CORRECTNESS_r06; families covered above ---
-        "dedup_exact": q_dedup_exact,
-        "multimodal_features": q_multimodal_features,
-        "t_random_float": q_t_random_float,      # +NoiseFloat
-        "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
-        "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
-        "t_real_address": q_t_real_address,
-        "t_json_ops": q_t_json_ops,              # +RandomBool/RandomUnixTimestamp
-        "subset_lineitem": q_subset_lineitem,
-        "subset_polymorphic": q_subset_polymorphic,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "events_daily": q_events_daily,
-        "text_profile": q_text_profile,
-        "minhash_sigs": q_minhash_sigs,
-        "simhash": q_simhash,
-        "ann_topk": q_ann_topk,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_near_dup": q_embedding_near_dup,
-        "strip_html": q_strip_html,
-        "dedup_against": q_dedup_against,
-        "dedup_against_fuzzy": q_dedup_against_fuzzy,
-        "linear_text_score": q_linear_text_score,
-        "lsh_recall_eval": q_lsh_recall_eval,
-        "repetition_profile": q_repetition_profile,
-        "cross_split_contamination": q_cross_split_contamination,
-        "scrub_pii": q_scrub_pii,
     }
 
 
@@ -3614,4 +3664,5 @@ def oracle_sql() -> dict[str, str]:
         "repeated_spans": _oracle_repeated_spans(),
         "bm25": _oracle_bm25(),
         "bm25_topk": _oracle_bm25_topk(),
+        "cap_per_domain": _oracle_cap_per_domain(),
     }

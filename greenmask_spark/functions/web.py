@@ -89,21 +89,45 @@ def cap_per_domain(
     key_col: str = "doc_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Keep at most ``max_docs`` documents per domain, chosen by a
-    deterministic salted-hash ranking (NOT first-k in file order, which
-    biases toward crawl ordering).
+    """Keep at most ``max_docs`` documents per domain (the Gopher/
+    MassiveText per-domain quota), chosen by a deterministic
+    salted-hash ranking (NOT first-k in file order, which biases
+    toward crawl ordering) — a pure function of (key, seed), identical
+    at any partitioning and replayable in plain SQL.
 
-    Scale shape: one window over partitionBy(domain). A mega-domain
-    serializes its rank into one task; for corpora where one domain is
-    a double-digit percentage of rows, pre-filter it with
+    Scale shape (two-phase since r8): a map-side-combined per-domain
+    count — the scan prunes to the domain column, (domain, int) pairs
+    on the wire — finds the over-quota domains, typically a handful of
+    heavy ones; those broadcast back (NULL-safe equality, so a NULL
+    domain is one quota bucket like before) and only THEIR rows enter
+    the window-rank exchange. Rows in under-quota domains stream
+    scan→filter-through with no sort. A mega-domain still serializes
+    its rank into one task; for corpora where one domain is a
+    double-digit percentage of rows, pre-filter it with
     ``hash_sample`` at rate ≈ max_docs/|domain| first (two-pass cap) —
     the window then ranks a bounded remnant."""
+    if int(max_docs) < 1:
+        raise ValueError(f"max_docs={max_docs} must be >= 1")
+    n = int(max_docs)
     u = F.sha2(
         F.concat(F.col(key_col).cast("string"), F.lit(f":cap:{seed}")), 256
     )
+    over = (
+        df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > n)
+        .select(F.col(domain_col).alias("__g"), F.lit(True).alias("__over"))
+    )
+    marked = df.join(
+        F.broadcast(over),
+        F.col(domain_col).eqNullSafe(F.col("__g")),
+        "left",
+    ).drop("__g")
+    pass_through = marked.filter(F.col("__over").isNull()).drop("__over")
+    heavy = marked.filter(F.col("__over")).drop("__over")
     w = Window.partitionBy(domain_col).orderBy(u, F.col(key_col))
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= max_docs)
+    capped = (
+        heavy.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
         .drop("__rk")
     )
+    return pass_through.unionByName(capped).select(*df.columns)

@@ -2907,3 +2907,45 @@ def test_png_decode_spark_tier(spark):
     feat = _collect_retry(extract_features(df, dim=2, fake=False))[0].feature
     flat = px.reshape(-1).astype(float) / 255.0
     assert np.allclose(feat, [flat[:3].mean(), flat[3:].mean()], atol=1e-6)
+
+
+def test_cap_per_domain_two_phase(spark):
+    """The r8 two-phase domain cap keeps exact semantics: over-quota
+    domains keep exactly N rows chosen by hash rank of the key
+    (reproducible at any partitioning), under-quota domains pass
+    through untouched (they skip the window sort entirely), a NULL
+    domain is one quota bucket (null-safe join, as the old
+    single-window shape treated it), and the kept subset replays
+    driver-side from the same salted hash."""
+    import pytest
+
+    from greenmask_spark.functions.web import cap_per_domain
+
+    rows = ([(i, "big") for i in range(40)]
+            + [(100 + i, "small") for i in range(5)]
+            + [(200 + i, None) for i in range(15)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_domain(df, 10)
+    got = [(r.doc_id, r.source) for r in out.collect()]
+    by_dom = {}
+    for i, d in got:
+        by_dom.setdefault(d, set()).add(i)
+    assert len(by_dom["big"]) == 10
+    assert by_dom["small"] == {100 + i for i in range(5)}
+    assert len(by_dom[None]) == 10  # NULL domain IS a quota bucket
+    assert len(got) == len(set(got))  # no duplicated rows
+    assert out.columns == df.columns
+    # deterministic at any partitioning
+    again = cap_per_domain(df.repartition(7), 10)
+    assert {(r.doc_id, r.source) for r in again.collect()} == set(got)
+    # the kept rows are the hash-rank minimum — replay the salted hash
+    import hashlib
+
+    def h(k):
+        return hashlib.sha256(f"{k}:cap:42".encode()).hexdigest()
+
+    want_big = set(sorted(range(40), key=lambda k: (h(k), k))[:10])
+    assert by_dom["big"] == want_big
+
+    with pytest.raises(ValueError, match="max_docs"):
+        cap_per_domain(df, 0)

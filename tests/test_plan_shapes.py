@@ -120,6 +120,10 @@ SHAPES = {
     # r8 — columns_type_override + RandomInt: casts fuse into the
     # transformer projection, zero exchanges
     "t_type_override": (0, 0),
+    # r8 — two-phase domain quota: per-domain count agg + the window
+    # exchange for over-quota rows only (the broadcast marker join and
+    # the pass-through branch add none)
+    "cap_per_domain": (3, 0),
 }
 
 

@@ -496,6 +496,66 @@ def resize_raw_images(
     return df.mapInPandas(run, schema=schema)
 
 
+def encode_png_bytes(width: int, height: int, raw_rgb: bytes,
+                     level: int = 6) -> bytes:
+    """REAL PNG encode with only the stdlib: an 8-bit truecolor,
+    non-interlaced PNG (filter type None per scanline, ``zlib``
+    deflate, correct chunk CRCs) from an H×W×3 uint8 RGB buffer. The
+    inverse of ``_decode_png`` for the truecolor case —
+    ``decode ∘ encode`` is pixel-exact. Filter-None keeps the encoder
+    trivially correct; compression ratio is zlib's problem, and any
+    spec-compliant reader (including ours) accepts it."""
+    import struct
+    import zlib
+
+    w, h = int(width), int(height)
+    if w <= 0 or h <= 0 or len(raw_rgb) != w * h * 3:
+        raise ValueError(
+            f"encode_png_bytes: buffer of {len(raw_rgb)} bytes does not "
+            f"match {w}x{h}x3")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    stride = w * 3
+    body = b"".join(
+        b"\x00" + raw_rgb[r * stride:(r + 1) * stride] for r in range(h)
+    )
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(body, level))
+            + chunk(b"IEND", b""))
+
+
+def encode_images(df: DataFrame, level: int = 6) -> DataFrame:
+    """Raw H×W×3 RGB media frames → PNG payloads (mime ``image/png``)
+    — the sink-side twin of ``decode_images``, so a pipeline can
+    decode → transform (resize/crop) → re-encode entirely inside this
+    engine. Rows whose payload size does not match the declared dims
+    yield a NULL payload (the corrupt-input skip-don't-fail policy of
+    ``resize_raw_images``); NULL payloads pass through as NULL."""
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, mimes = [], []
+            for p, w, h, m in zip(pdf["payload"], pdf["width"],
+                                  pdf["height"], pdf["mime"]):
+                if p is None or w is None or h is None or \
+                        len(p) != int(w) * int(h) * 3:
+                    payloads.append(None)
+                    mimes.append(m)
+                    continue
+                payloads.append(
+                    encode_png_bytes(int(w), int(h), bytes(p), level))
+                mimes.append("image/png")
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["mime"] = mimes
+            yield out
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Stub frame sampler: emits (media_id, frame_ts_ms) rows from duration
     metadata — the explode pattern a real video pipeline uses, minus decode."""

@@ -502,3 +502,33 @@ def test_load_config_env_interpolation(sf_dir, tmp_path, monkeypatch):
     pj = tmp_path / "cfg_env.json"
     pj.write_text(json.dumps(env_cfg))
     assert load_config(str(pj)) == literal
+
+
+def test_cli_dump_columns_type_override(spark, sf_dir, tmp_path, capsys):
+    """A reference-style YAML with columns_type_override flows through
+    cmd_dump → build_plan → apply_plan: the dumped parquet carries the
+    overridden types (reference: internal/domains/config.go:171)."""
+    import warnings
+
+    cfg_path = str(tmp_path / "cfg_to.yml")
+    dump_dir = str(tmp_path / "dump_to")
+    cfg = {
+        "source": {"dir": sf_dir, "tables": ["orders"]},
+        "dump": {"output": dump_dir},
+        "tables": [{
+            "name": "orders",
+            "columns_type_override": {
+                "o_orderkey": "int4",
+                "o_custkey": "text",
+            },
+        }],
+    }
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # narrowing warning is expected
+        assert main(["dump", "--config", cfg_path]) == 0
+    capsys.readouterr()
+    out = spark.read.parquet(os.path.join(dump_dir, "orders"))
+    assert out.schema["o_orderkey"].dataType.simpleString() == "int"
+    assert out.schema["o_custkey"].dataType.simpleString() == "string"

@@ -2949,3 +2949,49 @@ def test_cap_per_domain_two_phase(spark):
 
     with pytest.raises(ValueError, match="max_docs"):
         cap_per_domain(df, 0)
+
+
+def test_png_encode_roundtrip(spark):
+    """encode_png_bytes is the exact inverse of the PNG decoder for
+    truecolor, and the Spark tier round-trips decode → resize →
+    re-encode with pixel-exact payloads and correct metadata."""
+    import numpy as np
+    from pyspark.sql import Row as R
+
+    from greenmask_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_bytes,
+        decode_images,
+        encode_images,
+        encode_png_bytes,
+        resize_raw_images,
+    )
+
+    px = ((np.arange(4 * 3 * 3, dtype=np.uint32) * 53 + 7) % 256).astype(
+        np.uint8).reshape(3, 4, 3)
+    payload = encode_png_bytes(4, 3, px.tobytes())
+    w, h, raw = decode_image_bytes(payload)
+    assert (w, h) == (4, 3) and raw == px.tobytes()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="does not match"):
+        encode_png_bytes(4, 3, px.tobytes()[:-1])
+
+    # Spark tier: encoded → decode_images → resize → encode_images
+    df = spark.createDataFrame(
+        [R(media_id=1, kind="image", mime="image/png", payload=payload,
+           width=None, height=None, duration_ms=None),
+         R(media_id=2, kind="image", mime="image/raw", payload=b"xx",
+           width=9, height=9, duration_ms=None)],  # corrupt dims → NULL
+        MEDIA_SCHEMA)
+    out = {r.media_id: r for r in _collect_retry(
+        encode_images(resize_raw_images(decode_images(
+            df, on_unsupported="null"), 2, 2)))}
+    assert out[1].mime == "image/png" and (out[1].width,
+                                           out[1].height) == (2, 2)
+    w2, h2, raw2 = decode_image_bytes(out[1].payload)
+    yi = (np.arange(2) * 3) // 2
+    xi = (np.arange(2) * 4) // 2
+    assert (w2, h2) == (2, 2) and raw2 == px[yi[:, None], xi, :].tobytes()
+    assert out[2].payload is None  # corrupt row skipped, not failed

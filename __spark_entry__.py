@@ -1417,6 +1417,78 @@ def _oracle_ann_topk_ivf() -> str:
     )""")
 
 
+_PQ_M = 8
+_PQ_KSUB = 16
+
+
+def q_ann_topk_pq(spark, sf_dir):
+    """Product-quantization ANN by asymmetric distance (the FAISS
+    IndexPQ plan — functions/similarity.pq_topk): corpus vectors live
+    as m=8 codes (64 fp32 dims → 8 bytes at 100 TB, the codes ARE the
+    index), each query precomputes an m × k_sub partial-distance LUT
+    once, and scoring a row is m gathers + an ordered sum. This entry
+    uses sha256-derived codebooks so the DuckDB oracle replays encode
+    AND ADC bit-for-bit (LUT entries fold per dimension, the total
+    folds per subspace — ordered list_sum on the SQL side); trained
+    codebooks (train_pq_codebooks — float means aren't cross-engine
+    reproducible) are quantization-error-asserted in pytest."""
+    from greenmask_spark.functions.similarity import (
+        hash_pq_codebooks,
+        pq_topk,
+    )
+
+    emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < _ANN_NQUERY)
+    books = hash_pq_codebooks(64, m=_PQ_M, k_sub=_PQ_KSUB, seed=42)
+    return pq_topk(emb, queries, k=_ANN_K, codebooks=books)
+
+
+def _oracle_ann_topk_pq() -> str:
+    from greenmask_spark.functions.similarity import hash_pq_codebooks
+
+    books = hash_pq_codebooks(64, m=_PQ_M, k_sub=_PQ_KSUB, seed=42)
+    dsub = 64 // _PQ_M
+    values = ", ".join(
+        f"({s}, {j}, CAST({_sql_arr(c)} AS DOUBLE[]))"
+        for s, book in enumerate(books)
+        for j, c in enumerate(book)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+               FROM embeddings),
+    cb(s, j, c) AS (SELECT * FROM (VALUES {values})),
+    d AS (
+      SELECT e.vec_id, cb.s, cb.j,
+             list_sum(list_transform(
+               list_zip(e.v[cb.s*{dsub}+1:(cb.s+1)*{dsub}], cb.c),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+      FROM e CROSS JOIN cb
+    ),
+    code AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d)
+      WHERE rn = 1
+    ),
+    scored AS (
+      SELECT lq.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list(lq.dist ORDER BY lq.s)), 4) AS adc_dist
+      FROM code c JOIN d lq ON lq.s = c.s AND lq.j = c.j
+      WHERE lq.vec_id < {_ANN_NQUERY} AND c.vec_id <> lq.vec_id
+      GROUP BY lq.vec_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist ASC, neighbor_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, adc_dist, rank FROM ranked
+    WHERE rank <= {_ANN_K}
+    """
+
+
 _SEM_K = 8
 _SEM_THR = 0.45
 
@@ -3454,21 +3526,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_against, dedup_against_fuzzy, cross_split_contamination,
     ann_topk, ann_topk_lsh, ann_topk_ivf, embedding_near_dup,
     multimodal_features, strip_html, scrub_pii, repetition_profile,
-    linear_text_score) + the 3 r8 additions (t_type_override,
-    bm25_topk, cap_per_domain — the last previously pytest-only, now
-    oracle-checked in its new two-phase shape) + 20 keepers whose
-    family has no other window representative (t_masking,
-    t_orders_temporal, t_random_person, t_when_condition,
+    linear_text_score) + the 4 r8 additions (t_type_override,
+    bm25_topk, ann_topk_pq, cap_per_domain — the last previously
+    pytest-only, now oracle-checked in its new two-phase shape) + 19
+    keepers whose family has no other window representative
+    (t_masking, t_orders_temporal, t_random_person, t_when_condition,
     t_dynamic_param, t_query_override, t_template, t_cmd,
     t_custom_plugin, t_apply_for_references, subset_cycle,
     validate_diff, copy_roundtrip, sessionize, lm_score,
-    repeated_spans, stratified_sample, pack_sequences, asof_join,
-    salted_agg).
+    repeated_spans, stratified_sample, asof_join, salted_agg).
 
-    r8 TAIL = 30 rows, every one green in CORRECTNESS_r07, each with
+    r8 TAIL = 31 rows, every one green in CORRECTNESS_r07, each with
     >= 1 same-family row in the window: bm25 (→ bm25_topk, same
     formula family — its dense-scores oracle re-verifies next
-    rotation), mask_customer (→ t_masking),
+    rotation), pack_sequences (→ stratified_sample, sampling/packing
+    family), mask_customer (→ t_masking),
     t_random_int (→ t_random_float/t_random_numeric), t_faker
     (→ t_real_address/t_net_company), subset_orders
     (→ subset_lineitem/subset_polymorphic/subset_cycle),
@@ -3484,12 +3556,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     normalize_urls (→ strip_html/scrub_pii), sample_mixture +
     det_shuffle + shard_write (→ stratified_sample/pack_sequences),
     dedup_against_verified (→ dedup_against/dedup_against_fuzzy),
-    ann_recall + ann_rerank (→ ann_topk/ann_topk_lsh/ann_topk_ivf),
+    ann_recall + ann_rerank (→ ann_topk/ann_topk_lsh/ann_topk_ivf/
+    ann_topk_pq),
     skew_join (→ salted_agg), events_windowed (→ events_daily),
     classifier_weights (→ linear_text_score).
 
-    Union coverage: CORRECTNESS_r08 ∪ r07 covers all 80 entries
-    (the 30 tail rows were green in r07's window; the 50 window rows
+    Union coverage: CORRECTNESS_r08 ∪ r07 covers all 81 entries
+    (the 31 tail rows were green in r07's window; the 50 window rows
     get fresh r08 rows).
 
     Single-transformer queries from r1 remain consolidated into
@@ -3535,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_pq": q_ann_topk_pq,            # NEW r8: PQ-ADC (IndexPQ)
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "strip_html": q_strip_html,
@@ -3546,11 +3620,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_domain": q_cap_per_domain,      # NEW r8 oracle row: two-phase quota
         "repeated_spans": q_repeated_spans,
         "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
         "asof_join": q_asof_join,
         "salted_agg": q_salted_agg,
         # --- r8 tail: all green in CORRECTNESS_r07; family reps above ---
         "bm25": q_bm25,                          # → bm25_topk in window
+        "pack_sequences": q_pack_sequences,      # → stratified_sample
         "mask_customer": q_mask_customer,        # +Hash max_length (h16)
         "t_random_int": q_t_random_int,          # +NoiseInt/RandomString/RegexpReplace
         "t_faker": q_t_faker,                    # all 22 faker transformers
@@ -3620,6 +3694,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _oracle_ann_topk(),
         "ann_topk_lsh": _oracle_ann_topk_lsh(),
         "ann_topk_ivf": _oracle_ann_topk_ivf(),
+        "ann_topk_pq": _oracle_ann_topk_pq(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "multimodal_features": _oracle_multimodal_features(),

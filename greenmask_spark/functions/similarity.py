@@ -507,6 +507,277 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
+def hash_pq_codebooks(
+    dim: int, m: int = 8, k_sub: int = 16, seed: int = 42,
+    scale: float = 0.25,
+) -> list[list[list[float]]]:
+    """Deterministic data-independent PQ codebooks: ``m`` books of
+    ``k_sub`` × (dim/m) sub-centroids from the same sha256-derived
+    uniforms as ``hash_centroids`` (per-subspace seed offset so the
+    books differ). Trained codebooks (``train_pq_codebooks``) quantize
+    tighter, but float mean arithmetic is not bit-reproducible across
+    engines; these replay as literal arrays inside the SQL oracle, so
+    the encode + ADC machinery itself is hash-verified cross-engine."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [
+            [x * scale for x in row]
+            for row in _hyperplanes(dsub, k_sub, seed + 1009 * (s + 1))
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011): each vector
+    splits into ``m`` subvectors; each subvector maps to the index of
+    its nearest sub-centroid (argmin squared-L2, ties to the smallest
+    code). Output adds ``out_col`` = array<int> of m codes — the PQ
+    index column: at 100 TB, persist it and drop the float vectors
+    (64 fp32 dims → m bytes per vector at k_sub ≤ 256).
+
+    Cross-engine contract as ``_assign_centroids``: one vectorized
+    Arrow pass (scan+project, NO shuffle), per-dimension SEQUENTIAL
+    fold so the SQL twin's list_sum sees identical doubles; NULL or
+    wrong-dimension vectors get a NULL code and drop out downstream."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    dim = m * dsub
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def run(it):
+        for pdf in it:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out[out_col] = []
+                yield out
+                continue
+            valid = np.array(
+                [v is not None and len(v) == dim for v in pdf[vec_col]]
+            )
+            codes = [None] * len(pdf)
+            if valid.any():
+                vmat = np.array([
+                    np.asarray(v, dtype=np.float64)
+                    for v, ok in zip(pdf[vec_col], valid) if ok
+                ])
+                cmat = np.empty((len(vmat), m), dtype=np.int64)
+                for s in range(m):
+                    sub = vmat[:, s * dsub:(s + 1) * dsub]
+                    acc = np.zeros((len(vmat), len(books[s])))
+                    for d in range(dsub):
+                        diff = sub[:, d, None] - books[s][None, :, d]
+                        acc = acc + diff * diff  # sequential fold
+                    cmat[:, s] = np.argmin(acc, axis=1)  # first minimum
+                rows = iter(cmat)
+                codes = [
+                    [int(x) for x in next(rows)] if ok else None
+                    for ok in valid
+                ]
+            out[out_col] = codes
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k_sub: int = 16,
+    n_iters: int = 2,
+    sample_mod: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook training: per-subspace k-means over a
+    hash-selected sample, all ``m`` subspaces trained in the SAME
+    distributed passes (not m separate jobs).
+
+    - init: per subspace, the subvectors of the ``k_sub`` sample
+      vectors with smallest ``xxhash64(seed, id)`` — the
+      ``train_ivf_centroids`` rule, stable at any partitioning;
+    - Lloyd iteration: one Arrow pass encodes every sample vector in
+      all subspaces (``pq_encode``); the mean update is
+      ``posexplode(vec)`` → derive (subspace, code, pos) → one
+      ``groupBy.avg`` whose shuffle rows are (int, int, int, double)
+      — never whole vectors. Only m × k_sub × dsub floats reach the
+      driver per iteration (the codebooks themselves).
+    - empty cells keep their previous sub-centroid (IVF convention).
+    """
+    first = corpus.select(F.size(F.col(vec_col)).alias("n")).first()
+    if first is None:
+        raise ValueError("train_pq_codebooks: empty corpus")
+    dim = int(first.n)
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    sample = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.xxhash64(F.lit(seed), F.col(id_col)).alias("h"),
+    ).filter(F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
+    init_rows = sample.orderBy("h", "id").limit(k_sub).collect()
+    if not init_rows:
+        raise ValueError(
+            "train_pq_codebooks: empty training sample — lower "
+            "sample_mod or check the corpus")
+    books = [
+        [
+            [float(x) for x in r.vec[s * dsub:(s + 1) * dsub]]
+            for r in init_rows
+        ]
+        for s in range(m)
+    ]
+    for _ in range(n_iters):
+        coded = pq_encode(sample, books, id_col="id", vec_col="vec")
+        means = (
+            coded.filter(F.col("pq_code").isNotNull())
+            .select(F.col("pq_code"), F.posexplode("vec").alias("pos", "val"))
+            .withColumn("s", (F.col("pos") / dsub).cast("int"))
+            .select(
+                "s",
+                F.element_at("pq_code", F.col("s") + 1).alias("j"),
+                (F.col("pos") % dsub).alias("d"),
+                "val",
+            )
+            .groupBy("s", "j", "d")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r.s, r.j), {})[r.d] = r.mean
+        books = [
+            [
+                [got[(s, j)][d] for d in sorted(got[(s, j)])]
+                if (s, j) in got else books[s][j]
+                for j in range(len(books[s]))
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = 8,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ approximate top-k by Asymmetric Distance Computation (the
+    FAISS IndexPQ plan re-expressed): corpus vectors live as m small
+    codes; each query precomputes an m × k_sub lookup table of partial
+    squared distances to every sub-centroid ONCE, and scoring a corpus
+    row is m table gathers + a sum — no per-pair float vector math.
+    Output: (query_id, neighbor_id, adc_dist, rank), rank ascending by
+    the 4-decimal-rounded distance, ties to the smallest neighbor;
+    self-pairs excluded.
+
+    Scale shape: encoding is one corpus scan (pass ``codes`` — the
+    persisted output of ``pq_encode`` — to skip it: the codes ARE the
+    index, m bytes a vector); the scorer is an Arrow pass over
+    codes × broadcast queries with the LUT memoized per query per
+    batch — scan-only, the lone exchange is the final per-query
+    top-k rank. Cross-engine parity: LUT entries fold per dimension
+    sequentially, the ADC total folds per subspace sequentially, both
+    replayed by ordered list_sum in the SQL oracle."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    books = codebooks or train_pq_codebooks(
+        corpus, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    m = len(books)
+    dsub = len(books[0][0])
+    dim = m * dsub
+    bmats = [np.array(b, dtype=np.float64) for b in books]
+    if codes is None:
+        codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    c = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col("pq_code")
+    ).filter(F.col("pq_code").isNotNull())
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    paired = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+
+    schema = T.StructType([
+        T.StructField("query_id", q.schema["query_id"].dataType),
+        T.StructField("neighbor_id", c.schema["neighbor_id"].dataType),
+        T.StructField("adc_dist", T.DoubleType()),
+    ])
+
+    def run(it):
+        luts: dict = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            outs = {"query_id": [], "neighbor_id": [], "adc_dist": []}
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                qv = grp["qvec"].iloc[0]
+                if qv is None or len(qv) != dim:
+                    continue
+                lut = luts.get(qid)
+                if lut is None:
+                    qarr = np.asarray(qv, dtype=np.float64)
+                    lut = np.empty((m, len(bmats[0])))
+                    for s in range(m):
+                        sub = qarr[s * dsub:(s + 1) * dsub]
+                        acc = np.zeros(len(bmats[s]))
+                        for d in range(dsub):
+                            diff = sub[d] - bmats[s][:, d]
+                            acc = acc + diff * diff  # sequential fold
+                        lut[s] = acc
+                    luts[qid] = lut
+                cmat = np.array(
+                    [list(cd) for cd in grp["pq_code"]], dtype=np.int64
+                )
+                dist = np.zeros(len(grp))
+                for s in range(m):  # sequential fold in subspace order
+                    dist = dist + lut[s][cmat[:, s]]
+                outs["query_id"].extend([qid] * len(grp))
+                outs["neighbor_id"].extend(grp["neighbor_id"])
+                outs["adc_dist"].extend(dist)
+            yield pd.DataFrame(outs, columns=list(schema.fieldNames()))
+
+    # rounding happens JVM-side: F.round is HALF_UP like the oracle's
+    # round(); numpy's np.round is half-even and would diverge on
+    # exact .00005 boundaries
+    scored = paired.mapInPandas(run, schema=schema).withColumn(
+        "adc_dist", F.round(F.col("adc_dist"), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes without numpy RNG state
     ambiguity: values from a hash-derived uniform in [-1, 1]."""

@@ -124,6 +124,10 @@ SHAPES = {
     # exchange for over-quota rows only (the broadcast marker join and
     # the pass-through branch add none)
     "cap_per_domain": (3, 0),
+    # r8 — PQ-ADC: encode scan + the broadcast-queries scorer are the
+    # two licensed Python (Arrow) stages; exchanges are the final
+    # per-query rank only (+AQE coalesce headroom)
+    "ann_topk_pq": (2, 2),
 }
 
 

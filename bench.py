@@ -50,6 +50,12 @@ HEADLINE = [
     # operator (per-window sha256 stream, persisted once, then the
     # repeat-count + verify joins)
     "repeated_spans",
+    # r8: the lexical-search sparse top-k (explode semi-joined by the
+    # broadcast query terms) and PQ-ADC ANN (encode scan + LUT-gather
+    # scorer). Appended so the common-18 prefix stays comparable with
+    # BENCH_r07; contention canary logic unchanged.
+    "bm25_topk",
+    "ann_topk_pq",
 ]
 
 

@@ -289,6 +289,67 @@ def near_dedup_stream(
     return dedup_stream(staged, ["__sig"], ts_col, watermark).drop("__sig")
 
 
+def quota_stream(
+    events: DataFrame,
+    group_col: str,
+    max_per_group: int,
+    key_col: str = "event_id",
+) -> DataFrame:
+    """Streaming per-group quota — the ingestion tier of
+    ``functions.web.cap_per_domain``: admit at most ``max_per_group``
+    rows per ``group_col`` value over the stream's LIFETIME. The batch
+    cap selects by salted-hash rank (reproducible offline, order-free);
+    an online admission decision can only be causal, so the stream
+    admits FIRST ARRIVALS (within a micro-batch, ties resolve in batch
+    order — deterministic for a given file/offset sequence). On batch
+    input this degrades to the batch cap's hash-rank selection
+    (``cap_per_domain``) — first-arrival is meaningless without a
+    stream clock, and the hash rank is the reproducible offline twin.
+
+    State per group is ONE long (admitted count), ``NoTimeout``: a
+    quota is a lifetime budget, so the store is bounded by group
+    CARDINALITY (8 bytes a domain), not stream length — the same
+    bounded-state contract as ``dedup_stream``'s watermark horizon,
+    with cardinality instead of time as the bound. NULL groups pool
+    into one quota bucket (pandas groupby on the state key — matching
+    the batch cap's null-safe bucket)."""
+    if int(max_per_group) < 1:
+        raise ValueError(f"max_per_group={max_per_group} must be >= 1")
+    if not events.isStreaming:
+        from greenmask_spark.functions.web import cap_per_domain
+
+        return cap_per_domain(
+            events, int(max_per_group),
+            domain_col=group_col, key_col=key_col,
+        )
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_max = int(max_per_group)
+    out_schema = events.schema
+
+    def admit(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if n >= n_max:
+                continue
+            take = pdf.iloc[: n_max - n]
+            n += len(take)
+            if len(take):
+                yield take
+        state.update((n,))
+
+    return (
+        events.groupBy(group_col)
+        .applyInPandasWithState(
+            admit,
+            outputStructType=out_schema,
+            stateStructType="n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def dedup_stream_against(
     docs: DataFrame,
     reference: DataFrame,

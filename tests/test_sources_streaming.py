@@ -545,3 +545,62 @@ def test_live_jdbc_end_to_end(spark, tmp_path):
                      properties=props)
     assert read_jdbc_table(spark, url, "t_live",
                            properties=props).count() == 510
+
+
+def test_quota_stream_first_arrivals(spark, tmp_path):
+    """Streaming per-group quota: at most N rows admitted per group
+    over the stream lifetime, admission is first-arrival across
+    micro-batches (state = one counter per group), and the batch
+    fallback degrades to cap_per_domain's hash-rank selection."""
+    import pandas as pd  # noqa: F401
+
+    from greenmask_spark.streaming import quota_stream
+
+    # 3 ordered file drops; event_id increases with drop index so
+    # "first arrival" == smallest event_id per group
+    src = str(tmp_path / "quota_src")
+    for b in range(3):
+        rows = [(b * 100 + i, ["a", "b", "c"][i % 3])
+                for i in range(12)]
+        spark.createDataFrame(
+            rows, "event_id long, domain string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, domain string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = quota_stream(stream, "domain", 6)
+    q = (out.writeStream.format("memory").queryName("quota_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM quota_out").collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r.domain, []).append(r.event_id)
+    # exactly 6 per group — all from the FIRST drop (each drop has 4
+    # rows per group, so 6 = the 4 from drop 0 + 2 from drop 1)
+    for d in ("a", "b", "c"):
+        ids = sorted(by_dom[d])
+        assert len(ids) == 6, (d, ids)
+        assert all(i < 200 for i in ids), (d, ids)  # drops 0 and 1 only
+        assert sum(1 for i in ids if i < 100) == 4, (d, ids)
+
+    # batch fallback = the offline hash-rank cap, bit-identical
+    from greenmask_spark.functions.web import cap_per_domain
+
+    bdf = spark.read.parquet(src)
+    a = {(r.event_id, r.domain)
+         for r in quota_stream(bdf, "domain", 6,
+                               key_col="event_id").collect()}
+    b = {(r.event_id, r.domain)
+         for r in cap_per_domain(bdf, 6, domain_col="domain",
+                                 key_col="event_id").collect()}
+    assert a == b and len(a) == 18
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_per_group"):
+        quota_stream(bdf, "domain", 0)

@@ -3122,3 +3122,19 @@ def test_train_pq_codebooks(spark):
     trained = mean_qerr(books)
     hashed = mean_qerr(hash_pq_codebooks(dim, m=m, k_sub=k_sub))
     assert trained < hashed * 0.5, (trained, hashed)
+
+    # end-to-end retrieval quality: within a tight cluster PQ codes
+    # collapse (that's the point — 32x compression can't rank
+    # sub-quantization-cell residuals), so the meaningful property is
+    # cluster membership: every ADC top-5 neighbor comes from the
+    # query's own cluster (inter-cluster distance >> quantization
+    # error with trained books)
+    from greenmask_spark.functions.similarity import pq_topk
+
+    queries = df.filter("vec_id < 4")
+    got = {}
+    for r in pq_topk(df, queries, k=5, codebooks=books).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for qid in range(4):
+        assert len(got[qid]) == 5
+        assert all(n % 4 == qid % 4 for n in got[qid]), (qid, got[qid])

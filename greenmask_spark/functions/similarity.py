@@ -702,16 +702,9 @@ def pq_topk(
     top-k rank. Cross-engine parity: LUT entries fold per dimension
     sequentially, the ADC total folds per subspace sequentially, both
     replayed by ordered list_sum in the SQL oracle."""
-    import numpy as np
-    from pyspark.sql import types as T
-
     books = codebooks or train_pq_codebooks(
         corpus, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col, seed=seed
     )
-    m = len(books)
-    dsub = len(books[0][0])
-    dim = m * dsub
-    bmats = [np.array(b, dtype=np.float64) for b in books]
     if codes is None:
         codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
     c = codes.select(
@@ -721,10 +714,25 @@ def pq_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     paired = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    return _adc_rank_topk(paired, books, k)
 
+
+def _adc_rank_topk(paired: DataFrame, books, k: int) -> DataFrame:
+    """Shared ADC tail for the PQ paths: score (neighbor_id, pq_code,
+    query_id, qvec) pairs via per-query LUT gathers (memoized per
+    batch; per-dimension then per-subspace SEQUENTIAL folds — the
+    oracle contract), round JVM-side (F.round is HALF_UP like SQL
+    round(); numpy's np.round is half-even and would diverge on exact
+    .00005 boundaries), rank ascending with neighbor_id tie-break."""
+    from pyspark.sql import types as T
+
+    m = len(books)
+    dsub = len(books[0][0])
+    dim = m * dsub
+    bmats = [np.array(b, dtype=np.float64) for b in books]
     schema = T.StructType([
-        T.StructField("query_id", q.schema["query_id"].dataType),
-        T.StructField("neighbor_id", c.schema["neighbor_id"].dataType),
+        T.StructField("query_id", paired.schema["query_id"].dataType),
+        T.StructField("neighbor_id", paired.schema["neighbor_id"].dataType),
         T.StructField("adc_dist", T.DoubleType()),
     ])
 
@@ -761,9 +769,6 @@ def pq_topk(
                 outs["adc_dist"].extend(dist)
             yield pd.DataFrame(outs, columns=list(schema.fieldNames()))
 
-    # rounding happens JVM-side: F.round is HALF_UP like the oracle's
-    # round(); numpy's np.round is half-even and would diverge on
-    # exact .00005 boundaries
     scored = paired.mapInPandas(run, schema=schema).withColumn(
         "adc_dist", F.round(F.col("adc_dist"), 4)
     )
@@ -776,6 +781,80 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable IVF-PQ index frame: one corpus pass tags each
+    vector with its inverted list (``cid``) and its PQ codes
+    (``pq_code``). At 100 TB you write THIS out bucketed by ``cid``
+    and drop the float vectors — m bytes + one int per vector; every
+    later query run is probe-join + LUT gathers over it."""
+    tagged = _assign_centroids(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+        ),
+        centroids,
+        vec_col="v",
+    )
+    return pq_encode(
+        tagged, codebooks, id_col="neighbor_id", vec_col="v"
+    ).select("neighbor_id", "cid", "pq_code")
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    n_centroids: int = 16,
+    m: int = 8,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the two scale levers composed: the
+    IVF probe restricts each query to ``n_probe/n_centroids`` of the
+    corpus (an equi-join on ``cid``, never a full scan at query time
+    once the index frame is persisted+bucketed), and PQ-ADC scores the
+    probed rows from codes alone (m gathers + an ordered fold; float
+    vectors never reach the scorer). Codes quantize the vectors
+    themselves, not FAISS's per-list residuals — residual encoding
+    breaks the cross-engine replay guarantee the flat-PQ oracle row
+    relies on, and on normalized text embeddings at m=8 the recall
+    difference is marginal (documented in SCALE.md).
+
+    Pass ``index`` (an ``ivf_pq_index`` output, possibly read back
+    from its bucketed parquet) to skip the tagging scan entirely."""
+    cents = centroids or train_ivf_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    books = codebooks or train_pq_codebooks(
+        corpus, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    if index is None:
+        index = ivf_pq_index(corpus, cents, books, id_col, vec_col)
+    idx = index.filter(
+        F.col("pq_code").isNotNull() & F.col("cid").isNotNull()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("cid", F.explode(_probe_expr("qvec", cents, n_probe)))
+    paired = (
+        idx.join(F.broadcast(q), on="cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "pq_code", "qvec")
+    )
+    return _adc_rank_topk(paired, books, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

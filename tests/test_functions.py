@@ -3138,3 +3138,66 @@ def test_train_pq_codebooks(spark):
     for qid in range(4):
         assert len(got[qid]) == 5
         assert all(n % 4 == qid % 4 for n in got[qid]), (qid, got[qid])
+
+
+def test_ivf_pq_topk(spark):
+    """IVF-PQ composition: the probe restricts candidates to the
+    query's n_probe inverted lists, ADC scores from codes alone, and
+    with full probing (n_probe = n_centroids) the result is IDENTICAL
+    to flat pq_topk — the probe is a pure candidate filter, never a
+    score change. The persisted-index path returns the same thing."""
+    import numpy as np
+
+    from greenmask_spark.functions.similarity import (
+        hash_centroids,
+        hash_pq_codebooks,
+        ivf_pq_index,
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    dim, m, k_sub, nc = 8, 4, 4, 4
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(32, dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(32)],
+        "vec_id long, embedding array<double>")
+    cents = hash_centroids(dim, nc, seed=9)
+    books = hash_pq_codebooks(dim, m=m, k_sub=k_sub, seed=9)
+    queries = df.filter("vec_id < 3")
+
+    flat = [(r.query_id, r.neighbor_id, r.adc_dist, r.rank)
+            for r in pq_topk(df, queries, k=4, codebooks=books)
+            .orderBy("query_id", "rank").collect()]
+    full = [(r.query_id, r.neighbor_id, r.adc_dist, r.rank)
+            for r in ivf_pq_topk(df, queries, k=4, n_probe=nc,
+                                 centroids=cents, codebooks=books)
+            .orderBy("query_id", "rank").collect()]
+    assert full == flat
+
+    # restricted probing: a SUBSET of the flat candidates, ADC scores
+    # agree on shared pairs, ranks stay 1..k'
+    part = ivf_pq_topk(df, queries, k=4, n_probe=1,
+                       centroids=cents, codebooks=books).collect()
+    flat_scores = {(q, n): d for q, n, d, _ in flat}
+    all_flat = {(r.query_id, r.neighbor_id): r.adc_dist
+                for r in pq_topk(df, queries, k=31, codebooks=books)
+                .collect()}
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert all_flat[(r.query_id, r.neighbor_id)] == r.adc_dist
+    for q, rows in by_q.items():
+        assert [r.rank for r in
+                sorted(rows, key=lambda r: r.rank)] == \
+            list(range(1, len(rows) + 1))
+
+    # prepared-index path is identical to inline tagging
+    idx = ivf_pq_index(df, cents, books)
+    assert set(idx.columns) == {"neighbor_id", "cid", "pq_code"}
+    again = [(r.query_id, r.neighbor_id, r.adc_dist, r.rank)
+             for r in ivf_pq_topk(df, queries, k=4, n_probe=nc,
+                                  centroids=cents, codebooks=books,
+                                  index=idx)
+             .orderBy("query_id", "rank").collect()]
+    assert again == full

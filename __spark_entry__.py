@@ -3513,7 +3513,7 @@ def _oracle_shard_write() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """79 entries. The driver harness records CORRECTNESS rows for the
+    """81 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
     brief; executed in r7, r8) — no entry's driver row goes more than
     two rounds stale.

@@ -66,7 +66,7 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     return out
 
 
-#: PNG filter-type byte values (PNG spec §6, public W3C/RFC 2083)
+#: the 8-byte PNG file signature (PNG spec §5.2, public W3C/RFC 2083)
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -139,20 +139,35 @@ def _decode_png(payload: bytes):
             cur = (np.cumsum(lanes, axis=0) & 0xFF).astype(
                 np.uint8).reshape(stride)
         elif ftype == 3:                    # Average
-            cur = np.empty(stride, dtype=np.uint8)
-            for i in range(stride):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                cur[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+            # left-dependency forces a per-PIXEL loop; the bpp channel
+            # lanes inside each pixel vectorize (real-world encoders
+            # emit mostly Average/Paeth rows, so these two branches
+            # dominate decode cost — w iterations, not w*bpp)
+            lanes = line.reshape(w, bpp).astype(np.int64)
+            up = prev.reshape(w, bpp).astype(np.int64)
+            rec = np.empty((w, bpp), dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            for i in range(w):
+                left = (lanes[i] + ((left + up[i]) >> 1)) & 0xFF
+                rec[i] = left
+            cur = rec.astype(np.uint8).reshape(stride)
         elif ftype == 4:                    # Paeth
-            cur = np.empty(stride, dtype=np.uint8)
-            for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
+            lanes = line.reshape(w, bpp).astype(np.int64)
+            up = prev.reshape(w, bpp).astype(np.int64)
+            rec = np.empty((w, bpp), dtype=np.int64)
+            a = np.zeros(bpp, dtype=np.int64)   # left
+            c = np.zeros(bpp, dtype=np.int64)   # upper-left
+            for i in range(w):
+                b = up[i]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (int(line[i]) + pred) & 0xFF
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                a = (lanes[i] + pred) & 0xFF
+                rec[i] = a
+                c = b
+            cur = rec.astype(np.uint8).reshape(stride)
         else:
             return None
         out[r] = cur
@@ -540,7 +555,11 @@ def encode_images(df: DataFrame, level: int = 6) -> DataFrame:
             payloads, mimes = [], []
             for p, w, h, m in zip(pdf["payload"], pdf["width"],
                                   pdf["height"], pdf["mime"]):
+                # the dims check includes w/h > 0: a zero-dim row with
+                # an (accidentally) matching empty payload must fall
+                # into the NULL-out branch, not crash the encoder
                 if p is None or w is None or h is None or \
+                        int(w) <= 0 or int(h) <= 0 or \
                         len(p) != int(w) * int(h) * 3:
                     payloads.append(None)
                     mimes.append(m)

@@ -620,17 +620,27 @@ def train_pq_codebooks(
       driver per iteration (the codebooks themselves).
     - empty cells keep their previous sub-centroid (IVF convention).
     """
-    first = corpus.select(F.size(F.col(vec_col)).alias("n")).first()
+    first = (
+        corpus.select(F.size(F.col(vec_col)).alias("n"))
+        .filter(F.col("n") > 0).first()
+    )
     if first is None:
         raise ValueError("train_pq_codebooks: empty corpus")
     dim = int(first.n)
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
+    # NULL / wrong-dimension vectors are excluded BEFORE the hash gate:
+    # one bad row in a 100 TB corpus must not crash training (the same
+    # skip contract pq_encode documents) nor poison the smallest-hash
+    # init selection with an unsliceable vector
     sample = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         F.xxhash64(F.lit(seed), F.col(id_col)).alias("h"),
-    ).filter(F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
+    ).filter(
+        F.col("vec").isNotNull() & (F.size("vec") == dim)
+        & (F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
+    )
     init_rows = sample.orderBy("h", "id").limit(k_sub).collect()
     if not init_rows:
         raise ValueError(

@@ -105,7 +105,16 @@ def cap_per_domain(
     its rank into one task; for corpora where one domain is a
     double-digit percentage of rows, pre-filter it with
     ``hash_sample`` at rate ≈ max_docs/|domain| first (two-pass cap) —
-    the window then ranks a bounded remnant."""
+    the window then ranks a bounded remnant.
+
+    The two-phase plan reads the input three times (the count scan —
+    pruned to the domain column — plus once per union branch), so the
+    input must be DETERMINISTIC (a parquet/table scan, any pure
+    projection of one); an upstream ``rand()``-style filter could
+    disagree between the count pass and the branches, over-admitting
+    or dropping rows. Persist such an input first — the same rule
+    Spark itself imposes on non-deterministic sources feeding
+    self-joins."""
     if int(max_docs) < 1:
         raise ValueError(f"max_docs={max_docs} must be >= 1")
     n = int(max_docs)

@@ -300,8 +300,13 @@ def quota_stream(
     rows per ``group_col`` value over the stream's LIFETIME. The batch
     cap selects by salted-hash rank (reproducible offline, order-free);
     an online admission decision can only be causal, so the stream
-    admits FIRST ARRIVALS (within a micro-batch, ties resolve in batch
-    order — deterministic for a given file/offset sequence). On batch
+    admits FIRST ARRIVALS. Admission COUNT per group is exact across
+    any replay; WHICH rows win a quota boundary falling mid-micro-batch
+    is only reproducible when each group's rows arrive from one input
+    partition per batch — after the groupBy shuffle, within-group order
+    across multiple source partitions follows fetch order, which Spark
+    does not fix (sort upstream, or accept count-exactness — the usual
+    quota contract). On batch
     input this degrades to the batch cap's hash-rank selection
     (``cap_per_domain``) — first-arrival is meaningless without a
     stream clock, and the hash rank is the reproducible offline twin.

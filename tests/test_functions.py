@@ -2983,7 +2983,10 @@ def test_png_encode_roundtrip(spark):
         [R(media_id=1, kind="image", mime="image/png", payload=payload,
            width=None, height=None, duration_ms=None),
          R(media_id=2, kind="image", mime="image/raw", payload=b"xx",
-           width=9, height=9, duration_ms=None)],  # corrupt dims → NULL
+           width=9, height=9, duration_ms=None),  # corrupt dims → NULL
+         R(media_id=3, kind="image", mime="image/raw", payload=b"",
+           width=0, height=5, duration_ms=None)],  # zero dims: the
+        #   empty payload "matches" 0*5*3 bytes — must NULL, not crash
         MEDIA_SCHEMA)
     out = {r.media_id: r for r in _collect_retry(
         encode_images(resize_raw_images(decode_images(
@@ -2995,6 +2998,7 @@ def test_png_encode_roundtrip(spark):
     xi = (np.arange(2) * 4) // 2
     assert (w2, h2) == (2, 2) and raw2 == px[yi[:, None], xi, :].tobytes()
     assert out[2].payload is None  # corrupt row skipped, not failed
+    assert out[3].payload is None  # zero-dim row skipped, not failed
 
 
 def test_pq_encode_and_topk(spark):
@@ -3093,9 +3097,13 @@ def test_train_pq_codebooks(spark):
     vecs = np.vstack([
         centers[i % 4] + rng.randn(dim) * 0.1 for i in range(64)
     ])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(64)]
+    # one NULL and one short vector land inside the sample_mod=1
+    # training sample — training must skip them, not crash (the
+    # pq_encode one-bad-row contract)
+    rows += [(98, None), (99, [1.0, 2.0])]
     df = spark.createDataFrame(
-        [(i, [float(x) for x in vecs[i]]) for i in range(64)],
-        "vec_id long, embedding array<double>")
+        rows, "vec_id long, embedding array<double>")
     books = train_pq_codebooks(df, m=m, k_sub=k_sub, sample_mod=1)
     assert len(books) == m and len(books[0]) == k_sub
     assert len(books[0][0]) == dim // m

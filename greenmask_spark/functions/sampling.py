@@ -137,6 +137,61 @@ def stratified_hash_sample(
     return df.filter(t.isNotNull() & (u < t))
 
 
+def temperature_rates(
+    counts: dict[str, int], budget: float, alpha: float = 0.5
+) -> dict[str, float]:
+    """Temperature-based mixture rates (the multilingual-LM standard:
+    sampling probability p_i ∝ n_i^alpha, mT5/XLM-R style): given
+    per-source document counts and a total document ``budget``, return
+    the per-source keep/upsample rate to feed ``sample_mixture``.
+    alpha=1 reproduces natural proportions; alpha=0 is uniform across
+    sources; 0<alpha<1 upweights small sources. Rates may exceed 1
+    (upsampling — sample_mixture's fractional-epoch machinery handles
+    it). Pure driver arithmetic over |sources| numbers; get counts
+    with one ``df.groupBy(source).count()``."""
+    if budget <= 0:
+        raise ValueError(f"budget={budget} must be > 0")
+    if alpha < 0:
+        raise ValueError(f"alpha={alpha} must be >= 0")
+    pos = {s: int(n) for s, n in counts.items() if int(n) > 0}
+    if not pos:
+        raise ValueError("temperature_rates: no non-empty sources")
+    weights = {s: float(n) ** alpha for s, n in pos.items()}
+    z = sum(weights.values())
+    return {s: budget * (weights[s] / z) / pos[s] for s in pos}
+
+
+def unimax_rates(
+    counts: dict[str, int], budget: float, max_epochs: float = 4.0
+) -> dict[str, float]:
+    """UniMax mixture rates (Chung et al. 2023, arXiv:2304.09151):
+    distribute ``budget`` documents as uniformly as possible across
+    sources, but never repeat a source more than ``max_epochs`` times
+    — the epoch cap is what temperature sampling lacks (alpha small
+    enough to flatten the head can spin a tiny source for hundreds of
+    epochs). Exact greedy water-filling over sources ascending by
+    capacity: each source gets min(cap_i, remaining/|remaining
+    sources|). Deterministic (ties on capacity break by source name);
+    Σ allocation = min(budget, Σ cap_i). Driver arithmetic only."""
+    if budget <= 0:
+        raise ValueError(f"budget={budget} must be > 0")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs={max_epochs} must be > 0")
+    pos = {s: int(n) for s, n in counts.items() if int(n) > 0}
+    if not pos:
+        raise ValueError("unimax_rates: no non-empty sources")
+    cap = {s: max_epochs * n for s, n in pos.items()}
+    remaining = float(budget)
+    left = sorted(pos, key=lambda s: (cap[s], s))
+    rates: dict[str, float] = {}
+    for i, s in enumerate(left):
+        fair = remaining / (len(left) - i)
+        take = min(cap[s], fair)
+        rates[s] = take / pos[s]
+        remaining -= take
+    return rates
+
+
 def sample_mixture(
     sources: dict[str, DataFrame],
     rates: dict[str, float],

@@ -3209,3 +3209,60 @@ def test_ivf_pq_topk(spark):
                                   index=idx)
              .orderBy("query_id", "rank").collect()]
     assert again == full
+
+
+def test_mixture_rate_helpers(spark):
+    """temperature_rates and unimax_rates: budget conservation, the
+    alpha extremes, the epoch cap, and end-to-end composition with
+    sample_mixture."""
+    import math
+
+    import pytest
+
+    from greenmask_spark.functions.sampling import (
+        sample_mixture,
+        temperature_rates,
+        unimax_rates,
+    )
+
+    counts = {"big": 8000, "mid": 1500, "tiny": 100}
+
+    # alpha=1: natural proportions — every rate identical (= B/N)
+    r1 = temperature_rates(counts, budget=4800, alpha=1.0)
+    assert all(math.isclose(v, 0.5) for v in r1.values())
+    # alpha=0: uniform across sources — equal BUDGET per source
+    r0 = temperature_rates(counts, budget=300, alpha=0.0)
+    assert all(math.isclose(r0[s] * counts[s], 100.0) for s in counts)
+    # 0<alpha<1 sits between: small sources upweighted, budget conserved
+    rh = temperature_rates(counts, budget=4800, alpha=0.5)
+    assert rh["tiny"] > rh["mid"] > rh["big"]
+    assert math.isclose(sum(rh[s] * counts[s] for s in counts), 4800)
+    # zero-count sources drop; empty input raises
+    assert "z" not in temperature_rates({**counts, "z": 0}, 100)
+    with pytest.raises(ValueError, match="non-empty"):
+        temperature_rates({"z": 0}, 100)
+
+    # UniMax: uniform where possible, epoch-capped where not
+    u = unimax_rates(counts, budget=3000, max_epochs=4.0)
+    # tiny is capped at 4 epochs (400 docs), the rest split evenly
+    assert math.isclose(u["tiny"], 4.0)
+    assert math.isclose(u["big"] * 8000, 1300)
+    assert math.isclose(u["mid"] * 1500, 1300)
+    assert math.isclose(sum(u[s] * counts[s] for s in counts), 3000)
+    # budget beyond total capacity: everything runs max_epochs
+    u2 = unimax_rates(counts, budget=10**9, max_epochs=2.0)
+    assert all(math.isclose(v, 2.0) for v in u2.values())
+    # rates feed sample_mixture end-to-end (upsampling included)
+    src = {
+        "a": spark.range(40).withColumnRenamed("id", "doc_id"),
+        "b": spark.range(10).withColumnRenamed("id", "doc_id"),
+    }
+    rates = unimax_rates({"a": 40, "b": 10}, budget=40, max_epochs=3.0)
+    out = sample_mixture(src, rates)
+    got = out.groupBy("source_name").count().collect()
+    by = {r.source_name: r["count"] for r in got}
+    # b is epoch-capped upsampling (rate > 1 → exact integer copies
+    # plus a hash-gated fraction); a is an exact-rate downsample whose
+    # realized count concentrates near rate*n
+    assert by["b"] >= 10  # at least one full epoch survives
+    assert 0 < by["a"] < 40

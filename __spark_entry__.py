@@ -3434,6 +3434,75 @@ def _oracle_stratified_sample() -> str:
     """
 
 
+_DSIR_B = 4096
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    functions/sampling.dsir_log_weights): log p_target/p_raw per raw
+    document under hashed unigram+bigram Laplace models; target = the
+    English slice of documents (the curated-distribution stand-in),
+    raw = all documents. Both corpora reduce to broadcastable
+    (bucket, count) tables; the per-doc sum folds bucket log-ratios in
+    document order (sort_array + sequential aggregate), replayed by
+    DuckDB's ordered list(...) + list_sum. The Gumbel-top-k selection
+    tier (dsir_resample, same salted-hash noise both engines could
+    replay) is pytest-covered on top of these weights."""
+    from greenmask_spark.functions.sampling import dsir_log_weights
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    out = dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), buckets=_DSIR_B
+    )
+    return out.select(F.col("id").alias("doc_id"), "dsir_logw")
+
+
+def _oracle_dsir_weights() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter({_DUCK_TOKENS_RAW}, t -> t <> '') AS toks
+      FROM documents
+    ),
+    gr AS (
+      SELECT doc_id,
+             toks || CASE WHEN len(toks) >= 2 THEN
+               list_transform(
+                 list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                 x -> x[1] || ' ' || x[2])
+             ELSE [] END AS gs
+      FROM tok
+    ),
+    gb AS (
+      SELECT doc_id, generate_subscripts(gs, 1) AS pos,
+             CAST(('0x' || substr(sha256(unnest(gs)), 1, 15)) AS BIGINT)
+               % {_DSIR_B} AS b
+      FROM gr
+    ),
+    cr AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
+    ct AS (
+      SELECT b, count(*) AS ct
+      FROM gb JOIN documents USING (doc_id) WHERE lang = 'en'
+      GROUP BY b
+    ),
+    tot AS (SELECT (SELECT sum(cr) FROM cr) AS Tr,
+                   (SELECT sum(ct) FROM ct) AS Tt),
+    lr AS (
+      SELECT cr.b,
+             ln(coalesce(ct.ct, 0) + 1.0) - ln(Tt + {_DSIR_B}.0)
+             - ln(cr.cr + 1.0) + ln(Tr + {_DSIR_B}.0) AS lr
+      FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot
+    ),
+    w AS (
+      SELECT gb.doc_id,
+             round(list_sum(list(lr.lr ORDER BY gb.pos)), 6) AS dsir_logw
+      FROM gb JOIN lr USING (b) GROUP BY gb.doc_id
+    )
+    SELECT t.doc_id, coalesce(w.dsir_logw, 0.0) AS dsir_logw
+    FROM tok t LEFT JOIN w USING (doc_id)
+    """
+
+
 def q_cap_per_domain(spark, sf_dir):
     """Per-domain quota (functions/web.cap_per_domain — the Gopher/
     MassiveText per-domain document cap), r8 two-phase shape: a
@@ -3513,7 +3582,7 @@ def _oracle_shard_write() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """81 entries. The driver harness records CORRECTNESS rows for the
+    """82 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
     brief; executed in r7, r8) — no entry's driver row goes more than
     two rounds stale.
@@ -3526,21 +3595,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_against, dedup_against_fuzzy, cross_split_contamination,
     ann_topk, ann_topk_lsh, ann_topk_ivf, embedding_near_dup,
     multimodal_features, strip_html, scrub_pii, repetition_profile,
-    linear_text_score) + the 4 r8 additions (t_type_override,
-    bm25_topk, ann_topk_pq, cap_per_domain — the last previously
-    pytest-only, now oracle-checked in its new two-phase shape) + 19
-    keepers whose family has no other window representative
-    (t_masking, t_orders_temporal, t_random_person, t_when_condition,
-    t_dynamic_param, t_query_override, t_template, t_cmd,
-    t_custom_plugin, t_apply_for_references, subset_cycle,
+    linear_text_score) + the 5 r8 additions (t_type_override,
+    bm25_topk, ann_topk_pq, dsir_weights, cap_per_domain — the last
+    previously pytest-only, now oracle-checked in its new two-phase
+    shape) + 18 keepers whose family has no other window
+    representative (t_masking, t_orders_temporal, t_random_person,
+    t_when_condition, t_dynamic_param, t_query_override, t_template,
+    t_cmd, t_custom_plugin, t_apply_for_references, subset_cycle,
     validate_diff, copy_roundtrip, sessionize, lm_score,
-    repeated_spans, stratified_sample, asof_join, salted_agg).
+    stratified_sample, asof_join, salted_agg).
 
-    r8 TAIL = 31 rows, every one green in CORRECTNESS_r07, each with
+    r8 TAIL = 32 rows, every one green in CORRECTNESS_r07, each with
     >= 1 same-family row in the window: bm25 (→ bm25_topk, same
     formula family — its dense-scores oracle re-verifies next
     rotation), pack_sequences (→ stratified_sample, sampling/packing
-    family), mask_customer (→ t_masking),
+    family), repeated_spans (→ dedup_exact, exact-substring family;
+    its default path is unchanged this round and the r8 sf0.1 sweep
+    re-verified it at 10×), mask_customer (→ t_masking),
     t_random_int (→ t_random_float/t_random_numeric), t_faker
     (→ t_real_address/t_net_company), subset_orders
     (→ subset_lineitem/subset_polymorphic/subset_cycle),
@@ -3561,8 +3632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     skew_join (→ salted_agg), events_windowed (→ events_daily),
     classifier_weights (→ linear_text_score).
 
-    Union coverage: CORRECTNESS_r08 ∪ r07 covers all 81 entries
-    (the 31 tail rows were green in r07's window; the 50 window rows
+    Union coverage: CORRECTNESS_r08 ∪ r07 covers all 82 entries
+    (the 32 tail rows were green in r07's window; the 50 window rows
     get fresh r08 rows).
 
     Single-transformer queries from r1 remain consolidated into
@@ -3618,13 +3689,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "bm25_topk": q_bm25_topk,                # NEW r8: sparse top-k path
         "cap_per_domain": q_cap_per_domain,      # NEW r8 oracle row: two-phase quota
-        "repeated_spans": q_repeated_spans,
+        "dsir_weights": q_dsir_weights,          # NEW r8: DSIR importance weights
         "stratified_sample": q_stratified_sample,
         "asof_join": q_asof_join,
         "salted_agg": q_salted_agg,
         # --- r8 tail: all green in CORRECTNESS_r07; family reps above ---
         "bm25": q_bm25,                          # → bm25_topk in window
         "pack_sequences": q_pack_sequences,      # → stratified_sample
+        "repeated_spans": q_repeated_spans,      # → dedup_exact (exact-
+        #   substring family; default path unchanged this round and
+        #   re-verified in the r8 sf0.1 sweep)
         "mask_customer": q_mask_customer,        # +Hash max_length (h16)
         "t_random_int": q_t_random_int,          # +NoiseInt/RandomString/RegexpReplace
         "t_faker": q_t_faker,                    # all 22 faker transformers
@@ -3736,6 +3810,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_weights": _oracle_classifier_weights(),
         "stratified_sample": _oracle_stratified_sample(),
         "shard_write": _oracle_shard_write(),
+        "dsir_weights": _oracle_dsir_weights(),
         "repeated_spans": _oracle_repeated_spans(),
         "bm25": _oracle_bm25(),
         "bm25_topk": _oracle_bm25_topk(),

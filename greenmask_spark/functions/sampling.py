@@ -137,6 +137,171 @@ def stratified_hash_sample(
     return df.filter(t.isNotNull() & (u < t))
 
 
+#: DSIR feature-space default: hashed-ngram bucket count (the paper's
+#: bag-of-hashed-ngrams dimension; 2^16 keeps the bucket table broadcastable)
+DSIR_BUCKETS = 1 << 16
+
+
+def _dsir_grams(text: Column) -> Column:
+    """Unigrams + adjacent bigrams ("a b") of the whitespace-lowercase
+    tokenization, in document order (unigrams first, then bigrams) —
+    the hashed bag-of-ngrams features of DSIR."""
+    from greenmask_spark.functions.text_analysis import tokens
+
+    toks = F.filter(tokens(text), lambda t: t != "")
+    # greatest(n-1, 0): a 0- or 1-token doc slices to empty bigram
+    # arrays (ANSI slice rejects negative lengths)
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(toks, bigrams)
+
+
+def _dsir_bucket(gram: Column, buckets: int) -> Column:
+    """Portable gram → bucket hash (sha256 hex slice mod buckets; the
+    repo-wide cross-engine hash family)."""
+    return F.pmod(
+        F.conv(F.substring(F.sha2(gram, 256), 1, 15), 16, 10).cast("bigint"),
+        F.lit(int(buckets)),
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    "Data Selection for Language Models via Importance Resampling"):
+    for every raw document, ``log p_target(x) / p_raw(x)`` under
+    hashed-ngram (unigram+bigram) bag-of-words models with add-
+    ``smoothing`` Laplace estimates over ``buckets`` feature buckets.
+    High weight = looks like the target distribution (e.g. curated
+    text) relative to the raw crawl. Output: (id, dsir_logw), one row
+    per raw document (token-less docs weigh 0.0), rounded to 6
+    decimals for cross-engine parity.
+
+    Scale shape: both corpora reduce to (bucket, count) — map-side-
+    combined aggs whose results are ≤ ``buckets`` rows (a ~1 MB
+    broadcast at the 2^16 default; the raw corpus is scanned twice,
+    once for counts and once for scoring — persist the gram stream to
+    trade memory for the scan). Per-document summation folds the
+    per-gram bucket log-ratios IN DOCUMENT ORDER (sort_array over
+    (pos, lr) structs + a sequential aggregate fold), so the DuckDB
+    oracle's ordered ``list_sum`` sees bit-identical doubles — the
+    same contract as the ANN/LM paths."""
+    if int(buckets) < 2:
+        raise ValueError(f"buckets={buckets} must be >= 2")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing={smoothing} must be > 0 "
+                         "(unsmoothed zero-count buckets have log 0)")
+    B, s = int(buckets), float(smoothing)
+
+    def gram_stream(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.posexplode(_dsir_grams(F.col(text_col)))
+                .alias("pos", "g"),
+            )
+            .select("id", "pos", _dsir_bucket(F.col("g"), B).alias("b"))
+        )
+
+    raw_grams = gram_stream(raw)
+    # the bucket-count tables are tiny (≤ buckets rows) and feed TWO
+    # consumers each (the log-ratio join and the totals): an eager
+    # localCheckpoint materializes them once so the corpus-sized gram
+    # streams are hashed once per corpus for counting, and the blocks
+    # free when the result frame is unreachable (the dedup/_finish_
+    # spans convention — no CacheManager session pinning)
+    cr = raw_grams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr")).localCheckpoint(eager=True)
+    ct = gram_stream(target).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")).localCheckpoint(eager=True)
+    tot = (
+        cr.agg(F.sum("cr").alias("Tr"))
+        .crossJoin(ct.agg(F.sum("ct").alias("Tt")))
+    )
+    # per-bucket log ratio over the RAW bucket set (every scored gram's
+    # bucket has cr >= 1 by construction; absent target buckets smooth)
+    lr = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(s))
+                - F.log(F.col("Tt") + F.lit(s * B))
+                - F.log(F.col("cr") + F.lit(s))
+                + F.log(F.col("Tr") + F.lit(s * B))
+            ).alias("lr"),
+        )
+    )
+    summed = (
+        raw_grams.join(F.broadcast(lr), "b")
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "lr"))
+            ).alias("__terms")
+        )
+        .select(
+            "id",
+            F.round(
+                F.aggregate(
+                    "__terms", F.lit(0.0),
+                    lambda acc, t: acc + t["lr"],
+                ),
+                6,
+            ).alias("dsir_logw"),
+        )
+    )
+    ids = raw.select(F.col(id_col).alias("id"))
+    return ids.join(summed, "id", "left").select(
+        "id", F.coalesce("dsir_logw", F.lit(0.0)).alias("dsir_logw")
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+    smoothing: float = 1.0,
+    seed: int = 42,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k over the importance log-weights —
+    the paper's sampling-without-replacement, made deterministic by
+    drawing the Gumbel noise from the salted unit hash instead of an
+    RNG (g_i = w_i − ln(−ln u_i), u_i = hash(id)/RES): reproducible at
+    any partitioning AND replayable in SQL. Pass ``weights`` (a
+    ``dsir_log_weights`` output, possibly persisted) to skip the
+    weight computation. The top-n is one TakeOrderedAndProject-class
+    rank, no global sort."""
+    w = weights if weights is not None else dsir_log_weights(
+        raw, target, text_col, id_col, buckets, smoothing
+    )
+    u = (_unit_hash(F.col("id"), "dsir", seed) + 0.5) / float(_RESOLUTION)
+    scored = w.select(
+        "id", "dsir_logw",
+        (F.col("dsir_logw") - F.log(-F.log(u))).alias("__g"),
+    )
+    return (
+        scored.orderBy(F.desc("__g"), F.asc("id"))
+        .limit(int(n))
+        .select("id", "dsir_logw")
+    )
+
+
 def temperature_rates(
     counts: dict[str, int], budget: float, alpha: float = 0.5
 ) -> dict[str, float]:

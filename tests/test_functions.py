@@ -3266,3 +3266,86 @@ def test_mixture_rate_helpers(spark):
     # realized count concentrates near rate*n
     assert by["b"] >= 10  # at least one full epoch survives
     assert 0 < by["a"] < 40
+
+
+def test_dsir_weights_and_resample(spark):
+    """DSIR (Xie et al. 2023): log importance weights match a full
+    driver-side replay of the hashed-ngram Laplace models, target-like
+    raw docs outweigh off-distribution ones, token-less docs weigh
+    0.0, and Gumbel-top-k selection replays from the same salted
+    hash."""
+    import hashlib
+    import math
+
+    from greenmask_spark.functions.sampling import (
+        dsir_log_weights,
+        dsir_resample,
+    )
+
+    target_rows = [(100 + i, "the quick brown fox jumps") for i in range(3)]
+    raw_rows = [
+        (1, "the quick brown fox jumps"),   # exactly on-target
+        (2, "the quick brown dog sleeps"),  # partial overlap
+        (3, "zzz qqq vvv www yyy"),         # off-distribution
+        (4, ""),                            # token-less
+        (5, None),                          # NULL text
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(target_rows, "doc_id long, text string")
+    B, S = 4096, 1.0
+    got = {r.id: r.dsir_logw for r in
+           dsir_log_weights(raw, tgt, buckets=B, smoothing=S).collect()}
+
+    # driver-side replay
+    def grams(t):
+        ts = [x for x in t.strip().lower().split() if x] if t else []
+        return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+    def bucket(g):
+        return int(hashlib.sha256(g.encode()).hexdigest()[:15], 16) % B
+
+    cr, ct = {}, {}
+    for _i, t in raw_rows:
+        for g in grams(t):
+            cr[bucket(g)] = cr.get(bucket(g), 0) + 1
+    for _i, t in target_rows:
+        for g in grams(t):
+            ct[bucket(g)] = ct.get(bucket(g), 0) + 1
+    Tr, Tt = sum(cr.values()), sum(ct.values())
+
+    def weight(t):
+        w = 0.0
+        for g in grams(t):
+            b = bucket(g)
+            w += (math.log(ct.get(b, 0) + S) - math.log(Tt + S * B)
+                  - math.log(cr[b] + S) + math.log(Tr + S * B))
+        return round(w, 6)
+
+    for i, t in raw_rows:
+        if t:
+            assert abs(got[i] - weight(t)) < 1e-9, (i, got[i], weight(t))
+    assert got[4] == 0.0 and got[5] == 0.0
+    assert got[1] > got[2] > got[3]  # on-target > partial > off
+
+    # Gumbel-top-k: deterministic, n rows, replays from the unit hash
+    top = dsir_resample(raw, tgt, n=2, buckets=B).collect()
+    assert len(top) == 2
+    from greenmask_spark.functions.sampling import _RESOLUTION, _unit_hash
+
+    hs = {r.id: r.h for r in
+          dsir_log_weights(raw, tgt, buckets=B).select(
+              "id", _unit_hash(F.col("id"), "dsir", 42).alias("h")
+          ).collect()}
+    g = {i: got[i] - math.log(-math.log((hs[i] + 0.5) / _RESOLUTION))
+         for i in got}
+    want = sorted(g, key=lambda i: (-g[i], i))[:2]
+    assert sorted(r.id for r in top) == sorted(want)
+    # precomputed-weights path identical
+    w = dsir_log_weights(raw, tgt, buckets=B)
+    top2 = dsir_resample(raw, tgt, n=2, buckets=B, weights=w).collect()
+    assert {r.id for r in top2} == {r.id for r in top}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_log_weights(raw, tgt, smoothing=0.0)

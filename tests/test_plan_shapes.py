@@ -128,6 +128,10 @@ SHAPES = {
     # two licensed Python (Arrow) stages; exchanges are the final
     # per-query rank only (+AQE coalesce headroom)
     "ann_topk_pq": (2, 2),
+    # r8 — DSIR: two bucket-count aggs (raw + target gram streams),
+    # the per-doc ordered-fold agg, and the zero-restore ids join;
+    # the log-ratio table rides a broadcast, grams shuffle as ints
+    "dsir_weights": (6, 0),
 }
 
 

@@ -473,6 +473,59 @@ def _step_remove_repeated_spans(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_dsir(df: DataFrame, p: dict) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023 — see
+    functions/sampling.dsir_log_weights): attach a ``weight_col``
+    (default ``dsir_logw``) importance log-weight against a target
+    distribution, then optionally keep only rows with
+    ``min_weight`` / the ``top_n`` by Gumbel-top-k (``select_n``
+    samples; ``top_n`` ranks deterministically by weight). The target
+    is either a ``target`` input spec ({table}/{path} via pipeline
+    context) or ``target_filter`` — a SQL condition carving the
+    target slice out of THIS frame (e.g. ``lang = 'en'``)."""
+    from greenmask_spark.functions.sampling import (
+        dsir_log_weights,
+        dsir_resample,
+    )
+
+    id_col = p.get("id_col", "doc_id")
+    out_col = p.get("weight_col", "dsir_logw")
+    if "target" in p:
+        ctx = p.get("_context") or {}
+        if "spark" not in ctx:
+            raise ValueError("dsir target input spec needs pipeline context")
+        tgt = _load_input(ctx["spark"], p["target"], ctx.get("sf_dir"))
+    elif p.get("target_filter"):
+        tgt = df.filter(p["target_filter"])
+    else:
+        raise ValueError("dsir needs 'target' (input spec) or "
+                         "'target_filter' (SQL condition)")
+    kw = dict(
+        text_col=p.get("text_col", "text"), id_col=id_col,
+        buckets=int(p.get("buckets", 1 << 16)),
+        smoothing=float(p.get("smoothing", 1.0)),
+    )
+    w = dsir_log_weights(df, tgt, **kw).withColumnsRenamed(
+        {"id": id_col, "dsir_logw": out_col})
+    out = df.drop(out_col).join(w, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0.0)))
+    if "min_weight" in p:
+        out = out.filter(F.col(out_col) >= float(p["min_weight"]))
+    if "select_n" in p:
+        keep = dsir_resample(
+            df, tgt, int(p["select_n"]),
+            seed=int(p.get("seed", 42)),
+            weights=w.select(F.col(id_col).alias("id"),
+                             F.col(out_col).alias("dsir_logw")),
+            **kw,
+        ).select(F.col("id").alias(id_col))
+        out = out.join(keep, id_col, "left_semi")
+    elif "top_n" in p:
+        out = out.orderBy(
+            F.desc(out_col), F.asc(id_col)).limit(int(p["top_n"]))
+    return out
+
+
 def _step_bpe_count(df: DataFrame, p: dict) -> DataFrame:
     """Attach a REAL token count column from a trained BPE merge table
     (``merges`` input spec — the (rank, left, right) parquet written
@@ -727,6 +780,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "decontaminate": _step_decontaminate,
     "remove_repeated_spans": _step_remove_repeated_spans,
     "bm25": _step_bm25,
+    "dsir": _step_dsir,
     "bpe_count": _step_bpe_count,
     "lm_score": _step_lm_score,
     "lm_filter": _step_lm_filter,

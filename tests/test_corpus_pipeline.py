@@ -911,3 +911,45 @@ def test_checkpoint_step(spark, tmp_path):
     assert "parquet" in plan.lower()  # continues from the files
     with pytest.raises(ValueError, match="path"):
         build_corpus_pipeline(df, [{"op": "checkpoint"}])
+
+
+def test_dsir_step(spark, sf_dir):
+    """Config-driven DSIR: weights attach and match the direct call
+    (target_filter slice), min_weight filters, select_n keeps the
+    deterministic Gumbel-top-k subset."""
+    from greenmask_spark.functions.sampling import (
+        dsir_log_weights,
+        dsir_resample,
+    )
+    from greenmask_spark.pipeline import build_corpus_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    B = 4096
+    out = build_corpus_pipeline(docs, [
+        {"op": "dsir", "target_filter": "lang = 'en'", "buckets": B},
+    ])
+    got = {r.doc_id: r.dsir_logw for r in out.collect()}
+    direct = {r.id: r.dsir_logw for r in dsir_log_weights(
+        docs, docs.filter("lang = 'en'"), buckets=B).collect()}
+    assert got == direct
+    assert set(out.columns) == set(docs.columns) | {"dsir_logw"}
+
+    flt = build_corpus_pipeline(docs, [
+        {"op": "dsir", "target_filter": "lang = 'en'", "buckets": B,
+         "min_weight": 0.0},
+    ])
+    assert {r.doc_id for r in flt.collect()} == \
+        {i for i, w in direct.items() if w >= 0.0}
+
+    sel = build_corpus_pipeline(docs, [
+        {"op": "dsir", "target_filter": "lang = 'en'", "buckets": B,
+         "select_n": 25},
+    ])
+    want = {r.id for r in dsir_resample(
+        docs, docs.filter("lang = 'en'"), 25, buckets=B).collect()}
+    assert {r.doc_id for r in sel.collect()} == want and len(want) == 25
+
+    import pytest
+
+    with pytest.raises(ValueError, match="target"):
+        build_corpus_pipeline(docs, [{"op": "dsir"}])

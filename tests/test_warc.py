@@ -1,0 +1,105 @@
+"""WARC source: stdlib record parser + the binaryFile → mapInPandas
+Spark tier, over synthetic archives built by an independent in-test
+writer (gzip-per-record, whole-file-gzip, and plain layouts)."""
+
+import gzip
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _record(wtype, uri, block, extra=()):
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: " + wtype.encode(),
+        b"WARC-Record-ID: <urn:uuid:" + wtype.encode() + b"-1>",
+        b"WARC-Date: 2026-08-15T00:00:00Z",
+    ]
+    if uri:
+        head.append(b"WARC-Target-URI: " + uri.encode())
+    head += [e.encode() for e in extra]
+    head.append(b"Content-Length: " + str(len(block)).encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def _http_response(body: bytes, ctype="text/html"):
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype.encode()
+            + b"\r\nContent-Length: " + str(len(body)).encode()
+            + b"\r\n\r\n" + body)
+
+
+def _archive():
+    info = _record("warcinfo", None, b"software: test\r\n",
+                   ("Content-Type: application/warc-fields",))
+    req = _record("request", "http://a.example/x",
+                  b"GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n",
+                  ("Content-Type: application/http;msgtype=request",))
+    resp1 = _record("response", "http://a.example/x",
+                    _http_response(b"<html><body>hello</body></html>"),
+                    ("Content-Type: application/http;msgtype=response",))
+    resp2 = _record("response", "http://b.example/y",
+                    _http_response(b"\x89PNGfakebytes", "image/png"),
+                    ("Content-Type: application/http;msgtype=response",))
+    return [info, req, resp1, resp2]
+
+
+def test_parse_warc_records_layouts():
+    from greenmask_spark.sources.warc import parse_warc_records
+
+    recs = _archive()
+    plain = b"".join(recs)
+    per_record_gz = b"".join(gzip.compress(r) for r in recs)
+    whole_gz = gzip.compress(plain)
+    for data in (plain, per_record_gz, whole_gz):
+        got = list(parse_warc_records(data))
+        assert [r["headers"]["warc-type"] for r in got] == \
+            ["warcinfo", "request", "response", "response"]
+        assert got[2]["block"].startswith(b"HTTP/1.1 200")
+    # truncated tail: the good prefix survives, no raise
+    cut = per_record_gz[: len(per_record_gz) - 40]
+    got = list(parse_warc_records(cut))
+    assert 1 <= len(got) < 4
+    # garbage input: empty, no raise
+    assert list(parse_warc_records(b"not a warc")) == []
+
+
+def test_read_warc_spark_tier(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from greenmask_spark.sources.warc import read_warc
+
+    recs = _archive()
+    (tmp_path / "a.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs))
+    (tmp_path / "b.warc").write_bytes(b"".join(recs))
+
+    out = read_warc(spark, str(tmp_path) + "/*.warc*").collect()
+    # 2 response records per file, requests/warcinfo filtered out
+    assert len(out) == 4
+    by = {(os.path.basename(r.file), r.target_uri): r for r in out}
+    r1 = by[("a.warc.gz", "http://a.example/x")]
+    assert r1.warc_type == "response" and r1.http_status == 200
+    assert r1.http_content_type == "text/html"
+    assert bytes(r1.payload) == b"<html><body>hello</body></html>"
+    r2 = by[("b.warc", "http://b.example/y")]
+    assert r2.http_content_type == "image/png"
+    assert bytes(r2.payload).startswith(b"\x89PNG")
+
+    # record_types=() keeps everything, with raw blocks for non-http
+    allrecs = read_warc(spark, str(tmp_path) + "/a.warc.gz",
+                        record_types=()).collect()
+    assert sorted(r.warc_type for r in allrecs) == \
+        ["request", "response", "response", "warcinfo"]
+    info = next(r for r in allrecs if r.warc_type == "warcinfo")
+    assert bytes(info.payload) == b"software: test\r\n"
+    assert info.http_status is None
+
+    # payload feeds the text pipeline directly
+    texts = read_warc(spark, str(tmp_path) + "/b.warc").filter(
+        F.col("http_content_type").startswith("text/")
+    ).select(
+        F.col("target_uri"),
+        F.col("payload").cast("string").alias("text"),
+    ).collect()
+    assert texts[0].text == "<html><body>hello</body></html>"

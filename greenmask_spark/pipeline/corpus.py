@@ -838,6 +838,23 @@ def _load_input(spark, inp: dict, sf_dir: str | None) -> DataFrame:
             from greenmask_spark.sources.io import read_jsonl
 
             return read_jsonl(spark, inp["path"], inp["schema"])
+        if fmt == "warc":
+            # crawl → corpus directly: text/* HTTP responses become the
+            # standard (doc_id, url, text) frame (doc_id = xxhash64 of
+            # the record id — stable across re-reads; non-text payloads
+            # belong to a multimodal pipeline, use read_warc yourself)
+            from greenmask_spark.sources.warc import read_warc
+
+            recs = read_warc(spark, inp["path"])
+            return recs.filter(
+                F.col("http_content_type").startswith("text/")
+            ).select(
+                F.xxhash64("record_id").alias(
+                    inp.get("id_col", "doc_id")),
+                F.col("target_uri").alias("url"),
+                F.col("payload").cast("string").alias(
+                    inp.get("text_col", "text")),
+            )
         return spark.read.format(fmt).load(inp["path"])
     raise ValueError("input needs 'table' or 'path'")
 

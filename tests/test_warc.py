@@ -103,3 +103,27 @@ def test_read_warc_spark_tier(spark, tmp_path):
         F.col("payload").cast("string").alias("text"),
     ).collect()
     assert texts[0].text == "<html><body>hello</body></html>"
+
+
+def test_warc_corpus_pipeline_input(spark, tmp_path):
+    """The crawl → corpus path end to end: a WARC input spec feeds the
+    config-driven pipeline as a (doc_id, url, text) frame; non-text
+    responses drop at the input tier."""
+    from greenmask_spark.pipeline import run_corpus_pipeline
+
+    recs = _archive()
+    (tmp_path / "c.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs))
+    out = run_corpus_pipeline(spark, {
+        "input": {"path": str(tmp_path) + "/c.warc.gz", "format": "warc"},
+        "steps": [
+            {"op": "strip_html"},
+            {"op": "hash_split"},
+        ],
+    })
+    rows = out.collect()
+    assert len(rows) == 1  # the PNG response is not text/*
+    assert rows[0].url == "http://a.example/x"
+    assert rows[0].text.strip() == "hello"
+    assert rows[0].split in ("train", "val", "test")
+    assert rows[0].doc_id is not None

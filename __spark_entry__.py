@@ -3434,6 +3434,40 @@ def _oracle_stratified_sample() -> str:
     """
 
 
+_Z_BITS = 10
+_Z_HI = 1 << 20
+
+
+def q_zorder_events(spark, sf_dir):
+    """Morton/Z-order keys (sources/io.zorder_value — the data-layout
+    half of write_zordered, the Delta/Iceberg OPTIMIZE ZORDER
+    re-expression): interleaved (user_id, event_id) bit planes after a
+    pure-bit-shift rebase (NO float scaling — the key replays
+    bit-for-bit in SQL). Fixed [0, 2^20] clamp bounds so the oracle
+    needs no corpus stats; the write/locality half (files cover small
+    hyper-rectangles, both columns prune via row-group stats) is
+    pytest-proven against a lexicographic-sort baseline."""
+    from greenmask_spark.sources.io import zorder_value
+
+    ev = _tables(spark, sf_dir, "events")["events"]
+    z = zorder_value(["user_id", "event_id"], [0, 0], [_Z_HI, _Z_HI],
+                     bits=_Z_BITS)
+    return ev.select("event_id", z.alias("z"))
+
+
+def _oracle_zorder_events() -> str:
+    shift = _Z_HI.bit_length() - _Z_BITS  # span 2^20 → 21-bit length
+    def scaled(col):
+        return (f"((least(greatest(coalesce({col}, 0), 0), {_Z_HI}) - 0) "
+                f">> {shift})")
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((({scaled('user_id')} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({scaled('event_id')} >> {b}) & 1) << {2 * b + 1})")
+    # disjoint bit positions: sum ≡ bitwise OR
+    return (f"SELECT event_id, ({' + '.join(terms)}) AS z FROM events")
+
+
 _DSIR_B = 4096
 
 
@@ -3582,7 +3616,7 @@ def _oracle_shard_write() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """82 entries. The driver harness records CORRECTNESS rows for the
+    """83 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
     brief; executed in r7, r8) — no entry's driver row goes more than
     two rounds stale.
@@ -3595,21 +3629,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_against, dedup_against_fuzzy, cross_split_contamination,
     ann_topk, ann_topk_lsh, ann_topk_ivf, embedding_near_dup,
     multimodal_features, strip_html, scrub_pii, repetition_profile,
-    linear_text_score) + the 5 r8 additions (t_type_override,
-    bm25_topk, ann_topk_pq, dsir_weights, cap_per_domain — the last
-    previously pytest-only, now oracle-checked in its new two-phase
-    shape) + 18 keepers whose family has no other window
-    representative (t_masking, t_orders_temporal, t_random_person,
-    t_when_condition, t_dynamic_param, t_query_override, t_template,
-    t_cmd, t_custom_plugin, t_apply_for_references, subset_cycle,
-    validate_diff, copy_roundtrip, sessionize, lm_score,
-    stratified_sample, asof_join, salted_agg).
+    linear_text_score) + the 6 r8 additions (t_type_override,
+    bm25_topk, ann_topk_pq, dsir_weights, zorder_events, and
+    cap_per_domain — the last previously pytest-only, now
+    oracle-checked in its new two-phase shape) + 17 keepers whose
+    family has no other window representative (t_masking,
+    t_orders_temporal, t_random_person, t_when_condition,
+    t_dynamic_param, t_query_override, t_template, t_cmd,
+    t_custom_plugin, t_apply_for_references, subset_cycle,
+    validate_diff, copy_roundtrip, sessionize, lm_score, asof_join,
+    salted_agg).
 
-    r8 TAIL = 32 rows, every one green in CORRECTNESS_r07, each with
+    r8 TAIL = 33 rows, every one green in CORRECTNESS_r07, each with
     >= 1 same-family row in the window: bm25 (→ bm25_topk, same
     formula family — its dense-scores oracle re-verifies next
-    rotation), pack_sequences (→ stratified_sample, sampling/packing
-    family), repeated_spans (→ dedup_exact, exact-substring family;
+    rotation), stratified_sample (→ dsir_weights +
+    cross_split_contamination, sampling/data-selection family),
+    pack_sequences (→ dsir_weights, sampling/packing family),
+    repeated_spans (→ dedup_exact, exact-substring family;
     its default path is unchanged this round and the r8 sf0.1 sweep
     re-verified it at 10×), mask_customer (→ t_masking),
     t_random_int (→ t_random_float/t_random_numeric), t_faker
@@ -3632,8 +3669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     skew_join (→ salted_agg), events_windowed (→ events_daily),
     classifier_weights (→ linear_text_score).
 
-    Union coverage: CORRECTNESS_r08 ∪ r07 covers all 82 entries
-    (the 32 tail rows were green in r07's window; the 50 window rows
+    Union coverage: CORRECTNESS_r08 ∪ r07 covers all 83 entries
+    (the 33 tail rows were green in r07's window; the 50 window rows
     get fresh r08 rows).
 
     Single-transformer queries from r1 remain consolidated into
@@ -3690,12 +3727,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,                # NEW r8: sparse top-k path
         "cap_per_domain": q_cap_per_domain,      # NEW r8 oracle row: two-phase quota
         "dsir_weights": q_dsir_weights,          # NEW r8: DSIR importance weights
-        "stratified_sample": q_stratified_sample,
+        "zorder_events": q_zorder_events,        # NEW r8: Morton data layout
         "asof_join": q_asof_join,
         "salted_agg": q_salted_agg,
         # --- r8 tail: all green in CORRECTNESS_r07; family reps above ---
         "bm25": q_bm25,                          # → bm25_topk in window
-        "pack_sequences": q_pack_sequences,      # → stratified_sample
+        "stratified_sample": q_stratified_sample,  # → dsir_weights +
+        #   cross_split_contamination (sampling/selection family)
+        "pack_sequences": q_pack_sequences,      # → stratified_sample (tail
+        #   note: sampling family window rep is dsir_weights)
         "repeated_spans": q_repeated_spans,      # → dedup_exact (exact-
         #   substring family; default path unchanged this round and
         #   re-verified in the r8 sf0.1 sweep)
@@ -3811,6 +3851,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _oracle_stratified_sample(),
         "shard_write": _oracle_shard_write(),
         "dsir_weights": _oracle_dsir_weights(),
+        "zorder_events": _oracle_zorder_events(),
         "repeated_spans": _oracle_repeated_spans(),
         "bm25": _oracle_bm25(),
         "bm25_topk": _oracle_bm25_topk(),

@@ -280,6 +280,83 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def zorder_value(
+    cols: list, mins: list[int], maxs: list[int], bits: int = 16
+):
+    """Morton/Z-order key of k numeric columns as ONE pure Column
+    expression: each column rebases to its min and right-shifts down
+    to ``bits`` bits (shift = bit_length(span) − bits — pure integer
+    bit ops, so the key is bit-for-bit replayable in any SQL engine;
+    no float scaling), then the bit planes interleave (bit b of
+    column i lands at position b*k + i). k*bits shift/or terms, fully
+    inside whole-stage codegen. NULL or out-of-range values clamp
+    into [min, max] so every row gets a finite key (NULLs land at the
+    low edge via coalesce(min))."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    if not (k and len(mins) == k and len(maxs) == k):
+        raise ValueError("zorder_value: cols/mins/maxs must align")
+    if k * bits > 63:
+        raise ValueError(f"k*bits = {k * bits} exceeds the 63-bit "
+                         "signed z-key budget")
+    z = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        c = F.col(c) if isinstance(c, str) else c
+        lo, hi = int(mins[i]), int(maxs[i])
+        span = max(hi - lo, 1)
+        shift = max(span.bit_length() - bits, 0)
+        rebased = (
+            F.least(F.greatest(F.coalesce(c.cast("bigint"), F.lit(lo)),
+                               F.lit(lo)), F.lit(hi)) - F.lit(lo)
+        )
+        scaled = F.shiftright(rebased, shift)
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(scaled, b).bitwiseAND(F.lit(1)),
+                            b * k + i)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Z-order-clustered write: the multi-dimensional data-skipping
+    layout (Delta/Iceberg OPTIMIZE ZORDER, re-expressed with stock
+    Spark). Rows sort by the interleaved key, so every output file
+    covers a small hyper-rectangle of the key space and parquet
+    row-group min/max stats prune scans filtered on ANY prefix-free
+    subset of the columns — unlike a lexicographic sort, which prunes
+    only the leading column. Column ranges come from one min/max agg
+    (2k scalars to the driver — railed); the sort is one
+    repartitionByRange exchange, same cost class as
+    ``deterministic_shuffle``."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(*[
+        f for c in zorder_cols
+        for f in (F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}"))
+    ]).first()
+    mins = [stats[f"__lo_{c}"] for c in zorder_cols]
+    maxs = [stats[f"__hi_{c}"] for c in zorder_cols]
+    if any(v is None for v in mins + maxs):
+        raise ValueError("write_zordered: all-NULL z-order column")
+    z = zorder_value(zorder_cols, mins, maxs, bits)
+    out = df.withColumn("__z", z)
+    out = (
+        out.repartitionByRange(num_files, "__z") if num_files
+        else out.repartitionByRange("__z")
+    )
+    (out.sortWithinPartitions("__z").drop("__z")
+        .write.mode("overwrite").format(fmt).save(path))
+
+
 def read_dump(
     spark: SparkSession, dump_dir: str, manifest=None
 ) -> dict[str, DataFrame]:

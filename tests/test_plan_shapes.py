@@ -132,6 +132,8 @@ SHAPES = {
     # the per-doc ordered-fold agg, and the zero-restore ids join;
     # the log-ratio table rides a broadcast, grams shuffle as ints
     "dsir_weights": (6, 0),
+    # r8 — Morton keys: one codegen'd projection, zero exchanges
+    "zorder_events": (0, 0),
 }
 
 

@@ -604,3 +604,71 @@ def test_quota_stream_first_arrivals(spark, tmp_path):
 
     with pytest.raises(ValueError, match="max_per_group"):
         quota_stream(bdf, "domain", 0)
+
+
+def test_zorder_value_and_write(spark, tmp_path):
+    """Morton keys: hand-checked interleaving, NULL/out-of-range
+    clamping, and the locality property that is the point — a z-
+    ordered write packs each output file into a small hyper-rectangle
+    of the key space (both columns prune), where a lexicographic sort
+    leaves the trailing column unpruned."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from greenmask_spark.sources.io import write_zordered, zorder_value
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x long, y long")
+
+    # hand-checked 2-bit interleave
+    small = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (2, 1), (None, 2)], "x long, y long")
+    z = {(r.x, r.y): r.z for r in small.select(
+        "x", "y",
+        zorder_value(["x", "y"], [0, 0], [3, 3], bits=2).alias("z"),
+    ).collect()}
+    assert z[(1, 0)] == 1 and z[(0, 1)] == 2
+    assert z[(3, 3)] == 15 and z[(2, 1)] == 6
+    assert z[(None, 2)] == z.get((None, 2))  # NULL clamps to min: bits of y only
+    assert z[(None, 2)] == 8  # y=2 -> bit1 at pos 3
+
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_value(["x", "y"], [0, 0], [3, 3], bits=32)
+    with pytest.raises(ValueError, match="align"):
+        zorder_value(["x", "y"], [0], [3, 3])
+
+    # locality: 1024-cell grid into 16 files — every file's x AND y
+    # spans stay small; a lexicographic sort leaves y spanning ~31
+    zp = str(tmp_path / "zordered")
+    write_zordered(grid, zp, ["x", "y"], bits=5, num_files=16)
+    spans = (
+        spark.read.parquet(zp)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg((F.max("x") - F.min("x")).alias("sx"),
+             (F.max("y") - F.min("y")).alias("sy"))
+        .collect()
+    )
+    assert len(spans) >= 8
+    assert max(r.sx for r in spans) <= 16
+    assert max(r.sy for r in spans) <= 16
+
+    lex = str(tmp_path / "lexsorted")
+    (grid.repartitionByRange(16, "x", "y").sortWithinPartitions("x", "y")
+     .write.parquet(lex))
+    lex_spans = (
+        spark.read.parquet(lex)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg((F.max("y") - F.min("y")).alias("sy"))
+        .collect()
+    )
+    assert max(r.sy for r in lex_spans) >= 30  # trailing col unpruned
+
+    # row conservation
+    assert spark.read.parquet(zp).count() == 1024
+
+    with pytest.raises(ValueError, match="all-NULL"):
+        write_zordered(
+            spark.createDataFrame([(None, 1)], "x long, y long"),
+            str(tmp_path / "nul"), ["x", "y"])

@@ -1,0 +1,140 @@
+"""Link-graph quality signals for crawl curation.
+
+Common-Crawl-scale pipelines weight documents by host/domain graph
+centrality (the crawl's own ranking data sets are PageRank/harmonic
+centrality over the host web graph); this module computes weighted
+PageRank relationally, with one twist that makes it verifiable at any
+scale: **fixed-point integer arithmetic**.
+
+Floating-point PageRank sums contributions in shuffle order, so two
+runs (or two engines) disagree in the last ulps and the disagreement
+compounds per iteration. Here ranks live as bigint nano-units
+(RANK_SCALE = 1e9 per unit of probability mass) and every operation is
+integer multiply / integer divide / integer sum — commutative and
+associative EXACTLY, so any partitioning, any engine, any iteration
+count produces bit-identical ranks, and a plain-SQL oracle can unroll
+the loop and hash-match. The truncation the integer divides introduce
+is bounded by a few nano-units per node per iteration —
+~1e-9-scale, far below any ranking decision — and it is the SAME
+truncation everywhere, which is the point.
+
+Scale shape: one iteration = one groupBy(dst) over (dst, bigint)
+contribution rows (map-side combined) + a left join back to the node
+list; dangling mass redistributes via a 1-row broadcast aggregate.
+Edges carry two longs and a weight — document bodies never enter the
+graph tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: units of probability mass per 1.0 of rank (1e9: nano-units). Chosen
+#: so the overflow contract below holds for web-scale graphs; see
+#: ``pagerank``.
+RANK_SCALE = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 5,
+    damping_ppm: int = 850_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank over an edge list → (node, rank_fp) where
+    ``rank_fp`` is the fixed-point rank in RANK_SCALE units (divide by
+    RANK_SCALE for the probability; Σ rank_fp ≈ N·RANK_SCALE up to
+    integer truncation). ``damping_ppm`` is the damping factor in
+    parts-per-million (850_000 = the classic 0.85) so it, too, stays
+    integer-exact.
+
+    Per iteration (the standard power step, integer-exact):
+      contrib(e) = (rank[src] * w_e) DIV W_src          -- per edge
+      dangling   = Σ rank[v] over out-degree-0 nodes    -- 1-row agg
+      rank'[v]   = (1-d)·RANK_SCALE + d·(Σ contrib + dangling DIV N)
+
+    Nodes = src ∪ dst of the edge list. Self-loops count like any
+    edge; multi-edges pre-aggregate into weights. A fixed, explicit
+    iteration count (default 5) instead of a convergence test keeps
+    the operator a deterministic bounded plan — the oracle unrolls the
+    same count.
+
+    Every multiply-then-divide uses the overflow-safe split form
+    ``(a div b)*m + ((a mod b)*m) div b`` (identical value, bounded
+    intermediates). Remaining overflow contract, documented not
+    checked: per-node total out-weight W and the damping modulus keep
+    ``(a mod b)*m`` under 2^63 — W ≤ ~9e9 with nano-unit ranks; cap or
+    normalize edge weights beyond that.
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters={n_iters} must be >= 1")
+    if not 0 < damping_ppm < 1_000_000:
+        raise ValueError(f"damping_ppm={damping_ppm} outside (0, 1e6)")
+    w = (F.col(weight_col).cast("bigint") if weight_col
+         else F.lit(1).cast("bigint"))
+    e = (
+        edges.select(
+            F.col(src_col).cast("bigint").alias("src"),
+            F.col(dst_col).cast("bigint").alias("dst"),
+            w.alias("w"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                & (F.col("w") > 0))
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.sum("w").alias("wtot"))
+    # edges annotated once with the source's total weight; iterations
+    # only touch (src, dst, w, wtot) + the rank column. localCheckpoint
+    # breaks the per-iteration lineage growth (the subset-fixpoint
+    # convention) and frees with the result.
+    ew = e.join(deg, "src").localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    d, scale = int(damping_ppm), RANK_SCALE
+    ppm = 1_000_000
+
+    rank = nodes.select("node", F.lit(scale).cast("bigint").alias("r"))
+    base = (ppm - d) * scale // ppm
+    for _ in range(n_iters):
+        contrib = (
+            ew.join(rank, ew["src"] == rank["node"])
+            # (r div W)*w + ((r mod W)*w) div W ≡ (r*w) div W, bounded
+            .select(
+                "dst",
+                F.expr("(r div wtot) * w + ((r % wtot) * w) div wtot")
+                .alias("c"),
+            )
+            .groupBy("dst").agg(F.sum("c").alias("inflow"))
+        )
+        # dangling nodes (no out-edges) spread their mass uniformly
+        dangling = (
+            rank.join(deg, rank["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dang"))
+        )
+        rank = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .withColumn(
+                "x",
+                F.coalesce(F.col("inflow"), F.lit(0))
+                + F.expr(f"dang div {n_nodes}"),
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(f"(x div {ppm}) * {d} "
+                             f"+ ((x % {ppm}) * {d}) div {ppm}")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank.select("node", F.col("r").alias("rank_fp"))

@@ -3349,3 +3349,102 @@ def test_dsir_weights_and_resample(spark):
 
     with pytest.raises(ValueError, match="smoothing"):
         dsir_log_weights(raw, tgt, smoothing=0.0)
+
+
+def test_pagerank_fixed_point(spark):
+    """Fixed-point integer PageRank: bit-identical to a pure-Python
+    integer replay AND to a DuckDB SQL unroll (the determinism claim
+    is exactness, not approximation), stable under repartitioning,
+    dangling mass redistributed, heavier edges pull more rank."""
+    import duckdb
+
+    from greenmask_spark.functions.linkgraph import RANK_SCALE, pagerank
+
+    #     1 -> 2 (w3), 1 -> 3 (w1), 2 -> 3, 3 -> 1, 4 -> 3, 5 dangling
+    edges = [(1, 2, 3), (1, 3, 1), (2, 3, 1), (3, 1, 1), (4, 3, 1),
+             (3, 5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    out = {r.node: r.rank_fp for r in
+           pagerank(df, n_iters=4, weight_col="w").collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+
+    # pure-Python integer replay — must match EXACTLY
+    def replay(n_iters, d=850_000, ppm=1_000_000, scale=RANK_SCALE):
+        ew = {}
+        for s, t, w in edges:
+            ew[(s, t)] = ew.get((s, t), 0) + w
+        nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+        W = {}
+        for (s, _), w in ew.items():
+            W[s] = W.get(s, 0) + w
+        n = len(nodes)
+        r = {v: scale for v in nodes}
+        base = (ppm - d) * scale // ppm
+        for _ in range(n_iters):
+            inflow = {v: 0 for v in nodes}
+            for (s, t), w in ew.items():
+                inflow[t] += (r[s] // W[s]) * w + ((r[s] % W[s]) * w) // W[s]
+            dang = sum(r[v] for v in nodes if v not in W)
+            nr = {}
+            for v in nodes:
+                x = inflow[v] + dang // n
+                nr[v] = base + (x // ppm) * d + ((x % ppm) * d) // ppm
+            r = nr
+        return r
+
+    assert out == replay(4)
+
+    # exactness under any partitioning — not approximate agreement
+    again = {r.node: r.rank_fp for r in
+             pagerank(df.repartition(7), n_iters=4,
+                      weight_col="w").collect()}
+    assert again == out
+
+    # DuckDB unroll (2 iters) — cross-engine bit parity
+    two = {r.node: r.rank_fp for r in
+           pagerank(df, n_iters=2, weight_col="w").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES "
+                + ",".join(f"({s},{t},{w})" for s, t, w in edges)
+                + ") AS t(src, dst, w)")
+    it = """
+    SELECT n.node,
+           {base} + (x // 1000000) * 850000 + ((x % 1000000) * 850000)
+             // 1000000 AS r
+    FROM (SELECT n.node,
+                 coalesce(i.inflow, 0)
+                 + (SELECT coalesce(sum(r.r), 0) FROM {rank} r
+                    WHERE r.node NOT IN (SELECT src FROM e)) // {n} AS x,
+                 n.node AS _k
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst, sum((r.r // W.W) * e.w
+                              + ((r.r % W.W) * e.w) // W.W) AS inflow
+            FROM e JOIN {rank} r ON e.src = r.node
+            JOIN (SELECT src, sum(w) AS W FROM e GROUP BY src) W
+              ON e.src = W.src
+            GROUP BY e.dst) i ON n.node = i.dst) n(node, x, _k)
+    """
+    sql = f"""
+    WITH nodes AS (SELECT DISTINCT src AS node FROM e
+                   UNION SELECT DISTINCT dst FROM e),
+    r0 AS (SELECT node, {RANK_SCALE}::BIGINT AS r FROM nodes),
+    r1 AS ({it.format(base=(150000 * RANK_SCALE) // 1000000,
+                      rank='r0', n=5)}),
+    r2 AS ({it.format(base=(150000 * RANK_SCALE) // 1000000,
+                      rank='r1', n=5)})
+    SELECT node, r FROM r2
+    """
+    duck = {node: r for node, r in con.execute(sql).fetchall()}
+    assert duck == two
+
+    # structural sanity: 3 collects from everyone → top rank; the
+    # weighted 1->2 edge (w3) gives 2 more than 4 (which only spends)
+    assert max(out, key=out.get) == 3
+    assert out[2] > out[4]
+    # mass approximately conserved (integer truncation only)
+    assert abs(sum(out.values()) - 5 * RANK_SCALE) < 5 * 2_000_000
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_iters"):
+        pagerank(df, n_iters=0)

@@ -98,6 +98,93 @@ def quality_score(text: Column) -> Column:
     )
 
 
+#: the Gopher rule-6 stop set (Rae et al. 2021, appendix A1.1): a doc
+#: must contain at least two of these to look like running English prose
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(text: Column) -> Column:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    arXiv:2112.11446 appendix A1.1) as ONE struct of per-rule booleans
+    plus the conjunction — pure expressions, zero shuffle, so the
+    filter runs at scan bandwidth and each rule's hit rate is one
+    aggregate away (``df.agg(avg(flags.word_count_ok.cast('int')))``).
+
+    Rules (true = keep): word count in [50, 100k]; mean word length in
+    [3, 10]; symbol-to-word ratio (# and ellipsis) ≤ 0.1; ≤ 90% of
+    lines bullet-started; ≤ 30% of lines ellipsis-ended; ≥ 80% of
+    words contain an alphabetic character; ≥ 2 of the 8 Gopher stop
+    words present. NULL text fails all rules."""
+    toks = F.filter(tokens(text), lambda t: t != "")
+    n = F.size(toks)
+    nn = F.greatest(n, F.lit(1))
+    mwl = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    ) / nn
+    n_sym = (
+        F.size(F.filter(toks, lambda t: t.contains("#")))
+        + F.size(F.filter(toks, lambda t: t.contains("…")
+                          | t.contains("...")))
+    )
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(F.filter(
+        lines,
+        lambda ln: (F.trim(ln).startswith("•") | F.trim(ln).startswith("-")
+                    | F.trim(ln).startswith("*")),
+    ))
+    ellipsis = F.size(F.filter(
+        lines,
+        lambda ln: F.trim(ln).endswith("...") | F.trim(ln).endswith("…"),
+    ))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stops = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    ))
+    flags = F.struct(
+        ((n >= 50) & (n <= 100_000)).alias("word_count_ok"),
+        ((mwl >= 3.0) & (mwl <= 10.0)).alias("mean_word_len_ok"),
+        (n_sym / nn <= 0.1).alias("symbol_ratio_ok"),
+        (bullet / n_lines <= 0.9).alias("bullet_lines_ok"),
+        (ellipsis / n_lines <= 0.3).alias("ellipsis_lines_ok"),
+        (alpha / nn >= 0.8).alias("alpha_words_ok"),
+        (stops >= 2).alias("stopwords_ok"),
+    )
+    passed = None
+    for f in ("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+              "bullet_lines_ok", "ellipsis_lines_ok", "alpha_words_ok",
+              "stopwords_ok"):
+        c = flags[f]
+        passed = c if passed is None else (passed & c)
+    flags = F.struct(
+        *[flags[f].alias(f) for f in
+          ("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+           "bullet_lines_ok", "ellipsis_lines_ok", "alpha_words_ok",
+           "stopwords_ok")],
+        F.coalesce(passed, F.lit(False)).alias("passed"),
+    )
+    return F.when(text.isNotNull(), flags).otherwise(
+        F.struct(*[F.lit(False).alias(f) for f in
+                   ("word_count_ok", "mean_word_len_ok",
+                    "symbol_ratio_ok", "bullet_lines_ok",
+                    "ellipsis_lines_ok", "alpha_words_ok",
+                    "stopwords_ok", "passed")])
+    )
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", flags_col: str | None = None
+) -> DataFrame:
+    """Keep documents passing ALL Gopher rules; with ``flags_col`` the
+    per-rule struct is also attached (audit mode — compute hit rates
+    per rule before committing to a drop threshold)."""
+    flags = gopher_quality_flags(F.col(text_col))
+    if flags_col:
+        return df.withColumn(flags_col, flags).filter(
+            F.col(flags_col)["passed"])
+    return df.filter(flags["passed"])
+
+
 def lang_id(text: Column) -> Column:
     """Argmax of per-language stopword hits; ties break in LANG_ORDER;
     all-zero → 'und' (undetermined)."""

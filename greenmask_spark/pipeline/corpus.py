@@ -120,6 +120,19 @@ def _step_quality_filter(df: DataFrame, p: dict) -> DataFrame:
     return out
 
 
+def _step_gopher_filter(df: DataFrame, p: dict) -> DataFrame:
+    """The published Gopher document-quality rule bundle (Rae et al.
+    2021 appendix A1.1) as one scan-bandwidth filter; ``flags_col``
+    keeps the per-rule struct for audit-mode hit-rate analysis."""
+    from greenmask_spark.functions.text_analysis import gopher_filter
+
+    return gopher_filter(
+        df,
+        text_col=p.get("text_col", "text"),
+        flags_col=p.get("flags_col"),
+    )
+
+
 def _step_repetition_filter(df: DataFrame, p: dict) -> DataFrame:
     """Drop docs above Gopher/C4-style repetition thresholds (needs the
     per-doc bigram aggregation — one map-side-combined shuffle)."""
@@ -758,6 +771,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "dedup_lines": _step_dedup_lines,
     "fuzzy_dedup": _step_fuzzy_dedup,
     "quality_filter": _step_quality_filter,
+    "gopher_filter": _step_gopher_filter,
     "repetition_filter": _step_repetition_filter,
     "scrub_pii": _step_scrub_pii,
     "hash_split": _step_hash_split,

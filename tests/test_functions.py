@@ -3448,3 +3448,55 @@ def test_pagerank_fixed_point(spark):
 
     with pytest.raises(ValueError, match="n_iters"):
         pagerank(df, n_iters=0)
+
+
+def test_gopher_quality_rules(spark):
+    """The Gopher A1.1 rule bundle: each rule trips on a crafted
+    violator while a plain prose doc passes all; NULL fails all;
+    audit mode attaches the per-rule struct."""
+    from greenmask_spark.functions.text_analysis import (
+        gopher_filter,
+        gopher_quality_flags,
+    )
+
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "continues to run with great speed because it must have "
+             "been chased by hunters that morning of the long winter "
+             "and nothing could be done about that sad state of "
+             "affairs so it kept running through fields and woods")
+    docs = spark.createDataFrame([
+        (1, prose),                                    # passes all
+        (2, "too few words to have fifty of them"),    # word count
+        (3, " ".join(["a"] * 60)),                     # mean word len < 3
+        (4, " ".join(["the#tag", "of#x"] * 30)),       # symbol ratio
+        (5, "\n".join(["- item of the list to have"] * 20)),  # bullets
+        (6, "\n".join(["the thing went on..."] * 20)),        # ellipsis
+        (7, " ".join(["123", "456", "789", "the", "of"] * 20)),  # alpha
+        (8, " ".join(["giraffe", "penguin", "wombat"] * 30)),    # stops
+        (9, None),
+    ], "doc_id long, text string")
+    flags = {r.doc_id: r.f.asDict() for r in docs.select(
+        "doc_id", gopher_quality_flags(F.col("text")).alias("f")
+    ).collect()}
+    assert flags[1]["passed"] is True
+    assert flags[2]["word_count_ok"] is False
+    assert flags[3]["mean_word_len_ok"] is False
+    assert flags[4]["symbol_ratio_ok"] is False
+    assert flags[5]["bullet_lines_ok"] is False
+    assert flags[6]["ellipsis_lines_ok"] is False
+    assert flags[7]["alpha_words_ok"] is False
+    assert flags[8]["stopwords_ok"] is False
+    assert all(flags[9][k] is False for k in flags[9])
+    for i in (2, 3, 4, 5, 6, 7, 8, 9):
+        assert flags[i]["passed"] is False, i
+
+    kept = gopher_filter(docs).collect()
+    assert [r.doc_id for r in kept] == [1]
+    audit = gopher_filter(docs, flags_col="gq").collect()
+    assert audit[0].gq.passed is True and "gq" in audit[0].asDict()
+
+    # config-driven step
+    from greenmask_spark.pipeline import build_corpus_pipeline
+
+    out = build_corpus_pipeline(docs, [{"op": "gopher_filter"}])
+    assert [r.doc_id for r in out.collect()] == [1]

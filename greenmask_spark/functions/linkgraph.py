@@ -90,7 +90,11 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.sum("w").alias("wtot"))
+    # deg checkpoints too: the per-iteration dangling anti-join reads
+    # it, and without its own checkpoint every iteration would
+    # re-execute the raw edge scan + two aggregations behind it
+    deg = e.groupBy("src").agg(
+        F.sum("w").alias("wtot")).localCheckpoint(eager=True)
     # edges annotated once with the source's total weight; iterations
     # only touch (src, dst, w, wtot) + the rank column. localCheckpoint
     # breaks the per-iteration lineage growth (the subset-fixpoint

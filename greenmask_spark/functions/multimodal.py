@@ -493,7 +493,11 @@ def resize_raw_images(
         for pdf in it:
             payloads = []
             for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                if p is None or w is None or h is None or \
+                # pd.isna, not `is None`: Arrow promotes a nullable int
+                # column to float64, so a NULL width arrives as NaN and
+                # int(NaN) would kill the task
+                if p is None or pd.isna(w) or pd.isna(h) or \
+                        int(w) <= 0 or int(h) <= 0 or \
                         len(p) != int(w) * int(h) * channels:
                     payloads.append(None)
                     continue
@@ -555,10 +559,11 @@ def encode_images(df: DataFrame, level: int = 6) -> DataFrame:
             payloads, mimes = [], []
             for p, w, h, m in zip(pdf["payload"], pdf["width"],
                                   pdf["height"], pdf["mime"]):
-                # the dims check includes w/h > 0: a zero-dim row with
-                # an (accidentally) matching empty payload must fall
-                # into the NULL-out branch, not crash the encoder
-                if p is None or w is None or h is None or \
+                # the dims check includes w/h > 0 (a zero-dim row with
+                # an accidentally-matching empty payload must NULL out,
+                # not crash the encoder) and uses pd.isna, not `is
+                # None` (Arrow promotes nullable ints to float64 NaN)
+                if p is None or pd.isna(w) or pd.isna(h) or \
                         int(w) <= 0 or int(h) <= 0 or \
                         len(p) != int(w) * int(h) * 3:
                     payloads.append(None)

@@ -323,7 +323,13 @@ def temperature_rates(
         raise ValueError("temperature_rates: no non-empty sources")
     weights = {s: float(n) ** alpha for s, n in pos.items()}
     z = sum(weights.values())
-    return {s: budget * (weights[s] / z) / pos[s] for s in pos}
+    # zero-count sources get rate 0.0 (NOT dropped): sample_mixture
+    # validates that every source has a rate, so the composition
+    # rates=temperature_rates(counts, ...) must stay total over counts
+    return {
+        s: (budget * (weights[s] / z) / pos[s]) if s in pos else 0.0
+        for s in counts
+    }
 
 
 def unimax_rates(
@@ -348,7 +354,8 @@ def unimax_rates(
     cap = {s: max_epochs * n for s, n in pos.items()}
     remaining = float(budget)
     left = sorted(pos, key=lambda s: (cap[s], s))
-    rates: dict[str, float] = {}
+    # zero-count sources get rate 0.0 (see temperature_rates)
+    rates: dict[str, float] = {s: 0.0 for s in counts if s not in pos}
     for i, s in enumerate(left):
         fair = remaining / (len(left) - i)
         take = min(cap[s], fair)

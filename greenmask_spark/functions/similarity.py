@@ -620,13 +620,19 @@ def train_pq_codebooks(
       driver per iteration (the codebooks themselves).
     - empty cells keep their previous sub-centroid (IVF convention).
     """
-    first = (
+    # dim = the MOST COMMON positive vector size, not the first row's:
+    # one truncated vector arriving first must not abort training (or,
+    # worse, pick a dim that filters out every good vector). One
+    # column-pruned agg over sizes; ties break to the larger dim.
+    sizes = (
         corpus.select(F.size(F.col(vec_col)).alias("n"))
-        .filter(F.col("n") > 0).first()
+        .filter(F.col("n") > 0)
+        .groupBy("n").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.desc("n")).limit(1).collect()
     )
-    if first is None:
+    if not sizes:
         raise ValueError("train_pq_codebooks: empty corpus")
-    dim = int(first.n)
+    dim = int(sizes[0].n)
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
@@ -844,7 +850,16 @@ def ivf_pq_topk(
     difference is marginal (documented in SCALE.md).
 
     Pass ``index`` (an ``ivf_pq_index`` output, possibly read back
-    from its bucketed parquet) to skip the tagging scan entirely."""
+    from its bucketed parquet) to skip the tagging scan entirely —
+    together with the SAME ``centroids``/``codebooks`` that built it:
+    retraining fresh artifacts against a prebuilt index would probe
+    cids and gather LUT cells from a different quantization space and
+    return silently wrong neighbors, so that combination raises."""
+    if index is not None and (centroids is None or codebooks is None):
+        raise ValueError(
+            "ivf_pq_topk: a prebuilt index requires the centroids and "
+            "codebooks that built it (retraining would mismatch the "
+            "stored cid/pq_code space)")
     cents = centroids or train_ivf_centroids(
         corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
     )

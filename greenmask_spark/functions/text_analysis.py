@@ -121,10 +121,17 @@ def gopher_quality_flags(text: Column) -> Column:
     mwl = F.aggregate(
         toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
     ) / nn
-    n_sym = (
-        F.size(F.filter(toks, lambda t: t.contains("#")))
-        + F.size(F.filter(toks, lambda t: t.contains("…")
-                          | t.contains("...")))
+    # symbol OCCURRENCES (not symbol-containing tokens — 5 tokens of
+    # '########' in a 100-word doc are 40 symbols, ratio 0.4, a fail):
+    # '#' per char delta; '...' runs count by non-overlapping replace
+    n_sym = F.aggregate(
+        toks, F.lit(0).cast("bigint"),
+        lambda a, t: a
+        + (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+        + ((F.length(t)
+            - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+           / F.lit(3)).cast("bigint"),
     )
     lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
     n_lines = F.greatest(F.size(lines), F.lit(1))
@@ -141,47 +148,40 @@ def gopher_quality_flags(text: Column) -> Column:
     stops = F.size(F.array_intersect(
         toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     ))
+    rules = [
+        ("word_count_ok", (n >= 50) & (n <= 100_000)),
+        ("mean_word_len_ok", (mwl >= 3.0) & (mwl <= 10.0)),
+        ("symbol_ratio_ok", n_sym / nn <= 0.1),
+        ("bullet_lines_ok", bullet / n_lines <= 0.9),
+        ("ellipsis_lines_ok", ellipsis / n_lines <= 0.3),
+        ("alpha_words_ok", alpha / nn >= 0.8),
+        ("stopwords_ok", stops >= 2),
+    ]
+    passed = rules[0][1]
+    for _, c in rules[1:]:
+        passed = passed & c
     flags = F.struct(
-        ((n >= 50) & (n <= 100_000)).alias("word_count_ok"),
-        ((mwl >= 3.0) & (mwl <= 10.0)).alias("mean_word_len_ok"),
-        (n_sym / nn <= 0.1).alias("symbol_ratio_ok"),
-        (bullet / n_lines <= 0.9).alias("bullet_lines_ok"),
-        (ellipsis / n_lines <= 0.3).alias("ellipsis_lines_ok"),
-        (alpha / nn >= 0.8).alias("alpha_words_ok"),
-        (stops >= 2).alias("stopwords_ok"),
-    )
-    passed = None
-    for f in ("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
-              "bullet_lines_ok", "ellipsis_lines_ok", "alpha_words_ok",
-              "stopwords_ok"):
-        c = flags[f]
-        passed = c if passed is None else (passed & c)
-    flags = F.struct(
-        *[flags[f].alias(f) for f in
-          ("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
-           "bullet_lines_ok", "ellipsis_lines_ok", "alpha_words_ok",
-           "stopwords_ok")],
+        *[c.alias(name) for name, c in rules],
         F.coalesce(passed, F.lit(False)).alias("passed"),
     )
     return F.when(text.isNotNull(), flags).otherwise(
-        F.struct(*[F.lit(False).alias(f) for f in
-                   ("word_count_ok", "mean_word_len_ok",
-                    "symbol_ratio_ok", "bullet_lines_ok",
-                    "ellipsis_lines_ok", "alpha_words_ok",
-                    "stopwords_ok", "passed")])
+        F.struct(*[F.lit(False).alias(name) for name, _ in rules],
+                 F.lit(False).alias("passed"))
     )
 
 
 def gopher_filter(
     df: DataFrame, text_col: str = "text", flags_col: str | None = None
 ) -> DataFrame:
-    """Keep documents passing ALL Gopher rules; with ``flags_col`` the
-    per-rule struct is also attached (audit mode — compute hit rates
-    per rule before committing to a drop threshold)."""
+    """Keep documents passing ALL Gopher rules — unless ``flags_col``
+    is given: AUDIT MODE attaches the per-rule struct to EVERY row and
+    does not filter, so rule hit rates can be measured before
+    committing to drops (filtering first would make every surviving
+    flag trivially true); follow with
+    ``.filter(F.col(flags_col)['passed'])`` to apply the drop."""
     flags = gopher_quality_flags(F.col(text_col))
     if flags_col:
-        return df.withColumn(flags_col, flags).filter(
-            F.col(flags_col)["passed"])
+        return df.withColumn(flags_col, flags)
     return df.filter(flags["passed"])
 
 

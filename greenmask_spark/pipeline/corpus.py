@@ -513,9 +513,11 @@ def _step_dsir(df: DataFrame, p: dict) -> DataFrame:
     else:
         raise ValueError("dsir needs 'target' (input spec) or "
                          "'target_filter' (SQL condition)")
+    from greenmask_spark.functions.sampling import DSIR_BUCKETS
+
     kw = dict(
         text_col=p.get("text_col", "text"), id_col=id_col,
-        buckets=int(p.get("buckets", 1 << 16)),
+        buckets=int(p.get("buckets", DSIR_BUCKETS)),
         smoothing=float(p.get("smoothing", 1.0)),
     )
     w = dsir_log_weights(df, tgt, **kw).withColumnsRenamed(
@@ -860,11 +862,17 @@ def _load_input(spark, inp: dict, sf_dir: str | None) -> DataFrame:
             from greenmask_spark.sources.warc import read_warc
 
             recs = read_warc(spark, inp["path"])
+            # id falls back to file#offset when WARC-Record-ID is
+            # absent (dirty crawls): xxhash64 of a NULL would collapse
+            # every id-less record onto one constant doc_id and
+            # downstream dedup/split would merge distinct documents
             return recs.filter(
                 F.col("http_content_type").startswith("text/")
             ).select(
-                F.xxhash64("record_id").alias(
-                    inp.get("id_col", "doc_id")),
+                F.xxhash64(F.coalesce(
+                    F.col("record_id"),
+                    F.concat_ws("#", "file", "record_offset"),
+                )).alias(inp.get("id_col", "doc_id")),
                 F.col("target_uri").alias("url"),
                 F.col("payload").cast("string").alias(
                     inp.get("text_col", "text")),

@@ -2985,8 +2985,12 @@ def test_png_encode_roundtrip(spark):
          R(media_id=2, kind="image", mime="image/raw", payload=b"xx",
            width=9, height=9, duration_ms=None),  # corrupt dims → NULL
          R(media_id=3, kind="image", mime="image/raw", payload=b"",
-           width=0, height=5, duration_ms=None)],  # zero dims: the
+           width=0, height=5, duration_ms=None),  # zero dims: the
         #   empty payload "matches" 0*5*3 bytes — must NULL, not crash
+         R(media_id=4, kind="image", mime="image/raw", payload=b"xyz",
+           width=None, height=1, duration_ms=None)],  # NULL width:
+        #   Arrow promotes the int column to float64 NaN — the guard
+        #   must pd.isna it, not `is None`
         MEDIA_SCHEMA)
     out = {r.media_id: r for r in _collect_retry(
         encode_images(resize_raw_images(decode_images(
@@ -2999,6 +3003,7 @@ def test_png_encode_roundtrip(spark):
     assert (w2, h2) == (2, 2) and raw2 == px[yi[:, None], xi, :].tobytes()
     assert out[2].payload is None  # corrupt row skipped, not failed
     assert out[3].payload is None  # zero-dim row skipped, not failed
+    assert out[4].payload is None  # NaN-width row skipped, not failed
 
 
 def test_pq_encode_and_topk(spark):
@@ -3097,7 +3102,11 @@ def test_train_pq_codebooks(spark):
     vecs = np.vstack([
         centers[i % 4] + rng.randn(dim) * 0.1 for i in range(64)
     ])
-    rows = [(i, [float(x) for x in vecs[i]]) for i in range(64)]
+    # the FIRST row is a truncated vector: dim inference must pick the
+    # majority size (8), not the first row's (2) — first-row inference
+    # would either abort on divisibility or filter out every good row
+    rows = [(-1, [9.0, 9.0])]
+    rows += [(i, [float(x) for x in vecs[i]]) for i in range(64)]
     # one NULL and one short vector land inside the sample_mod=1
     # training sample — training must skip them, not crash (the
     # pq_encode one-bad-row contract)
@@ -3200,6 +3209,13 @@ def test_ivf_pq_topk(spark):
                 sorted(rows, key=lambda r: r.rank)] == \
             list(range(1, len(rows) + 1))
 
+    # a prebuilt index without its artifacts must refuse (silent
+    # retrain would probe a mismatched cid/code space)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="prebuilt index"):
+        ivf_pq_topk(df, queries, index=ivf_pq_index(df, cents, books))
+
     # prepared-index path is identical to inline tagging
     idx = ivf_pq_index(df, cents, books)
     assert set(idx.columns) == {"neighbor_id", "cid", "pq_code"}
@@ -3237,8 +3253,12 @@ def test_mixture_rate_helpers(spark):
     rh = temperature_rates(counts, budget=4800, alpha=0.5)
     assert rh["tiny"] > rh["mid"] > rh["big"]
     assert math.isclose(sum(rh[s] * counts[s] for s in counts), 4800)
-    # zero-count sources drop; empty input raises
-    assert "z" not in temperature_rates({**counts, "z": 0}, 100)
+    # zero-count sources get rate 0.0 (NOT dropped) so the dict stays
+    # total over counts and composes with sample_mixture's validation
+    rz = temperature_rates({**counts, "z": 0}, 100)
+    assert rz["z"] == 0.0 and set(rz) == set(counts) | {"z"}
+    uz = unimax_rates({**counts, "z": 0}, 100)
+    assert uz["z"] == 0.0
     with pytest.raises(ValueError, match="non-empty"):
         temperature_rates({"z": 0}, 100)
 
@@ -3468,7 +3488,11 @@ def test_gopher_quality_rules(spark):
         (1, prose),                                    # passes all
         (2, "too few words to have fifty of them"),    # word count
         (3, " ".join(["a"] * 60)),                     # mean word len < 3
-        (4, " ".join(["the#tag", "of#x"] * 30)),       # symbol ratio
+        # 100 words, 5 of them '########' = 40 symbol OCCURRENCES →
+        # ratio 0.4 (token-level counting would see 5/100 and pass)
+        (4, " ".join(["the full sentence keeps going on and on with "
+                      "many plain words here"] * 5
+                     + ["########"] * 5)),          # symbol ratio
         (5, "\n".join(["- item of the list to have"] * 20)),  # bullets
         (6, "\n".join(["the thing went on..."] * 20)),        # ellipsis
         (7, " ".join(["123", "456", "789", "the", "of"] * 20)),  # alpha
@@ -3492,8 +3516,13 @@ def test_gopher_quality_rules(spark):
 
     kept = gopher_filter(docs).collect()
     assert [r.doc_id for r in kept] == [1]
-    audit = gopher_filter(docs, flags_col="gq").collect()
-    assert audit[0].gq.passed is True and "gq" in audit[0].asDict()
+    # AUDIT MODE: flags attach to EVERY row, nothing filtered — hit
+    # rates per rule are measurable before committing to drops
+    audit = {r.doc_id: r.gq for r in
+             gopher_filter(docs, flags_col="gq").collect()}
+    assert len(audit) == 9
+    assert audit[1].passed is True and audit[4].passed is False
+    assert audit[4].symbol_ratio_ok is False
 
     # config-driven step
     from greenmask_spark.pipeline import build_corpus_pipeline

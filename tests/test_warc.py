@@ -127,3 +127,72 @@ def test_warc_corpus_pipeline_input(spark, tmp_path):
     assert rows[0].text.strip() == "hello"
     assert rows[0].split in ("train", "val", "test")
     assert rows[0].doc_id is not None
+
+
+def test_png_codec_property():
+    """Property test: for random images and RANDOM per-scanline filter
+    choices, an independently-encoded PNG decodes to the exact pixels
+    (the fixed-vector test covers each filter once; this sweeps filter
+    interactions, widths including 1, and edge rows). Pure-Python —
+    no Spark session."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from greenmask_spark.functions.multimodal import decode_image_bytes
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    def encode(px, ftypes):
+        h, w, _ = px.shape
+        prev = np.zeros(w * 3, dtype=np.int64)
+        rows = []
+        for r in range(h):
+            cur = px[r].reshape(w * 3).astype(np.int64)
+            ft = ftypes[r]
+            left = np.concatenate([[0, 0, 0], cur[:-3]])
+            ul = np.concatenate([[0, 0, 0], prev[:-3]])
+            if ft == 0:
+                enc = cur
+            elif ft == 1:
+                enc = cur - left
+            elif ft == 2:
+                enc = cur - prev
+            elif ft == 3:
+                enc = cur - ((left + prev) >> 1)
+            else:
+                p = left + prev - ul
+                pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                              np.abs(p - ul))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, ul))
+                enc = cur - pred
+            rows.append(bytes([ft])
+                        + (enc & 0xFF).astype(np.uint8).tobytes())
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + chunk(b"IEND", b""))
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        w = data.draw(st.integers(1, 9))
+        h = data.draw(st.integers(1, 9))
+        seed = data.draw(st.integers(0, 2**31 - 1))
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        fts = [data.draw(st.integers(0, 4)) for _ in range(h)]
+        got = decode_image_bytes(encode(px, fts))
+        assert got is not None, fts
+        gw, gh, raw = got
+        assert (gw, gh) == (w, h)
+        assert raw == px.tobytes(), fts
+
+    run()

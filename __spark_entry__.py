@@ -3673,6 +3673,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (the 33 tail rows were green in r07's window; the 50 window rows
     get fresh r08 rows).
 
+    r9 WINDOW CANDIDATES (new operators shipped r8 with pytest-level
+    oracle evidence, registry rows due with the next rotation):
+    pagerank (functions/linkgraph — the pytest already hash-matches a
+    DuckDB unroll, so the oracle row is a transcription), ivf_pq_topk
+    (compose the existing ivf + pq oracle CTEs), gopher_filter (pure
+    expressions; flags replay directly in SQL).
+
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its
     original key/params, so per-transformer semantics are unchanged;

@@ -672,3 +672,36 @@ def test_zorder_value_and_write(spark, tmp_path):
         write_zordered(
             spark.createDataFrame([(None, 1)], "x long, y long"),
             str(tmp_path / "nul"), ["x", "y"])
+
+
+def test_pq_encode_streams(spark, tmp_path):
+    """PQ encoding is a stateless Arrow projection, so it composes
+    onto a STREAMING DataFrame unchanged — embedding codes computed at
+    ingestion (the index builds as data lands), byte-identical to the
+    batch encode of the same rows."""
+    import numpy as np
+
+    from greenmask_spark.functions.similarity import (
+        hash_pq_codebooks,
+        pq_encode,
+    )
+
+    rng = np.random.RandomState(17)
+    vecs = rng.randn(24, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(24)],
+        "vec_id long, embedding array<double>")
+    src = str(tmp_path / "emb_src")
+    df.write.parquet(src)
+    books = hash_pq_codebooks(8, m=4, k_sub=4, seed=3)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = pq_encode(stream, books)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("pq_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.vec_id: r.pq_code for r in
+           spark.sql("SELECT * FROM pq_stream").collect()}
+    want = {r.vec_id: r.pq_code for r in pq_encode(df, books).collect()}
+    assert got == want and len(got) == 24

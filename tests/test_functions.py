@@ -3529,3 +3529,172 @@ def test_gopher_quality_rules(spark):
 
     out = build_corpus_pipeline(docs, [{"op": "gopher_filter"}])
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_ivf_pq_duckdb_parity(spark):
+    """Cross-engine parity for the IVF-PQ composition: a DuckDB SQL
+    replay (centroid assignment + probe, per-subspace codes, ordered
+    ADC sums, ranked top-k) matches the Spark result row for row —
+    the r9 oracle row, proven here first."""
+    import duckdb
+    import numpy as np
+
+    from greenmask_spark.functions.similarity import (
+        hash_centroids,
+        hash_pq_codebooks,
+        ivf_pq_topk,
+    )
+
+    dim, nc, m, k_sub, n_probe, k = 8, 4, 4, 4, 2, 3
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(20, dim).round(6)  # clean literals for SQL
+    cents = hash_centroids(dim, nc, seed=5)
+    books = hash_pq_codebooks(dim, m=m, k_sub=k_sub, seed=5)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 3")
+    got = [(r.query_id, r.neighbor_id, r.adc_dist, r.rank)
+           for r in ivf_pq_topk(df, queries, k=k, n_probe=n_probe,
+                                centroids=cents, codebooks=books)
+           .orderBy("query_id", "rank").collect()]
+
+    def arr(v):
+        return "[" + ",".join(repr(float(x)) for x in v) + "]"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, {arr(vecs[i])}::DOUBLE[])"
+                   for i in range(20))
+        + ") AS t(vec_id, v)")
+    cent_vals = ",".join(f"({i}, {arr(c)}::DOUBLE[])"
+                         for i, c in enumerate(cents))
+    cb_vals = ",".join(
+        f"({s}, {j}, {arr(c)}::DOUBLE[])"
+        for s, book in enumerate(books) for j, c in enumerate(book))
+    dsub = dim // m
+    sql = f"""
+    WITH cent(i, c) AS (SELECT * FROM (VALUES {cent_vals})),
+    cb(s, j, c) AS (SELECT * FROM (VALUES {cb_vals})),
+    cd AS (  -- centroid distances for assignment AND probes
+      SELECT e.vec_id, cent.i,
+             list_sum(list_transform(list_zip(e.v, cent.c),
+                      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+      FROM e CROSS JOIN cent),
+    cdr AS (SELECT vec_id, i,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, i) AS rn
+            FROM cd),
+    assigned AS (SELECT vec_id, i AS cid FROM cdr WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, i AS cid FROM cdr
+               WHERE vec_id < 3 AND rn <= {n_probe}),
+    sd AS (  -- per-subspace code distances + query LUT entries
+      SELECT e.vec_id, cb.s, cb.j,
+             list_sum(list_transform(
+               list_zip(e.v[cb.s*{dsub}+1:(cb.s+1)*{dsub}], cb.c),
+               x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+      FROM e CROSS JOIN cb),
+    code AS (SELECT vec_id, s, j FROM (
+               SELECT vec_id, s, j,
+                      row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY dist, j) AS rn
+               FROM sd) WHERE rn = 1),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_sum(list(lq.dist ORDER BY lq.s)), 4) AS adc_dist
+      FROM probes p
+      JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      JOIN code c ON c.vec_id = a.vec_id
+      JOIN sd lq ON lq.vec_id = p.query_id AND lq.s = c.s AND lq.j = c.j
+      GROUP BY p.query_id, a.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, adc_dist, rank FROM ranked
+    WHERE rank <= {k} ORDER BY query_id, rank
+    """
+    duck = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert duck == got
+
+
+def test_gopher_flags_duckdb_parity(spark):
+    """The seven Gopher rules replay in plain SQL (DuckDB) and agree
+    flag-for-flag with the Spark expressions over a mixed bag of
+    passers and violators — the r9 oracle-row recipe."""
+    import duckdb
+
+    from greenmask_spark.functions.text_analysis import (
+        GOPHER_STOPWORDS,
+        gopher_quality_flags,
+    )
+
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "continues to run with great speed because it must have "
+             "been chased by hunters that morning of the long winter "
+             "and nothing could be done about that sad state of "
+             "affairs so it kept running through fields and woods")
+    docs = [
+        (1, prose),
+        (2, "short of words"),
+        (3, " ".join(["the full sentence keeps going on and on"] * 7
+                     + ["########"] * 4)),
+        (4, "\n".join(["- bullet of the day to have"] * 30)),
+        (5, " ".join(["123456", "the", "of"] * 30)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: tuple(r.f) for r in df.select(
+        "doc_id", gopher_quality_flags(F.col("text")).alias("f")
+    ).collect()}
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES "
+                + ",".join("(%d, '%s')" % (i, t.replace("'", "''"))
+                           for i, t in docs)
+                + ") AS t(doc_id, text)")
+    sql = f"""
+    WITH s AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    t -> t <> '') AS toks,
+        list_filter(string_split(text, chr(10)),
+                    l -> trim(l) <> '') AS lines
+      FROM d),
+    m AS (
+      SELECT doc_id, len(toks) AS n,
+        greatest(len(toks), 1) AS nn,
+        greatest(len(lines), 1) AS nl,
+        list_sum(list_transform(toks, t -> length(t)))
+          / greatest(len(toks), 1) AS mwl,
+        coalesce(list_sum(list_transform(toks, t ->
+          (length(t) - length(replace(t, '#', '')))
+          + (length(t) - length(replace(t, '…', '')))
+          + (length(t) - length(replace(t, '...', ''))) // 3)), 0)
+          AS n_sym,
+        len(list_filter(lines, l ->
+          starts_with(trim(l), '•') OR starts_with(trim(l), '-')
+          OR starts_with(trim(l), '*'))) AS bullet,
+        len(list_filter(lines, l ->
+          ends_with(trim(l), '...') OR ends_with(trim(l), '…')))
+          AS ellipsis,
+        len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+          AS alpha,
+        len(list_intersect(toks, [{stops}])) AS stops
+      FROM s)
+    SELECT doc_id,
+           n >= 50 AND n <= 100000,
+           mwl >= 3.0 AND mwl <= 10.0,
+           CAST(n_sym AS DOUBLE) / nn <= 0.1,
+           CAST(bullet AS DOUBLE) / nl <= 0.9,
+           CAST(ellipsis AS DOUBLE) / nl <= 0.3,
+           CAST(alpha AS DOUBLE) / nn >= 0.8,
+           stops >= 2
+    FROM m ORDER BY doc_id
+    """
+    for row in con.execute(sql).fetchall():
+        doc_id, flags = row[0], tuple(row[1:])
+        assert flags == got[doc_id][:7], (doc_id, flags, got[doc_id])
+        assert got[doc_id][7] == all(flags), doc_id

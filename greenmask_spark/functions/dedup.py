@@ -136,6 +136,53 @@ def minhash_signatures_df(
     )
 
 
+def optimal_lsh_params(
+    threshold: float,
+    num_perm: int = 16,
+    fp_weight: float = 0.5,
+) -> tuple[int, int]:
+    """(bands, rows_per_band) minimizing the weighted false-positive /
+    false-negative probability integrals for a target Jaccard
+    ``threshold`` — the standard LSH parameter solver (Leskovec/
+    Rajaraman/Ullman, Mining of Massive Datasets §3.4; the same search
+    the datasketch library performs). The S-curve for (b, r) accepts a
+    pair of similarity s with probability 1 − (1 − s^r)^b; FP mass is
+    its integral below the threshold, FN mass the complement's
+    integral above. Exhaustive search over the divisor pairs of
+    ``num_perm`` (tiny), numeric integrals at 1e-3 resolution —
+    driver-side arithmetic, deterministic.
+
+    ``fp_weight`` ∈ [0,1] trades false positives (wasted verification
+    work) against false negatives (missed duplicates); 0.5 is
+    balanced, lower it when recall matters more than verify cost."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold={threshold} outside (0, 1)")
+    if not 0.0 <= fp_weight <= 1.0:
+        raise ValueError(f"fp_weight={fp_weight} outside [0, 1]")
+    if num_perm < 2:
+        raise ValueError(f"num_perm={num_perm} must be >= 2")
+    fn_weight = 1.0 - fp_weight
+    steps = 1000
+    best: tuple[float, int, int] | None = None
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            accept = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += accept / steps
+            else:
+                fn += (1.0 - accept) / steps
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     """Array of band-key strings 'b:r1_r2_...' — docs sharing any band key
     are near-dup candidates."""

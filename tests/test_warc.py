@@ -196,3 +196,37 @@ def test_png_codec_property():
         assert raw == px.tobytes(), fts
 
     run()
+
+
+def test_optimal_lsh_params():
+    """The LSH parameter solver: valid divisor pairs, monotone response
+    to the threshold (higher threshold -> more rows per band), and the
+    fp_weight lever shifts toward fewer false positives. Pure driver
+    math — no Spark session."""
+    import pytest
+
+    from greenmask_spark.functions.dedup import optimal_lsh_params
+
+    for np_ in (16, 64, 128):
+        for thr in (0.3, 0.5, 0.8, 0.9):
+            b, r = optimal_lsh_params(thr, np_)
+            assert b * r == np_ and b >= 1 and r >= 1
+
+    # higher threshold wants a steeper curve: r grows (b shrinks)
+    b_lo, r_lo = optimal_lsh_params(0.3, 64)
+    b_hi, r_hi = optimal_lsh_params(0.9, 64)
+    assert r_hi > r_lo and b_hi < b_lo
+
+    # weighting FP harder never increases the FP-prone band count
+    b_bal, _ = optimal_lsh_params(0.5, 64, fp_weight=0.5)
+    b_fp, _ = optimal_lsh_params(0.5, 64, fp_weight=0.95)
+    assert b_fp <= b_bal
+
+    # sanity vs the textbook rule of thumb: threshold ~ (1/b)^(1/r)
+    b, r = optimal_lsh_params(0.5, 128)
+    assert abs((1.0 / b) ** (1.0 / r) - 0.5) < 0.2
+
+    with pytest.raises(ValueError, match="threshold"):
+        optimal_lsh_params(1.0)
+    with pytest.raises(ValueError, match="fp_weight"):
+        optimal_lsh_params(0.5, fp_weight=2.0)

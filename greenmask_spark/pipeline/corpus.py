@@ -82,16 +82,29 @@ def _step_dedup_lines(df: DataFrame, p: dict) -> DataFrame:
 
 
 def _step_fuzzy_dedup(df: DataFrame, p: dict) -> DataFrame:
-    from greenmask_spark.functions.dedup import fuzzy_dedup
+    """``threshold`` (without explicit ``bands``) derives the banding
+    from the S-curve solver — configs state the Jaccard level they
+    care about instead of hand-tuning (bands, rows); an explicit
+    ``bands`` always wins. ``threshold`` also defaults the
+    verification bar (``min_jaccard``) unless given separately."""
+    from greenmask_spark.functions.dedup import (
+        fuzzy_dedup,
+        optimal_lsh_params,
+    )
 
+    num_perm = int(p.get("num_perm", 16))
+    if "bands" in p or "threshold" not in p:
+        bands = int(p.get("bands", 4))
+    else:
+        bands, _ = optimal_lsh_params(float(p["threshold"]), num_perm)
     return fuzzy_dedup(
         df,
         p.get("text_col", "text"),
         p.get("id_col", "doc_id"),
-        num_perm=int(p.get("num_perm", 16)),
-        bands=int(p.get("bands", 4)),
+        num_perm=num_perm,
+        bands=bands,
         k=int(p.get("k", 5)),
-        min_jaccard=p.get("min_jaccard"),
+        min_jaccard=p.get("min_jaccard", p.get("threshold")),
     )
 
 

@@ -953,3 +953,24 @@ def test_dsir_step(spark, sf_dir):
 
     with pytest.raises(ValueError, match="target"):
         build_corpus_pipeline(docs, [{"op": "dsir"}])
+
+
+def test_fuzzy_dedup_threshold_config(corpus):
+    """A 'threshold' config derives the LSH banding from the S-curve
+    solver and defaults the verification bar; explicit bands win."""
+    from greenmask_spark.functions.dedup import optimal_lsh_params
+    from greenmask_spark.pipeline import build_corpus_pipeline
+
+    out = build_corpus_pipeline(corpus, [
+        {"op": "fuzzy_dedup", "num_perm": 8, "k": 3, "threshold": 0.8},
+    ])
+    kept = {r.doc_id for r in out.collect()}
+    assert 2 not in kept and 1 in kept  # exact dup still collapses
+    # the derived banding matches a direct solver call (and the direct
+    # fuzzy_dedup with those params gives the same survivors)
+    b, _ = optimal_lsh_params(0.8, 8)
+    from greenmask_spark.functions.dedup import fuzzy_dedup
+
+    direct = {r.doc_id for r in fuzzy_dedup(
+        corpus, num_perm=8, bands=b, k=3, min_jaccard=0.8).collect()}
+    assert kept == direct

@@ -426,22 +426,33 @@ def _step_dedup_against(df: DataFrame, p: dict) -> DataFrame:
     crawl shape where the reference is keyed once and every shard's
     pipeline run skips re-shingling it (num_perm/k of the prepare must
     match this step's params)."""
-    from greenmask_spark.functions.dedup import dedup_against
+    from greenmask_spark.functions.dedup import (
+        dedup_against,
+        optimal_lsh_params,
+    )
 
     ctx = p.get("_context") or {}
     if "spark" not in ctx or "reference" not in p:
         raise ValueError("dedup_against needs a 'reference' input spec "
                          "and pipeline context")
     ref = _load_input(ctx["spark"], p["reference"], ctx.get("sf_dir"))
+    num_perm = int(p.get("num_perm", 16))
+    if "bands" in p or "threshold" not in p:
+        bands = int(p.get("bands", 4))
+    else:
+        # same threshold-driven banding as fuzzy_dedup — but ONLY for
+        # raw references; a prepared frame was banded at prepare time
+        # and its num_perm/bands contract is validated downstream
+        bands, _ = optimal_lsh_params(float(p["threshold"]), num_perm)
     return dedup_against(
         df, ref,
         text_col=p.get("text_col", "text"),
         id_col=p.get("id_col", "doc_id"),
         level=p.get("level", "exact"),
-        num_perm=int(p.get("num_perm", 16)),
-        bands=int(p.get("bands", 4)),
+        num_perm=num_perm,
+        bands=bands,
         k=int(p.get("k", 5)),
-        min_jaccard=p.get("min_jaccard"),
+        min_jaccard=p.get("min_jaccard", p.get("threshold")),
     )
 
 

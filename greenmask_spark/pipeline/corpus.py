@@ -32,8 +32,9 @@ Example::
         langs: [en]
       - op: fuzzy_dedup
         num_perm: 16
-        bands: 4
-        min_jaccard: 0.8
+        threshold: 0.8      # derives (bands, rows) via the S-curve
+                            # solver and sets the verification bar;
+                            # explicit bands/min_jaccard override
       - op: join_embeddings
       - op: semantic_dedup
         dim: 64

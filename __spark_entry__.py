@@ -1489,6 +1489,255 @@ def _oracle_ann_topk_pq() -> str:
     """
 
 
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ composed (functions/similarity.ivf_pq_topk — the FAISS
+    IndexIVFPQ plan): the IVF probe restricts each query to
+    n_probe/n_centroids of the corpus (an equi-join on cid, never a
+    full scan once the index frame is persisted), and PQ-ADC scores
+    the probed rows from m=8 codes alone — float vectors never reach
+    the scorer. sha256-derived centroids AND codebooks make the DuckDB
+    oracle replay assignment, probe, encode and the ordered ADC fold
+    bit-for-bit (proven first in tests/test_functions.py::
+    test_ivf_pq_duckdb_parity; this row is its transcription onto the
+    embeddings table, per the r8 verdict)."""
+    from greenmask_spark.functions.similarity import (
+        hash_centroids,
+        hash_pq_codebooks,
+        ivf_pq_topk,
+    )
+
+    emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < _ANN_NQUERY)
+    return ivf_pq_topk(
+        emb, queries, k=_ANN_K, n_probe=4,
+        centroids=hash_centroids(64, 16, seed=42),
+        codebooks=hash_pq_codebooks(64, m=_PQ_M, k_sub=_PQ_KSUB, seed=42),
+    )
+
+
+def _oracle_ivf_pq_topk() -> str:
+    from greenmask_spark.functions.similarity import (
+        hash_centroids,
+        hash_pq_codebooks,
+    )
+
+    cents = hash_centroids(64, 16, seed=42)
+    books = hash_pq_codebooks(64, m=_PQ_M, k_sub=_PQ_KSUB, seed=42)
+    dsub = 64 // _PQ_M
+    cent_vals = ", ".join(
+        f"({i}, CAST({_sql_arr(c)} AS DOUBLE[]))" for i, c in enumerate(cents)
+    )
+    cb_vals = ", ".join(
+        f"({s}, {j}, CAST({_sql_arr(c)} AS DOUBLE[]))"
+        for s, book in enumerate(books)
+        for j, c in enumerate(book)
+    )
+    sqd = ("list_sum(list_transform(list_zip(e.v, cent.c), "
+           "x -> (x[1] - x[2]) * (x[1] - x[2])))")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+               FROM embeddings),
+    cent(i, c) AS (SELECT * FROM (VALUES {cent_vals})),
+    cb(s, j, c) AS (SELECT * FROM (VALUES {cb_vals})),
+    cd AS (  -- centroid ranks drive assignment (rn=1) AND probes
+      SELECT e.vec_id, cent.i,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {sqd}, cent.i) AS rn
+      FROM e CROSS JOIN cent),
+    assigned AS (SELECT vec_id, i AS cid FROM cd WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, i AS cid FROM cd
+               WHERE vec_id < {_ANN_NQUERY} AND rn <= 4),
+    sd AS (  -- per-subspace distances: codes (argmin) + query LUT
+      SELECT e.vec_id, cb.s, cb.j,
+             list_sum(list_transform(
+               list_zip(e.v[cb.s*{dsub}+1:(cb.s+1)*{dsub}], cb.c),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+      FROM e CROSS JOIN cb),
+    code AS (SELECT vec_id, s, j FROM (
+               SELECT vec_id, s, j,
+                      row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY dist, j) AS rn
+               FROM sd) WHERE rn = 1),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_sum(list(lq.dist ORDER BY lq.s)), 4) AS adc_dist
+      FROM probes p
+      JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      JOIN code c ON c.vec_id = a.vec_id
+      JOIN sd lq ON lq.vec_id = p.query_id AND lq.s = c.s AND lq.j = c.j
+      GROUP BY p.query_id, a.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist ASC, neighbor_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, adc_dist, rank FROM ranked
+    WHERE rank <= {_ANN_K}
+    """
+
+
+_GOPHER_RULE_NAMES = (
+    "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+    "bullet_lines_ok", "ellipsis_lines_ok", "alpha_words_ok",
+    "stopwords_ok",
+)
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
+    appendix A1.1; functions/text_analysis.gopher_quality_flags) in
+    AUDIT mode: every document keeps its per-rule booleans plus the
+    conjunction, so rule hit rates are one aggregate away before
+    committing to drops. Pure expressions over one scan — zero
+    shuffle; the filter form (gopher_filter without flags_col) runs at
+    scan bandwidth at any scale. Flag-for-flag DuckDB parity proven
+    first in tests/test_functions.py::test_gopher_flags_duckdb_parity;
+    this row transcribes it onto the documents table (r8 verdict)."""
+    from greenmask_spark.functions.text_analysis import gopher_filter
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    flagged = gopher_filter(docs, flags_col="gq")
+    return flagged.select(
+        "doc_id",
+        *[F.col(f"gq.{n}").alias(n) for n in _GOPHER_RULE_NAMES],
+        F.col("gq.passed").alias("passed"),
+    )
+
+
+def _oracle_gopher_filter() -> str:
+    from greenmask_spark.functions.text_analysis import GOPHER_STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    names = _GOPHER_RULE_NAMES
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    t -> t <> '') AS toks,
+        list_filter(string_split(text, chr(10)),
+                    l -> trim(l) <> '') AS lines
+      FROM documents),
+    m AS (
+      SELECT doc_id, len(toks) AS n,
+        greatest(len(toks), 1) AS nn,
+        greatest(len(lines), 1) AS nl,
+        list_sum(list_transform(toks, t -> length(t)))
+          / greatest(len(toks), 1) AS mwl,
+        coalesce(list_sum(list_transform(toks, t ->
+          (length(t) - length(replace(t, '#', '')))
+          + (length(t) - length(replace(t, '…', '')))
+          + (length(t) - length(replace(t, '...', ''))) // 3)), 0)
+          AS n_sym,
+        len(list_filter(lines, l ->
+          starts_with(trim(l), '•') OR starts_with(trim(l), '-')
+          OR starts_with(trim(l), '*'))) AS bullet,
+        len(list_filter(lines, l ->
+          ends_with(trim(l), '...') OR ends_with(trim(l), '…')))
+          AS ellipsis,
+        len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+          AS alpha,
+        len(list_intersect(toks, [{stops}])) AS nstops
+      FROM s)
+    SELECT doc_id,
+           coalesce(n >= 50 AND n <= 100000, FALSE) AS {names[0]},
+           coalesce(mwl >= 3.0 AND mwl <= 10.0, FALSE) AS {names[1]},
+           coalesce(CAST(n_sym AS DOUBLE) / nn <= 0.1, FALSE)
+             AS {names[2]},
+           coalesce(CAST(bullet AS DOUBLE) / nl <= 0.9, FALSE)
+             AS {names[3]},
+           coalesce(CAST(ellipsis AS DOUBLE) / nl <= 0.3, FALSE)
+             AS {names[4]},
+           coalesce(CAST(alpha AS DOUBLE) / nn >= 0.8, FALSE)
+             AS {names[5]},
+           coalesce(nstops >= 2, FALSE) AS {names[6]},
+           coalesce(n >= 50 AND n <= 100000
+                    AND mwl >= 3.0 AND mwl <= 10.0
+                    AND CAST(n_sym AS DOUBLE) / nn <= 0.1
+                    AND CAST(bullet AS DOUBLE) / nl <= 0.9
+                    AND CAST(ellipsis AS DOUBLE) / nl <= 0.3
+                    AND CAST(alpha AS DOUBLE) / nn >= 0.8
+                    AND nstops >= 2, FALSE) AS passed
+    FROM m
+    """
+
+
+_PR_ITERS = 3
+_PR_DST_OFFSET = 1_000_000
+
+
+def q_pagerank(spark, sf_dir):
+    """Weighted fixed-point integer PageRank (functions/linkgraph.
+    pagerank) over the supplier→part shipment graph: src=l_suppkey,
+    dst=l_partkey+1e6 (disjoint id spaces), weight=l_quantity. Ranks
+    live as bigint nano-units and every step is integer
+    multiply/divide/sum — commutative and associative EXACTLY, so any
+    partitioning or engine produces bit-identical ranks and the DuckDB
+    oracle unrolls the same {n} iterations and hash-matches. Per
+    iteration: one map-side-combined groupBy(dst) over (dst, bigint)
+    rows + a 1-row broadcast dangling aggregate — document bodies
+    never enter the graph tier. Bit parity proven first in
+    tests/test_functions.py::test_pagerank_fixed_point (pure-Python
+    replay + DuckDB unroll); this row transcribes it (r8 verdict)."""
+    from greenmask_spark.functions.linkgraph import pagerank
+
+    li = _tables(spark, sf_dir, "lineitem")["lineitem"]
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(_PR_DST_OFFSET)).alias("dst"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    return pagerank(edges, n_iters=_PR_ITERS, weight_col="w")
+
+
+def _oracle_pagerank() -> str:
+    from greenmask_spark.functions.linkgraph import RANK_SCALE
+
+    d, ppm = 850_000, 1_000_000
+    base = (ppm - d) * RANK_SCALE // ppm
+    # one power iteration: integer split-form contributions grouped by
+    # dst, dangling mass spread uniformly, damping applied in ppm
+    # arithmetic. CASTs pin DuckDB's HUGEINT sums back to BIGINT so
+    # the value-hash matches Spark's bigint column exactly.
+    it = f"""
+    SELECT nd.node,
+           CAST({base} + (nd.x // {ppm}) * {d}
+                + ((nd.x % {ppm}) * {d}) // {ppm} AS BIGINT) AS r
+    FROM (
+      SELECT n2.node,
+             CAST(coalesce(i.inflow, 0)
+                  + (SELECT coalesce(sum(rr.r), 0) FROM {{rk}} rr
+                     WHERE rr.node NOT IN (SELECT src FROM e))
+                    // (SELECT n FROM nn) AS BIGINT) AS x
+      FROM nodes n2 LEFT JOIN (
+        SELECT e.dst,
+               sum((rr.r // ow.wtot) * e.w
+                   + ((rr.r % ow.wtot) * e.w) // ow.wtot) AS inflow
+        FROM e JOIN {{rk}} rr ON e.src = rr.node
+        JOIN ow ON e.src = ow.src
+        GROUP BY e.dst) i ON n2.node = i.dst) nd(node, x)
+    """
+    steps = ",\n".join(
+        f"r{i + 1} AS ({it.format(rk=f'r{i}')})" for i in range(_PR_ITERS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT src, dst, sum(w) AS w FROM (
+        SELECT l_suppkey AS src,
+               l_partkey + {_PR_DST_OFFSET} AS dst,
+               CAST(trunc(l_quantity) AS BIGINT) AS w
+        FROM lineitem) t
+      WHERE src IS NOT NULL AND dst IS NOT NULL AND w > 0
+      GROUP BY src, dst),
+    ow AS (SELECT src, sum(w) AS wtot FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) AS r FROM nodes),
+    {steps}
+    SELECT node, r AS rank_fp FROM r{_PR_ITERS}
+    """
+
+
 _SEM_K = 8
 _SEM_THR = 0.45
 
@@ -3616,136 +3865,68 @@ def _oracle_shard_write() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """83 entries. The driver harness records CORRECTNESS rows for the
+    """86 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
-    brief; executed in r7, r8) — no entry's driver row goes more than
-    two rounds stale.
+    brief; executed in r7, r8, r9) — no entry's driver row goes more
+    than two rounds stale.
 
-    r8 WINDOW = the 27 rows that sat in the r7 tail (all r6-green:
-    t_random_float, t_random_numeric, t_net_company, t_real_address,
-    t_json_ops, subset_lineitem, subset_polymorphic,
-    q3_shipping_priority, events_daily, dedup_exact, text_profile,
-    minhash_sigs, simhash, ngram_jaccard, lsh_recall_eval,
-    dedup_against, dedup_against_fuzzy, cross_split_contamination,
-    ann_topk, ann_topk_lsh, ann_topk_ivf, embedding_near_dup,
-    multimodal_features, strip_html, scrub_pii, repetition_profile,
-    linear_text_score) + the 6 r8 additions (t_type_override,
-    bm25_topk, ann_topk_pq, dsir_weights, zorder_events, and
-    cap_per_domain — the last previously pytest-only, now
-    oracle-checked in its new two-phase shape) + 17 keepers whose
-    family has no other window representative (t_masking,
-    t_orders_temporal, t_random_person, t_when_condition,
-    t_dynamic_param, t_query_override, t_template, t_cmd,
-    t_custom_plugin, t_apply_for_references, subset_cycle,
-    validate_diff, copy_roundtrip, sessionize, lm_score, asof_join,
-    salted_agg).
+    r9 WINDOW = the 33 rows that sat in the r8 tail (all r7-green:
+    bm25, stratified_sample, pack_sequences, repeated_spans,
+    mask_customer, t_random_int, t_faker, subset_orders,
+    q1_pricing_summary, q5_region_revenue, dedup_clusters,
+    ngram_decontaminate, events_json, dedup_lines, multimodal_frames,
+    train_split, cluster_split, term_frequencies, corpus_summary,
+    quantize_embeddings, semantic_dedup, winnow_pairs, range_join,
+    normalize_urls, sample_mixture, det_shuffle, shard_write,
+    dedup_against_verified, ann_recall, ann_rerank, skew_join,
+    events_windowed, classifier_weights) + the 3 r9 additions closing
+    the r8 verdict's oracle-row gap (ivf_pq_topk, gopher_filter,
+    pagerank — each a transcription of an existing DuckDB-parity
+    pytest) + 14 keepers whose family has no other window
+    representative (t_masking, t_orders_temporal, t_random_person,
+    t_when_condition, t_dynamic_param, t_query_override, t_template,
+    t_cmd, t_custom_plugin, t_apply_for_references, t_type_override,
+    validate_diff, copy_roundtrip, lm_score).
 
-    r8 TAIL = 33 rows, every one green in CORRECTNESS_r07, each with
-    >= 1 same-family row in the window: bm25 (→ bm25_topk, same
-    formula family — its dense-scores oracle re-verifies next
-    rotation), stratified_sample (→ dsir_weights +
-    cross_split_contamination, sampling/data-selection family),
-    pack_sequences (→ dsir_weights, sampling/packing family),
-    repeated_spans (→ dedup_exact, exact-substring family;
-    its default path is unchanged this round and the r8 sf0.1 sweep
-    re-verified it at 10×), mask_customer (→ t_masking),
-    t_random_int (→ t_random_float/t_random_numeric), t_faker
-    (→ t_real_address/t_net_company), subset_orders
-    (→ subset_lineitem/subset_polymorphic/subset_cycle),
-    q1_pricing_summary + q5_region_revenue (→ q3_shipping_priority),
-    dedup_clusters (→ minhash_sigs/simhash/lsh_recall_eval),
-    ngram_decontaminate (→ cross_split_contamination), events_json
-    (→ t_json_ops/events_daily), dedup_lines (→ dedup_exact),
-    multimodal_frames (→ multimodal_features), train_split +
-    cluster_split (→ stratified_sample/cross_split_contamination),
-    term_frequencies + corpus_summary (→ text_profile),
-    quantize_embeddings + semantic_dedup (→ embedding_near_dup),
-    winnow_pairs (→ text_profile/simhash), range_join (→ asof_join),
-    normalize_urls (→ strip_html/scrub_pii), sample_mixture +
-    det_shuffle + shard_write (→ stratified_sample/pack_sequences),
-    dedup_against_verified (→ dedup_against/dedup_against_fuzzy),
-    ann_recall + ann_rerank (→ ann_topk/ann_topk_lsh/ann_topk_ivf/
-    ann_topk_pq),
-    skew_join (→ salted_agg), events_windowed (→ events_daily),
-    classifier_weights (→ linear_text_score).
+    r9 TAIL = 36 rows, every one green in CORRECTNESS_r08, each with
+    >= 1 same-family row in the window: t_random_float +
+    t_random_numeric (→ t_random_int, numeric noise family),
+    t_net_company + t_real_address (→ t_faker, generator family),
+    t_json_ops (→ events_json), subset_cycle + subset_lineitem +
+    subset_polymorphic (→ subset_orders), q3_shipping_priority
+    (→ q1_pricing_summary/q5_region_revenue), events_daily +
+    sessionize (→ events_windowed/events_json, event-time family),
+    dedup_exact (→ dedup_lines/dedup_clusters), text_profile +
+    repetition_profile (→ term_frequencies/corpus_summary),
+    minhash_sigs + simhash + ngram_jaccard + lsh_recall_eval
+    (→ dedup_clusters/winnow_pairs), dedup_against +
+    dedup_against_fuzzy (→ dedup_against_verified),
+    cross_split_contamination (→ ngram_decontaminate/train_split/
+    cluster_split), ann_topk + ann_topk_lsh + ann_topk_ivf +
+    ann_topk_pq (→ ann_recall/ann_rerank/ivf_pq_topk),
+    embedding_near_dup (→ semantic_dedup), multimodal_features
+    (→ multimodal_frames), strip_html + scrub_pii + cap_per_domain
+    (→ normalize_urls, web-hygiene family), linear_text_score
+    (→ classifier_weights), bm25_topk (→ bm25), dsir_weights
+    (→ sample_mixture/stratified_sample), zorder_events
+    (→ copy_roundtrip, storage-layout/io family; r8-green, returns in
+    the r10 window), asof_join (→ range_join), salted_agg
+    (→ skew_join).
 
-    Union coverage: CORRECTNESS_r08 ∪ r07 covers all 83 entries
-    (the 33 tail rows were green in r07's window; the 50 window rows
-    get fresh r08 rows).
-
-    r9 WINDOW CANDIDATES (new operators shipped r8 with pytest-level
-    oracle evidence, registry rows due with the next rotation):
-    pagerank (functions/linkgraph — the pytest already hash-matches a
-    DuckDB unroll, so the oracle row is a transcription), ivf_pq_topk
-    (compose the existing ivf + pq oracle CTEs), gopher_filter (pure
-    expressions; flags replay directly in SQL).
+    Union coverage: CORRECTNESS_r09 ∪ r08 covers all 86 entries
+    (the 36 tail rows were green in r08's window; the 50 window rows
+    get fresh r09 rows).
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its
     original key/params, so per-transformer semantics are unchanged;
     the docstring of each family query lists its members."""
     return {
-        # --- r8 window: transformer/config family reps + r8 additions ---
-        "t_masking": q_t_masking,                # +RandomUuid/RandomEmail
-        "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
-        "t_random_person": q_t_random_person,
-        "t_when_condition": q_t_when_condition,
-        "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
-        "t_query_override": q_t_query_override,
-        "t_template": q_t_template,              # +TemplateRecord
-        "t_cmd": q_t_cmd,                        # json + text + csv drivers
-        "t_custom_plugin": q_t_custom_plugin,
-        "t_apply_for_references": q_t_apply_for_references,
-        "t_type_override": q_t_type_override,    # NEW r8: columns_type_override
-        # r7 tail, rotated back into the window this round
-        "t_random_float": q_t_random_float,      # +NoiseFloat
-        "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
-        "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
-        "t_real_address": q_t_real_address,
-        "t_json_ops": q_t_json_ops,              # +RandomBool/RandomUnixTimestamp
-        "subset_cycle": q_subset_cycle,
-        "subset_lineitem": q_subset_lineitem,
-        "subset_polymorphic": q_subset_polymorphic,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "events_daily": q_events_daily,
-        "validate_diff": q_validate_diff,
-        "copy_roundtrip": q_copy_roundtrip,
-        "sessionize": q_sessionize,
-        "dedup_exact": q_dedup_exact,
-        "text_profile": q_text_profile,
-        "minhash_sigs": q_minhash_sigs,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "lsh_recall_eval": q_lsh_recall_eval,
-        "dedup_against": q_dedup_against,
-        "dedup_against_fuzzy": q_dedup_against_fuzzy,
-        "cross_split_contamination": q_cross_split_contamination,
-        "ann_topk": q_ann_topk,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_pq": q_ann_topk_pq,            # NEW r8: PQ-ADC (IndexPQ)
-        "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_features": q_multimodal_features,
-        "strip_html": q_strip_html,
-        "scrub_pii": q_scrub_pii,
-        "repetition_profile": q_repetition_profile,
-        "linear_text_score": q_linear_text_score,
-        "lm_score": q_lm_score,
-        "bm25_topk": q_bm25_topk,                # NEW r8: sparse top-k path
-        "cap_per_domain": q_cap_per_domain,      # NEW r8 oracle row: two-phase quota
-        "dsir_weights": q_dsir_weights,          # NEW r8: DSIR importance weights
-        "zorder_events": q_zorder_events,        # NEW r8: Morton data layout
-        "asof_join": q_asof_join,
-        "salted_agg": q_salted_agg,
-        # --- r8 tail: all green in CORRECTNESS_r07; family reps above ---
-        "bm25": q_bm25,                          # → bm25_topk in window
-        "stratified_sample": q_stratified_sample,  # → dsir_weights +
-        #   cross_split_contamination (sampling/selection family)
-        "pack_sequences": q_pack_sequences,      # → stratified_sample (tail
-        #   note: sampling family window rep is dsir_weights)
-        "repeated_spans": q_repeated_spans,      # → dedup_exact (exact-
-        #   substring family; default path unchanged this round and
-        #   re-verified in the r8 sf0.1 sweep)
+        # --- r9 window: the full r8 tail rotates back in ---
+        "bm25": q_bm25,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "repeated_spans": q_repeated_spans,
         "mask_customer": q_mask_customer,        # +Hash max_length (h16)
         "t_random_int": q_t_random_int,          # +NoiseInt/RandomString/RegexpReplace
         "t_faker": q_t_faker,                    # all 22 faker transformers
@@ -3775,6 +3956,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "classifier_weights": q_classifier_weights,
         "shard_write": q_shard_write,
+        # --- r9 additions: the r8 verdict's three staged oracle rows ---
+        "ivf_pq_topk": q_ivf_pq_topk,            # NEW r9: IVF probe + PQ-ADC
+        "gopher_filter": q_gopher_filter,        # NEW r9: Gopher rule audit
+        "pagerank": q_pagerank,                  # NEW r9: fixed-point PageRank
+        # --- keepers: sole window representative of their family ---
+        "t_masking": q_t_masking,                # +RandomUuid/RandomEmail
+        "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
+        "t_random_person": q_t_random_person,
+        "t_when_condition": q_t_when_condition,
+        "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
+        "t_query_override": q_t_query_override,
+        "t_template": q_t_template,              # +TemplateRecord
+        "t_cmd": q_t_cmd,                        # json + text + csv drivers
+        "t_custom_plugin": q_t_custom_plugin,
+        "t_apply_for_references": q_t_apply_for_references,
+        "t_type_override": q_t_type_override,
+        "validate_diff": q_validate_diff,
+        "copy_roundtrip": q_copy_roundtrip,
+        "lm_score": q_lm_score,
+        # --- r9 tail: all green in CORRECTNESS_r08; family reps above ---
+        "t_random_float": q_t_random_float,      # +NoiseFloat
+        "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
+        "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
+        "t_real_address": q_t_real_address,
+        "t_json_ops": q_t_json_ops,              # +RandomBool/RandomUnixTimestamp
+        "subset_cycle": q_subset_cycle,
+        "subset_lineitem": q_subset_lineitem,
+        "subset_polymorphic": q_subset_polymorphic,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "events_daily": q_events_daily,
+        "sessionize": q_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "text_profile": q_text_profile,
+        "minhash_sigs": q_minhash_sigs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_recall_eval": q_lsh_recall_eval,
+        "dedup_against": q_dedup_against,
+        "dedup_against_fuzzy": q_dedup_against_fuzzy,
+        "cross_split_contamination": q_cross_split_contamination,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_pq": q_ann_topk_pq,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "strip_html": q_strip_html,
+        "scrub_pii": q_scrub_pii,
+        "repetition_profile": q_repetition_profile,
+        "linear_text_score": q_linear_text_score,
+        "bm25_topk": q_bm25_topk,
+        "cap_per_domain": q_cap_per_domain,
+        "dsir_weights": q_dsir_weights,
+        "zorder_events": q_zorder_events,
+        "asof_join": q_asof_join,
+        "salted_agg": q_salted_agg,
     }
 
 
@@ -3863,4 +4100,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25": _oracle_bm25(),
         "bm25_topk": _oracle_bm25_topk(),
         "cap_per_domain": _oracle_cap_per_domain(),
+        "ivf_pq_topk": _oracle_ivf_pq_topk(),
+        "gopher_filter": _oracle_gopher_filter(),
+        "pagerank": _oracle_pagerank(),
     }

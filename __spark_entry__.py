@@ -3803,6 +3803,9 @@ def q_cap_per_domain(spark, sf_dir):
 
 
 def _oracle_cap_per_domain() -> str:
+    # NULL-safe join (IS NOT DISTINCT FROM) mirrors the Spark side's
+    # eqNullSafe: NULL-lang rows pool into ONE quota bucket instead of
+    # silently dropping out of the oracle (r8 advice)
     return """
     WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
     r AS (
@@ -3811,7 +3814,7 @@ def _oracle_cap_per_domain() -> str:
                PARTITION BY d.lang
                ORDER BY sha256(CAST(d.doc_id AS VARCHAR) || ':cap:42'),
                         d.doc_id) AS rk
-      FROM documents d JOIN c USING (lang))
+      FROM documents d JOIN c ON d.lang IS NOT DISTINCT FROM c.lang)
     SELECT doc_id, lang, source FROM r WHERE n <= 100 OR rk <= 100
     """
 

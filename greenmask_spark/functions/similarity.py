@@ -717,7 +717,16 @@ def pq_topk(
     batch — scan-only, the lone exchange is the final per-query
     top-k rank. Cross-engine parity: LUT entries fold per dimension
     sequentially, the ADC total folds per subspace sequentially, both
-    replayed by ordered list_sum in the SQL oracle."""
+    replayed by ordered list_sum in the SQL oracle.
+
+    Prebuilt ``codes`` require the ``codebooks`` that produced them —
+    retraining fresh codebooks against persisted codes would gather
+    LUT cells from a different quantization space and return silently
+    wrong neighbors (same contract as ``ivf_pq_topk``'s index guard)."""
+    if codes is not None and codebooks is None:
+        raise ValueError(
+            "pq_topk: prebuilt codes require the codebooks that built "
+            "them (retraining would mismatch the stored pq_code space)")
     books = codebooks or train_pq_codebooks(
         corpus, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col, seed=seed
     )

@@ -112,11 +112,19 @@ def cap_per_domain(
     input must be DETERMINISTIC (a parquet/table scan, any pure
     projection of one); an upstream ``rand()``-style filter could
     disagree between the count pass and the branches, over-admitting
-    or dropping rows. Persist such an input first — the same rule
-    Spark itself imposes on non-deterministic sources feeding
-    self-joins."""
+    or dropping rows. This is ENFORCED, not just documented: the
+    analyzed plan is walked for non-deterministic expressions
+    (plan/health.plan_has_nondeterministic) and such an input is
+    pinned with an eager localCheckpoint before the three reads — the
+    same rule Spark itself imposes on non-deterministic sources
+    feeding self-joins, paid only by inputs that need it (a plain
+    scan/projection pays one plan walk, no materialization)."""
     if int(max_docs) < 1:
         raise ValueError(f"max_docs={max_docs} must be >= 1")
+    from greenmask_spark.plan.health import plan_has_nondeterministic
+
+    if plan_has_nondeterministic(df):
+        df = df.localCheckpoint(eager=True)
     n = int(max_docs)
     u = F.sha2(
         F.concat(F.col(key_col).cast("string"), F.lit(f":cap:{seed}")), 256

@@ -881,23 +881,31 @@ def _load_input(spark, inp: dict, sf_dir: str | None) -> DataFrame:
             return read_jsonl(spark, inp["path"], inp["schema"])
         if fmt == "warc":
             # crawl → corpus directly: text/* HTTP responses become the
-            # standard (doc_id, url, text) frame (doc_id = xxhash64 of
-            # the record id — stable across re-reads; non-text payloads
-            # belong to a multimodal pipeline, use read_warc yourself)
+            # standard (doc_id, source_id, url, text) frame. doc_id =
+            # xxhash64 of the record identity — stable across re-reads
+            # and the long type every downstream hash/split expects —
+            # but 64 bits birthday-collide at multi-billion-doc scale
+            # (~0.5 expected at 5B), so source_id carries the ORIGINAL
+            # identity: a collision is detectable (two source_ids, one
+            # doc_id) and resolvable without re-reading the crawl.
+            # Non-text payloads belong to a multimodal pipeline — use
+            # read_warc yourself.
             from greenmask_spark.sources.warc import read_warc
 
             recs = read_warc(spark, inp["path"])
-            # id falls back to file#offset when WARC-Record-ID is
+            # identity falls back to file#offset when WARC-Record-ID is
             # absent (dirty crawls): xxhash64 of a NULL would collapse
             # every id-less record onto one constant doc_id and
             # downstream dedup/split would merge distinct documents
+            source_id = F.coalesce(
+                F.col("record_id"),
+                F.concat_ws("#", "file", "record_offset"),
+            )
             return recs.filter(
                 F.col("http_content_type").startswith("text/")
             ).select(
-                F.xxhash64(F.coalesce(
-                    F.col("record_id"),
-                    F.concat_ws("#", "file", "record_offset"),
-                )).alias(inp.get("id_col", "doc_id")),
+                F.xxhash64(source_id).alias(inp.get("id_col", "doc_id")),
+                source_id.alias("source_id"),
                 F.col("target_uri").alias("url"),
                 F.col("payload").cast("string").alias(
                     inp.get("text_col", "text")),

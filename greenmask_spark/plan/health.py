@@ -87,3 +87,33 @@ def plan_health(df: DataFrame) -> dict:
             if "PushedFilters: [" in s and "PushedFilters: []" not in s:
                 counts["pushed"] += 1
     return counts
+
+
+def plan_has_nondeterministic(df: DataFrame) -> bool:
+    """True when any expression in the frame's ANALYZED logical plan is
+    non-deterministic (rand(), uuid(), shuffle(), monotonically_
+    increasing_id(), a non-deterministic UDF, …). Operators that read
+    their input more than once (e.g. ``cap_per_domain``'s count pass +
+    two union branches) use this to detect inputs whose re-execution
+    could disagree between reads. ``Expression.deterministic`` is
+    subtree-recursive, so checking each node's own expression list
+    covers the whole tree. Returns False when introspection is
+    unavailable (no JVM plan handle) — callers treat that as
+    'assume deterministic', matching the pre-guard behavior."""
+    try:
+        def walk(node) -> bool:
+            exprs = node.expressions()
+            for i in range(exprs.size()):
+                if not exprs.apply(i).deterministic():
+                    return True
+            cs = node.children()
+            for i in range(cs.size()):
+                if walk(cs.apply(i)):
+                    return True
+            # subqueries hang off expressions, but a rand() inside one
+            # already fails expression.deterministic above
+            return False
+
+        return walk(df._jdf.queryExecution().analyzed())
+    except Exception:
+        return False

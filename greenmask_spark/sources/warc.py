@@ -124,6 +124,69 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
             pos = body_start + length
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Strip HTTP/1.1 chunked transfer framing: ``<hex-size>[;ext]\\r\\n
+    <chunk>\\r\\n`` repeated until a zero-size chunk (trailers dropped).
+    Raises ValueError on malformed framing — the caller nulls the
+    payload per the skip-don't-fail ingestion policy."""
+    out, pos, n = [], 0, len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked: missing size line terminator")
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        size = int(size_token, 16)  # ValueError on junk propagates
+        if size == 0:
+            break  # trailers (if any) are dropped
+        start = eol + 2
+        end = start + size
+        if end > n:
+            raise ValueError("chunked: truncated chunk")
+        out.append(body[start:end])
+        if body[end:end + 2] not in (b"\r\n", b""):
+            raise ValueError("chunked: missing chunk terminator")
+        pos = end + 2
+    return b"".join(out)
+
+
+def _decode_http_body(hh: dict, body: bytes) -> bytes | None:
+    """De-frame an HTTP response body: undo chunked transfer framing,
+    then decompress gzip/x-gzip/deflate Content-Encoding — otherwise
+    chunked hex size lines or raw gzip bytes silently enter the corpus
+    as document text. Stdlib zlib only (matching ``_gzip_members``);
+    returns None on any framing/codec failure (skip-don't-fail:
+    a corrupt record must not poison the corpus OR kill the task)."""
+    try:
+        te = (hh.get("transfer-encoding") or "").lower()
+        if "chunked" in te:
+            body = _dechunk(body)
+        codings = [c.strip() for c in
+                   (hh.get("content-encoding") or "").lower().split(",")
+                   if c.strip()]
+        # rare but legal: Transfer-Encoding: gzip, chunked — the gzip
+        # layer sits under the (already removed) chunked framing
+        codings += [c.strip() for c in te.split(",")
+                    if c.strip() in ("gzip", "x-gzip", "deflate")]
+        for coding in reversed(codings):  # applied last → undone first
+            if coding in ("gzip", "x-gzip"):
+                body = zlib.decompressobj(16 + zlib.MAX_WBITS).decompress(body)
+            elif coding == "deflate":
+                try:
+                    body = zlib.decompressobj(
+                        zlib.MAX_WBITS).decompress(body)
+                except zlib.error:
+                    # raw-deflate servers omit the zlib wrapper
+                    body = zlib.decompressobj(
+                        -zlib.MAX_WBITS).decompress(body)
+            elif coding == "identity":
+                continue
+            else:
+                return None  # br/zstd/…: undecodable here, don't pass junk
+        return body
+    except (ValueError, zlib.error):
+        return None
+
+
 def _record_row(path: str, idx: int, rec: dict) -> dict:
     h, block = rec["headers"], rec["block"]
     wtype = h.get("warc-type")
@@ -149,7 +212,7 @@ def _record_row(path: str, idx: int, rec: dict) -> dict:
             except (IndexError, ValueError):
                 pass
             row["http_content_type"] = hh.get("content-type")
-            row["payload"] = body
+            row["payload"] = _decode_http_body(hh, body)
     return row
 
 

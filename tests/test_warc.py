@@ -105,6 +105,101 @@ def test_read_warc_spark_tier(spark, tmp_path):
     assert texts[0].text == "<html><body>hello</body></html>"
 
 
+def test_http_body_deframing():
+    """Real Common Crawl responses arrive chunked and/or compressed:
+    Transfer-Encoding chunked framing is stripped and gzip/x-gzip/
+    deflate (zlib-wrapped OR raw) Content-Encoding bodies decompress —
+    otherwise hex size lines / gzip bytes enter the corpus as document
+    text. Corrupt framing or an undecodable coding (br) NULLS the
+    payload per the skip-don't-fail policy instead of passing junk."""
+    import zlib
+
+    from greenmask_spark.sources.warc import _record_row, parse_warc_records
+
+    body = b"<html><body>the real content of the page</body></html>"
+
+    def chunk(data, sizes):
+        out, pos = [], 0
+        for s in sizes:
+            piece = data[pos:pos + s]
+            if not piece:
+                break
+            out.append(b"%x\r\n" % len(piece) + piece + b"\r\n")
+            pos += len(piece)
+        if pos < len(data):  # whatever the size list missed
+            rest = data[pos:]
+            out.append(b"%x\r\n" % len(rest) + rest + b"\r\n")
+        return b"".join(out) + b"0\r\n\r\n"
+
+    def http(headers, payload):
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + b"".join(h + b"\r\n" for h in headers)
+                + b"\r\n" + payload)
+
+    cases = {
+        "chunked": (
+            [b"Transfer-Encoding: chunked"], chunk(body, [13, 42]), body),
+        "gzip": (
+            [b"Content-Encoding: gzip"],
+            __import__("gzip").compress(body), body),
+        "x-gzip": (
+            [b"Content-Encoding: x-gzip"],
+            __import__("gzip").compress(body), body),
+        "deflate-zlib": (
+            [b"Content-Encoding: deflate"], zlib.compress(body), body),
+        "chunked+gzip": (
+            [b"Transfer-Encoding: chunked", b"Content-Encoding: gzip"],
+            chunk(__import__("gzip").compress(body), [11, 100, 1000]),
+            body),
+        "identity": ([b"Content-Encoding: identity"], body, body),
+        "plain": ([], body, body),
+        "bad-chunk": (
+            [b"Transfer-Encoding: chunked"], b"zz\r\njunk\r\n0\r\n\r\n",
+            None),
+        "bad-gzip": (
+            [b"Content-Encoding: gzip"], b"\x1f\x8bnot really gzip", None),
+        "brotli": ([b"Content-Encoding: br"], b"\x0bbrbytes", None),
+    }
+    # servers that omit the zlib wrapper (raw deflate)
+    co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    raw = co.compress(body) + co.flush()
+    cases["deflate-raw"] = ([b"Content-Encoding: deflate"], raw, body)
+
+    archive = b"".join(
+        _record("response", f"http://e.example/{name}",
+                http(headers, payload),
+                ("Content-Type: application/http;msgtype=response",))
+        for name, (headers, payload, _) in cases.items()
+    )
+    rows = {}
+    for i, rec in enumerate(parse_warc_records(archive)):
+        row = _record_row("mem", i, rec)
+        rows[row["target_uri"].rsplit("/", 1)[1]] = row
+    assert len(rows) == len(cases)
+    for name, (_, _, want) in cases.items():
+        got = rows[name]["payload"]
+        if want is None:
+            assert got is None, name
+        else:
+            assert got == want, name
+        # framing failure must not lose the record's metadata
+        assert rows[name]["http_status"] == 200, name
+
+
+def test_chunked_truncation_nulls_payload():
+    """A chunked body cut mid-chunk (truncated fetch) → NULL payload,
+    record preserved."""
+    from greenmask_spark.sources.warc import _decode_http_body
+
+    assert _decode_http_body(
+        {"transfer-encoding": "chunked"}, b"ff\r\nonly a few bytes"
+    ) is None
+    # and the trailing-CRLF-missing final chunk is tolerated
+    assert _decode_http_body(
+        {"transfer-encoding": "chunked"}, b"3\r\nabc\r\n0\r\n\r\n"
+    ) == b"abc"
+
+
 def test_warc_corpus_pipeline_input(spark, tmp_path):
     """The crawl → corpus path end to end: a WARC input spec feeds the
     config-driven pipeline as a (doc_id, url, text) frame; non-text

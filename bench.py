@@ -59,6 +59,15 @@ HEADLINE = [
 ]
 
 
+#: pinned idle-core canary runtime on the reference machine (seconds):
+#: the min across every clean r7/r8 run (driver + local pins) is
+#: 0.062-0.065. The r8 driver run showed WHY within-run comparison
+#: alone is not enough: a load ramp that starts mid-run lifts every
+#: checkpoint together (max 0.132s ≈ 2.1x this floor) without any
+#: single checkpoint being 2x its own run's best.
+CANARY_FLOOR = 0.063
+
+
 def _canary(spark) -> float:
     """A fixed ~50ms CPU-bound Spark job (no IO, no shuffle): its
     runtime moves only with machine/JVM contention, so drift between
@@ -127,6 +136,13 @@ def main() -> int:
         if best is not None and c > 2.0 * best:
             contended = True
         best = c if best is None else min(best, c)
+    # absolute tripwire (r8 verdict): a ramp that starts mid-run lifts
+    # ALL checkpoints together and hides from the within-run rule —
+    # compare the run's BEST canary against the pinned idle floor too.
+    # (best > 2x floor means even the quietest moment of this run was
+    # twice the idle-machine cost of the same fixed job.)
+    above_floor = min(canaries) > 2.0 * CANARY_FLOOR
+    contended = contended or above_floor
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -137,6 +153,8 @@ def main() -> int:
             "min": round(min(canaries), 3),
             "median": round(sorted(canaries)[len(canaries) // 2], 3),
             "max": round(max(canaries), 3),
+            "floor": CANARY_FLOOR,
+            "above_floor": above_floor,
         },
         "contended": contended,
     }

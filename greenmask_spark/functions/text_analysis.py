@@ -829,6 +829,143 @@ def bm25_scores(
     )
 
 
+def bm25_scores_multi(
+    df: DataFrame,
+    queries,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    include_misses: bool = False,
+) -> DataFrame:
+    """Okapi BM25 of every document against MANY queries in ONE pass
+    over the corpus → (query_id, id, score). Real decontamination and
+    retrieval runs score thousands of benchmark prompts; looping
+    ``bm25_scores`` would scan the corpus once per prompt — this
+    shares everything that is query-independent and fans out only the
+    final per-(doc, term) rows.
+
+    ``queries``: a DataFrame with (``query_id_col``, ``query_col``)
+    columns, or a plain dict {query_id: query string}. Queries
+    tokenize IN Spark (explode over the queries frame — the term set
+    never hits the driver), so a prompt set of any size works; the
+    (query_id, term) frame broadcasts, so it should stay
+    broadcast-sized (tens of MB ≈ millions of prompt terms — far past
+    any benchmark suite).
+
+    Shared across queries (the single-pass structure):
+      - corpus stats (N, avgdl): one aggregate, 1-row broadcast;
+      - the matching-terms explode: semi-joined by the DISTINCT term
+        union over ALL queries before any shuffle — each document row
+        explodes once, not once per query;
+      - per-(doc, term) tf and per-term df_t: computed once (both are
+        query-independent).
+    Only the final broadcast join against (query_id, term) fans rows
+    out per query, and the per-(query, doc) sum is map-side combined.
+
+    Per-query results are IDENTICAL to ``bm25_scores(df, q)`` (same
+    idf, same tf normalization; the same df_t — document frequency is
+    a corpus property, not a query property). A query with no
+    nonempty terms yields no rows (with misses, 0.0 rows — the
+    single-query path raises instead, but a frame-driven batch run
+    must not die on one malformed prompt). ``include_misses=True``
+    emits 0.0 for every (query, non-matching doc): that is N×Q rows —
+    at scale keep the default False (the top-k path never needs
+    misses)."""
+    spark = df.sparkSession
+    if isinstance(queries, dict):
+        queries = spark.createDataFrame(
+            [(k, v) for k, v in sorted(queries.items())],
+            f"{query_id_col} string, {query_col} string",
+        )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                F.filter(tokens(F.col(query_col)), lambda t: t != "")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    terms = qterms.select("term").distinct()
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("__toks"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    )
+    ex = (
+        base.select("id", F.size("__toks").alias("dl"),
+                    F.explode("__toks").alias("term"))
+        .join(F.broadcast(terms), "term")  # union of ALL query terms
+    )
+    tf = ex.groupBy("id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_t")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("N") - F.col("df_t") + 0.5)
+                  / (F.col("df_t") + 0.5)),
+        )
+        .withColumn(
+            "__s",
+            F.col("idf") * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf")
+               + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        # the ONLY per-query fan-out: matching (doc, term) rows × the
+        # queries containing that term
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "id").agg(F.sum("__s").alias("score"))
+    )
+    if not include_misses:
+        return scored
+    pairs = base.select("id").crossJoin(
+        F.broadcast(qterms.select("query_id").distinct())
+    )
+    return pairs.join(scored, ["query_id", "id"], "left").select(
+        "query_id", "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
+def bm25_topk_multi(
+    df: DataFrame,
+    queries,
+    n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-n documents per query over the one-pass multi-query scores
+    → (query_id, id, score, rank). One window rank partitioned by
+    query_id (ties to the smallest id) — the per-query analog of
+    ``bm25_topk``'s TakeOrderedAndProject, still a single exchange for
+    all queries together."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("id"))
+    return (
+        bm25_scores_multi(df, queries, text_col, id_col,
+                          query_id_col, query_col, k1, b)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(n))
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query: str,

@@ -954,6 +954,20 @@ def run_corpus_pipeline(
 
             write_jsonl(out, sink["path"],
                         compression=sink.get("compression", "gzip"))
+        elif fmt == "shards":
+            # deterministically-shuffled fixed-size training shards —
+            # the terminal sink of a crawl → corpus run
+            from greenmask_spark.functions.sampling import (
+                write_training_shards,
+            )
+
+            write_training_shards(
+                out, sink["path"],
+                key_col=sink.get("key_col", "doc_id"),
+                rows_per_shard=int(sink.get("rows_per_shard", 100_000)),
+                seed=int(sink.get("seed", 42)),
+                compression=sink.get("compression", "zstd"),
+            )
         else:
             (out.write.mode("overwrite").format(fmt).save(sink["path"]))
     return out

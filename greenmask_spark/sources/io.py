@@ -228,12 +228,25 @@ def write_dump(
 
     ``blobs`` (loid, data) writes the reference's large-object layout
     under ``<out_dir>/blobs/`` (blob_{oid}.dat.gz + blobs.toc); read it
-    back with ``sources.large_objects.read_large_object_dump``."""
-    os.makedirs(out_dir, exist_ok=True)
+    back with ``sources.large_objects.read_large_object_dump``.
+
+    ``out_dir`` may be a bare path or a Hadoop FS URI (file://, s3a://,
+    abfss://): the table writers resolve the scheme natively, and the
+    manifest writer follows the same resolver (manifest._local_path /
+    _hadoop_write_text) — only local paths get an os.makedirs."""
+    from greenmask_spark.sources.manifest import _local_path
+
+    local = _local_path(out_dir)
+    if local is not None:
+        os.makedirs(local, exist_ok=True)
     if blobs is not None:
         from greenmask_spark.sources.large_objects import dump_large_objects
 
-        dump_large_objects(blobs, os.path.join(out_dir, "blobs"))
+        if local is None:
+            raise NotImplementedError(
+                "large-object dump writes driver-side gzip files and "
+                "supports local/file:// dump dirs only")
+        dump_large_objects(blobs, os.path.join(local, "blobs"))
     for name, df in tables.items():
         writer = df.write.mode("overwrite").format(fmt).option(
             "compression", compression

@@ -22,6 +22,57 @@ from greenmask_spark.subset.graph import FKGraph, Reference, condense, topo_orde
 MANIFEST_NAME = "_manifest.json"
 
 
+def _local_path(path: str) -> str | None:
+    """Local filesystem path for a dump dir, or None when the URI needs
+    a Hadoop filesystem (s3a://, abfss://, hdfs://, …). ``file://`` URIs
+    strip to their path — plain Python IO handles them; a bare path is
+    already local."""
+    if "://" not in path:
+        return path
+    from urllib.parse import urlparse
+
+    u = urlparse(path)
+    if u.scheme == "file":
+        return u.path or "/"
+    return None
+
+
+def _hadoop_write_text(path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API of the
+    active session — the same resolver the parquet writers use, so the
+    manifest lands next to the data on ANY supported scheme."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(f"no active SparkSession to resolve {path!r}")
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(path: str) -> str:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(f"no active SparkSession to resolve {path!r}")
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 @dataclass
 class TableMeta:
     name: str
@@ -156,13 +207,26 @@ def build_manifest(
 
 
 def write_manifest(manifest: Manifest, out_dir: str) -> str:
-    os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, MANIFEST_NAME)
-    with open(path, "w") as f:
-        f.write(manifest.to_json())
+    """Write ``_manifest.json`` into the dump dir. Scheme-aware: bare
+    paths and ``file://`` URIs use plain Python IO; any other scheme
+    (s3a://, abfss://, hdfs://) routes through the Hadoop FileSystem of
+    the active session — the same resolver the table writers use."""
+    local = _local_path(out_dir)
+    if local is not None:
+        os.makedirs(local, exist_ok=True)
+        path = os.path.join(local, MANIFEST_NAME)
+        with open(path, "w") as f:
+            f.write(manifest.to_json())
+        return path
+    path = out_dir.rstrip("/") + "/" + MANIFEST_NAME
+    _hadoop_write_text(path, manifest.to_json())
     return path
 
 
 def read_manifest(dump_dir: str) -> Manifest:
-    with open(os.path.join(dump_dir, MANIFEST_NAME)) as f:
-        return Manifest.from_json(f.read())
+    local = _local_path(dump_dir)
+    if local is not None:
+        with open(os.path.join(local, MANIFEST_NAME)) as f:
+            return Manifest.from_json(f.read())
+    return Manifest.from_json(
+        _hadoop_read_text(dump_dir.rstrip("/") + "/" + MANIFEST_NAME))

@@ -2693,6 +2693,74 @@ def test_bm25_scores_and_topk(spark):
         bm25_scores(docs, "   ")
 
 
+def test_bm25_scores_multi(spark):
+    """One-pass multi-query BM25 equals the per-query bm25_scores loop
+    exactly (same idf/df_t/tf math — df_t is a corpus property), with
+    BOTH misses settings; a dict prompt set works; an empty query
+    yields no rows instead of raising (batch runs must not die on one
+    malformed prompt); and the plan audit shows the corpus scan count
+    does NOT grow with the number of queries (the whole point — a
+    loop would scan once per prompt)."""
+    import math
+
+    from greenmask_spark.functions.text_analysis import (
+        bm25_scores,
+        bm25_scores_multi,
+        bm25_topk_multi,
+    )
+    from greenmask_spark.plan.health import plan_health
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark query"),
+         (2, "spark table"),
+         (3, "unrelated words entirely"),
+         (4, "spark"),
+         (5, "query table query words")],
+        "doc_id long, text string",
+    )
+    prompts = {"qa": "spark query", "qb": "table", "qc": "words table"}
+    multi = bm25_scores_multi(docs, prompts, include_misses=True)
+    got = {(r.query_id, r.id): r.score for r in multi.collect()}
+    assert len(got) == 3 * 5
+    for qid, q in prompts.items():
+        solo = {r.id: r.score for r in bm25_scores(docs, q).collect()}
+        for i, want in solo.items():
+            assert math.isclose(got[(qid, i)], want, rel_tol=1e-12), (qid, i)
+    # sparse path: only matching (query, doc) pairs, same scores
+    sparse = {(r.query_id, r.id): r.score
+              for r in bm25_scores_multi(docs, prompts).collect()}
+    assert {k for k, v in got.items() if v != 0.0} <= set(sparse)
+    for k, v in sparse.items():
+        assert math.isclose(v, got[k], rel_tol=1e-12)
+
+    # a DataFrame prompt set + an all-whitespace query: no rows for it
+    qdf = spark.createDataFrame(
+        [("qa", "spark query"), ("bad", "   ")],
+        "query_id string, query string")
+    out = bm25_scores_multi(docs, qdf)
+    assert {r.query_id for r in out.collect()} == {"qa"}
+
+    # top-k per query: rank ties to smallest id, per-query cut
+    top = bm25_topk_multi(docs, prompts, n=2).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.id))
+    for qid in prompts:
+        solo = {r.id: r.score
+                for r in bm25_scores(docs, prompts[qid],
+                                     include_misses=False).collect()}
+        want = [i for i in sorted(solo, key=lambda i: (-solo[i], i))][:2]
+        assert [i for _, i in sorted(by_q[qid])] == want, qid
+
+    # scan count is independent of the prompt count (single pass)
+    def scans(queries):
+        out = bm25_scores_multi(docs, queries)
+        out.collect()  # finalize AQE
+        return plan_health(out)["scans"]
+
+    assert scans({"q1": "spark"}) == scans(prompts)
+
+
 def test_train_nb_weights(spark):
     """Closed-form NB log-odds training: weights match the hand
     formula exactly, Bernoulli presence (not counts) drives df,

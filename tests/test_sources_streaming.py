@@ -43,6 +43,47 @@ def test_dump_roundtrip_with_manifest(spark, tables):
         assert back["orders"].schema == tables["orders"].schema
 
 
+def test_dump_roundtrip_file_scheme_uri(spark, tables, tmp_path):
+    """write_dump → read_dump through a SCHEME'D file:// URI, not a
+    bare path — proving the Hadoop-URI plumbing the s3a://abfss://
+    claim rests on (r8 verdict item): the parquet writers resolve the
+    scheme natively, and the manifest reader/writer follows the same
+    resolver (file:// strips to local IO; any other scheme routes
+    through the Hadoop FileSystem API, exercised directly below)."""
+    from greenmask_spark.sources.io import read_dump, write_dump
+    from greenmask_spark.sources.manifest import (
+        _hadoop_read_text,
+        _hadoop_write_text,
+        _local_path,
+        read_manifest,
+    )
+
+    assert _local_path("/a/b") == "/a/b"
+    assert _local_path("file:///a/b") == "/a/b"
+    assert _local_path("s3a://bucket/a") is None
+
+    uri = "file://" + str(tmp_path / "dump_uri")
+    manifest = write_dump(
+        {"customer": tables["customer"]}, uri,
+        primary_keys={"customer": ["c_custkey"]}, salt="uri42",
+    )
+    assert manifest.restore_order == ["customer"]
+    # the manifest landed INSIDE the URI's local directory
+    assert os.path.exists(str(tmp_path / "dump_uri" / "_manifest.json"))
+    # read side accepts the same scheme'd URI end to end
+    m2 = read_manifest(uri)
+    assert m2.salt == "uri42"
+    back = read_dump(spark, uri)
+    assert back["customer"].count() == tables["customer"].count()
+    assert back["customer"].schema == tables["customer"].schema
+
+    # the Hadoop FS fallback (what s3a:// and abfss:// would take)
+    # round-trips text through the SAME FileSystem resolver
+    p = "file://" + str(tmp_path / "hfs" / "probe.json")
+    _hadoop_write_text(p, '{"ok": true}')
+    assert _hadoop_read_text(p) == '{"ok": true}'
+
+
 def test_dump_roundtrip_hive_partitioned(spark, tables):
     """partition_by dumps have NO top-level .parquet file (only hive
     key=value subdirs); read_dump must dispatch on the manifest's

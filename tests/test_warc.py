@@ -9,11 +9,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _record(wtype, uri, block, extra=()):
+def _record(wtype, uri, block, extra=(), rid=None):
     head = [
         b"WARC/1.0",
         b"WARC-Type: " + wtype.encode(),
-        b"WARC-Record-ID: <urn:uuid:" + wtype.encode() + b"-1>",
+        b"WARC-Record-ID: <urn:uuid:" + (rid or wtype).encode() + b"-1>",
         b"WARC-Date: 2026-08-15T00:00:00Z",
     ]
     if uri:
@@ -222,6 +222,111 @@ def test_warc_corpus_pipeline_input(spark, tmp_path):
     assert rows[0].text.strip() == "hello"
     assert rows[0].split in ("train", "val", "test")
     assert rows[0].doc_id is not None
+
+
+def test_warc_to_shards_end_to_end(spark, tmp_path):
+    """The full Common Crawl path in ONE config (r8 verdict item 8):
+    WARC input (including chunked and gzip-encoded HTTP bodies — the
+    de-framing runs inside the e2e, not just unit tests) → strip_html
+    → gopher_filter → fuzzy_dedup → deterministic training shards.
+    Survivor set: the PNG drops at the input tier, the short doc at
+    gopher, one of each near-dup pair at fuzzy_dedup."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from greenmask_spark.pipeline import run_corpus_pipeline
+
+    p_river = (
+        "the river ran slow past the old mill and the miller stood "
+        "with his son to watch the water turn the wheel that ground "
+        "the grain they would have to carry into town before the "
+        "market opened because the farmers of the valley depended on "
+        "that flour for the bread of the whole long winter season")
+    p_bridge = (
+        "a mountain path climbed above the old stone bridge and the "
+        "walkers moved slowly with heavy packs because the morning "
+        "fog had not lifted from the high meadows where the shepherds "
+        "kept their flocks through the short summer and every "
+        "traveler that passed would have stopped beside the cold "
+        "spring water")
+    p_market = (
+        "the harvest market filled early with carts of apples and "
+        "pears while the sellers called out prices to the crowd that "
+        "pressed between the stalls because the first frost had been "
+        "late this year and everyone knew the good fruit would not "
+        "have lasted another week in the cellars of the town")
+    for p in (p_river, p_bridge, p_market):
+        assert len(p.split()) >= 50  # clears the Gopher word-count rule
+
+    def http(body, headers=()):
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + b"".join(h + b"\r\n" for h in headers) + b"\r\n" + body)
+
+    def html(text):
+        return f"<html><body><p>{text}</p></body></html>".encode()
+
+    def chunked(data):
+        return (b"%x\r\n" % len(data)) + data + b"\r\n0\r\n\r\n"
+
+    docs = {
+        # two near-duplicates: same prose, one trailing word twisted
+        "http://a.example/dup1": http(html(p_river)),
+        "http://a.example/dup2": http(
+            gzip.compress(html(p_river + " indeed")),
+            (b"Content-Encoding: gzip",)),
+        # unique keepers — one arrives chunked
+        "http://b.example/keep1": http(
+            chunked(html(p_bridge)),
+            (b"Transfer-Encoding: chunked",)),
+        "http://b.example/keep2": http(html(p_market)),
+        # gopher drop: far under 50 words
+        "http://c.example/short": http(html("too few words here")),
+    }
+    png = _record("response", "http://c.example/img",
+                  _http_response(b"\x89PNGbytes", "image/png"),
+                  ("Content-Type: application/http;msgtype=response",))
+    archive = b"".join(
+        gzip.compress(_record(
+            "response", uri, payload,
+            ("Content-Type: application/http;msgtype=response",),
+            rid=uri.rsplit("/", 1)[1]))  # distinct WARC-Record-IDs
+        for uri, payload in docs.items()
+    ) + gzip.compress(png)
+    (tmp_path / "crawl.warc.gz").write_bytes(archive)
+
+    shard_dir = str(tmp_path / "shards")
+    out = run_corpus_pipeline(spark, {
+        "input": {"path": str(tmp_path / "crawl.warc.gz"),
+                  "format": "warc"},
+        "steps": [
+            {"op": "strip_html"},
+            {"op": "gopher_filter"},
+            {"op": "fuzzy_dedup", "threshold": 0.7, "num_perm": 32},
+        ],
+        "output": {"format": "shards", "path": shard_dir,
+                   "rows_per_shard": 2, "compression": "snappy"},
+    })
+    rows = out.collect()
+    by_url = {r.url: r for r in rows}
+    # 5 text docs in, PNG dropped at input, short dropped at gopher,
+    # ONE of the dup pair dropped at fuzzy_dedup → 3 survivors
+    assert len(rows) == 3
+    assert set(by_url) <= set(docs) - {"http://c.example/short"}
+    assert sum(u.startswith("http://a.example/dup") for u in by_url) == 1
+    assert "http://b.example/keep1" in by_url  # chunked body de-framed
+    keep1 = by_url["http://b.example/keep1"].text
+    assert "above the old stone bridge" in keep1
+    assert "<" not in keep1 and "%x" not in keep1
+    # source_id rides along for collision forensics
+    assert all(r.source_id for r in rows)
+
+    # the shard sink wrote the same 3 rows, capped at 2 rows per file
+    back = spark.read.parquet(shard_dir)
+    assert back.count() == 3
+    per_file = back.groupBy(F.input_file_name()).count().collect()
+    assert max(r["count"] for r in per_file) <= 2
+    assert {r.url for r in back.collect()} == set(by_url)
 
 
 def test_png_codec_property():

@@ -3598,6 +3598,79 @@ def _oracle_bm25_topk() -> str:
     """
 
 
+_BM25_PROMPTS = {
+    "q1": _BM25_QUERY,
+    "q2": "hash join merge batch",
+}
+
+
+def q_bm25_indexed(spark, sf_dir):
+    """Persisted-index BM25 retrieval, multi-query (r9;
+    functions/text_analysis.bm25_build_index + bm25_scores_indexed):
+    the corpus tokenizes ONCE into a (term, id, tf, dl) postings frame
+    — after that, any number of prompt batches score from the postings
+    alone (bm25_save_index buckets them by term so repeated retrieval
+    never re-shuffles the index; the lexical analog of pq_encode's
+    codes-are-the-index contract). Two prompts in one pass here; the
+    single-pass sharing (one scan regardless of prompt count) is
+    plan-audited in pytest (test_bm25_scores_multi /
+    test_bm25_indexed). Corpus stats derive from the index's distinct
+    (id, dl) pairs — identical to the full-corpus stats whenever every
+    document has >= 1 token, which the oracle replicates exactly."""
+    from greenmask_spark.functions.text_analysis import (
+        bm25_build_index,
+        bm25_scores_indexed,
+    )
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    out = bm25_scores_indexed(bm25_build_index(docs), _BM25_PROMPTS)
+    return out.select(
+        "query_id",
+        F.col("id").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+def _oracle_bm25_indexed() -> str:
+    qt_vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in sorted(_BM25_PROMPTS.items())
+        for t in sorted(set(q.split()))
+    )
+    all_terms = ", ".join(
+        f"'{t}'"
+        for t in sorted({t for q in _BM25_PROMPTS.values()
+                         for t in q.split()})
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter({_DUCK_TOKENS_RAW}, t -> t <> '') AS toks
+      FROM documents
+    ), stats AS (  -- index-derived: docs with >= 1 token only
+      SELECT count(*) AS N, avg(len(toks)) AS avgdl FROM base
+      WHERE len(toks) > 0
+    ), ex AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base
+    ), qt(query_id, term) AS (SELECT * FROM (VALUES {qt_vals})),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM ex
+      WHERE term IN ({all_terms}) GROUP BY doc_id, dl, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df_t FROM tf GROUP BY term
+    ), sc AS (
+      SELECT qt.query_id, tf.doc_id,
+             sum(ln((N - df_t + 0.5) / (df_t + 0.5))
+                 * tf * 2.2
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      JOIN qt USING (term)
+      GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, round(s, 6) AS score FROM sc
+    """
+
+
 def q_classifier_weights(spark, sf_dir):
     """Quality-classifier TRAINING with an oracle-checked artifact
     (functions/classifier.train_nb_weights): closed-form Bernoulli-NB
@@ -3868,7 +3941,7 @@ def _oracle_shard_write() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """86 entries. The driver harness records CORRECTNESS rows for the
+    """87 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
     brief; executed in r7, r8, r9) — no entry's driver row goes more
     than two rounds stale.
@@ -3916,9 +3989,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r10 window), asof_join (→ range_join), salted_agg
     (→ skew_join).
 
-    Union coverage: CORRECTNESS_r09 ∪ r08 covers all 86 entries
-    (the 36 tail rows were green in r08's window; the 50 window rows
-    get fresh r09 rows).
+    Union coverage: CORRECTNESS_r09 ∪ r08 covers 86 of 87 entries
+    (the 36 rotated tail rows were green in r08's window; the 50
+    window rows get fresh r09 rows). The 87th — bm25_indexed, NEW in
+    r9 with its oracle SQL shipped and exact-parity pytest — sits in
+    the tail as the r10 window candidate, the same intake path every
+    r8 addition took (window membership rotates, the window is full
+    with the 2-round staleness invariant).
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its
@@ -4015,6 +4092,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "asof_join": q_asof_join,
         "salted_agg": q_salted_agg,
+        # NEW r9, tail (r10 window candidate like the r8 additions
+        # were): persisted-index multi-query BM25 — oracle SQL ships
+        # with it, pytest proves exact parity + the one-scan plan
+        "bm25_indexed": q_bm25_indexed,
     }
 
 
@@ -4106,4 +4187,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_topk": _oracle_ivf_pq_topk(),
         "gopher_filter": _oracle_gopher_filter(),
         "pagerank": _oracle_pagerank(),
+        "bm25_indexed": _oracle_bm25_indexed(),
     }

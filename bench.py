@@ -56,6 +56,12 @@ HEADLINE = [
     # BENCH_r07; contention canary logic unchanged.
     "bm25_topk",
     "ann_topk_pq",
+    # r9: the Gopher rule bundle (pure expressions at scan bandwidth —
+    # the quality-filter floor every crawl pipeline pays) and the
+    # 3-iteration fixed-point PageRank (the iterative-graph shape).
+    # Appended so the common-20 prefix stays comparable with BENCH_r08.
+    "gopher_filter",
+    "pagerank",
 ]
 
 

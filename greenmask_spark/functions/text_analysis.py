@@ -966,6 +966,135 @@ def bm25_topk_multi(
     )
 
 
+def bm25_build_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Build the persistable BM25 inverted index → (term, id, tf, dl):
+    every distinct (document, term) with its term frequency and the
+    document length. ONE corpus scan; after this, document text never
+    needs to be re-tokenized — ``bm25_scores_indexed`` answers any
+    number of query batches from the postings alone, and
+    ``bm25_save_index`` buckets them by term so repeated retrieval
+    runs read a sorted, pre-partitioned table (the lexical analog of
+    ``pq_encode``'s codes-are-the-index contract).
+
+    Documents with zero nonempty tokens have no postings, so the
+    default corpus stats derived from an index exclude them — pass
+    explicit ``stats`` to ``bm25_scores_indexed`` for exact parity
+    with ``bm25_scores`` over corpora containing empty documents."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("__toks"),
+    )
+    return (
+        base.select("id", F.size("__toks").alias("dl"),
+                    F.explode("__toks").alias("term"))
+        .groupBy("term", "id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "id", "tf", "dl")
+    )
+
+
+def bm25_index_stats(index: DataFrame) -> DataFrame:
+    """(N, avgdl) of the corpus an index was built from — derived from
+    the distinct (id, dl) pairs, so it covers every document with at
+    least one token. 1-row frame, broadcast into the scorer."""
+    return (
+        index.select("id", "dl").distinct()
+        .agg(F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl"))
+    )
+
+
+def bm25_save_index(index: DataFrame, table: str,
+                    num_buckets: int = 32) -> None:
+    """Persist a ``bm25_build_index`` frame bucketed AND sorted by
+    ``term`` (same shape as ``save_ngram_lm``): the postings shuffle
+    exactly once — at save time — and every later retrieval batch
+    reads only a broadcast-filtered scan of the sorted buckets, no
+    matter how many query batches run against it."""
+    from greenmask_spark.sources.io import write_bucketed
+
+    write_bucketed(index, table, ["term"], num_buckets,
+                   sort_cols=["term"])
+
+
+def bm25_load_index(spark, table: str) -> DataFrame:
+    """Read back a ``bm25_save_index`` table (named symmetrically)."""
+    return spark.table(table)
+
+
+def bm25_scores_indexed(
+    index: DataFrame,
+    queries,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    stats: DataFrame | None = None,
+    include_misses: bool = False,
+) -> DataFrame:
+    """BM25 over a prebuilt inverted index → (query_id, id, score) —
+    identical scores to ``bm25_scores_multi`` over the source corpus
+    (same idf/df_t/tf math; df_t counts postings per term, which IS
+    document frequency), but the corpus is never re-read or
+    re-tokenized: the only scan is the postings, semi-joined by the
+    broadcast union of query terms before any shuffle.
+
+    ``queries``: dict or (query_id, query) DataFrame, as in
+    ``bm25_scores_multi``. ``stats``: optional 1-row (N, avgdl) frame
+    (e.g. persisted at index-build time); defaults to
+    ``bm25_index_stats(index)`` — exact unless the source corpus had
+    zero-token documents, which have no postings to derive from.
+    ``include_misses=True`` emits 0.0 rows for non-matching documents
+    by ranging over the index's distinct ids (an extra distinct over
+    the postings — the top-k path never needs it)."""
+    spark = index.sparkSession
+    if isinstance(queries, dict):
+        queries = spark.createDataFrame(
+            [(k, v) for k, v in sorted(queries.items())],
+            f"{query_id_col} string, {query_col} string",
+        )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                F.filter(tokens(F.col(query_col)), lambda t: t != "")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    st = stats if stats is not None else bm25_index_stats(index)
+    hits = index.join(F.broadcast(qterms.select("term").distinct()), "term")
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(st))
+        .withColumn(
+            "idf",
+            F.log((F.col("N") - F.col("df_t") + 0.5)
+                  / (F.col("df_t") + 0.5)),
+        )
+        .withColumn(
+            "__s",
+            F.col("idf") * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf")
+               + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "id").agg(F.sum("__s").alias("score"))
+    )
+    if not include_misses:
+        return scored
+    pairs = index.select("id").distinct().crossJoin(
+        F.broadcast(qterms.select("query_id").distinct())
+    )
+    return pairs.join(scored, ["query_id", "id"], "left").select(
+        "query_id", "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query: str,

@@ -2761,6 +2761,79 @@ def test_bm25_scores_multi(spark):
     assert scans({"q1": "spark"}) == scans(prompts)
 
 
+def test_bm25_indexed(spark):
+    """The persisted-index retrieval path: bm25_build_index → (save/
+    load bucketed) → bm25_scores_indexed matches bm25_scores_multi
+    exactly (df_t/idf/tf identical — postings per term ARE document
+    frequency) without ever re-reading the corpus; explicit stats
+    restore exact parity on corpora with zero-token documents (which
+    leave no postings)."""
+    import math
+
+    from greenmask_spark.functions.text_analysis import (
+        bm25_build_index,
+        bm25_index_stats,
+        bm25_load_index,
+        bm25_save_index,
+        bm25_scores_indexed,
+        bm25_scores_multi,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark query"),
+         (2, "spark table"),
+         (3, "unrelated words entirely"),
+         (4, "spark"),
+         (5, "query table query words"),
+         (6, "   ")],  # zero tokens: no postings
+        "doc_id long, text string",
+    )
+    prompts = {"qa": "spark query", "qb": "words table"}
+    index = bm25_build_index(docs)
+    rows = {(r.term, r.id): (r.tf, r.dl) for r in index.collect()}
+    assert rows[("spark", 1)] == (2, 3) and rows[("query", 5)] == (2, 4)
+    assert not any(i == 6 for _, i in rows)
+
+    # explicit stats = the full-corpus numbers bm25_scores uses
+    # (N counts doc 6, avgdl averages its 0 length)
+    full_stats = docs.select(
+        F.size(F.filter(tokens(F.col("text")),
+                        lambda t: t != "")).alias("n")
+    ).agg(F.count(F.lit(1)).alias("N"), F.avg("n").alias("avgdl"))
+    want = {(r.query_id, r.id): r.score
+            for r in bm25_scores_multi(docs, prompts).collect()}
+    got = {(r.query_id, r.id): r.score
+           for r in bm25_scores_indexed(index, prompts,
+                                        stats=full_stats).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-12), k
+
+    # derived stats differ ONLY through N/avgdl (here: one empty doc)
+    st = bm25_index_stats(index).collect()[0]
+    assert st.N == 5 and math.isclose(st.avgdl, 13 / 5)
+
+    # misses path ranges over the index's distinct ids
+    dense = bm25_scores_indexed(index, prompts, stats=full_stats,
+                                include_misses=True)
+    assert dense.count() == 2 * 5  # doc 6 has no postings to miss on
+
+    # bucketed save/load round trip scores identically
+    spark.sql("DROP TABLE IF EXISTS bm25_idx_test")
+    try:
+        bm25_save_index(index, "bm25_idx_test", num_buckets=4)
+        loaded = bm25_load_index(spark, "bm25_idx_test")
+        again = {(r.query_id, r.id): r.score
+                 for r in bm25_scores_indexed(loaded, prompts,
+                                              stats=full_stats).collect()}
+        assert set(again) == set(want)
+        for k in want:
+            assert math.isclose(again[k], want[k], rel_tol=1e-12), k
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_idx_test")
+
+
 def test_train_nb_weights(spark):
     """Closed-form NB log-odds training: weights match the hand
     formula exactly, Bernoulli presence (not counts) drives df,

@@ -1661,6 +1661,94 @@ def _oracle_gopher_filter() -> str:
     """
 
 
+def q_c4_filter(spark, sf_dir):
+    """C4 cleaning pass (Raffel et al. 2020, arXiv:1910.10683 §2.2;
+    functions/text_analysis.c4_clean_text/c4_page_flags) in AUDIT
+    mode over synthesized multi-line pages: the documents table's
+    single-line texts carry no punctuation, so each page is built
+    deterministically from (text, doc_id) — a terminal-punctuated
+    lead line, a one-word line (line-rule drop), a 3-sentence prose
+    line, and a doc_id%4-selected tail that trips exactly one rule
+    (lorem ipsum / curly brace / a javascript line whose removal
+    starves the sentence count / a clean closer). Both engines build
+    the same page and replay the same rules — pure expressions, zero
+    shuffle (the scan-bandwidth line-cleaning floor; gopher_filter is
+    the word-statistics floor)."""
+    from greenmask_spark.functions.text_analysis import c4_filter
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 60), F.lit(".")),
+        F.lit("tiny"),
+        F.lit("the quick brown fox runs. it naps? yes it does!"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("lorem ipsum filler text here."))
+        .when(F.col("doc_id") % 4 == 1,
+              F.lit("code { block } sample here."))
+        .when(F.col("doc_id") % 4 == 2,
+              F.lit("this line mentions javascript inline."))
+        .otherwise(F.lit("a clean closing line indeed.")),
+    )
+    staged = docs.select("doc_id", page.alias("text"))
+    out = c4_filter(staged, flags_col="c4")
+    return out.select(
+        "doc_id", "text",
+        F.col("c4.min_sentences_ok").alias("min_sentences_ok"),
+        F.col("c4.no_lorem_ipsum").alias("no_lorem_ipsum"),
+        F.col("c4.no_curly_brace").alias("no_curly_brace"),
+        F.col("c4.passed").alias("passed"),
+    )
+
+
+def _oracle_c4_filter() -> str:
+    from greenmask_spark.functions.text_analysis import C4_TERMINAL
+
+    ends = " OR ".join(
+        f"ends_with(trim(l), '{c}')" for c in C4_TERMINAL
+    )
+    return f"""
+    WITH staged AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               substring(text, 1, 60) || '.',
+               'tiny',
+               'the quick brown fox runs. it naps? yes it does!',
+               CASE doc_id % 4
+                 WHEN 0 THEN 'lorem ipsum filler text here.'
+                 WHEN 1 THEN 'code {{ block }} sample here.'
+                 WHEN 2 THEN 'this line mentions javascript inline.'
+                 ELSE 'a clean closing line indeed.'
+               END) AS page
+      FROM documents),
+    cleaned AS (
+      SELECT doc_id,
+             array_to_string(list_filter(
+               list_filter(string_split(page, chr(10)),
+                           l -> trim(l) <> ''),
+               l -> ({ends})
+                 AND len(list_filter(
+                       string_split_regex(trim(l), '\\s+'),
+                       w -> w <> '')) >= 3
+                 AND NOT contains(lower(trim(l)), 'javascript')
+             ), chr(10)) AS text
+      FROM staged),
+    flagged AS (
+      SELECT doc_id, text,
+             length(text) - length(translate(text, '.!?', ''))
+               AS n_sent,
+             NOT contains(lower(text), 'lorem ipsum') AS no_li,
+             NOT contains(text, '{{') AS no_cb
+      FROM cleaned)
+    SELECT doc_id, text,
+           n_sent >= 5 AS min_sentences_ok,
+           no_li AS no_lorem_ipsum,
+           no_cb AS no_curly_brace,
+           (n_sent >= 5 AND no_li AND no_cb) AS passed
+    FROM flagged
+    """
+
+
 _PR_ITERS = 3
 _PR_DST_OFFSET = 1_000_000
 
@@ -3623,7 +3711,12 @@ def q_bm25_indexed(spark, sf_dir):
     )
 
     docs = _tables(spark, sf_dir, "documents")["documents"]
-    out = bm25_scores_indexed(bm25_build_index(docs), _BM25_PROMPTS)
+    # materialize the postings once (the production shape: the index
+    # is a persisted artifact — bm25_save_index; without this, the
+    # derived-stats convenience path would re-run the index build for
+    # the stats pass and again for the scorer)
+    index = bm25_build_index(docs).localCheckpoint(eager=True)
+    out = bm25_scores_indexed(index, _BM25_PROMPTS)
     return out.select(
         "query_id",
         F.col("id").alias("doc_id"),
@@ -3941,7 +4034,7 @@ def _oracle_shard_write() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """87 entries. The driver harness records CORRECTNESS rows for the
+    """88 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
     brief; executed in r7, r8, r9) — no entry's driver row goes more
     than two rounds stale.
@@ -3991,11 +4084,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Union coverage: CORRECTNESS_r09 ∪ r08 covers 86 of 87 entries
     (the 36 rotated tail rows were green in r08's window; the 50
-    window rows get fresh r09 rows). The 87th — bm25_indexed, NEW in
-    r9 with its oracle SQL shipped and exact-parity pytest — sits in
-    the tail as the r10 window candidate, the same intake path every
-    r8 addition took (window membership rotates, the window is full
-    with the 2-round staleness invariant).
+    window rows get fresh r09 rows). The 87th and 88th —
+    bm25_indexed and c4_filter, NEW in r9 with their oracle SQL
+    shipped and parity pytests — sit in the tail as the r10 window
+    candidates, the same intake path every r8 addition took (window
+    membership rotates, the window is full with the 2-round staleness
+    invariant).
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its
@@ -4096,6 +4190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # were): persisted-index multi-query BM25 — oracle SQL ships
         # with it, pytest proves exact parity + the one-scan plan
         "bm25_indexed": q_bm25_indexed,
+        "c4_filter": q_c4_filter,
     }
 
 
@@ -4188,4 +4283,5 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": _oracle_gopher_filter(),
         "pagerank": _oracle_pagerank(),
         "bm25_indexed": _oracle_bm25_indexed(),
+        "c4_filter": _oracle_c4_filter(),
     }

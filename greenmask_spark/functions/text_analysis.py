@@ -185,6 +185,94 @@ def gopher_filter(
     return df.filter(flags["passed"])
 
 
+#: C4's terminal punctuation set (Raffel et al. 2020 §2.2): a line must
+#: end in one of these to be retained as prose
+C4_TERMINAL = (".", "!", "?", '"', "”")
+
+
+def c4_clean_text(
+    text: Column,
+    min_words: int = 3,
+) -> Column:
+    """The LINE-level C4 rules (Raffel et al. 2020, arXiv:1910.10683
+    §2.2 — the Colossal Clean Crawled Corpus cleaning pass) as one
+    expression: keep only lines that end in terminal punctuation,
+    contain at least ``min_words`` words, and do not contain the word
+    'javascript' (case-insensitive); return the retained lines
+    re-joined with newlines. Pure expressions — runs at scan
+    bandwidth, composes with ``c4_page_flags`` for the page-level
+    drops."""
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    term = F.array(*[F.lit(c) for c in C4_TERMINAL])
+
+    def keep(ln):
+        t = F.trim(ln)
+        ends_ok = F.exists(term, lambda c: t.endswith(c))
+        n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        return (ends_ok & (n_words >= min_words)
+                & ~F.lower(t).contains("javascript"))
+
+    return F.array_join(F.filter(lines, keep), "\n")
+
+
+def c4_page_flags(
+    cleaned: Column,
+    min_sentences: int = 5,
+) -> Column:
+    """The PAGE-level C4 rules over the line-cleaned text: at least
+    ``min_sentences`` sentences, no 'lorem ipsum' placeholder text, no
+    curly brace (the code-page tell). Returns a struct of per-rule
+    booleans plus the conjunction, like ``gopher_quality_flags``.
+
+    Sentence counting: the paper used a sentence tokenizer; here
+    sentences are approximated as occurrences of ``. ! ?`` in the
+    cleaned text — a pure expression (each retained line ends in
+    terminal punctuation, and mid-line sentence breaks count too).
+    NULL text fails all rules."""
+    n_sent = (
+        F.length(cleaned)
+        - F.length(F.translate(cleaned, ".!?", ""))
+    )
+    low = F.lower(cleaned)
+    rules = [
+        ("min_sentences_ok", n_sent >= min_sentences),
+        ("no_lorem_ipsum", ~low.contains("lorem ipsum")),
+        ("no_curly_brace", ~cleaned.contains("{")),
+    ]
+    passed = rules[0][1]
+    for _, c in rules[1:]:
+        passed = passed & c
+    flags = F.struct(
+        *[c.alias(name) for name, c in rules],
+        F.coalesce(passed, F.lit(False)).alias("passed"),
+    )
+    return F.when(cleaned.isNotNull(), flags).otherwise(
+        F.struct(*[F.lit(False).alias(name) for name, _ in rules],
+                 F.lit(False).alias("passed"))
+    )
+
+
+def c4_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    min_sentences: int = 5,
+    flags_col: str | None = None,
+) -> DataFrame:
+    """The full C4 cleaning pass (line rules + page rules): the text
+    column is REPLACED by its retained lines, and pages failing any
+    page rule drop — unless ``flags_col`` is given: AUDIT MODE keeps
+    every page with its per-rule struct attached (filter afterwards
+    with ``.filter(F.col(flags_col)['passed'])``), matching
+    ``gopher_filter``'s audit contract. Zero shuffle either way."""
+    cleaned = c4_clean_text(F.col(text_col), min_words=min_words)
+    out = df.withColumn(text_col, cleaned)
+    flags = c4_page_flags(F.col(text_col), min_sentences=min_sentences)
+    if flags_col:
+        return out.withColumn(flags_col, flags)
+    return out.filter(flags["passed"])
+
+
 def lang_id(text: Column) -> Column:
     """Argmax of per-language stopword hits; ties break in LANG_ORDER;
     all-zero → 'und' (undetermined)."""
@@ -1046,7 +1134,10 @@ def bm25_scores_indexed(
     ``bm25_scores_multi``. ``stats``: optional 1-row (N, avgdl) frame
     (e.g. persisted at index-build time); defaults to
     ``bm25_index_stats(index)`` — exact unless the source corpus had
-    zero-token documents, which have no postings to derive from.
+    zero-token documents, which have no postings to derive from. With
+    derived stats, pass a MATERIALIZED index (loaded table /
+    persisted / checkpointed): an unpersisted build plan would
+    re-execute once for the stats pass and once for the scorer.
     ``include_misses=True`` emits 0.0 rows for non-matching documents
     by ranging over the index's distinct ids (an extra distinct over
     the postings — the top-k path never needs it)."""

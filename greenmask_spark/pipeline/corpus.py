@@ -147,6 +147,22 @@ def _step_gopher_filter(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_c4_filter(df: DataFrame, p: dict) -> DataFrame:
+    """The C4 cleaning pass (Raffel et al. 2020 §2.2): line-level
+    terminal-punctuation/min-words/javascript rules rewrite the text
+    column, page-level sentence-count/lorem-ipsum/curly-brace rules
+    drop pages; ``flags_col`` switches to audit mode."""
+    from greenmask_spark.functions.text_analysis import c4_filter
+
+    return c4_filter(
+        df,
+        text_col=p.get("text_col", "text"),
+        min_words=int(p.get("min_words", 3)),
+        min_sentences=int(p.get("min_sentences", 5)),
+        flags_col=p.get("flags_col"),
+    )
+
+
 def _step_repetition_filter(df: DataFrame, p: dict) -> DataFrame:
     """Drop docs above Gopher/C4-style repetition thresholds (needs the
     per-doc bigram aggregation — one map-side-combined shuffle)."""
@@ -799,6 +815,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "fuzzy_dedup": _step_fuzzy_dedup,
     "quality_filter": _step_quality_filter,
     "gopher_filter": _step_gopher_filter,
+    "c4_filter": _step_c4_filter,
     "repetition_filter": _step_repetition_filter,
     "scrub_pii": _step_scrub_pii,
     "hash_split": _step_hash_split,

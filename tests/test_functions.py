@@ -3092,6 +3092,52 @@ def test_cap_per_domain_two_phase(spark):
         cap_per_domain(df, 0)
 
 
+def test_c4_filter_rules(spark):
+    """The C4 cleaning pass (Raffel 2020 §2.2): line rules drop
+    unterminated/short/javascript lines and REWRITE the text; page
+    rules drop lorem-ipsum/curly-brace/under-sentence pages; audit
+    mode keeps every page with flags; the corpus step composes."""
+    from greenmask_spark.functions.text_analysis import c4_filter
+    from greenmask_spark.pipeline.corpus import build_corpus_pipeline
+
+    prose = ("the first sentence is here. the second one follows! "
+             "does a third exist? it does. and a fifth closes it.")
+    docs = spark.createDataFrame(
+        [(1, prose + "\nno terminal punctuation line\nok line kept."),
+         (2, prose + "\nlorem ipsum dolor sit amet."),
+         (3, prose + "\nfunction f() { return 1; }."),
+         (4, "only two sentences. that is all!"),
+         (5, prose + "\nthis uses JavaScript heavily."),
+         (6, None)],
+        "doc_id long, text string",
+    )
+    audit = {r.doc_id: r for r in c4_filter(docs, flags_col="f").collect()}
+    # line rules rewrote the text: unterminated line gone, kept line stays
+    assert "no terminal punctuation" not in audit[1].text
+    assert audit[1].text.endswith("ok line kept.")
+    assert audit[1].f.passed
+    # page rules flag exactly their violator
+    assert not audit[2].f.no_lorem_ipsum and audit[2].f.min_sentences_ok
+    assert not audit[3].f.no_curly_brace
+    assert not audit[4].f.min_sentences_ok  # 2 sentences < 5
+    # the javascript LINE drops (line rule), the page then still has
+    # 5 sentences from the prose and passes
+    assert "JavaScript" not in audit[5].text and audit[5].f.passed
+    assert not any(audit[6].f) or audit[6].f == tuple(
+        False for _ in range(4))  # NULL text fails all rules
+
+    kept = {r.doc_id for r in c4_filter(docs).collect()}
+    assert kept == {1, 5}
+
+    # corpus step: same drop set
+    step = build_corpus_pipeline(docs, [{"op": "c4_filter"}])
+    assert {r.doc_id for r in step.collect()} == {1, 5}
+    # min_sentences is configurable
+    loose = build_corpus_pipeline(
+        docs, [{"op": "c4_filter", "min_sentences": 2}])
+    assert 4 in {r.doc_id for r in loose.collect()}
+
+
 def test_cap_per_domain_nondeterministic_input(spark):
     """cap_per_domain reads its input three times, so a rand()-style
     upstream could disagree between the count pass and the branches —

@@ -134,6 +134,25 @@ SHAPES = {
     "dsir_weights": (6, 0),
     # r8 — Morton keys: one codegen'd projection, zero exchanges
     "zorder_events": (0, 0),
+    # r9 — Gopher rules: ONE scan of pure expressions; any shuffle or
+    # Python node is a regression (this is the scan-bandwidth filter
+    # floor every crawl pipeline pays)
+    "gopher_filter": (0, 0),
+    # r9 — fixed-point PageRank: per-iteration exchanges are sealed
+    # behind eager localCheckpoints (the subset-fixpoint convention),
+    # so the RESULT plan is a checkpoint scan — a shuffle or Python
+    # node appearing here means an iteration leaked its lineage
+    "pagerank": (0, 0),
+    # r9 — IVF-PQ composition: the three licensed Arrow stages are
+    # centroid tagging, PQ encoding and the ADC scorer; the lone
+    # exchange is the final per-query rank
+    "ivf_pq_topk": (1, 3),
+    # r9 — persisted-index BM25 (2 prompts): postings materialize once
+    # (localCheckpoint in the registry row — the bm25_save_index
+    # production shape) and never re-shuffle; the 7 exchanges are all
+    # sliver-sized (stats distinct + 1-row agg, per-term df, the tiny
+    # query-term distincts, the final per-(query,doc) sum)
+    "bm25_indexed": (7, 0),
 }
 
 

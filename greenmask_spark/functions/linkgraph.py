@@ -75,6 +75,15 @@ def pagerank(
         raise ValueError(f"damping_ppm={damping_ppm} outside (0, 1e6)")
     w = (F.col(weight_col).cast("bigint") if weight_col
          else F.lit(1).cast("bigint"))
+    # setup frames all localCheckpoint (the per-iteration joins read
+    # them; un-checkpointed, every iteration would re-run the raw edge
+    # scan + aggregations behind them), but only ONE is eager: lazy
+    # checkpoints materialize inside the first job that computes them,
+    # so ew's eager job persists e and deg in the same pass and
+    # nodes.count() persists nodes from the already-materialized e —
+    # 2 setup jobs instead of 4 (job launch latency is the fixed cost
+    # that dominates small graphs; at scale the same change just skips
+    # two redundant edge-scan+shuffle re-executions).
     e = (
         edges.select(
             F.col(src_col).cast("bigint").alias("src"),
@@ -84,23 +93,21 @@ def pagerank(
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
                 & (F.col("w") > 0))
         .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    # deg checkpoints too: the per-iteration dangling anti-join reads
-    # it, and without its own checkpoint every iteration would
-    # re-execute the raw edge scan + two aggregations behind it
     deg = e.groupBy("src").agg(
-        F.sum("w").alias("wtot")).localCheckpoint(eager=True)
+        F.sum("w").alias("wtot")).localCheckpoint(eager=False)
     # edges annotated once with the source's total weight; iterations
     # only touch (src, dst, w, wtot) + the rank column. localCheckpoint
     # breaks the per-iteration lineage growth (the subset-fixpoint
     # convention) and frees with the result.
     ew = e.join(deg, "src").localCheckpoint(eager=True)
-    nodes = nodes.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_nodes = nodes.count()
     d, scale = int(damping_ppm), RANK_SCALE
     ppm = 1_000_000

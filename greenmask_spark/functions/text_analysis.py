@@ -103,59 +103,112 @@ def quality_score(text: Column) -> Column:
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_quality_flags(text: Column) -> Column:
-    """The published Gopher document-quality rules (Rae et al. 2021,
-    arXiv:2112.11446 appendix A1.1) as ONE struct of per-rule booleans
-    plus the conjunction — pure expressions, zero shuffle, so the
-    filter runs at scan bandwidth and each rule's hit rate is one
-    aggregate away (``df.agg(avg(flags.word_count_ok.cast('int')))``).
+def _gopher_token_expr(text: Column) -> Column:
+    """The token array the Gopher rules walk (empty-token-free)."""
+    return F.filter(tokens(text), lambda t: t != "")
 
-    Rules (true = keep): word count in [50, 100k]; mean word length in
-    [3, 10]; symbol-to-word ratio (# and ellipsis) ≤ 0.1; ≤ 90% of
-    lines bullet-started; ≤ 30% of lines ellipsis-ended; ≥ 80% of
-    words contain an alphabetic character; ≥ 2 of the 8 Gopher stop
-    words present. NULL text fails all rules."""
-    toks = F.filter(tokens(text), lambda t: t != "")
-    n = F.size(toks)
-    nn = F.greatest(n, F.lit(1))
-    mwl = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
-    ) / nn
+
+def _gopher_line_expr(text: Column) -> Column:
+    """The non-blank line array the Gopher line rules walk."""
+    return F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+
+
+def _gopher_metrics(toks: Column, lines: Column) -> dict[str, Column]:
+    """The per-document scalar metrics the Gopher rules compare — one
+    named Column each, meant to land in their OWN projection so the
+    rule comparisons downstream reference tiny column refs instead of
+    copies of these aggregate subtrees (the flag struct repeats every
+    rule inside the ``passed`` conjunction, and struct-field
+    extraction duplicates the struct per extracted field — with the
+    aggregates inlined that tree grows combinatorially and Catalyst
+    analysis time, not row throughput, dominates the operator)."""
     # symbol OCCURRENCES (not symbol-containing tokens — 5 tokens of
     # '########' in a 100-word doc are 40 symbols, ratio 0.4, a fail):
     # '#' per char delta; '...' runs count by non-overlapping replace
-    n_sym = F.aggregate(
-        toks, F.lit(0).cast("bigint"),
-        lambda a, t: a
-        + (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
-        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
-        + ((F.length(t)
-            - F.length(F.replace(t, F.lit("..."), F.lit(""))))
-           / F.lit(3)).cast("bigint"),
-    )
-    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
-    n_lines = F.greatest(F.size(lines), F.lit(1))
-    bullet = F.size(F.filter(
-        lines,
-        lambda ln: (F.trim(ln).startswith("•") | F.trim(ln).startswith("-")
-                    | F.trim(ln).startswith("*")),
-    ))
-    ellipsis = F.size(F.filter(
-        lines,
-        lambda ln: F.trim(ln).endswith("...") | F.trim(ln).endswith("…"),
-    ))
-    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
-    stops = F.size(F.array_intersect(
-        toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    ))
+    return {
+        "n": F.size(toks),
+        "len_sum": F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+        ),
+        "sym": F.aggregate(
+            toks, F.lit(0).cast("bigint"),
+            lambda a, t: a
+            + (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+            + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+            + ((F.length(t)
+                - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+               / F.lit(3)).cast("bigint"),
+        ),
+        "alpha": F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))),
+        "n_lines": F.size(lines),
+        "bullet": F.size(F.filter(
+            lines,
+            lambda ln: (F.trim(ln).startswith("•")
+                        | F.trim(ln).startswith("-")
+                        | F.trim(ln).startswith("*")),
+        )),
+        "ellipsis": F.size(F.filter(
+            lines,
+            lambda ln: F.trim(ln).endswith("...") | F.trim(ln).endswith("…"),
+        )),
+        "stops": F.size(F.array_intersect(
+            toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )),
+    }
+
+
+def _gopher_metric_exprs(toks: str, lines: str) -> dict[str, Column]:
+    """``_gopher_metrics`` twin over column NAMES, built from SQL
+    expression strings: one parser call each instead of dozens of
+    py4j Column-node round-trips — the DataFrame-construction time of
+    the lambda form measurably exceeds its execution time on small
+    inputs. Semantics are identical (the parser produces the same
+    ArrayAggregate/ArrayFilter trees); the crafted-violator unit test
+    runs both forms over the same documents."""
+    stops_arr = "array(" + ", ".join(
+        f"'{s}'" for s in GOPHER_STOPWORDS) + ")"
+    return {
+        "n": F.expr(f"size({toks})"),
+        "len_sum": F.expr(
+            f"aggregate({toks}, 0L, (a, t) -> a + length(t))"),
+        "sym": F.expr(
+            f"aggregate({toks}, 0L, (a, t) -> a"
+            " + (length(t) - length(replace(t, '#', '')))"
+            " + (length(t) - length(replace(t, '…', '')))"
+            " + cast((length(t) - length(replace(t, '...', ''))) / 3"
+            "        as bigint))"),
+        "alpha": F.expr(
+            f"size(filter({toks}, t -> t rlike '[a-zA-Z]'))"),
+        "n_lines": F.expr(f"size({lines})"),
+        "bullet": F.expr(
+            f"size(filter({lines}, ln -> startswith(trim(ln), '•')"
+            " or startswith(trim(ln), '-')"
+            " or startswith(trim(ln), '*')))"),
+        "ellipsis": F.expr(
+            f"size(filter({lines}, ln -> endswith(trim(ln), '...')"
+            " or endswith(trim(ln), '…')))"),
+        "stops": F.expr(
+            f"size(array_intersect({toks}, {stops_arr}))"),
+    }
+
+
+def _gopher_flags_from_metrics(
+    text: Column, m: dict[str, Column]
+) -> Column:
+    """Gopher flag struct from already-computed scalar metrics — every
+    rule is a constant-size comparison, so duplicating rules into the
+    ``passed`` conjunction and the NULL-text branch stays cheap."""
+    nn = F.greatest(m["n"], F.lit(1))
+    n_lines = F.greatest(m["n_lines"], F.lit(1))
+    mwl = m["len_sum"] / nn
     rules = [
-        ("word_count_ok", (n >= 50) & (n <= 100_000)),
+        ("word_count_ok", (m["n"] >= 50) & (m["n"] <= 100_000)),
         ("mean_word_len_ok", (mwl >= 3.0) & (mwl <= 10.0)),
-        ("symbol_ratio_ok", n_sym / nn <= 0.1),
-        ("bullet_lines_ok", bullet / n_lines <= 0.9),
-        ("ellipsis_lines_ok", ellipsis / n_lines <= 0.3),
-        ("alpha_words_ok", alpha / nn >= 0.8),
-        ("stopwords_ok", stops >= 2),
+        ("symbol_ratio_ok", m["sym"] / nn <= 0.1),
+        ("bullet_lines_ok", m["bullet"] / n_lines <= 0.9),
+        ("ellipsis_lines_ok", m["ellipsis"] / n_lines <= 0.3),
+        ("alpha_words_ok", m["alpha"] / nn >= 0.8),
+        ("stopwords_ok", m["stops"] >= 2),
     ]
     passed = rules[0][1]
     for _, c in rules[1:]:
@@ -170,6 +223,34 @@ def gopher_quality_flags(text: Column) -> Column:
     )
 
 
+def _gopher_flags(text: Column, toks: Column, lines: Column) -> Column:
+    """Single-Column form: metrics inlined into the flag struct (use
+    the projection-staged ``gopher_filter`` when a DataFrame is in
+    hand — this form's tree duplicates each aggregate per rule use)."""
+    return _gopher_flags_from_metrics(text, _gopher_metrics(toks, lines))
+
+
+def gopher_quality_flags(text: Column) -> Column:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    arXiv:2112.11446 appendix A1.1) as ONE struct of per-rule booleans
+    plus the conjunction — pure expressions, zero shuffle, so the
+    filter runs at scan bandwidth and each rule's hit rate is one
+    aggregate away (``df.agg(avg(flags.word_count_ok.cast('int')))``).
+
+    Rules (true = keep): word count in [50, 100k]; mean word length in
+    [3, 10]; symbol-to-word ratio (# and ellipsis) ≤ 0.1; ≤ 90% of
+    lines bullet-started; ≤ 30% of lines ellipsis-ended; ≥ 80% of
+    words contain an alphabetic character; ≥ 2 of the 8 Gopher stop
+    words present. NULL text fails all rules.
+
+    Pure-Column form: the token array appears as a subexpression in
+    three places (size / aggregate / array_intersect). When the input
+    is a DataFrame prefer ``gopher_filter``, which materializes the
+    arrays in their own projection so the split runs once per row."""
+    return _gopher_flags(text, _gopher_token_expr(text),
+                         _gopher_line_expr(text))
+
+
 def gopher_filter(
     df: DataFrame, text_col: str = "text", flags_col: str | None = None
 ) -> DataFrame:
@@ -178,11 +259,33 @@ def gopher_filter(
     does not filter, so rule hit rates can be measured before
     committing to drops (filtering first would make every surviving
     flag trivially true); follow with
-    ``.filter(F.col(flags_col)['passed'])`` to apply the drop."""
-    flags = gopher_quality_flags(F.col(text_col))
+    ``.filter(F.col(flags_col)['passed'])`` to apply the drop.
+
+    Staged as three projections — (1) token/line arrays, (2) scalar
+    metrics, (3) rule comparisons — so the tokenization split runs
+    ONCE per row (HOFs are codegen-fallback: no whole-stage
+    subexpression elimination) and, more importantly, the flag
+    struct's expression tree stays CONSTANT-size: built from inlined
+    metrics it duplicates every aggregate per rule reference and per
+    struct-field extraction, and Catalyst analysis of that
+    combinatorial tree (driver time, once per query) costs more than
+    scanning the data. CollapseProject leaves non-cheap expressions
+    that are referenced more than once in their own projection, so
+    the stages survive optimization."""
+    text = F.col(text_col)
+    staged = df.withColumns({
+        "_gq_toks": _gopher_token_expr(text),
+        "_gq_lines": _gopher_line_expr(text),
+    })
+    metrics = _gopher_metric_exprs("_gq_toks", "_gq_lines")
+    staged = staged.withColumns(
+        {f"_gq_{k}": v for k, v in metrics.items()})
+    flags = _gopher_flags_from_metrics(
+        text, {k: F.col(f"_gq_{k}") for k in metrics})
+    temp = ["_gq_toks", "_gq_lines"] + [f"_gq_{k}" for k in metrics]
     if flags_col:
-        return df.withColumn(flags_col, flags)
-    return df.filter(flags["passed"])
+        return staged.withColumn(flags_col, flags).drop(*temp)
+    return staged.filter(flags["passed"]).drop(*temp)
 
 
 #: C4's terminal punctuation set (Raffel et al. 2020 §2.2): a line must

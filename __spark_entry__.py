@@ -4051,13 +4051,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_windowed, classifier_weights) + the 3 r9 additions closing
     the r8 verdict's oracle-row gap (ivf_pq_topk, gopher_filter,
     pagerank — each a transcription of an existing DuckDB-parity
-    pytest) + 14 keepers whose family has no other window
-    representative (t_masking, t_orders_temporal, t_random_person,
-    t_when_condition, t_dynamic_param, t_query_override, t_template,
+    pytest) + the 2 late-r9 operators (bm25_indexed, c4_filter — NEW
+    code never debuts without a driver row) + 12 keepers whose family
+    has no other window representative (t_masking, t_orders_temporal,
+    t_random_person, t_when_condition, t_dynamic_param, t_template,
     t_cmd, t_custom_plugin, t_apply_for_references, t_type_override,
-    validate_diff, copy_roundtrip, lm_score).
+    validate_diff, copy_roundtrip).
 
-    r9 TAIL = 36 rows, every one green in CORRECTNESS_r08, each with
+    r9 TAIL = 38 rows, every one green in CORRECTNESS_r08, each with
     >= 1 same-family row in the window: t_random_float +
     t_random_numeric (→ t_random_int, numeric noise family),
     t_net_company + t_real_address (→ t_faker, generator family),
@@ -4080,16 +4081,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (→ sample_mixture/stratified_sample), zorder_events
     (→ copy_roundtrip, storage-layout/io family; r8-green, returns in
     the r10 window), asof_join (→ range_join), salted_agg
-    (→ skew_join).
+    (→ skew_join), and the two displaced keepers lm_score
+    (→ classifier_weights, scoring family) and t_query_override
+    (→ t_when_condition, planner family) — displaced to make room for
+    bm25_indexed/c4_filter so no NEW operator ships without a driver
+    row; both r8-green, both return in the r10 window.
 
-    Union coverage: CORRECTNESS_r09 ∪ r08 covers 86 of 87 entries
-    (the 36 rotated tail rows were green in r08's window; the 50
-    window rows get fresh r09 rows). The 87th and 88th —
-    bm25_indexed and c4_filter, NEW in r9 with their oracle SQL
-    shipped and parity pytests — sit in the tail as the r10 window
-    candidates, the same intake path every r8 addition took (window
-    membership rotates, the window is full with the 2-round staleness
-    invariant).
+    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 88 entries (the
+    38 tail rows were green in r08's window; the 50 window rows get
+    fresh r09 rows).
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its
@@ -4130,17 +4130,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "classifier_weights": q_classifier_weights,
         "shard_write": q_shard_write,
-        # --- r9 additions: the r8 verdict's three staged oracle rows ---
+        # --- r9 additions: the r8 verdict's three staged oracle rows
+        # plus the two late-r9 operators (displacing the lm_score and
+        # t_query_override keepers, both r8-green — their evidence
+        # stays within the 2-round invariant via r08 and they return
+        # in the r10 window; this keeps NEW operators from ever
+        # debuting without a driver row) ---
         "ivf_pq_topk": q_ivf_pq_topk,            # NEW r9: IVF probe + PQ-ADC
         "gopher_filter": q_gopher_filter,        # NEW r9: Gopher rule audit
         "pagerank": q_pagerank,                  # NEW r9: fixed-point PageRank
+        "bm25_indexed": q_bm25_indexed,          # NEW r9: persisted-index BM25
+        "c4_filter": q_c4_filter,                # NEW r9: C4 cleaning pass
         # --- keepers: sole window representative of their family ---
         "t_masking": q_t_masking,                # +RandomUuid/RandomEmail
         "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
         "t_random_person": q_t_random_person,
         "t_when_condition": q_t_when_condition,
         "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
-        "t_query_override": q_t_query_override,
         "t_template": q_t_template,              # +TemplateRecord
         "t_cmd": q_t_cmd,                        # json + text + csv drivers
         "t_custom_plugin": q_t_custom_plugin,
@@ -4148,8 +4154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_type_override": q_t_type_override,
         "validate_diff": q_validate_diff,
         "copy_roundtrip": q_copy_roundtrip,
-        "lm_score": q_lm_score,
         # --- r9 tail: all green in CORRECTNESS_r08; family reps above ---
+        "lm_score": q_lm_score,                  # → classifier_weights (scoring)
+        "t_query_override": q_t_query_override,  # → t_when_condition (planner)
         "t_random_float": q_t_random_float,      # +NoiseFloat
         "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
         "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
@@ -4186,11 +4193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "asof_join": q_asof_join,
         "salted_agg": q_salted_agg,
-        # NEW r9, tail (r10 window candidate like the r8 additions
-        # were): persisted-index multi-query BM25 — oracle SQL ships
-        # with it, pytest proves exact parity + the one-scan plan
-        "bm25_indexed": q_bm25_indexed,
-        "c4_filter": q_c4_filter,
     }
 
 

@@ -2647,6 +2647,154 @@ def _oracle_multimodal_features() -> str:
             f"WHERE length(text) = octet_length(encode(text))")
 
 
+#: synthesized-PPM geometry for the image perceptual-hash rows: 18×16
+#: pixels = 9×8 exact 2×2 pooling blocks (integer block edges trivially
+#: replayable in SQL), 864 payload bytes cycled from the document text
+_DH_W, _DH_H = 18, 16
+_DH_BYTES = _DH_W * _DH_H * 3
+_DH_HDR = "P6\n18 16\n255\n"
+_DH_ZTAIL = "z" * 12  # variant tail: perturbs the last 4 pixels ≤ 2 bits
+_DH_REP_SPARK = (f"substring(repeat(text, cast(ceil({_DH_BYTES}.0"
+                 f"/length(text)) as int)), 1, {_DH_BYTES})")
+_DH_REP_SQL = (f"substr(repeat(text, CAST(ceil({_DH_BYTES}.0"
+               f"/length(text)) AS INT)), 1, {_DH_BYTES})")
+
+
+def _dhash_base(spark, sf_dir):
+    """ASCII documents → (doc_id, rep): the 864-char pixel stream the
+    synthesized P6 payload carries (text bytes cycled to fill 18×16
+    RGB). ASCII guard as in q_multimodal_features: the oracle folds
+    codepoints, Spark folds utf-8 bytes — identical only for ASCII."""
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return docs.filter(
+        (F.length("text") == F.octet_length("text"))
+        & (F.length("text") > 0)
+    ).select("doc_id", F.expr(_DH_REP_SPARK).alias("rep"))
+
+
+def _dhash_acc_sql() -> str:
+    """SQL replay of ``multimodal.dhash_image_bytes`` over a 288-entry
+    grayscale list: 2×2 block sums (the 18×16 geometry makes the
+    integer block edges exact), 64 left>right bits folded MSB-first
+    into a HUGEINT (the same list_reduce pattern as the multimodal
+    FNV oracle), wrapped to a signed BIGINT."""
+    bits = (f"list_transform(range(0, 64), i -> CASE WHEN "
+            f"bl[9*(i//8)+(i%8)+1] > bl[9*(i//8)+(i%8)+2] "
+            f"THEN 1 ELSE 0 END)")
+    return (f"list_reduce(list_prepend(CAST(0 AS HUGEINT), {bits}), "
+            f"(a, b) -> a*2 + b)")
+
+
+_DH_GL_SQL = (f"list_transform(range(0, {_DH_W * _DH_H}), p ->"
+              " 299*unicode(substr(rep, 3*p+1, 1))"
+              " + 587*unicode(substr(rep, 3*p+2, 1))"
+              " + 114*unicode(substr(rep, 3*p+3, 1)))")
+_DH_BL_SQL = ("list_transform(range(0, 72), i ->"
+              " gl[36*(i//9)+2*(i%9)+1] + gl[36*(i//9)+2*(i%9)+2]"
+              " + gl[36*(i//9)+2*(i%9)+19] + gl[36*(i//9)+2*(i%9)+20])")
+_DH_SIGNED = ("CAST(acc - CASE WHEN acc >= 9223372036854775808 "
+              "THEN 18446744073709551616 ELSE 0 END AS BIGINT)")
+
+
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image fingerprints (multimodal.image_dhash): each
+    ASCII document renders to a REAL 18×16 PPM P6 payload (header +
+    text bytes cycled across RGB), the real decoder parses it, and
+    the integer-exact dHash (BT.601 ×1000 grayscale, 2×2 block sums,
+    64 left>right bits) packs to a signed bigint — every step is
+    integer arithmetic, so DuckDB replays it bit-for-bit from the
+    same cycled text without touching the binary. Decode + hash run
+    in one Arrow-batched mapInPandas with zero shuffle; output is 16
+    bytes/row no matter the image size."""
+    from greenmask_spark.functions.multimodal import image_dhash
+
+    media = _dhash_base(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(F.lit(_DH_HDR), F.col("rep")),
+                 "utf-8").alias("payload"),
+    )
+    return image_dhash(media)
+
+
+def _oracle_image_dhash() -> str:
+    return f"""
+    WITH src AS (
+      SELECT doc_id, {_DH_REP_SQL} AS rep FROM documents
+      WHERE length(text) = octet_length(encode(text))
+        AND length(text) > 0),
+    g AS (SELECT doc_id, {_DH_GL_SQL} AS gl FROM src),
+    b AS (SELECT doc_id, {_DH_BL_SQL} AS bl FROM g),
+    ac AS (SELECT doc_id, {_dhash_acc_sql()} AS acc FROM b)
+    SELECT doc_id AS media_id, {_DH_SIGNED} AS dhash FROM ac
+    """
+
+
+def q_image_near_dup(spark, sf_dir):
+    """Image near-duplicate pairs (multimodal.image_near_dups) —
+    COMPLETE banded Hamming search, not probabilistic: the 64-bit
+    dHash splits into max_hamming+1 = 4 disjoint 16-bit bands; by
+    pigeonhole any pair within distance 3 agrees exactly on ≥1 band,
+    so the band equi-join misses nothing, and candidates verify with
+    one codegen'd bit_count(xor). Every document contributes its
+    rendered PPM plus a tail-perturbed variant (last 4 pixels
+    overwritten → ≤ 2 bits flip), so each (2·doc_id, 2·doc_id+1)
+    planted pair must surface alongside any organic collisions —
+    both engines replay the identical integer pipeline."""
+    from greenmask_spark.functions.multimodal import (
+        image_dhash,
+        image_near_dups,
+    )
+
+    base = _dhash_base(spark, sf_dir)
+    orig = base.select(
+        (F.col("doc_id") * 2).alias("media_id"),
+        F.encode(F.concat(F.lit(_DH_HDR), F.col("rep")),
+                 "utf-8").alias("payload"),
+    )
+    variant = base.select(
+        (F.col("doc_id") * 2 + 1).alias("media_id"),
+        F.encode(
+            F.concat(F.lit(_DH_HDR),
+                     F.substring("rep", 1, _DH_BYTES - len(_DH_ZTAIL)),
+                     F.lit(_DH_ZTAIL)),
+            "utf-8").alias("payload"),
+    )
+    return image_near_dups(image_dhash(orig.unionAll(variant)),
+                           max_hamming=3)
+
+
+def _oracle_image_near_dup() -> str:
+    return f"""
+    WITH src AS (
+      SELECT doc_id, {_DH_REP_SQL} AS rep FROM documents
+      WHERE length(text) = octet_length(encode(text))
+        AND length(text) > 0),
+    m AS (
+      SELECT 2*doc_id AS media_id, rep FROM src
+      UNION ALL
+      SELECT 2*doc_id+1,
+             substr(rep, 1, {_DH_BYTES - len(_DH_ZTAIL)})
+               || '{_DH_ZTAIL}' FROM src),
+    g AS (SELECT media_id, {_DH_GL_SQL} AS gl FROM m),
+    b AS (SELECT media_id, {_DH_BL_SQL} AS bl FROM g),
+    ac AS (SELECT media_id, {_dhash_acc_sql()} AS acc FROM b),
+    hv AS (SELECT media_id, {_DH_SIGNED} AS hv FROM ac),
+    bands AS (
+      SELECT media_id, hv, i AS band_idx,
+             (hv >> (16*i)) & 65535 AS band_val
+      FROM hv, (SELECT unnest(range(0, 4)) AS i) t),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, a.hv AS hv_a,
+             b.media_id AS id_b, b.hv AS hv_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.media_id < b.media_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(hv_a, hv_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(hv_a, hv_b)) <= 3
+    """
+
+
 def q_train_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split — the reproducible
     assignment every training-data pipeline needs (hash-gated, not
@@ -4034,7 +4182,7 @@ def _oracle_shard_write() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """88 entries. The driver harness records CORRECTNESS rows for the
+    """90 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
     brief; executed in r7, r8, r9) — no entry's driver row goes more
     than two rounds stale.
@@ -4051,14 +4199,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_windowed, classifier_weights) + the 3 r9 additions closing
     the r8 verdict's oracle-row gap (ivf_pq_topk, gopher_filter,
     pagerank — each a transcription of an existing DuckDB-parity
-    pytest) + the 2 late-r9 operators (bm25_indexed, c4_filter — NEW
-    code never debuts without a driver row) + 12 keepers whose family
-    has no other window representative (t_masking, t_orders_temporal,
-    t_random_person, t_when_condition, t_dynamic_param, t_template,
-    t_cmd, t_custom_plugin, t_apply_for_references, t_type_override,
-    validate_diff, copy_roundtrip).
+    pytest) + the 4 late-r9 operators (bm25_indexed, c4_filter,
+    image_dhash, image_near_dup — NEW code never debuts without a
+    driver row) + 10 keepers whose family has no other window
+    representative (t_orders_temporal, t_random_person,
+    t_when_condition, t_dynamic_param, t_template, t_cmd,
+    t_apply_for_references, t_type_override, validate_diff,
+    copy_roundtrip).
 
-    r9 TAIL = 38 rows, every one green in CORRECTNESS_r08, each with
+    r9 TAIL = 40 rows, every one green in CORRECTNESS_r08, each with
     >= 1 same-family row in the window: t_random_float +
     t_random_numeric (→ t_random_int, numeric noise family),
     t_net_company + t_real_address (→ t_faker, generator family),
@@ -4081,14 +4230,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (→ sample_mixture/stratified_sample), zorder_events
     (→ copy_roundtrip, storage-layout/io family; r8-green, returns in
     the r10 window), asof_join (→ range_join), salted_agg
-    (→ skew_join), and the two displaced keepers lm_score
-    (→ classifier_weights, scoring family) and t_query_override
-    (→ t_when_condition, planner family) — displaced to make room for
-    bm25_indexed/c4_filter so no NEW operator ships without a driver
-    row; both r8-green, both return in the r10 window.
+    (→ skew_join), and the four displaced keepers lm_score
+    (→ classifier_weights, scoring family), t_query_override
+    (→ t_when_condition, planner family), t_masking (→ mask_customer,
+    masking/Hash family) and t_custom_plugin (→ t_cmd, user-code UDF
+    surface) — displaced to make room for the four late-r9 operators
+    so no NEW operator ships without a driver row; all r8-green, all
+    return in the r10 window.
 
-    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 88 entries (the
-    38 tail rows were green in r08's window; the 50 window rows get
+    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 90 entries (the
+    40 tail rows were green in r08's window; the 50 window rows get
     fresh r09 rows).
 
     Single-transformer queries from r1 remain consolidated into
@@ -4141,15 +4292,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,                  # NEW r9: fixed-point PageRank
         "bm25_indexed": q_bm25_indexed,          # NEW r9: persisted-index BM25
         "c4_filter": q_c4_filter,                # NEW r9: C4 cleaning pass
+        "image_dhash": q_image_dhash,            # NEW r9: perceptual hash
+        "image_near_dup": q_image_near_dup,      # NEW r9: banded Hamming pairs
         # --- keepers: sole window representative of their family ---
-        "t_masking": q_t_masking,                # +RandomUuid/RandomEmail
         "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
         "t_random_person": q_t_random_person,
         "t_when_condition": q_t_when_condition,
         "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
         "t_template": q_t_template,              # +TemplateRecord
         "t_cmd": q_t_cmd,                        # json + text + csv drivers
-        "t_custom_plugin": q_t_custom_plugin,
         "t_apply_for_references": q_t_apply_for_references,
         "t_type_override": q_t_type_override,
         "validate_diff": q_validate_diff,
@@ -4157,6 +4308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r9 tail: all green in CORRECTNESS_r08; family reps above ---
         "lm_score": q_lm_score,                  # → classifier_weights (scoring)
         "t_query_override": q_t_query_override,  # → t_when_condition (planner)
+        "t_masking": q_t_masking,                # → mask_customer (masking/Hash)
+        "t_custom_plugin": q_t_custom_plugin,    # → t_cmd (user-code UDF surface)
         "t_random_float": q_t_random_float,      # +NoiseFloat
         "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
         "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
@@ -4286,4 +4439,6 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _oracle_pagerank(),
         "bm25_indexed": _oracle_bm25_indexed(),
         "c4_filter": _oracle_c4_filter(),
+        "image_dhash": _oracle_image_dhash(),
+        "image_near_dup": _oracle_image_near_dup(),
     }

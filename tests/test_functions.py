@@ -3252,6 +3252,96 @@ def test_png_encode_roundtrip(spark):
     assert out[4].payload is None  # NaN-width row skipped, not failed
 
 
+def test_image_dhash_and_near_dups(spark):
+    """Perceptual image hashing: dhash_image_bytes matches a pure-
+    Python replay (including non-divisible pooling boundaries), is
+    codec-invariant (PPM/PNG of the same pixels), honors the
+    skip/raise policy, and image_near_dups' pigeonhole banding is
+    COMPLETE — identical to the brute-force popcount over all pairs."""
+    import random
+
+    import numpy as np
+    import pytest as pt
+
+    from greenmask_spark.functions.multimodal import (
+        dhash_image_bytes,
+        encode_png_bytes,
+        image_dhash,
+        image_near_dups,
+    )
+
+    def ppm(w, h, px):
+        return b"P6\n%d %d\n255\n" % (w, h) + b"".join(bytes(t) for t in px)
+
+    def replay(w, h, px, hash_size=8):
+        nw, nh = hash_size + 1, hash_size
+        gray = [299 * px[i][0] + 587 * px[i][1] + 114 * px[i][2]
+                for i in range(w * h)]
+        ce = [(i * w) // nw for i in range(nw)] + [w]
+        re_ = [(i * h) // nh for i in range(nh)] + [h]
+        acc = 0
+        for r in range(nh):
+            for c in range(nw - 1):
+                def bs(cc):
+                    return sum(gray[y * w + x]
+                               for y in range(re_[r], re_[r + 1])
+                               for x in range(ce[cc], ce[cc + 1]))
+                ln = (re_[r + 1] - re_[r]) * (ce[c + 1] - ce[c])
+                rn = (re_[r + 1] - re_[r]) * (ce[c + 2] - ce[c + 1])
+                acc = (acc << 1) | (1 if bs(c) * rn > bs(c + 1) * ln else 0)
+        return acc - (1 << 64 if acc >= 1 << 63 else 0)
+
+    rng = random.Random(99)
+    # exact-2x2 and NON-divisible geometries both match the replay
+    for w, h in ((18, 16), (20, 13), (9, 8), (37, 21)):
+        px = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+              for _ in range(w * h)]
+        assert dhash_image_bytes(ppm(w, h, px)) == replay(w, h, px), (w, h)
+    # codec-invariant: PNG of the same pixels hashes identically
+    px = [(rng.randrange(256),) * 3 for _ in range(18 * 16)]
+    raw = b"".join(bytes(t) for t in px)
+    assert dhash_image_bytes(ppm(18, 16, px)) == \
+        dhash_image_bytes(encode_png_bytes(18, 16, raw))
+    # policy: undecodable / sub-grid images
+    assert dhash_image_bytes(b"JUNKJUNKJUNK") is None
+    assert dhash_image_bytes(ppm(4, 4, [(0, 0, 0)] * 16)) is None
+    media = spark.createDataFrame(
+        [(1, ppm(18, 16, px)), (2, b"JUNKJUNKJUNK"), (3, None)],
+        "media_id long, payload binary")
+    got = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    assert got[1] is not None and got[2] is None and got[3] is None
+    with pt.raises(Exception, match="not a decodable"):
+        image_dhash(media, on_undecodable="raise").collect()
+
+    # near-dup completeness: banded join == brute force over all pairs
+    hashes = []
+    for i in range(30):
+        hv = rng.getrandbits(64)
+        hashes.append(hv - (1 << 64 if hv >= 1 << 63 else 0))
+    base = hashes[0] & ((1 << 64) - 1)
+    for flips in (1, 2, 3, 4, 7):  # planted neighbors around hashes[0]
+        hv = base
+        for b in rng.sample(range(64), flips):
+            hv ^= 1 << b
+        hashes.append(hv - (1 << 64 if hv >= 1 << 63 else 0))
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "media_id long, dhash long")
+    got_pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in image_near_dups(df, max_hamming=3).collect()}
+    brute = {}
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                brute[(i, j)] = d
+    assert got_pairs == brute and len(brute) >= 3
+    # max_hamming=0 degenerates to exact-duplicate detection
+    df0 = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 8)], "media_id long, dhash long")
+    assert {(r.id_a, r.id_b) for r in
+            image_near_dups(df0, max_hamming=0).collect()} == {(1, 2)}
+
+
 def test_pq_encode_and_topk(spark):
     """Product quantization (Jégou et al. 2011): codes are the
     per-subspace argmin against the codebooks (hand-replayed), NULL /

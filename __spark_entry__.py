@@ -2795,6 +2795,65 @@ def _oracle_image_near_dup() -> str:
     """
 
 
+#: synthesized-WAV geometry for the audio-fingerprint row: 65 frames ×
+#: 16 samples = 1040 PCM8 mono samples at 8 kHz — the 44-byte RIFF
+#: header is CONSTANT for that fixed shape (sizes are baked in), so the
+#: Spark side is one binary concat and the oracle never parses RIFF
+_AF_SAMPLES = 65 * 16
+_AF_HDR = bytes.fromhex(
+    "524946463404000057415645666d7420100000000100010040"
+    "1f0000401f0000010008006461746110040000")
+_AF_REP_SPARK = (f"substring(repeat(text, cast(ceil({_AF_SAMPLES}.0"
+                 f"/length(text)) as int)), 1, {_AF_SAMPLES})")
+_AF_REP_SQL = (f"substr(repeat(text, CAST(ceil({_AF_SAMPLES}.0"
+               f"/length(text)) AS INT)), 1, {_AF_SAMPLES})")
+
+
+def q_audio_fingerprint(spark, sf_dir):
+    """Acoustic fingerprints (multimodal.audio_fingerprint): each
+    ASCII document renders to a REAL 8-bit PCM WAV payload (constant
+    44-byte RIFF header + text bytes as samples), the stdlib wave
+    parser decodes it, and the integer-exact energy-delta fingerprint
+    (65 frames × 16 samples, exact sum-of-squares energies, 64
+    adjacent-frame compares packed MSB-first) lands in a signed
+    bigint — DuckDB replays it bit-for-bit from the same cycled text.
+    Near-duplicate clips then reuse the hash-agnostic Hamming banding
+    proven by the image_near_dup row. One Arrow-batched mapInPandas,
+    zero shuffle, 16 bytes/row out."""
+    from greenmask_spark.functions.multimodal import audio_fingerprint
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    media = docs.filter(
+        (F.length("text") == F.octet_length("text"))
+        & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(bytearray(_AF_HDR)),
+                 F.encode(F.expr(_AF_REP_SPARK), "utf-8")
+                 ).alias("payload"),
+    )
+    return audio_fingerprint(media)
+
+
+def _oracle_audio_fingerprint() -> str:
+    return f"""
+    WITH src AS (
+      SELECT doc_id, {_AF_REP_SQL} AS rep FROM documents
+      WHERE length(text) = octet_length(encode(text))
+        AND length(text) > 0),
+    g AS (SELECT doc_id, list_transform(range(0, {_AF_SAMPLES}), p ->
+            (unicode(substr(rep, p+1, 1)) - 128)
+          * (unicode(substr(rep, p+1, 1)) - 128)) AS gl FROM src),
+    e AS (SELECT doc_id, list_transform(range(0, 65), f ->
+            list_sum(gl[16*f+1:16*f+16])) AS en FROM g),
+    ac AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+            list_transform(range(0, 64), i -> CASE WHEN
+              en[i+2] > en[i+1] THEN 1 ELSE 0 END)),
+            (a, b) -> a*2 + b) AS acc FROM e)
+    SELECT doc_id AS media_id, {_DH_SIGNED} AS afp FROM ac
+    """
+
+
 def q_train_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split — the reproducible
     assignment every training-data pipeline needs (hash-gated, not
@@ -4182,7 +4241,7 @@ def _oracle_shard_write() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """90 entries. The driver harness records CORRECTNESS rows for the
+    """91 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
     brief; executed in r7, r8, r9) — no entry's driver row goes more
     than two rounds stale.
@@ -4199,15 +4258,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_windowed, classifier_weights) + the 3 r9 additions closing
     the r8 verdict's oracle-row gap (ivf_pq_topk, gopher_filter,
     pagerank — each a transcription of an existing DuckDB-parity
-    pytest) + the 4 late-r9 operators (bm25_indexed, c4_filter,
-    image_dhash, image_near_dup — NEW code never debuts without a
-    driver row) + 10 keepers whose family has no other window
-    representative (t_orders_temporal, t_random_person,
+    pytest) + the 5 late-r9 operators (bm25_indexed, c4_filter,
+    image_dhash, image_near_dup, audio_fingerprint — NEW code never
+    debuts without a driver row) + 9 keepers whose family has no
+    other window representative (t_orders_temporal, t_random_person,
     t_when_condition, t_dynamic_param, t_template, t_cmd,
-    t_apply_for_references, t_type_override, validate_diff,
-    copy_roundtrip).
+    t_apply_for_references, validate_diff, copy_roundtrip).
 
-    r9 TAIL = 40 rows, every one green in CORRECTNESS_r08, each with
+    r9 TAIL = 41 rows, every one green in CORRECTNESS_r08, each with
     >= 1 same-family row in the window: t_random_float +
     t_random_numeric (→ t_random_int, numeric noise family),
     t_net_company + t_real_address (→ t_faker, generator family),
@@ -4230,16 +4288,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (→ sample_mixture/stratified_sample), zorder_events
     (→ copy_roundtrip, storage-layout/io family; r8-green, returns in
     the r10 window), asof_join (→ range_join), salted_agg
-    (→ skew_join), and the four displaced keepers lm_score
+    (→ skew_join), and the five displaced keepers lm_score
     (→ classifier_weights, scoring family), t_query_override
     (→ t_when_condition, planner family), t_masking (→ mask_customer,
-    masking/Hash family) and t_custom_plugin (→ t_cmd, user-code UDF
-    surface) — displaced to make room for the four late-r9 operators
+    masking/Hash family), t_custom_plugin (→ t_cmd, user-code UDF
+    surface) and t_type_override (→ t_dynamic_param, parameter-cast
+    family) — displaced to make room for the five late-r9 operators
     so no NEW operator ships without a driver row; all r8-green, all
     return in the r10 window.
 
-    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 90 entries (the
-    40 tail rows were green in r08's window; the 50 window rows get
+    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 91 entries (the
+    41 tail rows were green in r08's window; the 50 window rows get
     fresh r09 rows).
 
     Single-transformer queries from r1 remain consolidated into
@@ -4294,6 +4353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,                # NEW r9: C4 cleaning pass
         "image_dhash": q_image_dhash,            # NEW r9: perceptual hash
         "image_near_dup": q_image_near_dup,      # NEW r9: banded Hamming pairs
+        "audio_fingerprint": q_audio_fingerprint,  # NEW r9: PCM energy-delta
         # --- keepers: sole window representative of their family ---
         "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
         "t_random_person": q_t_random_person,
@@ -4302,7 +4362,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_template": q_t_template,              # +TemplateRecord
         "t_cmd": q_t_cmd,                        # json + text + csv drivers
         "t_apply_for_references": q_t_apply_for_references,
-        "t_type_override": q_t_type_override,
         "validate_diff": q_validate_diff,
         "copy_roundtrip": q_copy_roundtrip,
         # --- r9 tail: all green in CORRECTNESS_r08; family reps above ---
@@ -4310,6 +4369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_query_override": q_t_query_override,  # → t_when_condition (planner)
         "t_masking": q_t_masking,                # → mask_customer (masking/Hash)
         "t_custom_plugin": q_t_custom_plugin,    # → t_cmd (user-code UDF surface)
+        "t_type_override": q_t_type_override,    # → t_dynamic_param (param casts)
         "t_random_float": q_t_random_float,      # +NoiseFloat
         "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
         "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
@@ -4441,4 +4501,5 @@ def oracle_sql() -> dict[str, str]:
         "c4_filter": _oracle_c4_filter(),
         "image_dhash": _oracle_image_dhash(),
         "image_near_dup": _oracle_image_near_dup(),
+        "audio_fingerprint": _oracle_audio_fingerprint(),
     }

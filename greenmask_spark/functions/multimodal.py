@@ -722,6 +722,10 @@ def image_near_dups(
     one block key). Candidates sharing a band then verify with one
     codegen'd ``bit_count(a ^ b)``.
 
+    The hash column is just a signed 64-bit integer — the same banding
+    serves ANY Hamming-space fingerprint (``audio_fingerprint``,
+    SimHash values, …), not only image dHashes.
+
     Scale shape: explode to (id, band_idx, band_val) — max_hamming+1
     rows of three longs per image, never pixels — one shuffle on the
     band key, pairs dedup'd before the popcount verify. Same-band
@@ -767,3 +771,111 @@ def image_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def audio_fingerprint_bytes(payload: bytes, n_bits: int = 64):
+    """Energy-delta acoustic fingerprint of one PCM WAV — the
+    FFT-free core of the classic audio-fingerprint construction
+    (Haitsma & Kalker 2002 compare energies of ADJACENT frames; here
+    in the time domain so every step stays INTEGER-exact): the
+    interleaved PCM sample stream splits into ``n_bits + 1`` frames
+    at division-free integer edges, each frame's energy is the exact
+    integer sum of squared samples (int16 as-is; uint8 centered at
+    128), and bit i = energy(frame i+1) > energy(frame i), packed
+    MSB-first into a signed 64-bit int. Returns None for non-PCM-WAV
+    payloads or streams shorter than n_bits+1 samples.
+
+    Channel-agnostic by design: energy over the interleaved stream —
+    no float mixdown enters, so any engine replays the fingerprint
+    bit-for-bit from the same samples. Robust to gain only in so far
+    as monotone scaling preserves energy ORDER (it does: the bits
+    compare energies, not absolute levels... amplitude-invariance
+    beyond that needs the spectral form a codec-equipped cluster
+    would add on top of this same frame/compare/pack skeleton).
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    if n_bits < 1 or n_bits > 64:
+        raise ValueError(f"n_bits={n_bits}: need 1 <= n_bits <= 64")
+    if payload is None or bytes(payload[:4]) != b"RIFF":
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as wf:
+            sw = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    elif sw == 1:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        return None
+    nf = n_bits + 1
+    if len(arr) < nf:
+        return None
+    sq = arr * arr  # ≤ 2^30 per sample — the per-frame int64 sum is
+    # exact up to ~2^33 samples/frame; far beyond any real clip
+    edges = [(i * len(arr)) // nf for i in range(nf)]
+    en = np.add.reduceat(sq, edges)
+    acc = 0
+    for i in range(n_bits):
+        acc = (acc << 1) | (1 if int(en[i + 1]) > int(en[i]) else 0)
+    if n_bits == 64 and acc >= 1 << 63:
+        acc -= 1 << 64
+    return acc
+
+
+#: (media_id, afp) — afp NULL when the payload didn't decode
+AFP_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("afp", T.LongType(), True),
+])
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_bits: int = 64,
+    on_undecodable: str = "null",
+) -> DataFrame:
+    """Acoustic fingerprints: (media_id, afp bigint) via
+    ``audio_fingerprint_bytes`` over an Arrow-batched ``mapInPandas``
+    (real stdlib WAV parse; numpy frame energies per batch). Same
+    policy contract as ``image_dhash``: ``on_undecodable="null"``
+    (default, skip-don't-fail) or ``"raise"``.
+
+    Scale shape: 16 bytes/row out regardless of clip length, zero
+    shuffle; feed ``image_near_dups`` (hash-agnostic Hamming banding)
+    for near-duplicate clips.
+    """
+    if on_undecodable not in ("null", "raise"):
+        raise ValueError(
+            f"on_undecodable {on_undecodable!r}: null|raise")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = []
+            for p in pdf[payload_col]:
+                hv = audio_fingerprint_bytes(p, n_bits)
+                if hv is None and p is not None \
+                        and on_undecodable == "raise":
+                    head = bytes(p[:8]) if len(p) >= 8 else bytes(p)
+                    raise NotImplementedError(
+                        f"payload starting {head!r} is not PCM WAV"
+                        f" (or shorter than {n_bits + 1} samples) —"
+                        " compressed audio codecs are not available"
+                        " in this environment; decode upstream or"
+                        " use on_undecodable='null'"
+                    )
+                fps.append(hv)
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "afp": pd.array(fps, dtype="Int64"),
+            })
+
+    return df.mapInPandas(run, schema=AFP_SCHEMA)

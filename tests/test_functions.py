@@ -3342,6 +3342,73 @@ def test_image_dhash_and_near_dups(spark):
             image_near_dups(df0, max_hamming=0).collect()} == {(1, 2)}
 
 
+def test_audio_fingerprint(spark):
+    """Energy-delta acoustic fingerprint: matches a pure-Python replay
+    for 8- and 16-bit PCM, honors the skip/raise policy, composes
+    with the hash-agnostic Hamming banding for near-dup clips."""
+    import io
+    import random
+    import struct
+    import wave
+
+    from greenmask_spark.functions.multimodal import (
+        audio_fingerprint,
+        audio_fingerprint_bytes,
+        image_near_dups,
+    )
+
+    def wav(samples, width):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(width)
+            wf.setframerate(8000)
+            if width == 1:
+                wf.writeframes(bytes(s + 128 for s in samples))
+            else:
+                wf.writeframes(b"".join(
+                    struct.pack("<h", s) for s in samples))
+        return buf.getvalue()
+
+    def replay(samples, n_bits=64):
+        nf = n_bits + 1
+        edges = [(i * len(samples)) // nf for i in range(nf)] \
+            + [len(samples)]
+        en = [sum(s * s for s in samples[edges[i]:edges[i + 1]])
+              for i in range(nf)]
+        acc = 0
+        for i in range(n_bits):
+            acc = (acc << 1) | (1 if en[i + 1] > en[i] else 0)
+        return acc - (1 << 64 if acc >= 1 << 63 else 0)
+
+    rng = random.Random(41)
+    s8 = [rng.randrange(-128, 128) for _ in range(1040)]
+    s16 = [rng.randrange(-32768, 32768) for _ in range(777)]  # inexact edges
+    assert audio_fingerprint_bytes(wav(s8, 1)) == replay(s8)
+    assert audio_fingerprint_bytes(wav(s16, 2)) == replay(s16)
+    assert audio_fingerprint_bytes(b"JUNKJUNKJUNK") is None
+    assert audio_fingerprint_bytes(wav(s8[:10], 1)) is None  # < 65 samples
+
+    media = spark.createDataFrame(
+        [(1, wav(s8, 1)), (2, wav(s16, 2)), (3, b"NOPE"), (4, None)],
+        "media_id long, payload binary")
+    got = {r.media_id: r.afp for r in audio_fingerprint(media).collect()}
+    assert got[1] == replay(s8) and got[2] == replay(s16)
+    assert got[3] is None and got[4] is None
+    import pytest as pt
+    with pt.raises(Exception, match="not PCM WAV"):
+        audio_fingerprint(media, on_undecodable="raise").collect()
+
+    # a lightly perturbed clip is a near-dup of its original
+    s8b = list(s8)
+    for i in range(16):  # one frame's worth of samples nudged
+        s8b[i] = max(-128, min(127, s8b[i] + 1))
+    fp = spark.createDataFrame(
+        [(1, replay(s8)), (2, replay(s8b))], "media_id long, afp long")
+    pairs = image_near_dups(fp, hash_col="afp", max_hamming=3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
 def test_pq_encode_and_topk(spark):
     """Product quantization (Jégou et al. 2011): codes are the
     per-subspace argmin against the codebooks (hand-replayed), NULL /

@@ -744,6 +744,11 @@ def image_near_dups(
     s = df.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("hv")
     ).filter(F.col("hv").isNotNull())
+    # the self-join consumes the hash frame TWICE, and its lineage
+    # usually contains the decode mapInPandas — un-checkpointed, every
+    # image would decode once per join side. The frame is 16 bytes/row,
+    # so materializing it is negligible against re-running decode.
+    s = s.localCheckpoint(eager=True)
     bands = s.select(
         "id", "hv",
         F.posexplode(F.array(*[

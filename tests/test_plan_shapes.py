@@ -153,6 +153,16 @@ SHAPES = {
     # sliver-sized (stats distinct + 1-row agg, per-term df, the tiny
     # query-term distincts, the final per-(query,doc) sum)
     "bm25_indexed": (7, 0),
+    # r9 — perceptual/acoustic fingerprints: decode+hash is ONE
+    # Arrow-batch mapInPandas over a scan — zero exchanges; a shuffle
+    # here means pixels/samples started moving between stages
+    "image_dhash": (0, 1),
+    "audio_fingerprint": (0, 1),
+    # r9 — Hamming near-dup: the (id, hash) frame checkpoints before
+    # the self-join (decode runs ONCE, not once per side — a Python
+    # node here means the checkpoint was dropped), leaving the
+    # band-key join exchanges + the pair distinct over long triples
+    "image_near_dup": (3, 0),
 }
 
 

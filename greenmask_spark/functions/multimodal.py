@@ -712,6 +712,7 @@ def image_near_dups(
     id_col: str = "media_id",
     max_hamming: int = 3,
     bits: int = 64,
+    distinct_hashes: bool = False,
 ) -> DataFrame:
     """Image near-duplicate pairs by dHash Hamming distance ≤
     ``max_hamming`` — COMPLETE, not probabilistic: the hash splits
@@ -728,13 +729,21 @@ def image_near_dups(
 
     Scale shape: explode to (id, band_idx, band_val) — max_hamming+1
     rows of three longs per image, never pixels — one shuffle on the
-    band key, pairs dedup'd before the popcount verify. Same-band
-    skew (e.g. millions of all-black thumbnails hashing to 0) lands
-    in one bucket: cap or pre-dedup exact-equal hashes first at crawl
-    scale (exact dups share ALL bands and pay (n choose 2) inside the
-    bucket).
+    band key, pairs dedup'd before the popcount verify. EXACT-equal
+    hashes are the skew that kills the default mode at crawl scale:
+    a million identical thumbnails share ALL bands and pay (n choose
+    2) pairs inside one bucket. ``distinct_hashes=True`` is the scale
+    mode — pairs compute over DISTINCT hash values only, each
+    represented by its smallest id (one map-side-combined min-agg),
+    so a hash repeated a million times enters the join ONCE; recover
+    the exact-duplicate groups separately with one
+    ``groupBy(hash_col)`` (``dedup.dedup_exact`` on the hash column)
+    and expand representative pairs through them if per-member pairs
+    are really needed.
 
-    Returns (id_a, id_b, hamming), id_a < id_b, NULL hashes dropped.
+    Returns (id_a, id_b, hamming), id_a < id_b, NULL hashes dropped;
+    with ``distinct_hashes=True`` ids are group representatives and
+    hamming ≥ 1 (exact dups are the groupBy's job, not the join's).
     """
     if not 0 <= max_hamming < bits:
         raise ValueError(f"max_hamming={max_hamming} outside [0,{bits})")
@@ -744,6 +753,8 @@ def image_near_dups(
     s = df.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("hv")
     ).filter(F.col("hv").isNotNull())
+    if distinct_hashes:
+        s = s.groupBy("hv").agg(F.min("id").alias("id"))
     # the self-join consumes the hash frame TWICE, and its lineage
     # usually contains the decode mapInPandas — un-checkpointed, every
     # image would decode once per join side. The frame is 16 bytes/row,

@@ -3340,6 +3340,26 @@ def test_image_dhash_and_near_dups(spark):
         [(1, 7), (2, 7), (3, 8)], "media_id long, dhash long")
     assert {(r.id_a, r.id_b) for r in
             image_near_dups(df0, max_hamming=0).collect()} == {(1, 2)}
+    # distinct_hashes (the crawl-scale skew mode): a hash repeated many
+    # times enters the join once via its min-id representative —
+    # result equals brute force over the distinct (hash → min id) set
+    dup = spark.createDataFrame(
+        [(i, hashes[i % 8]) for i in range(40)],
+        "media_id long, dhash long")
+    reps = {}  # hash → min id
+    for i in range(40):
+        reps.setdefault(hashes[i % 8], i)
+    rb = {}
+    vals = sorted(reps.items(), key=lambda kv: kv[1])
+    for x in range(len(vals)):
+        for y in range(x + 1, len(vals)):
+            d = bin((vals[x][0] ^ vals[y][0]) & ((1 << 64) - 1)).count("1")
+            if 0 < d <= 3:
+                rb[tuple(sorted((vals[x][1], vals[y][1])))] = d
+    got_r = {(r.id_a, r.id_b): r.hamming for r in
+             image_near_dups(dup, max_hamming=3,
+                             distinct_hashes=True).collect()}
+    assert got_r == rb
 
 
 def test_audio_fingerprint(spark):

@@ -746,3 +746,49 @@ def test_pq_encode_streams(spark, tmp_path):
            spark.sql("SELECT * FROM pq_stream").collect()}
     want = {r.vec_id: r.pq_code for r in pq_encode(df, books).collect()}
     assert got == want and len(got) == 24
+
+
+def test_media_fingerprints_stream(spark, tmp_path):
+    """image_dhash and audio_fingerprint are stateless Arrow
+    projections, so they compose onto a STREAMING DataFrame unchanged
+    — fingerprints computed at crawl-ingestion time, bit-identical to
+    the batch hash of the same payloads (the dedup index builds as
+    media lands; pair search stays a batch/stream-static job)."""
+    import io
+    import random
+    import wave
+
+    from greenmask_spark.functions.multimodal import (
+        audio_fingerprint,
+        image_dhash,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(8):
+        px = bytes(rng.randrange(256) for _ in range(18 * 16 * 3))
+        rows.append((i, b"P6\n18 16\n255\n" + px))
+    for i in range(8, 12):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(1)
+            wf.setframerate(8000)
+            wf.writeframes(bytes(rng.randrange(256) for _ in range(200)))
+        rows.append((i, buf.getvalue()))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    src = str(tmp_path / "media_src")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    for fn, col, name in ((image_dhash, "dhash", "dh_stream"),
+                          (audio_fingerprint, "afp", "af_stream")):
+        out = fn(stream)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r.media_id: r[col] for r in
+               spark.sql(f"SELECT * FROM {name}").collect()}
+        want = {r.media_id: r[col] for r in fn(df).collect()}
+        assert got == want and len(got) == 12

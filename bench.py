@@ -147,7 +147,7 @@ def main() -> int:
     # compare the run's BEST canary against the pinned idle floor too.
     # (best > 2x floor means even the quietest moment of this run was
     # twice the idle-machine cost of the same fixed job.)
-    above_floor = min(canaries) > 2.0 * CANARY_FLOOR
+    above_floor = best > 2.0 * CANARY_FLOOR  # best == min(canaries)
     contended = contended or above_floor
     out = {
         "metric": "headline_queries_total",

@@ -656,6 +656,50 @@ DHASH_SCHEMA = T.StructType([
 ])
 
 
+def _fingerprint_df(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    hash_fn,
+    out_col: str,
+    on_undecodable: str,
+    gap_msg: str,
+) -> DataFrame:
+    """Shared mapInPandas runner for the media fingerprint operators
+    (image dHash / audio energy-delta): one Arrow batch in, one
+    (media_id, <out_col> bigint) batch out, with the skip-don't-fail
+    (``"null"``) vs loud-gap (``"raise"``) policy applied uniformly —
+    policy changes land here ONCE for every fingerprint kind."""
+    if on_undecodable not in ("null", "raise"):
+        raise ValueError(
+            f"on_undecodable {on_undecodable!r}: null|raise")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField(out_col, T.LongType(), True),
+    ])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf[payload_col]:
+                hv = hash_fn(p)
+                if hv is None and p is not None \
+                        and on_undecodable == "raise":
+                    head = bytes(p[:8]) if len(p) >= 8 else bytes(p)
+                    raise NotImplementedError(
+                        f"payload starting {head!r} {gap_msg} —"
+                        " decode upstream or use"
+                        " on_undecodable='null'"
+                    )
+                out.append(hv)
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                out_col: pd.array(out, dtype="Int64"),
+            })
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def image_dhash(
     df: DataFrame,
     id_col: str = "media_id",
@@ -678,32 +722,14 @@ def image_dhash(
     ``image_near_dups`` for the banded near-duplicate join — bodies
     never leave this stage.
     """
-    if on_undecodable not in ("null", "raise"):
-        raise ValueError(
-            f"on_undecodable {on_undecodable!r}: null|raise")
-
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            hashes = []
-            for p in pdf[payload_col]:
-                hv = dhash_image_bytes(p, hash_size)
-                if hv is None and p is not None \
-                        and on_undecodable == "raise":
-                    head = bytes(p[:8]) if len(p) >= 8 else bytes(p)
-                    raise NotImplementedError(
-                        f"payload starting {head!r} is not a decodable"
-                        " format (PPM P6 / 24-bit BMP / 8-bit"
-                        " non-interlaced PNG) or is smaller than the"
-                        f" {hash_size + 1}x{hash_size} dHash grid —"
-                        " decode upstream or use on_undecodable='null'"
-                    )
-                hashes.append(hv)
-            yield pd.DataFrame({
-                "media_id": pdf[id_col],
-                "dhash": pd.array(hashes, dtype="Int64"),
-            })
-
-    return df.mapInPandas(run, schema=DHASH_SCHEMA)
+    return _fingerprint_df(
+        df, id_col, payload_col,
+        lambda p: dhash_image_bytes(p, hash_size), "dhash",
+        on_undecodable,
+        "is not a decodable format (PPM P6 / 24-bit BMP / 8-bit"
+        " non-interlaced PNG) or is smaller than the"
+        f" {hash_size + 1}x{hash_size} dHash grid",
+    )
 
 
 def image_near_dups(
@@ -869,29 +895,11 @@ def audio_fingerprint(
     shuffle; feed ``image_near_dups`` (hash-agnostic Hamming banding)
     for near-duplicate clips.
     """
-    if on_undecodable not in ("null", "raise"):
-        raise ValueError(
-            f"on_undecodable {on_undecodable!r}: null|raise")
-
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            fps = []
-            for p in pdf[payload_col]:
-                hv = audio_fingerprint_bytes(p, n_bits)
-                if hv is None and p is not None \
-                        and on_undecodable == "raise":
-                    head = bytes(p[:8]) if len(p) >= 8 else bytes(p)
-                    raise NotImplementedError(
-                        f"payload starting {head!r} is not PCM WAV"
-                        f" (or shorter than {n_bits + 1} samples) —"
-                        " compressed audio codecs are not available"
-                        " in this environment; decode upstream or"
-                        " use on_undecodable='null'"
-                    )
-                fps.append(hv)
-            yield pd.DataFrame({
-                "media_id": pdf[id_col],
-                "afp": pd.array(fps, dtype="Int64"),
-            })
-
-    return df.mapInPandas(run, schema=AFP_SCHEMA)
+    return _fingerprint_df(
+        df, id_col, payload_col,
+        lambda p: audio_fingerprint_bytes(p, n_bits), "afp",
+        on_undecodable,
+        f"is not PCM WAV (or shorter than {n_bits + 1} samples);"
+        " compressed audio codecs are not available in this"
+        " environment",
+    )

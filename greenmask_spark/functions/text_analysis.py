@@ -1020,6 +1020,64 @@ def bm25_scores(
     )
 
 
+def _bm25_qterms(spark, queries, query_id_col: str, query_col: str):
+    """Normalize a dict / (query_id, query) frame into the DISTINCT
+    (query_id, term) frame every multi-query BM25 path broadcasts —
+    tokenized IN Spark, so the term set never hits the driver."""
+    if isinstance(queries, dict):
+        queries = spark.createDataFrame(
+            [(k, v) for k, v in sorted(queries.items())],
+            f"{query_id_col} string, {query_col} string",
+        )
+    return (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                F.filter(tokens(F.col(query_col)), lambda t: t != "")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+
+
+def _bm25_score_hits(hits, dfreq, stats, qterms, k1: float, b: float):
+    """Shared BM25 scoring tail over (id, dl, term, tf) posting rows:
+    Robertson idf from the broadcast per-term df_t, tf normalization
+    against the 1-row (N, avgdl) stats, the ONLY per-query fan-out
+    (matching rows × the queries containing that term), and the
+    map-side-combined per-(query, doc) sum. One definition — the
+    corpus-scan and prebuilt-index paths must stay score-identical."""
+    return (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("N") - F.col("df_t") + 0.5)
+                  / (F.col("df_t") + 0.5)),
+        )
+        .withColumn(
+            "__s",
+            F.col("idf") * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf")
+               + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "id").agg(F.sum("__s").alias("score"))
+    )
+
+
+def _bm25_with_misses(ids, qterms, scored):
+    """0.0 rows for every (query, non-matching doc): ids × queries,
+    left-joined against the scored hits. N×Q rows — scale callers
+    keep the default include_misses=False."""
+    pairs = ids.crossJoin(
+        F.broadcast(qterms.select("query_id").distinct())
+    )
+    return pairs.join(scored, ["query_id", "id"], "left").select(
+        "query_id", "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
 def bm25_scores_multi(
     df: DataFrame,
     queries,
@@ -1065,21 +1123,8 @@ def bm25_scores_multi(
     emits 0.0 for every (query, non-matching doc): that is N×Q rows —
     at scale keep the default False (the top-k path never needs
     misses)."""
-    spark = df.sparkSession
-    if isinstance(queries, dict):
-        queries = spark.createDataFrame(
-            [(k, v) for k, v in sorted(queries.items())],
-            f"{query_id_col} string, {query_col} string",
-        )
-    qterms = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.explode(
-                F.filter(tokens(F.col(query_col)), lambda t: t != "")
-            ).alias("term"),
-        )
-        .distinct()
-    )
+    qterms = _bm25_qterms(df.sparkSession, queries,
+                          query_id_col, query_col)
     terms = qterms.select("term").distinct()
     base = df.select(
         F.col(id_col).alias("id"),
@@ -1100,33 +1145,10 @@ def bm25_scores_multi(
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_t")
     )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log((F.col("N") - F.col("df_t") + 0.5)
-                  / (F.col("df_t") + 0.5)),
-        )
-        .withColumn(
-            "__s",
-            F.col("idf") * F.col("tf") * (k1 + 1.0)
-            / (F.col("tf")
-               + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
-        )
-        # the ONLY per-query fan-out: matching (doc, term) rows × the
-        # queries containing that term
-        .join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "id").agg(F.sum("__s").alias("score"))
-    )
+    scored = _bm25_score_hits(tf, dfreq, stats, qterms, k1, b)
     if not include_misses:
         return scored
-    pairs = base.select("id").crossJoin(
-        F.broadcast(qterms.select("query_id").distinct())
-    )
-    return pairs.join(scored, ["query_id", "id"], "left").select(
-        "query_id", "id", F.coalesce("score", F.lit(0.0)).alias("score")
-    )
+    return _bm25_with_misses(base.select("id"), qterms, scored)
 
 
 def bm25_topk_multi(
@@ -1244,49 +1266,16 @@ def bm25_scores_indexed(
     ``include_misses=True`` emits 0.0 rows for non-matching documents
     by ranging over the index's distinct ids (an extra distinct over
     the postings — the top-k path never needs it)."""
-    spark = index.sparkSession
-    if isinstance(queries, dict):
-        queries = spark.createDataFrame(
-            [(k, v) for k, v in sorted(queries.items())],
-            f"{query_id_col} string, {query_col} string",
-        )
-    qterms = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.explode(
-                F.filter(tokens(F.col(query_col)), lambda t: t != "")
-            ).alias("term"),
-        )
-        .distinct()
-    )
+    qterms = _bm25_qterms(index.sparkSession, queries,
+                          query_id_col, query_col)
     st = stats if stats is not None else bm25_index_stats(index)
     hits = index.join(F.broadcast(qterms.select("term").distinct()), "term")
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    scored = (
-        hits.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(st))
-        .withColumn(
-            "idf",
-            F.log((F.col("N") - F.col("df_t") + 0.5)
-                  / (F.col("df_t") + 0.5)),
-        )
-        .withColumn(
-            "__s",
-            F.col("idf") * F.col("tf") * (k1 + 1.0)
-            / (F.col("tf")
-               + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
-        )
-        .join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "id").agg(F.sum("__s").alias("score"))
-    )
+    scored = _bm25_score_hits(hits, dfreq, st, qterms, k1, b)
     if not include_misses:
         return scored
-    pairs = index.select("id").distinct().crossJoin(
-        F.broadcast(qterms.select("query_id").distinct())
-    )
-    return pairs.join(scored, ["query_id", "id"], "left").select(
-        "query_id", "id", F.coalesce("score", F.lit(0.0)).alias("score")
-    )
+    return _bm25_with_misses(index.select("id").distinct(),
+                             qterms, scored)
 
 
 def bm25_topk(

@@ -101,19 +101,23 @@ def plan_has_nondeterministic(df: DataFrame) -> bool:
     unavailable (no JVM plan handle) — callers treat that as
     'assume deterministic', matching the pre-guard behavior."""
     try:
-        def walk(node) -> bool:
+        # explicit stack, not recursion: an iteratively-built plan can
+        # nest deeper than Python's recursion limit, and a
+        # RecursionError swallowed by the fallback below would
+        # silently disable the guard on exactly the complex inputs
+        # most likely to need it
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
             exprs = node.expressions()
             for i in range(exprs.size()):
                 if not exprs.apply(i).deterministic():
                     return True
             cs = node.children()
             for i in range(cs.size()):
-                if walk(cs.apply(i)):
-                    return True
+                stack.append(cs.apply(i))
             # subqueries hang off expressions, but a rand() inside one
             # already fails expression.deterministic above
-            return False
-
-        return walk(df._jdf.queryExecution().analyzed())
+        return False
     except Exception:
         return False

@@ -135,7 +135,13 @@ def _dechunk(body: bytes) -> bytes:
         if eol < 0:
             raise ValueError("chunked: missing size line terminator")
         size_token = body[pos:eol].split(b";", 1)[0].strip()
-        size = int(size_token, 16)  # ValueError on junk propagates
+        # strict hex only: int(x, 16) also accepts '-5'/'+5'/'0x5'/
+        # 'f_f', and a NEGATIVE size would turn the slice below into
+        # negative indexing that returns framing junk as payload
+        if not size_token or any(c not in b"0123456789abcdefABCDEF"
+                                 for c in size_token):
+            raise ValueError(f"chunked: bad size token {size_token!r}")
+        size = int(size_token, 16)
         if size == 0:
             break  # trailers (if any) are dropped
         start = eol + 2
@@ -147,6 +153,29 @@ def _dechunk(body: bytes) -> bytes:
             raise ValueError("chunked: missing chunk terminator")
         pos = end + 2
     return b"".join(out)
+
+
+def _inflate_all(body: bytes, wbits: int, multi_member: bool) -> bytes:
+    """Inflate requiring a COMPLETE stream: a truncated fetch recorded
+    into a WARC must surface as ValueError (→ the caller nulls the
+    payload) — ``decompressobj().decompress`` alone happily returns
+    the partial prefix it managed to inflate. Multi-member gzip
+    bodies (legal: each member is an independent stream, NUL padding
+    between members tolerated) concatenate; trailing garbage after a
+    deflate stream is an error, not silently dropped text."""
+    out, data = [], body
+    while True:
+        d = zlib.decompressobj(wbits)
+        out.append(d.decompress(data))
+        if not d.eof:
+            raise ValueError("truncated compressed body")
+        data = d.unused_data
+        if multi_member:
+            data = data.lstrip(b"\x00")
+        if not data:
+            return b"".join(out)
+        if not multi_member:
+            raise ValueError("trailing bytes after compressed body")
 
 
 def _decode_http_body(hh: dict, body: bytes) -> bytes | None:
@@ -169,15 +198,16 @@ def _decode_http_body(hh: dict, body: bytes) -> bytes | None:
                     if c.strip() in ("gzip", "x-gzip", "deflate")]
         for coding in reversed(codings):  # applied last → undone first
             if coding in ("gzip", "x-gzip"):
-                body = zlib.decompressobj(16 + zlib.MAX_WBITS).decompress(body)
+                body = _inflate_all(body, 16 + zlib.MAX_WBITS,
+                                    multi_member=True)
             elif coding == "deflate":
                 try:
-                    body = zlib.decompressobj(
-                        zlib.MAX_WBITS).decompress(body)
-                except zlib.error:
+                    body = _inflate_all(body, zlib.MAX_WBITS,
+                                        multi_member=False)
+                except (zlib.error, ValueError):
                     # raw-deflate servers omit the zlib wrapper
-                    body = zlib.decompressobj(
-                        -zlib.MAX_WBITS).decompress(body)
+                    body = _inflate_all(body, -zlib.MAX_WBITS,
+                                        multi_member=False)
             elif coding == "identity":
                 continue
             else:

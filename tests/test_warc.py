@@ -200,6 +200,48 @@ def test_chunked_truncation_nulls_payload():
     ) == b"abc"
 
 
+def test_malformed_compressed_bodies_null_not_corrupt():
+    """The skip-don't-fail policy must hold for the CORRUPT shapes
+    int()/decompressobj() quietly tolerate: a negative/garbage hex
+    chunk size must not slice framing junk into the corpus, and a
+    truncated gzip/deflate body must null instead of returning the
+    partial prefix; legal multi-member gzip still concatenates."""
+    import gzip
+    import zlib
+
+    from greenmask_spark.sources.warc import _decode_http_body
+
+    ch = {"transfer-encoding": "chunked"}
+    # int(b'-5', 16) == -5 → negative slice used to leak framing bytes
+    assert _decode_http_body(ch, b"-5\r\n5\r\nAB\r\n0\r\n\r\n") is None
+    assert _decode_http_body(ch, b"+5\r\nhello\r\n0\r\n\r\n") is None
+    assert _decode_http_body(ch, b"0x5\r\nhello\r\n0\r\n\r\n") is None
+    assert _decode_http_body(ch, b"f_f\r\n" + b"x" * 255) is None
+    # truncated gzip: decompress() alone returns the partial prefix
+    full = gzip.compress(b"the full body that was being fetched" * 4)
+    assert _decode_http_body({"content-encoding": "gzip"},
+                             full[: len(full) // 2]) is None
+    # truncated zlib-deflate likewise
+    zfull = zlib.compress(b"deflate body " * 16)
+    assert _decode_http_body({"content-encoding": "deflate"},
+                             zfull[: len(zfull) // 2]) is None
+    # multi-member gzip (legal; NUL padding between members tolerated)
+    two = gzip.compress(b"part one. ") + b"\x00\x00" + gzip.compress(
+        b"part two.")
+    assert _decode_http_body({"content-encoding": "gzip"},
+                             two) == b"part one. part two."
+    # complete single-member bodies still decode
+    assert _decode_http_body({"content-encoding": "gzip"}, full) \
+        == b"the full body that was being fetched" * 4
+    assert _decode_http_body({"content-encoding": "deflate"}, zfull) \
+        == b"deflate body " * 16
+    # raw deflate (no zlib wrapper) still supported
+    co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    raw = co.compress(b"raw deflate text") + co.flush()
+    assert _decode_http_body({"content-encoding": "deflate"}, raw) \
+        == b"raw deflate text"
+
+
 def test_warc_corpus_pipeline_input(spark, tmp_path):
     """The crawl → corpus path end to end: a WARC input spec feeds the
     config-driven pipeline as a (doc_id, url, text) frame; non-text

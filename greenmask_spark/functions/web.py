@@ -65,6 +65,64 @@ def url_domain(url: Column, registered_only: bool = False) -> Column:
     return host
 
 
+def extract_links(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    absolute_only: bool = True,
+) -> DataFrame:
+    """(id, href) pairs from HTML ``href`` attributes — ONE codegen'd
+    ``regexp_extract_all`` + explode, no HTML parser, which is the
+    point: at crawl scale link extraction must run at scan bandwidth,
+    and quoted href values are regular enough for a regex (the same
+    trade ``strip_html`` makes). Unquoted hrefs (legal pre-HTML5) are
+    skipped by design. ``absolute_only`` keeps http(s) URLs only —
+    resolving relative links needs the page's fetch URL (join the
+    WARC ``target_uri`` upstream and resolve there).
+
+    Scale shape: scan + explode, zero shuffle; pages with no links
+    emit nothing (explode drops empty arrays)."""
+    pat = "(?i)href\\s*=\\s*[\"']([^\"']*)[\"']"
+    links = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(text_col, F.lit(pat), F.lit(1))
+        ).alias("href"),
+    ).filter(F.col("href") != "")
+    if absolute_only:
+        links = links.filter(F.col("href").rlike("(?i)^https?://"))
+    return links
+
+
+def host_graph(
+    df: DataFrame,
+    src_url_col: str,
+    dst_url_col: str = "href",
+    registered_only: bool = False,
+    drop_self: bool = True,
+) -> DataFrame:
+    """Host-level weighted edge list from (page URL, extracted href)
+    rows → (src, dst, w) — the Common-Crawl-style web graph that
+    feeds ``linkgraph.pagerank`` (map hosts to ids with a dimension
+    join or keep strings through a string-keyed rank replay; the
+    crawl ranking datasets themselves are host/domain-level for
+    exactly this reason). ``registered_only`` aggregates at the
+    pragmatic eTLD+1 of ``url_domain``; ``drop_self`` removes
+    intra-host navigation edges (they dominate raw counts and carry
+    no cross-site endorsement).
+
+    Scale shape: one map-side-combined groupBy over (host, host)
+    string pairs — page bodies and full URLs never reach the shuffle."""
+    e = df.select(
+        url_domain(F.col(src_url_col), registered_only).alias("src"),
+        url_domain(F.col(dst_url_col), registered_only).alias("dst"),
+    ).filter((F.col("src") != "") & (F.col("dst") != ""))
+    if drop_self:
+        e = e.filter(F.col("src") != F.col("dst"))
+    return e.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("w"))
+
+
 def filter_blocklist(
     df: DataFrame,
     blocklist: DataFrame,

@@ -3050,6 +3050,64 @@ def test_png_decode_spark_tier(spark):
     assert np.allclose(feat, [flat[:3].mean(), flat[3:].mean()], atol=1e-6)
 
 
+def test_extract_links_and_host_graph(spark):
+    """Link extraction keeps quoted absolute http(s) hrefs (either
+    quote style, any attribute/scheme case), drops relative, mailto
+    and unquoted ones; host_graph aggregates weighted host pairs with
+    self-loops removed and eTLD+1 rollup on demand."""
+    from greenmask_spark.functions.web import extract_links, host_graph
+
+    pages = spark.createDataFrame([
+        (1, "https://a.example.com/p1",
+         '<a href="https://b.example.org/x">1</a>'
+         "<a href='http://c.example.net/y'>2</a>"
+         '<A HREF="HTTPS://D.Example.IO/Z">3</A>'
+         '<a href="/relative">4</a>'
+         '<a href="mailto:x@y.z">5</a>'
+         '<a href=https://unquoted.example.com/skip>6</a>'
+         '<a href="">7</a>'),
+        (2, "https://a.example.com/p2",
+         '<a href="https://b.example.org/x2">same host pair</a>'
+         '<a href="https://a.example.com/self">self loop</a>'),
+        (3, "https://e.example.com/p3", "no links here"),
+    ], "doc_id long, url string, text string")
+    links = extract_links(pages)
+    got = {(r.id, r.href) for r in links.collect()}
+    assert got == {
+        (1, "https://b.example.org/x"),
+        (1, "http://c.example.net/y"),
+        (1, "HTTPS://D.Example.IO/Z"),
+        (2, "https://b.example.org/x2"),
+        (2, "https://a.example.com/self"),
+    }
+    # relative links survive with absolute_only=False
+    rel = extract_links(pages, absolute_only=False)
+    assert (1, "/relative") in {(r.id, r.href) for r in rel.collect()}
+
+    joined = links.join(
+        pages.select(F.col("doc_id").alias("id"), "url"), "id")
+    g = {(r.src, r.dst): r.w for r in
+         host_graph(joined, "url", "href").collect()}
+    assert g == {
+        ("a.example.com", "b.example.org"): 2,  # two pages, one host pair
+        ("a.example.com", "c.example.net"): 1,
+        ("a.example.com", "d.example.io"): 1,   # host lowercased
+    }  # self-loop dropped, linkless page absent
+    g2 = {(r.src, r.dst): r.w for r in
+          host_graph(joined, "url", "href",
+                     registered_only=True).collect()}
+    # eTLD+1 rollup: a/b/c/d hosts collapse to example.{com,org,net,io}
+    assert g2 == {
+        ("example.com", "example.org"): 2,
+        ("example.com", "example.net"): 1,
+        ("example.com", "example.io"): 1,
+    }
+    # keeping self-loops is an explicit opt-in
+    g3 = host_graph(joined, "url", "href", drop_self=False)
+    assert ("a.example.com", "a.example.com") in {
+        (r.src, r.dst) for r in g3.collect()}
+
+
 def test_cap_per_domain_two_phase(spark):
     """The r8 two-phase domain cap keeps exact semantics: over-quota
     domains keep exactly N rows chosen by hash rank of the key

@@ -163,6 +163,10 @@ SHAPES = {
     # node here means the checkpoint was dropped), leaving the
     # band-key join exchanges + the pair distinct over long triples
     "image_near_dup": (3, 0),
+    # r9 — link graph: the page→links explode stays shuffle-free; the
+    # id join (AQE-broadcast at test sf) + the host-pair agg are the
+    # only exchanges; never Python
+    "host_graph": (3, 0),
 }
 
 

@@ -2933,6 +2933,70 @@ def _oracle_host_graph() -> str:
     """
 
 
+def q_robots_filter(spark, sf_dir):
+    """robots.txt enforcement (web.parse_robots + web.robots_filter):
+    every source becomes a domain with a synthesized robots.txt whose
+    ``User-agent: *`` group disallows /private, re-allows the
+    source's own /private/{source} subtree (longest-match must win),
+    and carries a wildcard Disallow (/x*y → conservative /x prefix);
+    a googlebot-only ``Disallow: /`` group precedes it, so if group
+    isolation ever broke, everything would drop and the hash would
+    scream. URLs fan over five path shapes per document; the oracle
+    applies the SAME fixed rule template directly (a specification
+    oracle — the Spark side runs the real window-parse + longest-
+    match join, DuckDB computes the intended verdicts)."""
+    from greenmask_spark.functions.web import parse_robots, robots_filter
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    robots = docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+        F.concat(
+            F.lit("# synthetic robots\nUser-agent: googlebot\n"
+                  "Disallow: /\n\nUser-agent: *\nDisallow: /private\n"
+                  "Allow: /private/"),
+            F.col("source"),
+            F.lit("\nDisallow: /x*y\nDisallow:\nCrawl-delay: 5\n"),
+        ).alias("text"),
+    )
+    rules = parse_robots(robots)
+    m = F.col("doc_id") % 5
+    path = (
+        F.when(m == 0, F.concat(F.lit("/private/"), F.col("source"),
+                                F.lit("/post")))
+        .when(m == 1, F.lit("/private/secret"))
+        .when(m == 2, F.concat(F.lit("/public/"),
+                               F.col("doc_id").cast("string")))
+        .when(m == 3, F.lit("/x123y"))
+        .otherwise(F.lit("/"))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com"), path).alias("url"),
+    )
+    return robots_filter(urls, rules)
+
+
+def _oracle_robots_filter() -> str:
+    return """
+    WITH u AS (
+      SELECT doc_id, source,
+        CASE doc_id % 5
+          WHEN 0 THEN '/private/' || source || '/post'
+          WHEN 1 THEN '/private/secret'
+          WHEN 2 THEN '/public/' || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN '/x123y'
+          ELSE '/' END AS path
+      FROM documents)
+    SELECT doc_id,
+           'https://' || source || '.example.com' || path AS url
+    FROM u
+    WHERE NOT ((starts_with(path, '/private')
+                AND NOT starts_with(path, '/private/' || source))
+               OR starts_with(path, '/x'))
+    """
+
+
 def q_train_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split — the reproducible
     assignment every training-data pipeline needs (hash-gated, not
@@ -4320,7 +4384,7 @@ def _oracle_shard_write() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """92 entries. The driver harness records CORRECTNESS rows for the
+    """93 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
     brief; executed in r7, r8, r9) — no entry's driver row goes more
     than two rounds stale.
@@ -4337,14 +4401,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_windowed, classifier_weights) + the 3 r9 additions closing
     the r8 verdict's oracle-row gap (ivf_pq_topk, gopher_filter,
     pagerank — each a transcription of an existing DuckDB-parity
-    pytest) + the 6 late-r9 operators (bm25_indexed, c4_filter,
-    image_dhash, image_near_dup, audio_fingerprint, host_graph — NEW
-    code never debuts without a driver row) + 8 keepers whose family
-    has no other window representative (t_orders_temporal,
-    t_when_condition, t_dynamic_param, t_template, t_cmd,
+    pytest) + the 7 late-r9 operators (bm25_indexed, c4_filter,
+    image_dhash, image_near_dup, audio_fingerprint, host_graph,
+    robots_filter — NEW code never debuts without a driver row) + 7
+    keepers whose family has no other window representative
+    (t_orders_temporal, t_when_condition, t_dynamic_param, t_cmd,
     t_apply_for_references, validate_diff, copy_roundtrip).
 
-    r9 TAIL = 42 rows, every one green in CORRECTNESS_r08, each with
+    r9 TAIL = 43 rows, every one green in CORRECTNESS_r08, each with
     >= 1 same-family row in the window: t_random_float +
     t_random_numeric (→ t_random_int, numeric noise family),
     t_net_company + t_real_address (→ t_faker, generator family),
@@ -4367,18 +4431,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (→ sample_mixture/stratified_sample), zorder_events
     (→ copy_roundtrip, storage-layout/io family; r8-green, returns in
     the r10 window), asof_join (→ range_join), salted_agg
-    (→ skew_join), and the six displaced keepers lm_score
+    (→ skew_join), and the seven displaced keepers lm_score
     (→ classifier_weights, scoring family), t_query_override
     (→ t_when_condition, planner family), t_masking (→ mask_customer,
     masking/Hash family), t_custom_plugin (→ t_cmd, user-code UDF
     surface), t_type_override (→ t_dynamic_param, parameter-cast
-    family) and t_random_person (→ t_faker, generator family) —
-    displaced to make room for the six late-r9 operators so no NEW
-    operator ships without a driver row; all r8-green, all return in
-    the r10 window.
+    family), t_random_person (→ t_faker, generator family) and
+    t_template (→ t_cmd, user-logic transformer surface) — displaced
+    to make room for the seven late-r9 operators so no NEW operator
+    ships without a driver row; all r8-green, all return in the r10
+    window.
 
-    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 92 entries (the
-    42 tail rows were green in r08's window; the 50 window rows get
+    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 93 entries (the
+    43 tail rows were green in r08's window; the 50 window rows get
     fresh r09 rows).
 
     Single-transformer queries from r1 remain consolidated into
@@ -4436,11 +4501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": q_audio_fingerprint,  # NEW r9: PCM energy-delta
         "host_graph": q_host_graph,              # NEW r9: link extraction →
                                                  # host-level web graph
+        "robots_filter": q_robots_filter,        # NEW r9: robots.txt engine
         # --- keepers: sole window representative of their family ---
         "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
         "t_when_condition": q_t_when_condition,
         "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
-        "t_template": q_t_template,              # +TemplateRecord
         "t_cmd": q_t_cmd,                        # json + text + csv drivers
         "t_apply_for_references": q_t_apply_for_references,
         "validate_diff": q_validate_diff,
@@ -4452,6 +4517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_custom_plugin": q_t_custom_plugin,    # → t_cmd (user-code UDF surface)
         "t_type_override": q_t_type_override,    # → t_dynamic_param (param casts)
         "t_random_person": q_t_random_person,    # → t_faker (generator family)
+        "t_template": q_t_template,              # → t_cmd (user-logic surface)
         "t_random_float": q_t_random_float,      # +NoiseFloat
         "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
         "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
@@ -4585,4 +4651,5 @@ def oracle_sql() -> dict[str, str]:
         "image_near_dup": _oracle_image_near_dup(),
         "audio_fingerprint": _oracle_audio_fingerprint(),
         "host_graph": _oracle_host_graph(),
+        "robots_filter": _oracle_robots_filter(),
     }

@@ -206,3 +206,131 @@ def cap_per_domain(
         .drop("__rk")
     )
     return pass_through.unionByName(capped).select(*df.columns)
+
+
+def parse_robots(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "text",
+) -> DataFrame:
+    """robots.txt bodies → (domain, allow, prefix) rule rows for the
+    ``User-agent: *`` groups — the RFC 9309 subset a bulk crawl
+    pipeline enforces, with every simplification explicit:
+
+    - a GROUP is a contiguous run of ``User-agent:`` lines followed by
+      its directives; a group's rules are active here iff any of its
+      agent lines is ``*`` (agent-specific groups are out of scope —
+      a bulk pipeline is nobody's named agent);
+    - ``Allow``/``Disallow`` values are path prefixes; an empty value
+      is a no-op per the RFC (``Disallow:`` = allow everything);
+    - wildcard handling is CONSERVATIVE toward blocking: a Disallow
+      containing ``*`` or ``$`` truncates at the first metacharacter
+      and matches as a plain prefix (a superset of the rule's true
+      matches — over-blocking, never under-blocking), while an Allow
+      containing either is DROPPED (widening an Allow could override
+      a Disallow the site intended);
+    - comments (``#`` to end of line) and unknown directives
+      (Sitemap, Crawl-delay, …) are ignored.
+
+    Scale shape: one posexplode over the bodies + two windows
+    partitioned by domain — a robots.txt is capped in practice at a
+    few thousand lines, so each window partition is one small file;
+    the output rule set is tiny relative to any URL frame.
+    """
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).select(
+        "domain", "pos",
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    kv = lines.select(
+        "domain", "pos",
+        F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1))
+                ).alias("key"),
+        F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1)).alias("val"),
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("domain").orderBy("pos")
+    grouped = kv.withColumn(
+        "__ua", (F.col("key") == "user-agent").cast("int")
+    ).withColumn(
+        # a group starts at a user-agent line NOT preceded by another
+        # user-agent line (contiguous agent runs share one group)
+        "grp",
+        F.sum(
+            F.when((F.col("__ua") == 1)
+                   & (F.lag("__ua", 1, 0).over(w) == 0), 1).otherwise(0)
+        ).over(w),
+    )
+    wg = Window.partitionBy("domain", "grp")
+    star = grouped.withColumn(
+        "star",
+        F.max(F.when((F.col("__ua") == 1) & (F.col("val") == "*"), 1)
+              .otherwise(0)).over(wg),
+    )
+    rules = star.filter(
+        (F.col("star") == 1) & (F.col("__ua") == 0) & (F.col("val") != "")
+    ).select(
+        "domain",
+        (F.col("key") == "allow").alias("allow"),
+        F.col("val").alias("prefix"),
+    )
+    # conservative wildcard policy (see docstring)
+    has_meta = F.col("prefix").rlike("[*$]")
+    return rules.filter(~(F.col("allow") & has_meta)).select(
+        "domain", "allow",
+        F.when(
+            ~F.col("allow") & has_meta,
+            F.regexp_extract("prefix", r"^([^*$]*)", 1),
+        ).otherwise(F.col("prefix")).alias("prefix"),
+    ).distinct()
+
+
+def robots_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop URLs a ``parse_robots`` rule set disallows — RFC 9309
+    longest-match: among the rules of the URL's domain whose prefix
+    matches its path, the LONGEST prefix decides; an exact-length tie
+    between Allow and Disallow resolves to Allow (the RFC's
+    least-restrictive tie-break); a URL with no matching rule (or no
+    rules for its domain at all) passes.
+
+    Scale shape: one equi-join on domain (rules per domain are small,
+    the rule set is tiny next to any URL frame — AQE broadcasts it
+    when it fits), the prefix test is a codegen'd startswith, and the
+    verdict is one max over (prefix_length, allow) structs — ties
+    break to allow because the struct orders allow=true above
+    allow=false at equal length. URL bodies never fan out: only
+    (url-row, matching-rule) pairs exist between the join and the
+    max-aggregation."""
+    path = F.regexp_replace(
+        F.regexp_extract(F.col(url_col),
+                         r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
+        r"^$", "/",
+    )
+    tagged = df.withColumn("__dom", url_domain(F.col(url_col))) \
+               .withColumn("__path", path) \
+               .withColumn("__rid", F.monotonically_increasing_id())
+    r = rules.select(
+        F.col("domain").alias("__r_dom"),
+        F.col("allow").alias("__r_allow"),
+        F.col("prefix").alias("__r_prefix"),
+    )  # renamed so caller columns named domain/allow/prefix can't clash
+    matched = (
+        tagged.join(r, F.col("__dom") == F.col("__r_dom"))
+        .filter(F.col("__path").startswith(F.col("__r_prefix")))
+        .groupBy("__rid")
+        .agg(F.max(F.struct(
+            F.length("__r_prefix").alias("l"),
+            F.col("__r_allow").alias("a"),
+        )).alias("__m"))
+        .select("__rid", F.col("__m.a").alias("__allowed"))
+    )
+    return (
+        tagged.join(matched, "__rid", "left")
+        .filter(F.coalesce("__allowed", F.lit(True)))
+        .select(*df.columns)
+    )

@@ -3108,6 +3108,60 @@ def test_extract_links_and_host_graph(spark):
         (r.src, r.dst) for r in g3.collect()}
 
 
+def test_robots_engine(spark):
+    """parse_robots + robots_filter: group detection (contiguous UA
+    runs, *-group isolation from agent-specific groups), empty-value
+    no-ops, comment/unknown-directive skipping, the conservative
+    wildcard policy (Disallow truncates, Allow drops), and RFC 9309
+    longest-match with the allow tie-break."""
+    from greenmask_spark.functions.web import parse_robots, robots_filter
+
+    robots = spark.createDataFrame([
+        ("a.com", "# comment\n"
+                  "User-agent: googlebot\n"
+                  "Disallow: /google-only\n"
+                  "User-agent: *\n"
+                  "Disallow: /private\n"
+                  "Allow: /private/public\n"
+                  "Disallow: /tmp*junk\n"
+                  "Allow: /ok$\n"
+                  "Disallow:\n"
+                  "Crawl-delay: 5\n\n"
+                  "User-agent: badbot\n"
+                  "User-agent: *\n"
+                  "Disallow: /both\n"),
+        ("b.com", "User-agent: evil\nDisallow: /\n"),  # no * group
+        ("tie.com", "User-agent: *\n"
+                    "Disallow: /p/\n"
+                    "Allow: /p/\n"),  # equal length → allow wins
+    ], "domain string, text string")
+    rules = parse_robots(robots)
+    got = {(r.domain, r.allow, r.prefix) for r in rules.collect()}
+    assert got == {
+        ("a.com", False, "/private"),
+        ("a.com", True, "/private/public"),
+        ("a.com", False, "/tmp"),     # /tmp*junk truncated at the *
+        ("a.com", False, "/both"),    # multi-UA run including *
+        ("tie.com", False, "/p/"),
+        ("tie.com", True, "/p/"),
+    }  # Allow /ok$ dropped (meta in an Allow); b.com has no * rules
+
+    urls = spark.createDataFrame([
+        (1, "https://a.com/private/x"),         # blocked
+        (2, "https://a.com/private/public/y"),  # longest match allows
+        (3, "https://a.com/open"),              # no matching rule
+        (4, "https://a.com/google-only"),       # agent-specific group
+        (5, "https://a.com/tmp123junk"),        # truncated wildcard blocks
+        (6, "https://a.com/both/z"),            # blocked
+        (7, "https://b.com/anything"),          # no * rules for domain
+        (8, "https://c.com/whatever"),          # no rules at all
+        (9, "https://a.com/ok"),                # $-Allow dropped → no match
+        (10, "https://tie.com/p/q"),            # tie → allow wins
+    ], "id long, url string")
+    kept = sorted(r.id for r in robots_filter(urls, rules).collect())
+    assert kept == [2, 3, 4, 7, 8, 9, 10]
+
+
 def test_cap_per_domain_two_phase(spark):
     """The r8 two-phase domain cap keeps exact semantics: over-quota
     domains keep exactly N rows chosen by hash rank of the key

@@ -167,6 +167,10 @@ SHAPES = {
     # id join (AQE-broadcast at test sf) + the host-pair agg are the
     # only exchanges; never Python
     "host_graph": (3, 0),
+    # r9 — robots.txt enforcement: the two per-domain parse windows
+    # (KB-sized robots frames), the domain rule join and the verdict
+    # re-join on row id; never Python
+    "robots_filter": (5, 0),
 }
 
 

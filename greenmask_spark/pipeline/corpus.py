@@ -359,6 +359,30 @@ def _step_blocklist(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_robots_filter(df: DataFrame, p: dict) -> DataFrame:
+    """Drop docs whose URL a robots.txt rule set disallows
+    (web.parse_robots + web.robots_filter). Robots bodies come inline
+    (``robots``: list of [domain, text] pairs — fixture/test scale) or
+    as a {table/path} ``source`` spec of (domain, text) rows resolved
+    through pipeline context (the crawl-scale path: robots records are
+    themselves WARC rows)."""
+    from greenmask_spark.functions.web import parse_robots, robots_filter
+
+    if "robots" in p:
+        spark = df.sparkSession
+        bodies = spark.createDataFrame(
+            [(str(d), str(t)) for d, t in p["robots"]],
+            ["domain", "text"])
+    else:
+        ctx = p.get("_context") or {}
+        if "spark" not in ctx or "source" not in p:
+            raise ValueError(
+                "robots_filter needs 'robots' or a 'source' spec")
+        bodies = _load_input(ctx["spark"], p["source"], ctx.get("sf_dir"))
+    return robots_filter(
+        df, parse_robots(bodies), url_col=p.get("url_col", "url"))
+
+
 def _step_cap_per_domain(df: DataFrame, p: dict) -> DataFrame:
     from greenmask_spark.functions.web import cap_per_domain
 
@@ -828,6 +852,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "normalize_text": _step_normalize_text,
     "normalize_urls": _step_normalize_urls,
     "blocklist": _step_blocklist,
+    "robots_filter": _step_robots_filter,
     "cap_per_domain": _step_cap_per_domain,
     "cluster_split": _step_cluster_split,
     "linear_score": _step_linear_score,

@@ -3161,6 +3161,19 @@ def test_robots_engine(spark):
     kept = sorted(r.id for r in robots_filter(urls, rules).collect())
     assert kept == [2, 3, 4, 7, 8, 9, 10]
 
+    # config-driven corpus step (inline robots bodies)
+    from greenmask_spark.pipeline import build_corpus_pipeline
+
+    docs = spark.createDataFrame([
+        (1, "keep me", "https://a.com/open"),
+        (2, "drop me", "https://a.com/private/x"),
+    ], "doc_id long, text string, url string")
+    out = build_corpus_pipeline(docs, [{
+        "op": "robots_filter",
+        "robots": [["a.com", "User-agent: *\nDisallow: /private\n"]],
+    }])
+    assert [r.doc_id for r in out.collect()] == [1]
+
 
 def test_cap_per_domain_two_phase(spark):
     """The r8 two-phase domain cap keeps exact semantics: over-quota

@@ -2947,7 +2947,11 @@ def q_robots_filter(spark, sf_dir):
     match join, DuckDB computes the intended verdicts)."""
     from greenmask_spark.functions.web import parse_robots, robots_filter
 
-    docs = _tables(spark, sf_dir, "documents")["documents"]
+    # NULL sources would make url NULL (kept by robots_filter — no
+    # domain to match) while the oracle's WHERE NOT(...) three-values
+    # them away: both sides drop them explicitly instead
+    docs = _tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("source").isNotNull())
     robots = docs.select("source").distinct().select(
         F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
         F.concat(
@@ -2987,7 +2991,7 @@ def _oracle_robots_filter() -> str:
           WHEN 2 THEN '/public/' || CAST(doc_id AS VARCHAR)
           WHEN 3 THEN '/x123y'
           ELSE '/' END AS path
-      FROM documents)
+      FROM documents WHERE source IS NOT NULL)
     SELECT doc_id,
            'https://' || source || '.example.com' || path AS url
     FROM u

@@ -649,13 +649,6 @@ def dhash_image_bytes(payload: bytes, hash_size: int = 8):
     return acc
 
 
-#: (media_id, dhash) — dhash NULL when the payload didn't decode
-DHASH_SCHEMA = T.StructType([
-    T.StructField("media_id", T.LongType(), False),
-    T.StructField("dhash", T.LongType(), True),
-])
-
-
 def _fingerprint_df(
     df: DataFrame,
     id_col: str,
@@ -869,13 +862,6 @@ def audio_fingerprint_bytes(payload: bytes, n_bits: int = 64):
     if n_bits == 64 and acc >= 1 << 63:
         acc -= 1 << 64
     return acc
-
-
-#: (media_id, afp) — afp NULL when the payload didn't decode
-AFP_SCHEMA = T.StructType([
-    T.StructField("media_id", T.LongType(), False),
-    T.StructField("afp", T.LongType(), True),
-])
 
 
 def audio_fingerprint(

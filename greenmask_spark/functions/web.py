@@ -275,7 +275,12 @@ def parse_robots(
         (F.col("key") == "allow").alias("allow"),
         F.col("val").alias("prefix"),
     )
-    # conservative wildcard policy (see docstring)
+    # conservative wildcard policy (see docstring). ``spec`` keeps the
+    # ORIGINAL pattern length as the rule's specificity: a truncated
+    # 'Disallow: /secret*' still outranks 'Allow: /secret' in the
+    # longest-match contest (RFC 9309 ranks by pattern octets), so
+    # truncation can widen what a Disallow matches but never DEMOTE it
+    # below an Allow it used to beat — over-block, never under-block.
     has_meta = F.col("prefix").rlike("[*$]")
     return rules.filter(~(F.col("allow") & has_meta)).select(
         "domain", "allow",
@@ -283,6 +288,7 @@ def parse_robots(
             ~F.col("allow") & has_meta,
             F.regexp_extract("prefix", r"^([^*$]*)", 1),
         ).otherwise(F.col("prefix")).alias("prefix"),
+        F.length("prefix").alias("spec"),
     ).distinct()
 
 
@@ -293,24 +299,34 @@ def robots_filter(
 ) -> DataFrame:
     """Drop URLs a ``parse_robots`` rule set disallows — RFC 9309
     longest-match: among the rules of the URL's domain whose prefix
-    matches its path, the LONGEST prefix decides; an exact-length tie
-    between Allow and Disallow resolves to Allow (the RFC's
-    least-restrictive tie-break); a URL with no matching rule (or no
-    rules for its domain at all) passes.
+    matches its path, the most SPECIFIC rule decides (specificity =
+    the original pattern length ``parse_robots`` records, so a
+    truncated wildcard Disallow keeps its rank); an exact tie between
+    Allow and Disallow resolves to Allow (the RFC's least-restrictive
+    tie-break); a URL with no matching rule (or no rules for its
+    domain at all) passes. The match target is path + query, with an
+    empty path normalized to "/" so a blanket ``Disallow: /`` covers
+    ``https://d.com?x=1`` too.
 
     Scale shape: one equi-join on domain (rules per domain are small,
     the rule set is tiny next to any URL frame — AQE broadcasts it
     when it fits), the prefix test is a codegen'd startswith, and the
-    verdict is one max over (prefix_length, allow) structs — ties
+    verdict is one max over (specificity, allow) structs — ties
     break to allow because the struct orders allow=true above
-    allow=false at equal length. URL bodies never fan out: only
+    allow=false at equal specificity. URL bodies never fan out: only
     (url-row, matching-rule) pairs exist between the join and the
-    max-aggregation."""
-    path = F.regexp_replace(
-        F.regexp_extract(F.col(url_col),
-                         r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
-        r"^$", "/",
-    )
+    max-aggregation. The frame is read on both sides of the verdict
+    join, so a non-deterministic input is pinned with an eager
+    localCheckpoint first (the cap_per_domain rule — a plain scan or
+    projection pays one plan walk, no materialization)."""
+    from greenmask_spark.plan.health import plan_has_nondeterministic
+
+    if plan_has_nondeterministic(df):
+        df = df.localCheckpoint(eager=True)
+    raw = F.regexp_extract(F.col(url_col),
+                           r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    path = F.when(raw.startswith("/"), raw).otherwise(
+        F.concat(F.lit("/"), raw))  # '' and '?q=1' both root at '/'
     tagged = df.withColumn("__dom", url_domain(F.col(url_col))) \
                .withColumn("__path", path) \
                .withColumn("__rid", F.monotonically_increasing_id())
@@ -318,13 +334,14 @@ def robots_filter(
         F.col("domain").alias("__r_dom"),
         F.col("allow").alias("__r_allow"),
         F.col("prefix").alias("__r_prefix"),
+        F.col("spec").alias("__r_spec"),
     )  # renamed so caller columns named domain/allow/prefix can't clash
     matched = (
         tagged.join(r, F.col("__dom") == F.col("__r_dom"))
         .filter(F.col("__path").startswith(F.col("__r_prefix")))
         .groupBy("__rid")
         .agg(F.max(F.struct(
-            F.length("__r_prefix").alias("l"),
+            F.col("__r_spec").alias("l"),
             F.col("__r_allow").alias("a"),
         )).alias("__m"))
         .select("__rid", F.col("__m.a").alias("__allowed"))

@@ -3133,17 +3133,24 @@ def test_robots_engine(spark):
         ("b.com", "User-agent: evil\nDisallow: /\n"),  # no * group
         ("tie.com", "User-agent: *\n"
                     "Disallow: /p/\n"
-                    "Allow: /p/\n"),  # equal length → allow wins
+                    "Allow: /p/\n"),  # equal specificity → allow wins
+        ("spec.com", "User-agent: *\n"
+                     "Disallow: /secret*\n"
+                     "Allow: /secret\n"),  # truncation must not demote
     ], "domain string, text string")
     rules = parse_robots(robots)
-    got = {(r.domain, r.allow, r.prefix) for r in rules.collect()}
+    got = {(r.domain, r.allow, r.prefix, r.spec) for r in rules.collect()}
     assert got == {
-        ("a.com", False, "/private"),
-        ("a.com", True, "/private/public"),
-        ("a.com", False, "/tmp"),     # /tmp*junk truncated at the *
-        ("a.com", False, "/both"),    # multi-UA run including *
-        ("tie.com", False, "/p/"),
-        ("tie.com", True, "/p/"),
+        ("a.com", False, "/private", 8),
+        ("a.com", True, "/private/public", 15),
+        # /tmp*junk truncates to the /tmp match prefix but KEEPS the
+        # 9-octet pattern specificity (RFC ranks by pattern length)
+        ("a.com", False, "/tmp", 9),
+        ("a.com", False, "/both", 5),  # multi-UA run including *
+        ("tie.com", False, "/p/", 3),
+        ("tie.com", True, "/p/", 3),
+        ("spec.com", False, "/secret", 8),
+        ("spec.com", True, "/secret", 7),
     }  # Allow /ok$ dropped (meta in an Allow); b.com has no * rules
 
     urls = spark.createDataFrame([
@@ -3157,9 +3164,19 @@ def test_robots_engine(spark):
         (8, "https://c.com/whatever"),          # no rules at all
         (9, "https://a.com/ok"),                # $-Allow dropped → no match
         (10, "https://tie.com/p/q"),            # tie → allow wins
+        # the truncated 'Disallow: /secret*' (spec 8) must outrank
+        # 'Allow: /secret' (spec 7) — truncation widens what a
+        # Disallow matches but never demotes it below an Allow
+        (11, "https://spec.com/secret/file"),   # blocked
+        # empty path + query roots at '/': a blanket Disallow covers it
+        (12, "https://root.com?x=1"),           # blocked by Disallow /
+        (13, "https://root.com/ok"),            # /ok not under /priv
     ], "id long, url string")
-    kept = sorted(r.id for r in robots_filter(urls, rules).collect())
-    assert kept == [2, 3, 4, 7, 8, 9, 10]
+    rules2 = rules.unionByName(spark.createDataFrame(
+        [("root.com", False, "/", 1), ("root.com", True, "/ok", 3)],
+        "domain string, allow boolean, prefix string, spec int"))
+    kept = sorted(r.id for r in robots_filter(urls, rules2).collect())
+    assert kept == [2, 3, 4, 7, 8, 9, 10, 13]
 
     # config-driven corpus step (inline robots bodies)
     from greenmask_spark.pipeline import build_corpus_pipeline

@@ -4382,13 +4382,168 @@ def _oracle_shard_write() -> str:
     """
 
 
+def q_bloom_seen(spark, sf_dir):
+    """Bloom seen-set membership (functions/sketches.bloom_build +
+    bloom_contains — the crawler dedup primitive for references too
+    large to anti-join): the even-id half of documents is the "already
+    ingested" reference; every document is probed. One-sided:
+    every even doc is maybe_seen (no false negatives); odd docs flip
+    true only at the sized false-positive rate. Word packing is 32
+    bits/bigint and the hash family is the portable sha256 slice, so
+    the bitmap AND the membership verdicts replay bit-for-bit in SQL.
+
+    Scale shape: the reference reduces to a <= num_bits/32-row word
+    table (ONE map-side-combined bit_or shuffle, mergeable across
+    crawls with bloom_merge); the probe side pays k broadcast left
+    joins and ZERO exchanges — the same plan runs on a stream."""
+    from greenmask_spark.functions.sketches import bloom_build, bloom_contains
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    m, k = _BLOOM_BITS, _BLOOM_HASHES
+    ref = docs.filter("pmod(doc_id, 2) = 0").select(
+        F.sha2("text", 256).alias("d")
+    )
+    bloom = bloom_build(ref, "d", m, k)
+    flags = bloom_contains(
+        docs.withColumn("d", F.sha2("text", 256)), "d", bloom, m, k
+    )
+    return flags.select("doc_id", "maybe_seen")
+
+
+_BLOOM_BITS = 1 << 13
+_BLOOM_HASHES = 3
+
+
+def _oracle_bloom_seen() -> str:
+    m, bpw = _BLOOM_BITS, 32
+    seeds = ",".join(f"({i})" for i in range(_BLOOM_HASHES))
+    return f"""
+    WITH ref AS (SELECT sha256(text) AS d FROM documents
+                 WHERE doc_id % 2 = 0),
+    pos AS (
+      SELECT CAST(('0x' || substr(sha256(concat_ws(':', d,
+               CAST(s.i AS VARCHAR))), 1, 15)) AS BIGINT) % {m} AS p
+      FROM ref CROSS JOIN (VALUES {seeds}) s(i)),
+    words AS (
+      SELECT p // {bpw} AS word_idx,
+             bit_or(1::BIGINT << CAST(p % {bpw} AS INT)) AS bits
+      FROM pos GROUP BY 1),
+    probe AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(sha256(concat_ws(':', sha256(text),
+               CAST(s.i AS VARCHAR))), 1, 15)) AS BIGINT) % {m} AS p
+      FROM documents CROSS JOIN (VALUES {seeds}) s(i))
+    SELECT doc_id,
+           bool_and(w.bits IS NOT NULL AND
+             (w.bits & (1::BIGINT << CAST(p % {bpw} AS INT))) != 0
+           ) AS maybe_seen
+    FROM probe LEFT JOIN words w ON probe.p // {bpw} = w.word_idx
+    GROUP BY doc_id
+    """
+
+
+def q_cms_terms(spark, sf_dir):
+    """Count-Min term-frequency estimates (functions/sketches.cms_build
+    + cms_lookup) vs their exact counts, on the 100 most frequent
+    document terms (cnt DESC, term — a total order both engines
+    replay). The sketch is deliberately narrow (3x64 counters) so
+    collisions are real at sf0.01: the row proves est >= exact cell by
+    cell, with strict overestimates present.
+
+    Scale shape: the sketch is <= depth*width rows whatever the
+    vocabulary (ONE map-side-combined sum shuffle; per-shard sketches
+    merge with cms_merge without touching corpus rows); lookups join
+    the broadcast sketch."""
+    from greenmask_spark.functions.sketches import cms_build, cms_lookup
+    from greenmask_spark.functions.text_analysis import tokens
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    terms = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    exact = terms.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), "term").limit(100)
+    cms = cms_build(terms, "term", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    est = cms_lookup(
+        probes, "term", cms, _CMS_DEPTH, _CMS_WIDTH, out_col="cms_est"
+    )
+    return probes.join(est, "term").select("term", "exact_cnt", "cms_est")
+
+
+_CMS_DEPTH = 3
+_CMS_WIDTH = 64
+
+
+def _oracle_cms_terms() -> str:
+    d, w = _CMS_DEPTH, _CMS_WIDTH
+    seeds = ",".join(f"({i})" for i in range(d))
+    return f"""
+    WITH terms AS (
+      SELECT unnest({_DUCK_TOKENS_RAW}) AS term FROM documents),
+    exact AS (
+      SELECT term, count(*) AS exact_cnt FROM terms GROUP BY term),
+    probes AS (
+      SELECT term, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, term LIMIT 100),
+    cells AS (
+      SELECT s.i AS row_idx,
+             CAST(('0x' || substr(sha256(concat_ws(':', term,
+               CAST(s.i AS VARCHAR))), 1, 15)) AS BIGINT) % {w} AS bucket,
+             count(*) AS cnt
+      FROM terms CROSS JOIN (VALUES {seeds}) s(i) GROUP BY 1, 2),
+    lookup AS (
+      SELECT p.term, s.i AS row_idx,
+             CAST(('0x' || substr(sha256(concat_ws(':', p.term,
+               CAST(s.i AS VARCHAR))), 1, 15)) AS BIGINT) % {w} AS bucket
+      FROM probes p CROSS JOIN (VALUES {seeds}) s(i))
+    SELECT p.term, p.exact_cnt, e.cms_est
+    FROM probes p JOIN (
+      SELECT term, min(coalesce(c.cnt, 0)) AS cms_est
+      FROM lookup LEFT JOIN cells c USING (row_idx, bucket)
+      GROUP BY term) e USING (term)
+    """
+
+
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog registers over orders.o_custkey — "how many distinct
+    customers ordered" as a 64-row mergeable sketch
+    (functions/sketches.hll_registers, p=6). Register arithmetic is
+    exact integers (bit-length via base-2 string conversion, never a
+    float log), so the frame hash-matches the SQL replay; the
+    cardinality estimate itself (hll_cardinality) is driver arithmetic
+    over these <= 2^p rows, pytest-checked against exact distinct
+    counts.
+
+    Scale shape: ONE map-side-combined max shuffle — each task
+    pre-reduces to <= 2^p (bucket, rho) rows before the exchange, so
+    distinct-counting 100 TB costs a 64-row shuffle; shard sketches
+    merge with hll_merge (per-bucket max)."""
+    from greenmask_spark.functions.sketches import hll_registers
+
+    orders = _tables(spark, sf_dir, "orders")["orders"]
+    return hll_registers(orders, "o_custkey", p=6)
+
+
+def _oracle_hll_registers() -> str:
+    m, field = 1 << 6, 54
+    return f"""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(sha256(concat_ws(':',
+               CAST(o_custkey AS VARCHAR), '0')), 1, 15)) AS BIGINT) AS h
+      FROM orders)
+    SELECT CAST(h % {m} AS INT) AS bucket,
+           CAST(max(CASE WHEN h // {m} = 0 THEN {field + 1}
+                    ELSE {field + 1} - length(bin(h // {m})) END)
+                AS INT) AS register
+    FROM h GROUP BY 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """93 entries. The driver harness records CORRECTNESS rows for the
+    """96 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
     brief; executed in r7, r8, r9) — no entry's driver row goes more
     than two rounds stale.
@@ -4407,12 +4562,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pagerank — each a transcription of an existing DuckDB-parity
     pytest) + the 7 late-r9 operators (bm25_indexed, c4_filter,
     image_dhash, image_near_dup, audio_fingerprint, host_graph,
-    robots_filter — NEW code never debuts without a driver row) + 7
-    keepers whose family has no other window representative
-    (t_orders_temporal, t_when_condition, t_dynamic_param, t_cmd,
-    t_apply_for_references, validate_diff, copy_roundtrip).
+    robots_filter — NEW code never debuts without a driver row) + the
+    3 r9 sketch operators (bloom_seen, cms_terms, hll_registers —
+    mergeable Bloom/Count-Min/HLL sketches, same no-debut-without-a-row
+    rule) + 4 keepers whose family has no other window representative
+    (t_when_condition, t_cmd, t_apply_for_references, validate_diff).
 
-    r9 TAIL = 43 rows, every one green in CORRECTNESS_r08, each with
+    r9 TAIL = 46 rows, every one green in CORRECTNESS_r08, each with
     >= 1 same-family row in the window: t_random_float +
     t_random_numeric (→ t_random_int, numeric noise family),
     t_net_company + t_real_address (→ t_faker, generator family),
@@ -4435,7 +4591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (→ sample_mixture/stratified_sample), zorder_events
     (→ copy_roundtrip, storage-layout/io family; r8-green, returns in
     the r10 window), asof_join (→ range_join), salted_agg
-    (→ skew_join), and the seven displaced keepers lm_score
+    (→ skew_join), the three keepers displaced late-r9 by the sketch
+    rows — t_orders_temporal (→ t_when_condition/t_faker, transformer
+    families), t_dynamic_param (→ t_when_condition, planner/param
+    family) and copy_roundtrip (→ zorder's io family is tail-only this
+    round; r8-green, returns in the r10 window) — and the seven
+    displaced keepers lm_score
     (→ classifier_weights, scoring family), t_query_override
     (→ t_when_condition, planner family), t_masking (→ mask_customer,
     masking/Hash family), t_custom_plugin (→ t_cmd, user-code UDF
@@ -4446,8 +4607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ships without a driver row; all r8-green, all return in the r10
     window.
 
-    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 93 entries (the
-    43 tail rows were green in r08's window; the 50 window rows get
+    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 96 entries (the
+    46 tail rows were green in r08's window; the 50 window rows get
     fresh r09 rows).
 
     Single-transformer queries from r1 remain consolidated into
@@ -4506,15 +4667,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,              # NEW r9: link extraction →
                                                  # host-level web graph
         "robots_filter": q_robots_filter,        # NEW r9: robots.txt engine
+        "bloom_seen": q_bloom_seen,              # NEW r9: Bloom seen-set
+        "cms_terms": q_cms_terms,                # NEW r9: Count-Min freqs
+        "hll_registers": q_hll_registers,        # NEW r9: HLL cardinality
         # --- keepers: sole window representative of their family ---
-        "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
         "t_when_condition": q_t_when_condition,
-        "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
         "t_cmd": q_t_cmd,                        # json + text + csv drivers
         "t_apply_for_references": q_t_apply_for_references,
         "validate_diff": q_validate_diff,
-        "copy_roundtrip": q_copy_roundtrip,
         # --- r9 tail: all green in CORRECTNESS_r08; family reps above ---
+        "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
+        "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
+        "copy_roundtrip": q_copy_roundtrip,
         "lm_score": q_lm_score,                  # → classifier_weights (scoring)
         "t_query_override": q_t_query_override,  # → t_when_condition (planner)
         "t_masking": q_t_masking,                # → mask_customer (masking/Hash)
@@ -4656,4 +4820,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprint": _oracle_audio_fingerprint(),
         "host_graph": _oracle_host_graph(),
         "robots_filter": _oracle_robots_filter(),
+        "bloom_seen": _oracle_bloom_seen(),
+        "cms_terms": _oracle_cms_terms(),
+        "hll_registers": _oracle_hll_registers(),
     }

@@ -497,6 +497,43 @@ def _step_dedup_against(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_bloom_dedup(df: DataFrame, p: dict) -> DataFrame:
+    """Approximate incremental dedup via a Bloom seen-set
+    (functions/sketches.bloom_dedup_against): drop documents whose text
+    digest MAY already be in the ``reference`` corpus. One-sided on the
+    safe side — a true duplicate never survives; a novel document is
+    dropped at the sized false-positive rate. Use instead of the exact
+    ``dedup_against`` when the reference is too large to anti-join per
+    shard: the reference reduces to a broadcastable bitmap built once.
+
+    Sizing: either explicit ``num_bits``/``num_hashes``, or
+    ``n_items`` (+ optional ``fp_rate``, default 0.01) through
+    ``bloom_params``."""
+    from greenmask_spark.functions.sketches import (
+        bloom_dedup_against,
+        bloom_params,
+    )
+
+    ctx = p.get("_context") or {}
+    if "spark" not in ctx or "reference" not in p:
+        raise ValueError("bloom_dedup needs a 'reference' input spec "
+                         "and pipeline context")
+    ref = _load_input(ctx["spark"], p["reference"], ctx.get("sf_dir"))
+    if "n_items" in p:
+        num_bits, num_hashes = bloom_params(
+            int(p["n_items"]), float(p.get("fp_rate", 0.01))
+        )
+    else:
+        num_bits = int(p.get("num_bits", 1 << 20))
+        num_hashes = int(p.get("num_hashes", 5))
+    return bloom_dedup_against(
+        df, ref,
+        text_col=p.get("text_col", "text"),
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+    )
+
+
 def _step_bm25(df: DataFrame, p: dict) -> DataFrame:
     """Okapi BM25 relevance against a config ``query`` string: attach
     a ``score_col`` (default ``bm25``) and optionally keep only rows
@@ -860,6 +897,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "ann_rerank": _step_ann_rerank,
     "packing_report": _step_packing_report,
     "dedup_against": _step_dedup_against,
+    "bloom_dedup": _step_bloom_dedup,
     "decontaminate": _step_decontaminate,
     "remove_repeated_spans": _step_remove_repeated_spans,
     "bm25": _step_bm25,

@@ -427,6 +427,44 @@ def test_dedup_against_step(spark, sf_dir, tmp_path):
         }, sf_dir=sf_dir)
 
 
+def test_bloom_dedup_step(spark, sf_dir, tmp_path):
+    """Approximate seen-set dedup: one-sided vs the exact step — every
+    doc the exact digest anti-join drops is also dropped here (no false
+    negatives), and the extra (false-positive) drops stay bounded."""
+    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ref_path = str(tmp_path / "bloom_ref.parquet")
+    docs.filter("pmod(doc_id, 2) = 0").write.parquet(ref_path)
+
+    base = {"input": {"table": "documents"}}
+    exact = run_corpus_pipeline(spark, {
+        **base,
+        "steps": [{"op": "dedup_against", "level": "exact",
+                   "reference": {"path": ref_path, "format": "parquet"}}],
+    }, sf_dir=sf_dir)
+    # sized from the reference cardinality through bloom_params
+    n_ref = docs.filter("pmod(doc_id, 2) = 0").count()
+    bloom = run_corpus_pipeline(spark, {
+        **base,
+        "steps": [{"op": "bloom_dedup", "n_items": n_ref,
+                   "fp_rate": 0.01,
+                   "reference": {"path": ref_path, "format": "parquet"}}],
+    }, sf_dir=sf_dir)
+    exact_kept = {r.doc_id for r in exact.select("doc_id").collect()}
+    bloom_kept = {r.doc_id for r in bloom.select("doc_id").collect()}
+    assert bloom_kept <= exact_kept  # never passes a true duplicate
+    assert len(bloom_kept) >= 0.9 * len(exact_kept)  # FP cost bounded
+    assert bloom.columns == docs.columns
+
+    import pytest as _p
+    with _p.raises(ValueError, match="reference"):
+        run_corpus_pipeline(spark, {
+            **base, "steps": [{"op": "bloom_dedup"}],
+        }, sf_dir=sf_dir)
+
+
 def test_dedup_against_step_prepared_reference(spark, sf_dir, tmp_path):
     """The rolling-crawl config shape: the reference is keyed ONCE with
     prepare_reference and written to parquet; pointing the step's

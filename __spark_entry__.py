@@ -4382,6 +4382,75 @@ def _oracle_shard_write() -> str:
     """
 
 
+_HITS_ITERS = 3
+
+
+def q_hits_scores(spark, sf_dir):
+    """Fixed-point integer HITS hubs/authorities (functions/linkgraph.
+    hits) over the same supplier→part shipment graph as the pagerank
+    row: suppliers are hubs, parts are authorities. Textbook HITS
+    float-normalizes per iteration; here scores rescale by the
+    QUANTIZED divisor max(1, max_raw DIV RANK_SCALE) — all integer
+    multiply/divide/sum, so any partitioning or engine is
+    bit-identical and the DuckDB oracle unrolls the same 3 iterations
+    and hash-matches (parity proven first in
+    tests/test_functions.py::test_hits_fixed_point).
+
+    Scale shape per iteration: one map-side-combined groupBy(dst) of
+    (dst, bigint) rows + the mirrored groupBy(src), each rescaled via
+    a 1-row broadcast max — bodies never enter the graph tier."""
+    from greenmask_spark.functions.linkgraph import hits
+
+    li = _tables(spark, sf_dir, "lineitem")["lineitem"]
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(_PR_DST_OFFSET)).alias("dst"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    return hits(edges, n_iters=_HITS_ITERS, weight_col="w")
+
+
+def _oracle_hits_scores() -> str:
+    from greenmask_spark.functions.linkgraph import RANK_SCALE
+
+    sc = RANK_SCALE
+    step = """
+    ar{i} AS (SELECT e.dst AS node, CAST(sum(h.h * e.w) AS BIGINT) AS raw
+              FROM e JOIN h{p} h ON e.src = h.node GROUP BY e.dst),
+    a{i} AS (SELECT n.node,
+                    CAST(coalesce(ar.raw, 0)
+                         // (SELECT greatest(1, coalesce(max(raw), 0)
+                             // {sc}) FROM ar{i}) AS BIGINT) AS a
+             FROM nodes n LEFT JOIN ar{i} ar ON n.node = ar.node),
+    hr{i} AS (SELECT e.src AS node, CAST(sum(a.a * e.w) AS BIGINT) AS raw
+              FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+    h{i} AS (SELECT n.node,
+                    CAST(coalesce(hr.raw, 0)
+                         // (SELECT greatest(1, coalesce(max(raw), 0)
+                             // {sc}) FROM hr{i}) AS BIGINT) AS h
+             FROM nodes n LEFT JOIN hr{i} hr ON n.node = hr.node)
+    """
+    steps = ",".join(
+        step.format(i=i + 1, p=i, sc=sc) for i in range(_HITS_ITERS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT src, dst, sum(w) AS w FROM (
+        SELECT l_suppkey AS src,
+               l_partkey + {_PR_DST_OFFSET} AS dst,
+               CAST(trunc(l_quantity) AS BIGINT) AS w
+        FROM lineitem) t
+      WHERE src IS NOT NULL AND dst IS NOT NULL AND w > 0
+      GROUP BY src, dst),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    h0 AS (SELECT node, {sc}::BIGINT AS h FROM nodes),
+    {steps}
+    SELECT h.node, h.h AS hub_fp, a.a AS auth_fp
+    FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a USING (node)
+    """
+
+
 def q_bloom_seen(spark, sf_dir):
     """Bloom seen-set membership (functions/sketches.bloom_build +
     bloom_contains — the crawler dedup primitive for references too
@@ -4543,7 +4612,7 @@ def _oracle_hll_registers() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """96 entries. The driver harness records CORRECTNESS rows for the
+    """97 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
     brief; executed in r7, r8, r9) — no entry's driver row goes more
     than two rounds stale.
@@ -4563,12 +4632,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pytest) + the 7 late-r9 operators (bm25_indexed, c4_filter,
     image_dhash, image_near_dup, audio_fingerprint, host_graph,
     robots_filter — NEW code never debuts without a driver row) + the
-    3 r9 sketch operators (bloom_seen, cms_terms, hll_registers —
-    mergeable Bloom/Count-Min/HLL sketches, same no-debut-without-a-row
-    rule) + 4 keepers whose family has no other window representative
-    (t_when_condition, t_cmd, t_apply_for_references, validate_diff).
+    4 late-r9 operators (bloom_seen, cms_terms, hll_registers —
+    mergeable Bloom/Count-Min/HLL sketches — and hits_scores,
+    fixed-point HITS; same no-debut-without-a-row rule) + 3 keepers
+    whose family has no other window representative (t_when_condition,
+    t_cmd, t_apply_for_references).
 
-    r9 TAIL = 46 rows, every one green in CORRECTNESS_r08, each with
+    r9 TAIL = 47 rows, every one green in CORRECTNESS_r08, each with
     >= 1 same-family row in the window: t_random_float +
     t_random_numeric (→ t_random_int, numeric noise family),
     t_net_company + t_real_address (→ t_faker, generator family),
@@ -4591,11 +4661,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (→ sample_mixture/stratified_sample), zorder_events
     (→ copy_roundtrip, storage-layout/io family; r8-green, returns in
     the r10 window), asof_join (→ range_join), salted_agg
-    (→ skew_join), the three keepers displaced late-r9 by the sketch
-    rows — t_orders_temporal (→ t_when_condition/t_faker, transformer
-    families), t_dynamic_param (→ t_when_condition, planner/param
-    family) and copy_roundtrip (→ zorder's io family is tail-only this
-    round; r8-green, returns in the r10 window) — and the seven
+    (→ skew_join), the four keepers displaced late-r9 by the sketch
+    and HITS rows — t_orders_temporal (→ t_when_condition/t_faker,
+    transformer families), t_dynamic_param (→ t_when_condition,
+    planner/param family), copy_roundtrip (→ zorder's io family is
+    tail-only this round) and validate_diff (validate family sole rep,
+    tail-only this round) — all r8-green, all return in the r10
+    window — and the seven
     displaced keepers lm_score
     (→ classifier_weights, scoring family), t_query_override
     (→ t_when_condition, planner family), t_masking (→ mask_customer,
@@ -4607,8 +4679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ships without a driver row; all r8-green, all return in the r10
     window.
 
-    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 96 entries (the
-    46 tail rows were green in r08's window; the 50 window rows get
+    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 97 entries (the
+    47 tail rows were green in r08's window; the 50 window rows get
     fresh r09 rows).
 
     Single-transformer queries from r1 remain consolidated into
@@ -4670,12 +4742,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen": q_bloom_seen,              # NEW r9: Bloom seen-set
         "cms_terms": q_cms_terms,                # NEW r9: Count-Min freqs
         "hll_registers": q_hll_registers,        # NEW r9: HLL cardinality
+        "hits_scores": q_hits_scores,            # NEW r9: fixed-point HITS
         # --- keepers: sole window representative of their family ---
         "t_when_condition": q_t_when_condition,
         "t_cmd": q_t_cmd,                        # json + text + csv drivers
         "t_apply_for_references": q_t_apply_for_references,
-        "validate_diff": q_validate_diff,
         # --- r9 tail: all green in CORRECTNESS_r08; family reps above ---
+        "validate_diff": q_validate_diff,
         "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
         "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
         "copy_roundtrip": q_copy_roundtrip,
@@ -4823,4 +4896,5 @@ def oracle_sql() -> dict[str, str]:
         "bloom_seen": _oracle_bloom_seen(),
         "cms_terms": _oracle_cms_terms(),
         "hll_registers": _oracle_hll_registers(),
+        "hits_scores": _oracle_hits_scores(),
     }

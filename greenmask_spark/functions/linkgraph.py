@@ -149,3 +149,99 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return rank.select("node", F.col("r").alias("rank_fp"))
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted HITS hubs/authorities (Kleinberg 1999) over an edge
+    list → (node, hub_fp, auth_fp) in RANK_SCALE fixed-point units —
+    the link-analysis complement to ``pagerank`` for crawl curation:
+    authorities are the pages good hubs point AT (seed-quality
+    signal), hubs are the pages that point at good authorities
+    (frontier-expansion signal).
+
+    Same exactness contract as ``pagerank``: all integer arithmetic,
+    so any partitioning, engine, or iteration order is bit-identical
+    and a plain-SQL oracle unrolls the loop and hash-matches. The one
+    place textbook HITS is float — per-iteration normalization — is
+    replaced by a QUANTIZED-DIVISOR rescale: scores divide by
+    ``q = max(1, max_raw DIV RANK_SCALE)``, pinning the max score to
+    ~RANK_SCALE (relative quantization error ≤ 1/q per step, the SAME
+    everywhere). Rankings are unaffected — integer division by a
+    shared positive q is order-preserving.
+
+    Per iteration: auth_raw[v] = Σ hub[u]·w over u→v (one map-side-
+    combined groupBy(dst) of (dst, bigint) rows), rescale via a 1-row
+    broadcast max; then the mirrored groupBy(src) for hubs. Edges
+    carry two longs + a weight; bodies never enter the graph tier.
+    Overflow contract (documented, like ``pagerank``): per-node
+    weighted in/out-degree × RANK_SCALE must stay under 2^63 — cap or
+    pre-normalize edge weights beyond ~9e9.
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters={n_iters} must be >= 1")
+    w = (F.col(weight_col).cast("bigint") if weight_col
+         else F.lit(1).cast("bigint"))
+    e = (
+        edges.select(
+            F.col(src_col).cast("bigint").alias("src"),
+            F.col(dst_col).cast("bigint").alias("dst"),
+            w.alias("w"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                & (F.col("w") > 0))
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    scale = RANK_SCALE
+
+    def _rescaled(raw: DataFrame, key: str, out: str) -> DataFrame:
+        """nodes left-joined to raw scores, divided by the quantized
+        max divisor (1-row broadcast). Absent nodes score 0."""
+        q = raw.agg(
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr(f"coalesce(max(raw), 0) div {scale}"),
+            ).alias("q")
+        )
+        return (
+            nodes.join(raw, nodes["node"] == raw[key], "left")
+            .crossJoin(F.broadcast(q))
+            .select(
+                "node",
+                F.expr("coalesce(raw, 0) div q").alias(out),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hub = nodes.select(
+        "node", F.lit(scale).cast("bigint").alias("h")
+    )
+    auth = None
+    for _ in range(n_iters):
+        araw = (
+            e.join(hub, e["src"] == hub["node"])
+            .select("dst", (F.col("h") * F.col("w")).alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("raw"))
+        )
+        auth = _rescaled(araw, "dst", "a")
+        hraw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .select("src", (F.col("a") * F.col("w")).alias("c"))
+            .groupBy("src").agg(F.sum("c").alias("raw"))
+        )
+        hub = _rescaled(hraw, "src", "h")
+    return hub.join(auth, "node").select(
+        "node", F.col("h").alias("hub_fp"), F.col("a").alias("auth_fp")
+    )

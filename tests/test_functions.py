@@ -4035,6 +4035,101 @@ def test_pagerank_fixed_point(spark):
         pagerank(df, n_iters=0)
 
 
+def test_hits_fixed_point(spark):
+    """Fixed-point integer HITS: bit-identical to a pure-Python
+    integer replay AND to a DuckDB SQL unroll, stable under
+    repartitioning; the quantized-divisor rescale (div by
+    max(1, max_raw DIV SCALE)) replaces textbook float normalization
+    without touching the ranking."""
+    import duckdb
+
+    from greenmask_spark.functions.linkgraph import RANK_SCALE, hits
+
+    # 1 and 2 are hubs over authorities {4,5,6}; 3 endorses only 6;
+    # the w3 edge makes 4 the strongest authority
+    edges = [(1, 4, 3), (1, 5, 1), (1, 6, 1), (2, 4, 1), (2, 5, 1),
+             (3, 6, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    out = {r.node: (r.hub_fp, r.auth_fp) for r in
+           hits(df, n_iters=3, weight_col="w").collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+
+    def replay(n_iters, scale=RANK_SCALE):
+        ew = {}
+        for s, t, w in edges:
+            ew[(s, t)] = ew.get((s, t), 0) + w
+        nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+        h = {v: scale for v in nodes}
+        a = None
+        for _ in range(n_iters):
+            araw = {v: 0 for v in nodes}
+            for (s, t), w in ew.items():
+                araw[t] += h[s] * w
+            qa = max(1, max(araw.values()) // scale)
+            a = {v: araw[v] // qa for v in nodes}
+            hraw = {v: 0 for v in nodes}
+            for (s, t), w in ew.items():
+                hraw[s] += a[t] * w
+            qh = max(1, max(hraw.values()) // scale)
+            h = {v: hraw[v] // qh for v in nodes}
+        return {v: (h[v], a[v]) for v in nodes}
+
+    assert out == replay(3)
+
+    # exactness under any partitioning
+    again = {r.node: (r.hub_fp, r.auth_fp) for r in
+             hits(df.repartition(7), n_iters=3, weight_col="w").collect()}
+    assert again == out
+
+    # DuckDB unroll (2 iters) — cross-engine bit parity
+    two = {r.node: (r.hub_fp, r.auth_fp) for r in
+           hits(df, n_iters=2, weight_col="w").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES "
+                + ",".join(f"({s},{t},{w})" for s, t, w in edges)
+                + ") AS t(src, dst, w)")
+    sc = RANK_SCALE
+    step = """
+    ar{i} AS (SELECT e.dst AS node, CAST(sum(h.h * e.w) AS BIGINT) AS raw
+              FROM e JOIN h{p} h ON e.src = h.node GROUP BY e.dst),
+    a{i} AS (SELECT n.node,
+                    CAST(coalesce(ar.raw, 0)
+                         // (SELECT greatest(1, coalesce(max(raw), 0)
+                             // {sc}) FROM ar{i}) AS BIGINT) AS a
+             FROM nodes n LEFT JOIN ar{i} ar ON n.node = ar.node),
+    hr{i} AS (SELECT e.src AS node, CAST(sum(a.a * e.w) AS BIGINT) AS raw
+              FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+    h{i} AS (SELECT n.node,
+                    CAST(coalesce(hr.raw, 0)
+                         // (SELECT greatest(1, coalesce(max(raw), 0)
+                             // {sc}) FROM hr{i}) AS BIGINT) AS h
+             FROM nodes n LEFT JOIN hr{i} hr ON n.node = hr.node)
+    """
+    sql = f"""
+    WITH nodes AS (SELECT DISTINCT src AS node FROM e
+                   UNION SELECT DISTINCT dst FROM e),
+    h0 AS (SELECT node, {sc}::BIGINT AS h FROM nodes),
+    {step.format(i=1, p=0, sc=sc)},
+    {step.format(i=2, p=1, sc=sc)}
+    SELECT h.node, h.h, a.a FROM h2 h JOIN a2 a USING (node)
+    """
+    duck = {node: (h, a) for node, h, a in con.execute(sql).fetchall()}
+    assert duck == two
+
+    # structural sanity: 1 is the best hub (covers every authority,
+    # with the heavy edge); 4 the best authority (both strong hubs,
+    # one at weight 3); pure authorities have 0 hub and vice versa
+    hubs = {v: ha[0] for v, ha in out.items()}
+    auths = {v: ha[1] for v, ha in out.items()}
+    assert max(hubs, key=hubs.get) == 1
+    assert max(auths, key=auths.get) == 4
+    assert hubs[4] == hubs[5] == hubs[6] == 0
+    assert auths[1] == auths[2] == auths[3] == 0
+
+    with pytest.raises(ValueError, match="n_iters"):
+        hits(df, n_iters=0)
+
+
 def test_gopher_quality_rules(spark):
     """The Gopher A1.1 rule bundle: each rule trips on a crafted
     violator while a plain prose doc passes all; NULL fails all;

@@ -4382,6 +4382,44 @@ def _oracle_shard_write() -> str:
     """
 
 
+_BUDGET_TOKENS = 20_000
+
+
+def q_select_to_budget(spark, sf_dir):
+    """Token-budget corpus selection (functions/sampling.
+    select_to_budget): keep the best documents — here n_chars-ranked,
+    doc_id tie-break — until a 20k-token budget is exhausted; the
+    "top-quality N-token training set" cut every data-mixing run ends
+    with. Exact maximal-prefix semantics, so the oracle is ONE SQL
+    window cumsum; the Spark side runs the two-phase shape (range-
+    bucket histogram locates the threshold bucket; buckets above pass
+    through sort-free, only ~1/n_buckets of rows pay the exact
+    (score, id) sort-window) and is bit-identical to the naive
+    formulation at any bucket count (pytest proves 1 ≡ 7 ≡ 4096)."""
+    from greenmask_spark.functions.sampling import select_to_budget
+    from greenmask_spark.functions.text_analysis import token_count
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    scored = docs.withColumn("__tok", token_count(F.col("text")))
+    out = select_to_budget(
+        scored, _BUDGET_TOKENS, token_col="__tok", score_col="n_chars"
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def _oracle_select_to_budget() -> str:
+    ntok = (f"CASE WHEN length(trim(text)) = 0 THEN 0 "
+            f"ELSE len({_DUCK_TOKENS_RAW}) END")
+    return f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             sum(coalesce({ntok}, 0)) OVER (
+               ORDER BY CAST(n_chars AS DOUBLE) DESC NULLS LAST, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM documents) WHERE c <= {_BUDGET_TOKENS}
+    """
+
+
 _HITS_ITERS = 3
 
 
@@ -4612,7 +4650,7 @@ def _oracle_hll_registers() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """97 entries. The driver harness records CORRECTNESS rows for the
+    """98 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
     brief; executed in r7, r8, r9) — no entry's driver row goes more
     than two rounds stale.
@@ -4632,13 +4670,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pytest) + the 7 late-r9 operators (bm25_indexed, c4_filter,
     image_dhash, image_near_dup, audio_fingerprint, host_graph,
     robots_filter — NEW code never debuts without a driver row) + the
-    4 late-r9 operators (bloom_seen, cms_terms, hll_registers —
-    mergeable Bloom/Count-Min/HLL sketches — and hits_scores,
-    fixed-point HITS; same no-debut-without-a-row rule) + 3 keepers
-    whose family has no other window representative (t_when_condition,
-    t_cmd, t_apply_for_references).
+    5 late-r9 operators (bloom_seen, cms_terms, hll_registers —
+    mergeable Bloom/Count-Min/HLL sketches — hits_scores, fixed-point
+    HITS, and select_to_budget, the token-budget corpus cut; same
+    no-debut-without-a-row rule) + 2 keepers whose family has no other
+    window representative (t_cmd, t_apply_for_references).
 
-    r9 TAIL = 47 rows, every one green in CORRECTNESS_r08, each with
+    r9 TAIL = 48 rows, every one green in CORRECTNESS_r08, each with
     >= 1 same-family row in the window: t_random_float +
     t_random_numeric (→ t_random_int, numeric noise family),
     t_net_company + t_real_address (→ t_faker, generator family),
@@ -4661,10 +4699,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (→ sample_mixture/stratified_sample), zorder_events
     (→ copy_roundtrip, storage-layout/io family; r8-green, returns in
     the r10 window), asof_join (→ range_join), salted_agg
-    (→ skew_join), the four keepers displaced late-r9 by the sketch
-    and HITS rows — t_orders_temporal (→ t_when_condition/t_faker,
-    transformer families), t_dynamic_param (→ t_when_condition,
-    planner/param family), copy_roundtrip (→ zorder's io family is
+    (→ skew_join), the five keepers displaced late-r9 by the sketch,
+    HITS and budget rows — t_orders_temporal (→ t_faker, transformer
+    families), t_dynamic_param and t_when_condition (planner family,
+    tail-only this round), copy_roundtrip (→ zorder's io family is
     tail-only this round) and validate_diff (validate family sole rep,
     tail-only this round) — all r8-green, all return in the r10
     window — and the seven
@@ -4679,8 +4717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ships without a driver row; all r8-green, all return in the r10
     window.
 
-    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 97 entries (the
-    47 tail rows were green in r08's window; the 50 window rows get
+    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 98 entries (the
+    48 tail rows were green in r08's window; the 50 window rows get
     fresh r09 rows).
 
     Single-transformer queries from r1 remain consolidated into
@@ -4743,11 +4781,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_terms": q_cms_terms,                # NEW r9: Count-Min freqs
         "hll_registers": q_hll_registers,        # NEW r9: HLL cardinality
         "hits_scores": q_hits_scores,            # NEW r9: fixed-point HITS
+        "select_to_budget": q_select_to_budget,  # NEW r9: token-budget cut
         # --- keepers: sole window representative of their family ---
-        "t_when_condition": q_t_when_condition,
         "t_cmd": q_t_cmd,                        # json + text + csv drivers
         "t_apply_for_references": q_t_apply_for_references,
         # --- r9 tail: all green in CORRECTNESS_r08; family reps above ---
+        "t_when_condition": q_t_when_condition,
         "validate_diff": q_validate_diff,
         "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
         "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
@@ -4897,4 +4936,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_terms": _oracle_cms_terms(),
         "hll_registers": _oracle_hll_registers(),
         "hits_scores": _oracle_hits_scores(),
+        "select_to_budget": _oracle_select_to_budget(),
     }

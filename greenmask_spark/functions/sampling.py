@@ -14,7 +14,7 @@ and no Python. Filters on the split column push down to the same scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: hash resolution: assignments quantize to millionths
@@ -669,3 +669,99 @@ def packing_stats(
             / (F.count("*") * F.lit(float(max_tokens))), 4
         ).alias("padding_frac"),
     )
+
+
+def select_to_budget(
+    df: DataFrame,
+    token_budget: int,
+    token_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Keep the best documents until a token budget is exhausted: the
+    maximal prefix of ``df`` ordered by (score DESC NULLS LAST, id ASC)
+    whose cumulative ``token_col`` sum stays <= ``token_budget`` — the
+    "select the top-quality N-token training set" operator every
+    data-mixing run ends with. Exact by definition, deterministic
+    (id tie-break), and replayable as one SQL window cumsum.
+
+    The naive formulation — a GLOBAL window cumsum — funnels the whole
+    corpus through one task. This runs the cap_per_domain two-phase
+    shape instead: scores quantize into ``n_buckets`` range buckets, a
+    map-side-combined per-bucket token-total agg + a <= n_buckets-row
+    running sum locate the single THRESHOLD bucket where the budget
+    crosses; buckets above it pass through with NO sort, buckets below
+    it drop at the scan, and only the threshold bucket's rows (~1/
+    n_buckets of the corpus) pay the exact (score, id) sort-window.
+    Bucketing is a pure work partition: ties share a score and hence a
+    bucket, so the result is bit-identical to the naive formulation at
+    ANY n_buckets.
+
+    Caveats, documented: scores must be finite (quantization does
+    arithmetic on them; NULL is fine and sorts last as bucket -1); a
+    degenerate corpus where most rows share ONE score concentrates the
+    threshold bucket (the mega-domain caveat's twin). The input is
+    read by the stats pass, the histogram and the branches, so a
+    non-deterministic input is pinned with an eager localCheckpoint
+    (the cap_per_domain rule)."""
+    if token_budget < 0:
+        raise ValueError(f"token_budget={token_budget} must be >= 0")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets={n_buckets} must be >= 1")
+    from greenmask_spark.plan.health import plan_has_nondeterministic
+
+    if plan_has_nondeterministic(df):
+        df = df.localCheckpoint(eager=True)
+    nb = int(n_buckets)
+    base = df.withColumn(
+        "__t", F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
+    ).withColumn("__s", F.col(score_col).cast("double"))
+    stats = base.agg(
+        F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
+    )
+    b = base.crossJoin(F.broadcast(stats)).withColumn(
+        "__b",
+        F.when(F.col("__s").isNull(), F.lit(-1))
+        .when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(nb - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("__s") - F.col("__lo"))
+                        / (F.col("__hi") - F.col("__lo"))
+                        * nb
+                    ),
+                ),
+            )
+        )
+        .cast("int"),
+    ).drop("__lo", "__hi")
+    # per-bucket token totals, then a running sum in score-descending
+    # bucket order — <= n_buckets+1 rows, so the single-partition
+    # window is a non-issue
+    run = Window.orderBy(F.desc("__b")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    plan = (
+        b.groupBy("__b").agg(F.sum("__t").alias("__bt"))
+        .withColumn("__cum", F.sum("__bt").over(run))
+        .withColumn("__off", F.col("__cum") - F.col("__bt"))
+        .select("__b", "__cum", "__off")
+    )
+    joined = b.join(F.broadcast(plan), "__b")
+    budget = F.lit(int(token_budget)).cast("bigint")
+    keep_all = joined.filter(F.col("__cum") <= budget)
+    thr = joined.filter(
+        (F.col("__off") <= budget) & (F.col("__cum") > budget)
+    )
+    order = Window.partitionBy("__b").orderBy(
+        F.col("__s").desc_nulls_last(), F.col(id_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    thr_kept = thr.withColumn("__rcum", F.sum("__t").over(order)).filter(
+        F.col("__off") + F.col("__rcum") <= budget
+    ).drop("__rcum")
+    helpers = ["__t", "__s", "__b", "__cum", "__off"]
+    return keep_all.unionByName(thr_kept).drop(*helpers)

@@ -534,6 +534,39 @@ def _step_bloom_dedup(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_select_to_budget(df: DataFrame, p: dict) -> DataFrame:
+    """Token-budget corpus cut (functions/sampling.select_to_budget):
+    keep the best documents by ``score_col`` until ``token_budget``
+    tokens are selected — the final "top-quality N-token training set"
+    step of a mixing run. ``token_col`` names a precomputed per-doc
+    token count; omitted, whitespace token_count over ``text_col``
+    (default ``text``) is derived on the fly and never leaves the
+    step."""
+    from greenmask_spark.functions.sampling import select_to_budget
+
+    if "token_budget" not in p or "score_col" not in p:
+        raise ValueError("select_to_budget needs 'token_budget' and "
+                         "'score_col'")
+    token_col = p.get("token_col")
+    derived = token_col is None
+    if derived:
+        from greenmask_spark.functions.text_analysis import token_count
+
+        token_col = "__budget_tok"
+        df = df.withColumn(
+            token_col, token_count(F.col(p.get("text_col", "text")))
+        )
+    out = select_to_budget(
+        df,
+        int(p["token_budget"]),
+        token_col=token_col,
+        score_col=p["score_col"],
+        id_col=p.get("id_col", "doc_id"),
+        n_buckets=int(p.get("n_buckets", 4096)),
+    )
+    return out.drop("__budget_tok") if derived else out
+
+
 def _step_bm25(df: DataFrame, p: dict) -> DataFrame:
     """Okapi BM25 relevance against a config ``query`` string: attach
     a ``score_col`` (default ``bm25``) and optionally keep only rows
@@ -898,6 +931,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "packing_report": _step_packing_report,
     "dedup_against": _step_dedup_against,
     "bloom_dedup": _step_bloom_dedup,
+    "select_to_budget": _step_select_to_budget,
     "decontaminate": _step_decontaminate,
     "remove_repeated_spans": _step_remove_repeated_spans,
     "bm25": _step_bm25,

@@ -465,6 +465,34 @@ def test_bloom_dedup_step(spark, sf_dir, tmp_path):
         }, sf_dir=sf_dir)
 
 
+def test_select_to_budget_step(spark, sf_dir):
+    """Config-driven token-budget cut: derives whitespace token counts
+    when no token_col is given, keeps the n_chars-best prefix within
+    budget, and leaks no helper column."""
+    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = run_corpus_pipeline(spark, {
+        "input": {"table": "documents"},
+        "steps": [{"op": "select_to_budget", "token_budget": 5000,
+                   "score_col": "n_chars"}],
+    }, sf_dir=sf_dir)
+    assert out.columns == docs.columns
+    rows = out.collect()
+    assert 0 < len(rows) < docs.count()
+    # budget respected on the derived whitespace token counts
+    total = sum(len(r.text.split()) for r in rows if r.text.strip())
+    assert total <= 5000
+
+    import pytest as _p
+    with _p.raises(ValueError, match="token_budget"):
+        run_corpus_pipeline(spark, {
+            "input": {"table": "documents"},
+            "steps": [{"op": "select_to_budget", "score_col": "n_chars"}],
+        }, sf_dir=sf_dir)
+
+
 def test_dedup_against_step_prepared_reference(spark, sf_dir, tmp_path):
     """The rolling-crawl config shape: the reference is keyed ONCE with
     prepare_reference and written to parquet; pointing the step's

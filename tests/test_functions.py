@@ -4358,3 +4358,87 @@ def test_gopher_flags_duckdb_parity(spark):
         doc_id, flags = row[0], tuple(row[1:])
         assert flags == got[doc_id][:7], (doc_id, flags, got[doc_id])
         assert got[doc_id][7] == all(flags), doc_id
+
+
+def test_select_to_budget_matches_naive_window(spark):
+    """Two-phase budget selection is bit-identical to the naive global
+    window cumsum at ANY bucket count — bucketing only partitions the
+    work."""
+    from pyspark.sql import Window as W
+
+    from greenmask_spark.functions.sampling import select_to_budget
+
+    rows = [(i, (i * 37) % 101, 10 + (i * 13) % 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, toks long")
+
+    naive_w = W.orderBy(
+        F.col("score").cast("double").desc_nulls_last(), "doc_id"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    budget = 3000
+    naive = {r.doc_id for r in
+             df.withColumn("c", F.sum("toks").over(naive_w))
+               .filter(F.col("c") <= budget).collect()}
+    for nb in (1, 7, 4096):
+        got = select_to_budget(df, budget, "toks", "score",
+                               n_buckets=nb)
+        ids = {r.doc_id for r in got.collect()}
+        assert ids == naive, f"n_buckets={nb}"
+        assert got.columns == df.columns
+
+
+def test_select_to_budget_edges(spark):
+    from greenmask_spark.functions.sampling import select_to_budget
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 10), (2, None, 1), (3, 5.0, None), (4, 9.0, 100)],
+        "doc_id long, score double, toks long",
+    )
+    # budget >= total keeps everything (NULL toks count 0)
+    assert select_to_budget(df, 1000, "toks", "score").count() == 4
+    # positive-token corpus at budget 0 keeps nothing with tokens; the
+    # NULL-token row at score 5.0 only enters if everything above fits
+    kept = {r.doc_id for r in
+            select_to_budget(df, 0, "toks", "score").collect()}
+    assert kept == set()
+    # NULL score sorts LAST: with budget 111 the prefix is 4 (100),
+    # then 1 (10), then 3 (0) — doc 2's NULL score is cut
+    kept = {r.doc_id for r in
+            select_to_budget(df, 110, "toks", "score").collect()}
+    assert kept == {1, 3, 4}
+    # ... and is admitted once the budget covers it
+    kept = {r.doc_id for r in
+            select_to_budget(df, 111, "toks", "score").collect()}
+    assert kept == {1, 2, 3, 4}
+    # equal scores tie-break by id: 1 beats 3? both kept above; make a
+    # tie where only one fits
+    tie = spark.createDataFrame(
+        [(7, 1.0, 5), (2, 1.0, 5)], "doc_id long, score double, toks long"
+    )
+    assert {r.doc_id for r in
+            select_to_budget(tie, 5, "toks", "score").collect()} == {2}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="token_budget"):
+        select_to_budget(df, -1, "toks", "score")
+    with pytest.raises(ValueError, match="n_buckets"):
+        select_to_budget(df, 1, "toks", "score", n_buckets=0)
+
+
+def test_select_to_budget_nondeterministic_input_pinned(spark):
+    """A rand()-filtered input is pinned (cap_per_domain rule), so the
+    multi-read plan still satisfies the budget invariant exactly."""
+    from greenmask_spark.functions.sampling import select_to_budget
+
+    df = (
+        spark.range(500)
+        .withColumn("doc_id", F.col("id"))
+        .withColumn("score", (F.col("id") * 7 % 97).cast("double"))
+        .withColumn("toks", F.lit(10))
+        .filter(F.rand(seed=5) < 0.6)
+        .select("doc_id", "score", "toks")
+    )
+    out = select_to_budget(df, 200, "toks", "score")
+    rows = out.collect()
+    assert sum(r.toks for r in rows) <= 200
+    assert len(rows) == 20  # 10-token docs exactly fill the budget

@@ -436,3 +436,64 @@ def dedup_stream_against(
     return staged.join(
         ref_sigs, F.col("__sig") == F.col("__rsig"), "left_anti"
     ).drop("__sig")
+
+
+def sketch_stream(
+    stream_df: DataFrame,
+    build,
+    state_dir: str,
+    query_name: str = "sketch_stream",
+    checkpoint_dir: str | None = None,
+):
+    """Maintain a mergeable sketch (functions/sketches: Bloom words,
+    Count-Min cells, HLL registers) over an unbounded stream: each
+    micro-batch's sketch lands under ``state_dir/batch=<id>`` and
+    ``merged_sketch`` folds the batches on read.
+
+    The write is keyed by Structured Streaming's batch id and OVERWRITES
+    its own directory, so a replayed batch (at-least-once restart)
+    rewrites the same path with the same deterministic content —
+    idempotent, giving exactly-once SKETCH state with a plain parquet
+    sink, no transactional store. This is why the per-batch layout
+    beats merging into one running sketch file inside foreachBatch:
+    a replay there would double-merge, which Bloom (bit_or) and HLL
+    (max) absorb but Count-Min (sum) does NOT.
+
+    ``build`` maps a static batch DataFrame to its sketch frame (e.g.
+    ``lambda b: hll_registers(b, "user", p=10)``). Returns the started
+    StreamingQuery; sizing/p/depth params are closed over — the same
+    contract discipline as the batch mergers."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sketch = build(batch_df)
+        sketch.write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_write)
+        .queryName(query_name)
+        .outputMode("update")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def merged_sketch(spark, state_dir: str, merge) -> DataFrame:
+    """Fold every per-batch sketch under ``state_dir`` with the
+    family's merger (bloom_merge / cms_merge / hll_merge) — one
+    sketch-sized shuffle however many batches have accumulated.
+    Reading is cheap enough to do per query; a maintenance job can
+    periodically compact old batches into one (the merge is
+    associative, so compaction composes with live writes)."""
+    import os
+
+    batches = sorted(
+        os.path.join(state_dir, d)
+        for d in os.listdir(state_dir)
+        if d.startswith("batch=")
+    )
+    if not batches:
+        raise ValueError(f"no sketch batches under {state_dir}")
+    return merge(*[spark.read.parquet(b) for b in batches])

@@ -408,3 +408,93 @@ def test_hll_registers_single_mapside_shuffle(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], "v long")
     h = plan_health(hll_registers(df, "v", 8))
     assert h["shuffles"] == 1 and h["python"] == 0
+
+
+# ------------------------------------------------- streaming maintenance
+
+
+def test_sketch_stream_hll_and_replay_idempotence(spark, tmp_path):
+    """HLL registers maintained over a two-batch file stream equal the
+    batch build over the union, and a replayed batch id (at-least-once
+    restart) leaves the merged sketch unchanged — the per-batch
+    overwrite layout is what makes a plain parquet sink exactly-once
+    for sketch state."""
+    from greenmask_spark.streaming.pipeline import (
+        merged_sketch,
+        sketch_stream,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(f"u{i}",) for i in range(100)], "v string")
+    b2 = spark.createDataFrame(
+        [(f"u{i}",) for i in range(50, 200)], "v string"
+    )
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = sketch_stream(
+        stream, lambda b: hll_registers(b, "v", p=8), state,
+        query_name="hll_sketch_stream",
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = merged_sketch(spark, state, hll_merge)
+    direct = hll_registers(b1.unionByName(b2), "v", 8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # simulate an at-least-once replay: rewrite batch 0's directory the
+    # way a restarted query would (same id, same deterministic content)
+    hll_registers(b1, "v", 8).write.mode("overwrite").parquet(
+        f"{state}/batch=0"
+    )
+    replayed = merged_sketch(spark, state, hll_merge)
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_sketch_stream_bloom_membership(spark, tmp_path):
+    """Bloom words accumulated over a stream answer membership for
+    every streamed value (no false negatives across batches)."""
+    from greenmask_spark.streaming.pipeline import (
+        merged_sketch,
+        sketch_stream,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    m, k = 1 << 12, 4
+    b1 = spark.createDataFrame([(f"a{i}",) for i in range(60)], "v string")
+    b2 = spark.createDataFrame([(f"b{i}",) for i in range(60)], "v string")
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = sketch_stream(
+        stream, lambda b: bloom_build(b, "v", m, k), state,
+        query_name="bloom_sketch_stream",
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    bloom = merged_sketch(spark, state, bloom_merge)
+    flags = bloom_contains(b1.unionByName(b2), "v", bloom, m, k)
+    assert all(r["maybe_seen"] for r in flags.collect())
+
+
+def test_merged_sketch_empty_state_raises(spark, tmp_path):
+    from greenmask_spark.streaming.pipeline import merged_sketch
+
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no sketch batches"):
+        merged_sketch(spark, str(empty), hll_merge)

@@ -4382,6 +4382,37 @@ def _oracle_shard_write() -> str:
     """
 
 
+_HIST_HI, _HIST_BINS = 2048.0, 128
+
+
+def q_length_histogram(spark, sf_dir):
+    """Fixed-width histogram sketch (functions/sketches.
+    histogram_sketch) of document lengths — the distribution/quantile
+    member of the sketch family (token-length and score distributions
+    at corpus scale). Bin content is exact integers (only the edges
+    approximate), clamp bins absorb out-of-range mass, NULLs are
+    excluded, so the SQL replay is bit-for-bit; histogram_quantiles
+    interpolates quantiles within one bin width (pytest vs numpy).
+
+    Scale shape: <= bins rows whatever the corpus, ONE map-side-
+    combined count shuffle; shard histograms merge by bin-wise sum
+    (histogram_merge)."""
+    from greenmask_spark.functions.sketches import histogram_sketch
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return histogram_sketch(docs, "n_chars", 0.0, _HIST_HI, _HIST_BINS)
+
+
+def _oracle_length_histogram() -> str:
+    return f"""
+    SELECT CAST(least({_HIST_BINS - 1}, greatest(0,
+             floor((CAST(n_chars AS DOUBLE) - 0.0)
+                   / {_HIST_HI} * {_HIST_BINS}))) AS INT) AS bin,
+           count(*) AS cnt
+    FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+    """
+
+
 _BUDGET_TOKENS = 20_000
 
 
@@ -4650,7 +4681,7 @@ def _oracle_hll_registers() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """98 entries. The driver harness records CORRECTNESS rows for the
+    """99 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
     brief; executed in r7, r8, r9) — no entry's driver row goes more
     than two rounds stale.
@@ -4670,13 +4701,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pytest) + the 7 late-r9 operators (bm25_indexed, c4_filter,
     image_dhash, image_near_dup, audio_fingerprint, host_graph,
     robots_filter — NEW code never debuts without a driver row) + the
-    5 late-r9 operators (bloom_seen, cms_terms, hll_registers —
-    mergeable Bloom/Count-Min/HLL sketches — hits_scores, fixed-point
-    HITS, and select_to_budget, the token-budget corpus cut; same
-    no-debut-without-a-row rule) + 2 keepers whose family has no other
-    window representative (t_cmd, t_apply_for_references).
+    6 late-r9 operators (bloom_seen, cms_terms, hll_registers,
+    length_histogram — the mergeable Bloom/Count-Min/HLL/histogram
+    sketch family — hits_scores, fixed-point HITS, and
+    select_to_budget, the token-budget corpus cut; same
+    no-debut-without-a-row rule) + 1 keeper whose family has no other
+    window representative (t_apply_for_references).
 
-    r9 TAIL = 48 rows, every one green in CORRECTNESS_r08, each with
+    r9 TAIL = 49 rows, every one green in CORRECTNESS_r08, each with
     >= 1 same-family row in the window: t_random_float +
     t_random_numeric (→ t_random_int, numeric noise family),
     t_net_company + t_real_address (→ t_faker, generator family),
@@ -4699,12 +4731,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (→ sample_mixture/stratified_sample), zorder_events
     (→ copy_roundtrip, storage-layout/io family; r8-green, returns in
     the r10 window), asof_join (→ range_join), salted_agg
-    (→ skew_join), the five keepers displaced late-r9 by the sketch,
+    (→ skew_join), the six keepers displaced late-r9 by the sketch,
     HITS and budget rows — t_orders_temporal (→ t_faker, transformer
     families), t_dynamic_param and t_when_condition (planner family,
-    tail-only this round), copy_roundtrip (→ zorder's io family is
-    tail-only this round) and validate_diff (validate family sole rep,
-    tail-only this round) — all r8-green, all return in the r10
+    tail-only this round), t_cmd (user-code UDF family, tail-only this
+    round), copy_roundtrip (→ zorder's io family is tail-only this
+    round) and validate_diff (validate family sole rep, tail-only this
+    round) — all r8-green, all return in the r10
     window — and the seven
     displaced keepers lm_score
     (→ classifier_weights, scoring family), t_query_override
@@ -4717,8 +4750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ships without a driver row; all r8-green, all return in the r10
     window.
 
-    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 98 entries (the
-    48 tail rows were green in r08's window; the 50 window rows get
+    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 99 entries (the
+    49 tail rows were green in r08's window; the 50 window rows get
     fresh r09 rows).
 
     Single-transformer queries from r1 remain consolidated into
@@ -4782,10 +4815,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": q_hll_registers,        # NEW r9: HLL cardinality
         "hits_scores": q_hits_scores,            # NEW r9: fixed-point HITS
         "select_to_budget": q_select_to_budget,  # NEW r9: token-budget cut
+        "length_histogram": q_length_histogram,  # NEW r9: histogram sketch
         # --- keepers: sole window representative of their family ---
-        "t_cmd": q_t_cmd,                        # json + text + csv drivers
         "t_apply_for_references": q_t_apply_for_references,
         # --- r9 tail: all green in CORRECTNESS_r08; family reps above ---
+        "t_cmd": q_t_cmd,                        # json + text + csv drivers
         "t_when_condition": q_t_when_condition,
         "validate_diff": q_validate_diff,
         "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
@@ -4937,4 +4971,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": _oracle_hll_registers(),
         "hits_scores": _oracle_hits_scores(),
         "select_to_budget": _oracle_select_to_budget(),
+        "length_histogram": _oracle_length_histogram(),
     }

@@ -359,3 +359,85 @@ def hll_cardinality(registers: DataFrame, p: int) -> float:
     if raw <= 2.5 * m and v > 0:
         return m * math.log(m / v)
     return raw
+
+
+# ------------------------------------------------------------- Histogram
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Fixed-width histogram of ``df[col]`` over [lo, hi) as
+    ``(bin int, cnt bigint)`` — the quantile/distribution sketch of the
+    family (token-length and score distributions at corpus scale).
+    Values below lo clamp into bin 0, at/above hi into bin bins-1, so
+    mass is never dropped; NULLs are excluded (they have no position
+    on the axis). Only occupied bins appear.
+
+    Like the other sketches: ≤ ``bins`` rows whatever the input, ONE
+    map-side-combined shuffle, mergeable across shards with
+    ``histogram_merge`` (same lo/hi/bins contract), and exact integer
+    content — bin edges are the only approximation, so the DuckDB
+    replay is bit-for-bit. ``histogram_quantiles`` interpolates
+    quantiles to within one bin width."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not (hi > lo):
+        raise ValueError("hi must be > lo")
+    v = F.col(col).cast("double")
+    b = F.floor((v - F.lit(float(lo))) / F.lit(hi - lo) * bins)
+    clamped = F.least(F.lit(bins - 1), F.greatest(F.lit(0), b)).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .select(clamped.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_merge(*hists: DataFrame) -> DataFrame:
+    """Sum of histograms (same lo/hi/bins contract)."""
+    if not hists:
+        raise ValueError("histogram_merge needs at least one sketch")
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> list[float]:
+    """Quantile estimates from a histogram sketch: linear
+    interpolation inside the bin where the cumulative count crosses
+    q·N — error bounded by one bin width. Collects the ≤ bins-row
+    sketch (bounded, like the HLL estimator); clamp bins (0 and
+    bins-1) estimate at their edge values."""
+    rows = sorted((r["bin"], r["cnt"]) for r in hist.collect())
+    n = sum(c for _, c in rows)
+    if n == 0:
+        raise ValueError("empty histogram")
+    width = (hi - lo) / bins
+    out = []
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        target = q * n
+        cum = 0
+        est = hi
+        for b, c in rows:
+            if cum + c >= target:
+                frac = 0.0 if c == 0 else (target - cum) / c
+                est = lo + (b + frac) * width
+                break
+            cum += c
+        out.append(min(max(est, lo), hi))
+    return out

@@ -498,3 +498,79 @@ def test_merged_sketch_empty_state_raises(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(ValueError, match="no sketch batches"):
         merged_sketch(spark, str(empty), hll_merge)
+
+
+# -------------------------------------------------------------- Histogram
+
+
+def test_histogram_sketch_counts_and_clamping(spark):
+    from greenmask_spark.functions.sketches import histogram_sketch
+
+    vals = [-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 100.0, 250.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["bin"]: r["cnt"] for r in
+           histogram_sketch(df, "v", lo=0.0, hi=100.0, bins=10).collect()}
+    # -5 clamps to bin 0; 100 and 250 clamp to bin 9; NULL excluded
+    assert got == {0: 3, 1: 1, 5: 1, 9: 3}
+    import pytest as _p
+    with _p.raises(ValueError, match="bins"):
+        histogram_sketch(df, "v", 0.0, 1.0, bins=0)
+    with _p.raises(ValueError, match="hi"):
+        histogram_sketch(df, "v", 1.0, 1.0)
+
+
+def test_histogram_merge_equals_union_build(spark):
+    from greenmask_spark.functions.sketches import (
+        histogram_merge,
+        histogram_sketch,
+    )
+
+    a = spark.createDataFrame([(float(i % 50),) for i in range(200)],
+                              "v double")
+    b = spark.createDataFrame([(float(i % 90),) for i in range(300)],
+                              "v double")
+    merged = histogram_merge(
+        histogram_sketch(a, "v", 0.0, 100.0, 32),
+        histogram_sketch(b, "v", 0.0, 100.0, 32),
+    )
+    direct = histogram_sketch(a.unionByName(b), "v", 0.0, 100.0, 32)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_histogram_quantiles_within_bin_width(spark):
+    import numpy as np
+
+    from greenmask_spark.functions.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    data = [float((i * 37) % 1000) for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in data], "v double")
+    bins, lo, hi = 100, 0.0, 1000.0
+    hist = histogram_sketch(df, "v", lo, hi, bins)
+    qs = (0.1, 0.5, 0.9, 0.99)
+    est = histogram_quantiles(hist, lo, hi, bins, qs)
+    width = (hi - lo) / bins
+    for q, e in zip(qs, est):
+        exact = float(np.quantile(data, q))
+        assert abs(e - exact) <= width + 1e-9, (q, e, exact)
+
+    import pytest as _p
+    with _p.raises(ValueError, match="outside"):
+        histogram_quantiles(hist, lo, hi, bins, (1.5,))
+    empty = histogram_sketch(
+        spark.createDataFrame([], "v double"), "v", lo, hi, bins
+    )
+    with _p.raises(ValueError, match="empty"):
+        histogram_quantiles(empty, lo, hi, bins)
+
+
+def test_histogram_single_mapside_shuffle(spark):
+    from greenmask_spark.functions.sketches import histogram_sketch
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    h = plan_health(histogram_sketch(df, "v", 0.0, 100.0, 16))
+    assert h["shuffles"] == 1 and h["python"] == 0

@@ -4382,6 +4382,41 @@ def _oracle_shard_write() -> str:
     """
 
 
+_WSAMPLE_N = 200
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Gumbel-top-k weighted sampling without replacement (functions/
+    sampling.weighted_sample, A-ES-equivalent): 200 documents drawn
+    with inclusion probability proportional to n_chars. The Gumbel
+    noise comes from the salted unit hash of doc_id — not an RNG — so
+    the draw is reproducible at any partitioning and the oracle
+    replays hash → u → ln w − ln(−ln u) → top-n verbatim (ln parity
+    across engines is already load-bearing for the BM25/classifier/
+    DSIR rows). Non-positive weights are excluded in both engines.
+
+    Scale shape: one scan + a TakeOrderedAndProject top-n — no global
+    sort; only per-partition top-n candidates cross the wire."""
+    from greenmask_spark.functions.sampling import weighted_sample
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    out = weighted_sample(docs, _WSAMPLE_N, "n_chars")
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def _oracle_weighted_sample() -> str:
+    return f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ln(CAST(n_chars AS DOUBLE)) - ln(-ln(
+               (CAST(('0x' || substr(sha256(doc_id || ':wsample:42'),
+                 1, 15)) AS BIGINT) % 1000000 + 0.5) / 1000000.0)) AS g
+      FROM documents
+      WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+      ORDER BY g DESC, doc_id LIMIT {_WSAMPLE_N})
+    """
+
+
 _HIST_HI, _HIST_BINS = 2048.0, 128
 
 
@@ -4681,7 +4716,7 @@ def _oracle_hll_registers() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """99 entries. The driver harness records CORRECTNESS rows for the
+    """100 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
     brief; executed in r7, r8, r9) — no entry's driver row goes more
     than two rounds stale.
@@ -4701,14 +4736,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pytest) + the 7 late-r9 operators (bm25_indexed, c4_filter,
     image_dhash, image_near_dup, audio_fingerprint, host_graph,
     robots_filter — NEW code never debuts without a driver row) + the
-    6 late-r9 operators (bloom_seen, cms_terms, hll_registers,
+    7 late-r9 operators (bloom_seen, cms_terms, hll_registers,
     length_histogram — the mergeable Bloom/Count-Min/HLL/histogram
-    sketch family — hits_scores, fixed-point HITS, and
-    select_to_budget, the token-budget corpus cut; same
-    no-debut-without-a-row rule) + 1 keeper whose family has no other
-    window representative (t_apply_for_references).
+    sketch family — hits_scores, fixed-point HITS, select_to_budget,
+    the token-budget corpus cut, and weighted_sample, the Gumbel-top-k
+    draw; same no-debut-without-a-row rule). No keepers this round:
+    every window slot is a rotated or new row.
 
-    r9 TAIL = 49 rows, every one green in CORRECTNESS_r08, each with
+    r9 TAIL = 50 rows, every one green in CORRECTNESS_r08, each with
     >= 1 same-family row in the window: t_random_float +
     t_random_numeric (→ t_random_int, numeric noise family),
     t_net_company + t_real_address (→ t_faker, generator family),
@@ -4731,13 +4766,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (→ sample_mixture/stratified_sample), zorder_events
     (→ copy_roundtrip, storage-layout/io family; r8-green, returns in
     the r10 window), asof_join (→ range_join), salted_agg
-    (→ skew_join), the six keepers displaced late-r9 by the sketch,
-    HITS and budget rows — t_orders_temporal (→ t_faker, transformer
-    families), t_dynamic_param and t_when_condition (planner family,
-    tail-only this round), t_cmd (user-code UDF family, tail-only this
-    round), copy_roundtrip (→ zorder's io family is tail-only this
-    round) and validate_diff (validate family sole rep, tail-only this
-    round) — all r8-green, all return in the r10
+    (→ skew_join), the seven keepers displaced late-r9 by the sketch,
+    HITS, budget and sampling rows — t_orders_temporal (→ t_faker,
+    transformer families), t_dynamic_param and t_when_condition
+    (planner family, tail-only this round), t_cmd and
+    t_apply_for_references (user-code UDF / inheritance families,
+    tail-only this round), copy_roundtrip (→ zorder's io family is
+    tail-only this round) and validate_diff (validate family sole rep,
+    tail-only this round) — all r8-green, all return in the r10
     window — and the seven
     displaced keepers lm_score
     (→ classifier_weights, scoring family), t_query_override
@@ -4750,8 +4786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ships without a driver row; all r8-green, all return in the r10
     window.
 
-    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 99 entries (the
-    49 tail rows were green in r08's window; the 50 window rows get
+    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 100 entries (the
+    50 tail rows were green in r08's window; the 50 window rows get
     fresh r09 rows).
 
     Single-transformer queries from r1 remain consolidated into
@@ -4816,9 +4852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,            # NEW r9: fixed-point HITS
         "select_to_budget": q_select_to_budget,  # NEW r9: token-budget cut
         "length_histogram": q_length_histogram,  # NEW r9: histogram sketch
-        # --- keepers: sole window representative of their family ---
-        "t_apply_for_references": q_t_apply_for_references,
+        "weighted_sample": q_weighted_sample,    # NEW r9: Gumbel-top-k draw
         # --- r9 tail: all green in CORRECTNESS_r08; family reps above ---
+        "t_apply_for_references": q_t_apply_for_references,
         "t_cmd": q_t_cmd,                        # json + text + csv drivers
         "t_when_condition": q_t_when_condition,
         "validate_diff": q_validate_diff,
@@ -4972,4 +5008,5 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _oracle_hits_scores(),
         "select_to_budget": _oracle_select_to_budget(),
         "length_histogram": _oracle_length_histogram(),
+        "weighted_sample": _oracle_weighted_sample(),
     }

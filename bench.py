@@ -62,6 +62,13 @@ HEADLINE = [
     # Appended so the common-20 prefix stays comparable with BENCH_r08.
     "gopher_filter",
     "pagerank",
+    # r9 (late): the Bloom seen-set (sketch build = one bit_or shuffle;
+    # probe = k broadcast joins, zero exchanges) and the token-budget
+    # cut (two-phase threshold-bucket selection — only ~1/n_buckets of
+    # rows pay a sort). Appended after gopher/pagerank so the
+    # common-22 prefix stays comparable within r9.
+    "bloom_seen",
+    "select_to_budget",
 ]
 
 

@@ -765,3 +765,41 @@ def select_to_budget(
     ).drop("__rcum")
     helpers = ["__t", "__s", "__b", "__cum", "__off"]
     return keep_all.unionByName(thr_kept).drop(*helpers)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: Gumbel-
+    top-k (equivalent to Efraimidis-Spirakis A-ES keys), inclusion
+    probability proportional to ``weight_col`` — the generic form of
+    ``dsir_resample``'s selection stage, for quality-weighted subset
+    draws and importance-weighted downsampling with ANY precomputed
+    weight. Noise comes from the salted unit hash of ``key_col`` (not
+    an RNG), so the draw is reproducible at any partitioning, across
+    engines, and replayable in SQL: g_i = ln w_i − ln(−ln u_i),
+    u_i = (hash(key)+0.5)/RES; take the n largest g (key ascending on
+    ties). Rows with NULL or non-positive weights are excluded
+    (ln undefined — they can never be sampled anyway).
+
+    Scale shape: one scan + a TakeOrderedAndProject-class top-n rank —
+    no global sort, no shuffle of anything but the per-partition
+    top-n candidates."""
+    if n < 0:
+        raise ValueError(f"n={n} must be >= 0")
+    u = (_unit_hash(F.col(key_col), "wsample", seed) + 0.5) / float(
+        _RESOLUTION
+    )
+    w = F.col(weight_col).cast("double")
+    g = F.log(w) - F.log(-F.log(u))
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__g", g)
+        .orderBy(F.desc("__g"), F.asc(key_col))
+        .limit(int(n))
+        .drop("__g")
+    )

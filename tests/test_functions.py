@@ -4442,3 +4442,56 @@ def test_select_to_budget_nondeterministic_input_pinned(spark):
     rows = out.collect()
     assert sum(r.toks for r in rows) <= 200
     assert len(rows) == 20  # 10-token docs exactly fill the budget
+
+
+def test_weighted_sample(spark):
+    """Gumbel-top-k weighted sampling: deterministic at any
+    partitioning, proportional to weights across seeds, one-sided
+    rails, and an exact DuckDB replay of the selection."""
+    import duckdb
+
+    from greenmask_spark.functions.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 20 else 1.0) for i in range(220)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    got = {r.doc_id for r in weighted_sample(df, 50, "w").collect()}
+    again = {r.doc_id for r in
+             weighted_sample(df.repartition(9), 50, "w").collect()}
+    assert got == again and len(got) == 50
+
+    # inclusion ∝ weight: the 20 heavy docs (w=10) should dominate
+    # their 10% headcount share; average over seeds for stability
+    heavy_hits = 0
+    for seed in range(10):
+        s = {r.doc_id for r in
+             weighted_sample(df, 50, "w", seed=seed).collect()}
+        heavy_hits += sum(1 for d in s if d < 20)
+    assert heavy_hits / 10 >= 10  # ~14 expected; 10 = loose floor
+
+    # rails: n=0 empty; NULL/non-positive weights never sampled; n
+    # beyond the eligible count returns exactly the eligible rows
+    bad = spark.createDataFrame(
+        [(1, None), (2, 0.0), (3, -1.0), (4, 2.0)], "doc_id long, w double"
+    )
+    assert weighted_sample(bad, 0, "w").count() == 0
+    assert {r.doc_id for r in weighted_sample(bad, 10, "w").collect()} == {4}
+    import pytest as _p
+    with _p.raises(ValueError, match="n="):
+        weighted_sample(df, -1, "w")
+
+    # DuckDB replay of the whole draw (hash → u → Gumbel key → top-n)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, {w})" for i, w in rows)
+                + ") x(doc_id, w)")
+    want = {r[0] for r in con.sql("""
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ln(w) - ln(-ln((CAST(('0x' || substr(sha256(
+                 doc_id || ':wsample:42'), 1, 15)) AS BIGINT) % 1000000
+                 + 0.5) / 1000000.0)) AS g
+        FROM t WHERE w IS NOT NULL AND w > 0
+        ORDER BY g DESC, doc_id LIMIT 50)
+    """).fetchall()}
+    assert want == got

@@ -567,6 +567,25 @@ def _step_select_to_budget(df: DataFrame, p: dict) -> DataFrame:
     return out.drop("__budget_tok") if derived else out
 
 
+def _step_weighted_sample(df: DataFrame, p: dict) -> DataFrame:
+    """Gumbel-top-k weighted draw (functions/sampling.weighted_sample):
+    keep ``n`` documents with inclusion probability proportional to
+    ``weight_col`` (e.g. a quality or DSIR weight attached by an
+    earlier step). Hash-seeded, so the draw is reproducible across
+    runs and partitionings."""
+    from greenmask_spark.functions.sampling import weighted_sample
+
+    if "n" not in p or "weight_col" not in p:
+        raise ValueError("weighted_sample needs 'n' and 'weight_col'")
+    return weighted_sample(
+        df,
+        int(p["n"]),
+        weight_col=p["weight_col"],
+        key_col=p.get("id_col", "doc_id"),
+        seed=int(p.get("seed", 42)),
+    )
+
+
 def _step_bm25(df: DataFrame, p: dict) -> DataFrame:
     """Okapi BM25 relevance against a config ``query`` string: attach
     a ``score_col`` (default ``bm25``) and optionally keep only rows
@@ -932,6 +951,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "dedup_against": _step_dedup_against,
     "bloom_dedup": _step_bloom_dedup,
     "select_to_budget": _step_select_to_budget,
+    "weighted_sample": _step_weighted_sample,
     "decontaminate": _step_decontaminate,
     "remove_repeated_spans": _step_remove_repeated_spans,
     "bm25": _step_bm25,

@@ -493,6 +493,30 @@ def test_select_to_budget_step(spark, sf_dir):
         }, sf_dir=sf_dir)
 
 
+def test_weighted_sample_step(spark, sf_dir):
+    """Config-driven weighted draw: n rows back, deterministic across
+    runs, weight column required."""
+    from greenmask_spark.pipeline import run_corpus_pipeline
+
+    cfg = {
+        "input": {"table": "documents"},
+        "steps": [{"op": "weighted_sample", "n": 50,
+                   "weight_col": "n_chars"}],
+    }
+    a = {r.doc_id for r in
+         run_corpus_pipeline(spark, cfg, sf_dir=sf_dir).collect()}
+    b = {r.doc_id for r in
+         run_corpus_pipeline(spark, cfg, sf_dir=sf_dir).collect()}
+    assert a == b and len(a) == 50
+
+    import pytest as _p
+    with _p.raises(ValueError, match="weight_col"):
+        run_corpus_pipeline(spark, {
+            "input": {"table": "documents"},
+            "steps": [{"op": "weighted_sample", "n": 5}],
+        }, sf_dir=sf_dir)
+
+
 def test_dedup_against_step_prepared_reference(spark, sf_dir, tmp_path):
     """The rolling-crawl config shape: the reference is keyed ONCE with
     prepare_reference and written to parquet; pointing the step's

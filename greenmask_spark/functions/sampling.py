@@ -702,9 +702,12 @@ def select_to_budget(
     arithmetic on them; NULL is fine and sorts last as bucket -1); a
     degenerate corpus where most rows share ONE score concentrates the
     threshold bucket (the mega-domain caveat's twin). The input is
-    read by the stats pass, the histogram and the branches, so a
+    read by the stats pass, the histogram and the two branches — four
+    corpus scans replace the global sort (scans are parallel and
+    bandwidth-bound; a sort is a single-task funnel), and a
     non-deterministic input is pinned with an eager localCheckpoint
-    (the cap_per_domain rule)."""
+    (the cap_per_domain rule). Persist the input first when the score/
+    token columns are expensive to recompute per scan."""
     if token_budget < 0:
         raise ValueError(f"token_budget={token_budget} must be >= 0")
     if n_buckets < 1:
@@ -717,9 +720,14 @@ def select_to_budget(
     base = df.withColumn(
         "__t", F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
     ).withColumn("__s", F.col(score_col).cast("double"))
+    # both driver-plan frames are tiny (1 row / <= n_buckets+1 rows)
+    # and feed MULTIPLE downstream reads — eager localCheckpoints keep
+    # each corpus scan from re-running them (un-pinned, the histogram
+    # and both branches would each re-execute the stats agg, and both
+    # branches the histogram agg)
     stats = base.agg(
         F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
-    )
+    ).localCheckpoint(eager=True)
     b = base.crossJoin(F.broadcast(stats)).withColumn(
         "__b",
         F.when(F.col("__s").isNull(), F.lit(-1))
@@ -750,6 +758,7 @@ def select_to_budget(
         .withColumn("__cum", F.sum("__bt").over(run))
         .withColumn("__off", F.col("__cum") - F.col("__bt"))
         .select("__b", "__cum", "__off")
+        .localCheckpoint(eager=True)
     )
     joined = b.join(F.broadcast(plan), "__b")
     budget = F.lit(int(token_budget)).cast("bigint")

@@ -137,7 +137,12 @@ def bloom_contains(
     Scale/streaming shape: k broadcast LEFT joins (the bloom word table
     is ≤ num_bits/32 rows) + pure expressions — the probe side never
     shuffles, so this runs unchanged on a streaming DataFrame with no
-    state store."""
+    state store. The sketch pins with an eager localCheckpoint first:
+    it feeds k broadcast builds, and un-pinned each would re-run the
+    sketch's whole build subtree (k reference scans instead of one) —
+    for an already-persisted sketch the pin is one tiny
+    materialization."""
+    bloom = bloom.localCheckpoint(eager=True)
     out = df
     hits = []
     helpers = []

@@ -4790,6 +4790,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50 tail rows were green in r08's window; the 50 window rows get
     fresh r09 rows).
 
+    r10 PLAN (pre-staged): at 100 entries the rotation is a clean
+    halves swap — the r10 window is EXACTLY today's 50-row tail (every
+    row r8-green, so by r10's end none is >2 rounds stale), and
+    today's window (all r9-green) becomes the r10 tail. Any NEW r10
+    operator displaces one of the swapped-in rows back to the tail
+    ONLY if that row is r9-green (it won't be — the incoming tail rows
+    are r8-green), so r10 additions must instead displace rows that
+    carry r9 evidence, i.e. keep the swap intact and grow the registry
+    past 100 only with the displaced row returning in r11.
+
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its
     original key/params, so per-transformer semantics are unchanged;

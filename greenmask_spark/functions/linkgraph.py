@@ -179,9 +179,11 @@ def hits(
     combined groupBy(dst) of (dst, bigint) rows), rescale via a 1-row
     broadcast max; then the mirrored groupBy(src) for hubs. Edges
     carry two longs + a weight; bodies never enter the graph tier.
-    Overflow contract (documented, like ``pagerank``): per-node
-    weighted in/out-degree × RANK_SCALE must stay under 2^63 — cap or
-    pre-normalize edge weights beyond ~9e9.
+    Overflow contract (documented, like ``pagerank``): rescaled scores
+    reach up to ~2·RANK_SCALE−1 (q = max_raw DIV SCALE truncates, so
+    the max-scoring node lands in [SCALE, 2·SCALE)), so per-node
+    weighted in/out-degree must keep degree × 2·RANK_SCALE under
+    2^63 — cap or pre-normalize edge weights beyond ~4.6e9.
     """
     if n_iters < 1:
         raise ValueError(f"n_iters={n_iters} must be >= 1")

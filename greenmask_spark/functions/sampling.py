@@ -681,7 +681,9 @@ def select_to_budget(
 ) -> DataFrame:
     """Keep the best documents until a token budget is exhausted: the
     maximal prefix of ``df`` ordered by (score DESC NULLS LAST, id ASC)
-    whose cumulative ``token_col`` sum stays <= ``token_budget`` — the
+    whose cumulative ``token_col`` sum stays <= ``token_budget``
+    (NULL or negative token counts count as 0 — cumulative sums must
+    be monotone for the semantics to be a prefix at all) — the
     "select the top-quality N-token training set" operator every
     data-mixing run ends with. Exact by definition, deterministic
     (id tie-break), and replayable as one SQL window cumsum.
@@ -717,8 +719,16 @@ def select_to_budget(
     if plan_has_nondeterministic(df):
         df = df.localCheckpoint(eager=True)
     nb = int(n_buckets)
+    # negative token counts clamp to 0 (NULL too): cumulative sums must
+    # be monotone for the bucket decomposition to equal the global
+    # prefix — with negatives admitted, a keep-all bucket whose TOTAL
+    # fits could hide an intermediate prefix that overshoots
     base = df.withColumn(
-        "__t", F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
+        "__t",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.coalesce(F.col(token_col).cast("bigint"), F.lit(0)),
+        ),
     ).withColumn("__s", F.col(score_col).cast("double"))
     # both driver-plan frames are tiny (1 row / <= n_buckets+1 rows)
     # and feed MULTIPLE downstream reads — eager localCheckpoints keep

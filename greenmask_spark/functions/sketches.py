@@ -90,6 +90,8 @@ def bloom_build(
     rows hashed into them."""
     if num_bits < BITS_PER_WORD:
         raise ValueError(f"num_bits must be >= {BITS_PER_WORD}")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
     positions = F.array(
         *[
             F.pmod(keyed_hash(F.col(col), i), F.lit(num_bits))
@@ -110,15 +112,22 @@ def bloom_build(
     )
 
 
+def _merge_sketches(frames, keys: list[str], agg: Column) -> DataFrame:
+    """Shared merge shape: union the per-shard sketch frames, then one
+    sketch-sized re-aggregate. A SINGLE frame also works (e.g. all
+    batches read as one glob'd parquet) — the re-aggregate is the
+    merge."""
+    if not frames:
+        raise ValueError("merge needs at least one sketch")
+    return reduce(DataFrame.unionByName, frames).groupBy(*keys).agg(agg)
+
+
 def bloom_merge(*blooms: DataFrame) -> DataFrame:
     """Union of Bloom filters (same num_bits/num_hashes contract):
     bit_or of word tables. Sketch-sized shuffle only."""
-    if not blooms:
-        raise ValueError("bloom_merge needs at least one sketch")
-    out = blooms[0]
-    for b in blooms[1:]:
-        out = out.unionByName(b)
-    return out.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    return _merge_sketches(
+        blooms, ["word_idx"], F.bit_or("bits").alias("bits")
+    )
 
 
 def bloom_contains(
@@ -142,6 +151,8 @@ def bloom_contains(
     sketch's whole build subtree (k reference scans instead of one) —
     for an already-persisted sketch the pin is one tiny
     materialization."""
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
     bloom = bloom.localCheckpoint(eager=True)
     out = df
     hits = []
@@ -199,10 +210,17 @@ def bloom_dedup_against(
 
     Digest = sha2(text) — byte-identical semantics to dedup_exact /
     dedup_against(level="exact"), so the two paths drop the same true
-    duplicates."""
+    duplicates. That includes NULLs: the exact path's equi-join never
+    matches a NULL digest, so NULL-text rows are excluded from the
+    bloom build and always kept on the corpus side (un-filtered, a
+    single NULL-text reference row would make every NULL-text corpus
+    row test seen with probability 1 — not the sized FP rate)."""
     digest = F.sha2(F.col(text_col), 256)
     bloom = bloom_build(
-        reference.select(digest.alias("__d")), "__d", num_bits, num_hashes
+        reference.select(digest.alias("__d")).filter(
+            F.col("__d").isNotNull()
+        ),
+        "__d", num_bits, num_hashes,
     )
     tagged = bloom_contains(
         corpus.withColumn("__d", digest),
@@ -212,7 +230,9 @@ def bloom_dedup_against(
         num_hashes,
         out_col="__maybe_seen",
     )
-    return tagged.filter(~F.col("__maybe_seen")).drop("__d", "__maybe_seen")
+    return tagged.filter(
+        F.col("__d").isNull() | ~F.col("__maybe_seen")
+    ).drop("__d", "__maybe_seen")
 
 
 # ------------------------------------------------------------ Count-Min
@@ -259,12 +279,9 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Sum of Count-Min sketches (same depth/width contract) — per-
     shard sketches combine into the corpus sketch without touching
     corpus rows."""
-    if not sketches:
-        raise ValueError("cms_merge needs at least one sketch")
-    out = sketches[0]
-    for s in sketches[1:]:
-        out = out.unionByName(s)
-    return out.groupBy("row_idx", "bucket").agg(F.sum("cnt").alias("cnt"))
+    return _merge_sketches(
+        sketches, ["row_idx", "bucket"], F.sum("cnt").alias("cnt")
+    )
 
 
 def cms_lookup(
@@ -333,12 +350,9 @@ def hll_registers(df: DataFrame, col: str, p: int = 10) -> DataFrame:
 
 def hll_merge(*register_frames: DataFrame) -> DataFrame:
     """Union of HLL sketches (same p): per-bucket max of registers."""
-    if not register_frames:
-        raise ValueError("hll_merge needs at least one sketch")
-    out = register_frames[0]
-    for r in register_frames[1:]:
-        out = out.unionByName(r)
-    return out.groupBy("bucket").agg(F.max("register").alias("register"))
+    return _merge_sketches(
+        register_frames, ["bucket"], F.max("register").alias("register")
+    )
 
 
 def hll_cardinality(registers: DataFrame, p: int) -> float:
@@ -406,12 +420,7 @@ def histogram_sketch(
 
 def histogram_merge(*hists: DataFrame) -> DataFrame:
     """Sum of histograms (same lo/hi/bins contract)."""
-    if not hists:
-        raise ValueError("histogram_merge needs at least one sketch")
-    out = hists[0]
-    for h in hists[1:]:
-        out = out.unionByName(h)
-    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    return _merge_sketches(hists, ["bin"], F.sum("cnt").alias("cnt"))
 
 
 def histogram_quantiles(

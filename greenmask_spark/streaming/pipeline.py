@@ -459,6 +459,13 @@ def sketch_stream(
     a replay there would double-merge, which Bloom (bit_or) and HLL
     (max) absorb but Count-Min (sum) does NOT.
 
+    The idempotence claim rests on STABLE batch ids, which Structured
+    Streaming only guarantees through a durable checkpoint — so the
+    checkpoint defaults to ``state_dir/_checkpoint`` rather than
+    Spark's temp-dir default (a restart without a checkpoint would
+    renumber batches from 0 and re-ingest, double-counting Count-Min
+    state). Pass ``checkpoint_dir`` to relocate it.
+
     ``build`` maps a static batch DataFrame to its sketch frame (e.g.
     ``lambda b: hll_registers(b, "user", p=10)``). Returns the started
     StreamingQuery; sizing/p/depth params are closed over — the same
@@ -470,30 +477,37 @@ def sketch_stream(
             f"{state_dir}/batch={batch_id}"
         )
 
-    writer = (
+    return (
         stream_df.writeStream.foreachBatch(_write)
         .queryName(query_name)
         .outputMode("update")
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{state_dir}/_checkpoint",
+        )
+        .start()
     )
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
 
 
 def merged_sketch(spark, state_dir: str, merge) -> DataFrame:
     """Fold every per-batch sketch under ``state_dir`` with the
-    family's merger (bloom_merge / cms_merge / hll_merge) — one
-    sketch-sized shuffle however many batches have accumulated.
-    Reading is cheap enough to do per query; a maintenance job can
-    periodically compact old batches into one (the merge is
-    associative, so compaction composes with live writes)."""
-    import os
+    family's merger (bloom_merge / cms_merge / hll_merge /
+    histogram_merge) — one sketch-sized shuffle however many batches
+    have accumulated. All batches read as ONE glob'd scan (the merge
+    is a re-aggregate, so a single union'd frame is equivalent to
+    merging frame-by-frame), through the same Hadoop filesystem layer
+    the writes use — state on s3a/abfss/hdfs works, not just local
+    paths. A maintenance job can periodically compact old batches
+    into one (the merge is associative).
 
-    batches = sorted(
-        os.path.join(state_dir, d)
-        for d in os.listdir(state_dir)
-        if d.startswith("batch=")
-    )
-    if not batches:
-        raise ValueError(f"no sketch batches under {state_dir}")
-    return merge(*[spark.read.parquet(b) for b in batches])
+    Read between triggers or after the query stops: an overwrite in
+    flight for the CURRENT batch directory can expose a partial batch
+    to a concurrent reader (sum-merged sketches would undercount that
+    batch until its commit completes)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        frames = spark.read.parquet(f"{state_dir}/batch=*")
+    except AnalysisException as e:
+        raise ValueError(f"no sketch batches under {state_dir}") from e
+    return merge(frames.drop("batch"))

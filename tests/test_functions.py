@@ -4495,3 +4495,29 @@ def test_weighted_sample(spark):
         ORDER BY g DESC, doc_id LIMIT 50)
     """).fetchall()}
     assert want == got
+
+
+def test_select_to_budget_negative_tokens_clamp_to_zero(spark):
+    """Negative token counts count as 0 (monotone cumulative sums are
+    required for prefix semantics) — and the two-phase plan still
+    matches the clamped naive window."""
+    from pyspark.sql import Window as W
+
+    from greenmask_spark.functions.sampling import select_to_budget
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 20), (2, 5.0, -15), (3, 4.0, 5), (4, 3.0, -1)],
+        "doc_id long, score double, toks long",
+    )
+    naive_w = W.orderBy(
+        F.col("score").cast("double").desc_nulls_last(), "doc_id"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    clamped = df.withColumn("t0", F.greatest(F.lit(0), F.col("toks")))
+    for budget in (0, 10, 20, 24, 25, 26):
+        naive = {r.doc_id for r in
+                 clamped.withColumn("c", F.sum("t0").over(naive_w))
+                 .filter(F.col("c") <= budget).collect()}
+        got = {r.doc_id for r in
+               select_to_budget(df, budget, "toks", "score",
+                                n_buckets=4).collect()}
+        assert got == naive, budget

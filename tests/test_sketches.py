@@ -616,3 +616,54 @@ def test_sketch_properties(spark):
             == sorted(map(tuple, hll_registers(once, "v", 6).collect()))
 
     check()
+
+
+# -------------------------------------------------- review-driven edges
+
+
+def test_bloom_dedup_against_null_text_matches_exact_semantics(spark):
+    """NULL-text rows: the exact digest anti-join never matches NULL,
+    so the bloom path must keep every NULL-text corpus row even when
+    the reference also contains NULL text (un-special-cased, one NULL
+    reference row would drop ALL NULL corpus rows with certainty)."""
+    ref = spark.createDataFrame(
+        [(1, "dup me"), (2, None)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(10, "dup me"), (11, None), (12, None), (13, "novel")],
+        "doc_id long, text string",
+    )
+    out = bloom_dedup_against(corpus, ref, num_bits=1 << 10, num_hashes=3)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 10 not in kept          # true duplicate dropped
+    assert {11, 12} <= kept        # NULL-text rows always kept
+    assert 13 in kept              # novel survives at this sizing
+
+
+def test_bloom_zero_hashes_rejected(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="num_hashes"):
+        bloom_build(df, "v", 1 << 10, 0)
+    bloom = bloom_build(df, "v", 1 << 10, 2)
+    with pytest.raises(ValueError, match="num_hashes"):
+        bloom_contains(df, "v", bloom, 1 << 10, 0)
+
+
+def test_merged_sketch_reads_glob(spark, tmp_path):
+    """merged_sketch reads all batches as one glob'd parquet scan —
+    no driver-local directory listing — and the checkpoint dir that
+    sketch_stream writes alongside does not pollute the glob."""
+    from greenmask_spark.functions.sketches import hll_merge, hll_registers
+    from greenmask_spark.streaming.pipeline import merged_sketch
+
+    state = str(tmp_path / "state")
+    a = spark.createDataFrame([(f"x{i}",) for i in range(50)], "v string")
+    b = spark.createDataFrame([(f"y{i}",) for i in range(50)], "v string")
+    hll_registers(a, "v", 7).write.parquet(f"{state}/batch=0")
+    hll_registers(b, "v", 7).write.parquet(f"{state}/batch=1")
+    (tmp_path / "state" / "_checkpoint").mkdir()
+    merged = merged_sketch(spark, state, hll_merge)
+    direct = hll_registers(a.unionByName(b), "v", 7)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -332,20 +332,31 @@ def hll_registers(df: DataFrame, col: str, p: int = 10) -> DataFrame:
     rows before the exchange."""
     if not (4 <= p <= 18):
         raise ValueError("p must be in [4, 18]")
-    m = 1 << p
-    field = 60 - p  # width of the rho field in bits
-    hashed = df.select(keyed_hash(F.col(col), 0).alias("_h")).select(
-        F.pmod("_h", F.lit(m)).cast("int").alias("bucket"),
-        F.expr(f"_h DIV {m}").alias("_rem"),
-    )
-    rho = F.when(F.col("_rem") == 0, F.lit(field + 1)).otherwise(
-        F.lit(field + 1) - F.length(F.conv(F.col("_rem"), 10, 2))
-    )
     return (
-        hashed.select("bucket", rho.cast("int").alias("_rho"))
+        hll_bucket_rho(df, col, p)
         .groupBy("bucket")
         .agg(F.max("_rho").alias("register"))
     )
+
+
+def hll_bucket_rho(df: DataFrame, col: str, p: int,
+                   keep: list[Column] | None = None) -> DataFrame:
+    """The stateless projection under every HLL variant: per-row
+    (bucket, _rho) from the portable hash, plus any ``keep`` columns
+    (e.g. an event-time window) — pure expressions, so it runs
+    unchanged on a streaming DataFrame."""
+    m = 1 << p
+    field = 60 - p  # width of the rho field in bits
+    hashed = df.select(
+        *(keep or []),
+        keyed_hash(F.col(col), 0).alias("_h"),
+    ).withColumn(
+        "bucket", F.pmod("_h", F.lit(m)).cast("int")
+    ).withColumn("_rem", F.expr(f"_h DIV {m}"))
+    rho = F.when(F.col("_rem") == 0, F.lit(field + 1)).otherwise(
+        F.lit(field + 1) - F.length(F.conv(F.col("_rem"), 10, 2))
+    )
+    return hashed.withColumn("_rho", rho.cast("int")).drop("_h", "_rem")
 
 
 def hll_merge(*register_frames: DataFrame) -> DataFrame:
@@ -378,6 +389,80 @@ def hll_cardinality(registers: DataFrame, p: int) -> float:
     if raw <= 2.5 * m and v > 0:
         return m * math.log(m / v)
     return raw
+
+
+def hll_estimate_col(nz: Column, z_scaled: Column, p: int) -> Column:
+    """HLL estimate as a pure COLUMN over (non-zero-bucket count,
+    integer-scaled Z): distributed per-group estimation (one row per
+    window/source) with cross-engine determinism — ``z_scaled`` is
+    Σ 2^(S − register) + (m − nz)·2^S with S = 61 − p: every term is
+    an exact bigint (register ≤ 60−p+1 ≤ S for p ≥ 6), so the sum is
+    order-free, unlike a float Σ 2^−register. The only float ops are
+    one division (raw) or one ln (linear counting) on exact integer
+    inputs. Requires p in [6, 18]."""
+    if not (6 <= p <= 18):
+        raise ValueError("p must be in [6, 18] for the exact-integer Z")
+    m = 1 << p
+    s = 61 - p
+    if m >= 128:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    else:
+        alpha = {64: 0.709}[m]
+    z_full = (
+        (F.lit(m).cast("bigint") - nz) * F.lit(1 << s).cast("bigint")
+        + z_scaled
+    )
+    raw = F.lit(float(alpha * m * m) * float(1 << s)) / z_full.cast(
+        "double"
+    )
+    v = F.lit(m).cast("bigint") - nz
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    return F.round(
+        F.when((raw <= F.lit(2.5 * m)) & (v > 0), lin).otherwise(raw), 4
+    )
+
+
+def _z_scaled(p: int) -> Column:
+    """Aggregate: Σ 2^(S − register) over present registers (bigint,
+    exact)."""
+    s = 61 - p
+    return F.sum(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT),"
+               f" CAST({s} - register AS INT))")
+    )
+
+
+def windowed_distinct(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: str = "6 hours",
+    p: int = 10,
+) -> DataFrame:
+    """Approximate distinct values per event-time window — "distinct
+    users per hour over 100 TB of events" as two map-side-combined
+    aggregations: (window, bucket) → max rho (≤ 2^p rows per window
+    however many events), then per-window estimate via the exact-
+    integer Z of ``hll_estimate_col``. Output: (window_start,
+    window_end, n_distinct_est). The streaming twin
+    (streaming.pipeline.windowed_distinct_stream) runs the SAME
+    register aggregation with a watermark."""
+    win = F.window(F.col(ts_col), window).alias("__w")
+    regs = (
+        hll_bucket_rho(df, value_col, p, keep=[win])
+        .groupBy("__w", "bucket")
+        .agg(F.max("_rho").alias("register"))
+    )
+    agg = regs.groupBy("__w").agg(
+        F.count("*").alias("__nz"), _z_scaled(p).alias("__zs")
+    )
+    return agg.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        hll_estimate_col(
+            F.col("__nz"), F.col("__zs"), p
+        ).alias("n_distinct_est"),
+    )
 
 
 # ------------------------------------------------------------- Histogram

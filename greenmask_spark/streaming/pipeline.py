@@ -511,3 +511,44 @@ def merged_sketch(spark, state_dir: str, merge) -> DataFrame:
     except AnalysisException as e:
         raise ValueError(f"no sketch batches under {state_dir}") from e
     return merge(frames.drop("batch"))
+
+
+def windowed_distinct_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+    p: int = 10,
+) -> DataFrame:
+    """Approximate distinct values per event-time window on a STREAM —
+    the canonical streaming-sketch application ("distinct users per
+    hour", live): HLL register rows maintained as a watermarked
+    (window, bucket) → max-rho aggregation. State is bounded at ≤ 2^p
+    rows per open window regardless of event volume (a distinct-count
+    via dropDuplicates would hold every value in state), and max is
+    insensitive to replays. Emits (window_start, window_end, bucket,
+    register); fold finished windows with
+    ``functions.sketches.hll_estimate_col`` — e.g. the batch twin
+    ``windowed_distinct`` runs the same aggregation + estimate in one
+    query (two stacked streaming aggs are unsupported, so the estimate
+    stage runs over the sink)."""
+    from greenmask_spark.functions.sketches import hll_bucket_rho
+
+    win = F.window(F.col(ts_col), window).alias("__w")
+    regs = (
+        hll_bucket_rho(
+            _tz_event_time(stream_df, ts_col).withWatermark(
+                ts_col, watermark
+            ),
+            value_col, p,
+            keep=[win],
+        )
+        .groupBy("__w", "bucket")
+        .agg(F.max("_rho").alias("register"))
+    )
+    return regs.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        "bucket", "register",
+    )

@@ -667,3 +667,130 @@ def test_merged_sketch_reads_glob(spark, tmp_path):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+# ----------------------------------------------------- windowed distinct
+
+
+def _wd_rows():
+    # 3 six-hour windows; window k has 40*(k+1) distinct users, each
+    # user appearing twice (duplicates must not move the estimate)
+    rows = []
+    for k in range(3):
+        base = k * 6 * 3600
+        for u in range(40 * (k + 1)):
+            for rep in range(2):
+                rows.append((base + (u * 7 + rep * 11) % 21000,
+                             f"w{k}-user-{u}"))
+    return rows
+
+
+def test_windowed_distinct_accuracy_and_dup_insensitivity(spark):
+    from greenmask_spark.functions.sketches import windowed_distinct
+
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in _wd_rows()], "sec long, user string"
+    ).select(F.timestamp_seconds("sec").alias("ts"), "user")
+    got = {r["window_start"]: r["n_distinct_est"] for r in
+           windowed_distinct(df, "ts", "user", "6 hours", p=9).collect()}
+    assert len(got) == 3
+    for k, (_, est) in enumerate(sorted(got.items())):
+        exact = 40 * (k + 1)
+        assert abs(est / exact - 1.0) < 0.2, (k, est, exact)
+
+
+def test_windowed_distinct_duckdb_parity(spark):
+    """Register aggregation AND the exact-integer-Z estimate replayed
+    in SQL — transcription-ready oracle for a future driver row."""
+    import duckdb
+
+    from greenmask_spark.functions.sketches import windowed_distinct
+
+    rows = _wd_rows()
+    df = spark.createDataFrame(rows, "sec long, user string").select(
+        F.timestamp_seconds("sec").alias("ts"), "user"
+    )
+    p, m = 7, 1 << 7
+    s = 61 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = float(alpha * m * m) * float(1 << s)
+    got = sorted(
+        (r["window_start"].isoformat(), r["window_end"].isoformat(),
+         r["n_distinct_est"])
+        for r in windowed_distinct(df, "ts", "user", "6 hours", p=p)
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({sec}, '{u}')" for sec, u in rows)
+        + ") x(sec, user)"
+    )
+    us = 6 * 3600 * 1_000_000
+    want = con.sql(f"""
+      WITH regs AS (
+        SELECT make_timestamp(CAST(floor(sec * 1000000.0 / {us})
+                 AS BIGINT) * {us}) AS ws,
+               CAST(h % {m} AS INT) AS bucket,
+               MAX(CASE WHEN h // {m} = 0 THEN {60 - p + 1}
+                   ELSE {60 - p + 1} - length(bin(h // {m})) END) AS register
+        FROM (SELECT sec, CAST(('0x' || substr(sha256(concat_ws(':',
+                "user", '0')), 1, 15)) AS BIGINT) AS h FROM t)
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT ws, count(*) AS nz,
+               CAST(({m} - count(*)) AS BIGINT) * {1 << s}
+               + sum(1::BIGINT << CAST({s} - register AS INT)) AS zfull
+        FROM regs GROUP BY ws)
+      SELECT ws AS window_start, ws + INTERVAL 6 HOUR AS window_end,
+             round(CASE WHEN {num!r} / CAST(zfull AS DOUBLE)
+                          <= {2.5 * m}
+                        AND {m} - nz > 0
+                   THEN {float(m)!r} * ln({float(m)!r}
+                        / CAST({m} - nz AS DOUBLE))
+                   ELSE {num!r} / CAST(zfull AS DOUBLE) END,
+                   4) AS n_distinct_est
+      FROM agg ORDER BY 1
+    """).fetchall()
+    want = sorted((a.isoformat(), b.isoformat(), e) for a, b, e in want)
+    assert got == want
+
+
+def test_windowed_distinct_stream_matches_batch(spark, tmp_path):
+    from greenmask_spark.functions.sketches import (
+        hll_estimate_col,
+        windowed_distinct,
+    )
+    from greenmask_spark.streaming.pipeline import windowed_distinct_stream
+
+    rows = _wd_rows()
+    batch = spark.createDataFrame(rows, "sec long, user string").select(
+        F.timestamp_seconds("sec").alias("ts"), "user"
+    )
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    regs = windowed_distinct_stream(stream, "ts", "user", "6 hours",
+                                    watermark="1 hour", p=9)
+    q = (
+        regs.writeStream.format("memory").queryName("wd_regs")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    est = (
+        spark.table("wd_regs")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("nz"),
+             F.expr("sum(shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(52 - register AS INT)))").alias("zs"))
+        .select("window_start", "window_end",
+                hll_estimate_col(F.col("nz"), F.col("zs"), 9)
+                .alias("n_distinct_est"))
+    )
+    got = sorted(map(tuple, est.collect()))
+    want = sorted(map(tuple, windowed_distinct(
+        batch, "ts", "user", "6 hours", p=9).collect()))
+    assert got == want

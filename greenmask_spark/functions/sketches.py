@@ -372,7 +372,9 @@ def hll_cardinality(registers: DataFrame, p: int) -> float:
     metric scalars). Small-range linear counting applies below 2.5·m;
     the 60-bit hash makes the large-range collision correction moot
     below ~2^30 distinct values, which is the honest ceiling of this
-    estimator as built."""
+    estimator as built. For a distributed, cross-engine-deterministic
+    per-group estimate (many windows/sources in one pass), use
+    ``hll_estimate_col`` — its Z accumulates in exact integers."""
     m = 1 << p
     row = registers.agg(
         F.count("*").alias("nz"),

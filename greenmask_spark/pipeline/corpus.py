@@ -962,7 +962,54 @@ CORPUS_STEPS: dict[str, Step] = {
 }
 
 
+_STEP_KEYS_CACHE: dict[str, frozenset | None] = {}
+
+
+def _step_known_keys(name: str) -> frozenset | None:
+    """The parameter keys a BUILTIN step actually reads, extracted once
+    from its source (every read is a literal ``p.get("k")`` / ``p["k"]``).
+    None = unknowable contract: custom registered steps, or steps that
+    forward the whole params dict to a helper. Introspected rather
+    than hand-maintained so the check can never drift from the code."""
+    if name in _STEP_KEYS_CACHE:
+        return _STEP_KEYS_CACHE[name]
+    import ast as _ast
+    import inspect as _inspect
+
+    fn = CORPUS_STEPS[name]
+    keys: frozenset | None
+    if getattr(fn, "__module__", None) != __name__:
+        keys = None  # custom step — its params are its own business
+    else:
+        tree = _ast.parse(_inspect.getsource(fn))
+        arg = tree.body[0].args.args[1].arg
+        found, dynamic = set(), False
+        for node in _ast.walk(tree):
+            if (isinstance(node, _ast.Call)
+                    and isinstance(node.func, _ast.Attribute)
+                    and node.func.attr == "get"
+                    and isinstance(node.func.value, _ast.Name)
+                    and node.func.value.id == arg and node.args
+                    and isinstance(node.args[0], _ast.Constant)):
+                found.add(node.args[0].value)
+            elif (isinstance(node, _ast.Subscript)
+                    and isinstance(node.value, _ast.Name)
+                    and node.value.id == arg
+                    and isinstance(node.slice, _ast.Constant)):
+                found.add(node.slice.value)
+            elif isinstance(node, _ast.Call) and any(
+                isinstance(a, _ast.Name) and a.id == arg
+                for a in list(node.args) + [kw.value for kw in node.keywords]
+            ):
+                dynamic = True  # whole dict forwarded — can't enumerate
+        keys = None if dynamic else frozenset(found)
+    _STEP_KEYS_CACHE[name] = keys
+    return keys
+
+
 def _validate_steps(steps: list[dict]) -> None:
+    import warnings
+
     for i, step in enumerate(steps):
         if not isinstance(step, dict) or "op" not in step:
             raise ValueError(f"step {i}: expected a mapping with an 'op' key")
@@ -971,6 +1018,21 @@ def _validate_steps(steps: list[dict]) -> None:
                 f"step {i}: unknown op {step['op']!r}; "
                 f"known: {sorted(CORPUS_STEPS)}"
             )
+        # a typo'd or unsupported parameter is SILENTLY ignored by the
+        # step (each reads only the keys it knows) — that silence turns
+        # a config mistake into a semantic change (e.g. gopher_filter
+        # given min_words still applies the paper's 50), so warn loudly
+        known = _step_known_keys(step["op"])
+        if known is not None:
+            unknown = set(step) - known - {"op"}
+            if unknown:
+                warnings.warn(
+                    f"step {i} ({step['op']}): parameter(s) "
+                    f"{sorted(unknown)} are not read by this step and "
+                    f"will be IGNORED; known parameters: "
+                    f"{sorted(known - {'_context'})}",
+                    stacklevel=2,
+                )
 
 
 def register_corpus_step(name: str, fn: Step, replace: bool = False) -> None:

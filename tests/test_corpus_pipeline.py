@@ -1064,3 +1064,43 @@ def test_fuzzy_dedup_threshold_config(corpus):
     direct = {r.doc_id for r in fuzzy_dedup(
         corpus, num_perm=8, bands=b, k=3, min_jaccard=0.8).collect()}
     assert kept == direct
+
+
+def test_unknown_step_parameters_warn(spark, sf_dir):
+    """A typo'd step parameter is read by nothing and silently changes
+    semantics — validation warns with the step's real parameter list.
+    Known params stay silent; custom steps and whole-dict-forwarding
+    steps are exempt (their contract is unknowable)."""
+    import warnings as w
+
+    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.pipeline.corpus import register_corpus_step
+
+    base = {"input": {"table": "documents"}}
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        run_corpus_pipeline(spark, {
+            **base,
+            "steps": [{"op": "gopher_filter", "flags_col": "gq",
+                       "min_words": 5}],
+        }, sf_dir=sf_dir).count()
+    msgs = [str(x.message) for x in rec if "IGNORED" in str(x.message)]
+    assert len(msgs) == 1 and "min_words" in msgs[0] \
+        and "flags_col" in msgs[0]  # the real params are suggested
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        run_corpus_pipeline(spark, {
+            **base,
+            "steps": [{"op": "fuzzy_dedup", "threshold": 0.8}],
+        }, sf_dir=sf_dir).count()
+    assert not [x for x in rec if "IGNORED" in str(x.message)]
+
+    register_corpus_step("noop_custom", lambda df, p: df, replace=True)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        run_corpus_pipeline(spark, {
+            **base,
+            "steps": [{"op": "noop_custom", "whatever": 1}],
+        }, sf_dir=sf_dir).count()
+    assert not [x for x in rec if "IGNORED" in str(x.message)]

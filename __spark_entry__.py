@@ -1417,6 +1417,35 @@ def _oracle_ann_topk_ivf() -> str:
     )""")
 
 
+def q_ann_variants(spark, sf_dir):
+    """r10 window consolidation of the ann_topk_lsh + ann_topk_ivf
+    rows (both r8-green, identical (query_id, neighbor_id, cos_sim,
+    rank) schema): each variant runs with its ORIGINAL parameters —
+    hyperplane LSH (dim=64, n_planes=8, seed=42) and IVF
+    (hash_centroids(64, 16, seed=42), n_probe=4) — tagged by a
+    ``variant`` column and unioned. Merging follows the r1 precedent
+    of same-table family consolidation: per-variant semantics and
+    driver evidence are unchanged (the oracle is the UNION ALL of the
+    two original oracles), and the freed window slot lets a NEW r10
+    operator debut with a driver row while every swapped-in r8-green
+    row still runs."""
+    lsh = q_ann_topk_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("variant"), "*"
+    )
+    ivf = q_ann_topk_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("variant"), "*"
+    )
+    return lsh.unionByName(ivf)
+
+
+def _oracle_ann_variants() -> str:
+    return f"""
+    SELECT 'lsh' AS variant, * FROM ({_oracle_ann_topk_lsh()})
+    UNION ALL
+    SELECT 'ivf' AS variant, * FROM ({_oracle_ann_topk_ivf()})
+    """
+
+
 _PQ_M = 8
 _PQ_KSUB = 16
 
@@ -3577,6 +3606,33 @@ def _oracle_dedup_against_fuzzy() -> str:
     """
 
 
+def q_dedup_against_levels(spark, sf_dir):
+    """r10 window consolidation of the dedup_against (exact) +
+    dedup_against_fuzzy (band-only) rows (both r8-green, identical
+    (doc_id, lang, n_chars) survivor schema): each level runs the
+    ORIGINAL prepare_reference + dedup_against call with its original
+    parameters, tagged by a ``level`` column and unioned — the same
+    r1 family-consolidation precedent as ann_variants, freeing a
+    window slot for a NEW r10 operator while both levels keep fresh
+    driver evidence. The min_jaccard-verified tier stays its own row
+    (dedup_against_verified, r9-green tail)."""
+    exact = q_dedup_against(spark, sf_dir).select(
+        F.lit("exact").alias("level"), "*"
+    )
+    band = q_dedup_against_fuzzy(spark, sf_dir).select(
+        F.lit("band").alias("level"), "*"
+    )
+    return exact.unionByName(band)
+
+
+def _oracle_dedup_against_levels() -> str:
+    return f"""
+    SELECT 'exact' AS level, * FROM ({_oracle_dedup_against()})
+    UNION ALL
+    SELECT 'band' AS level, * FROM ({_oracle_dedup_against_fuzzy()})
+    """
+
+
 _DA_MIN_J = 0.5
 
 
@@ -4710,6 +4766,63 @@ def _oracle_hll_registers() -> str:
     """
 
 
+_WD_P = 7
+
+
+def q_windowed_distinct(spark, sf_dir):
+    """Approximate distinct users per 6-hour event-time window
+    (functions/sketches.windowed_distinct, p=7) — "distinct users per
+    window over 100 TB of events" as TWO map-side-combined shuffles:
+    (window, bucket) → max rho (≤ 2^p rows per window however many
+    events), then one row per window via the exact-integer-Z HLL
+    estimate of hll_estimate_col. Every register term is an exact
+    bigint (Σ 2^(S−register), S = 61−p), so the estimate — including
+    the linear-counting branch — replays bit-for-bit in the DuckDB
+    oracle (transcribed from tests/test_sketches.py::
+    test_windowed_distinct_duckdb_parity). The streaming twin
+    (windowed_distinct_stream) runs the SAME register aggregation
+    under a watermark and is pytest-proven equal to this batch path."""
+    from greenmask_spark.functions.sketches import windowed_distinct
+
+    ev = _tables(spark, sf_dir, "events")["events"]
+    return windowed_distinct(ev, "ts", "user_id", "6 hours", p=_WD_P)
+
+
+def _oracle_windowed_distinct() -> str:
+    p = _WD_P
+    m = 1 << p
+    s = 61 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = float(alpha * m * m) * float(1 << s)
+    us = 6 * 3600 * 1_000_000
+    return f"""
+    WITH regs AS (
+      SELECT make_timestamp(CAST(floor(epoch_us(ts) / {us})
+               AS BIGINT) * {us}) AS ws,
+             CAST(h % {m} AS INT) AS bucket,
+             MAX(CASE WHEN h // {m} = 0 THEN {60 - p + 1}
+                 ELSE {60 - p + 1} - length(bin(h // {m})) END) AS register
+      FROM (SELECT ts, CAST(('0x' || substr(sha256(concat_ws(':',
+              CAST(user_id AS VARCHAR), '0')), 1, 15)) AS BIGINT) AS h
+            FROM events)
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT ws, count(*) AS nz,
+             CAST(({m} - count(*)) AS BIGINT) * {1 << s}
+             + sum(1::BIGINT << CAST({s} - register AS INT)) AS zfull
+      FROM regs GROUP BY ws)
+    SELECT ws AS window_start, ws + INTERVAL 6 HOUR AS window_end,
+           round(CASE WHEN {num!r} / CAST(zfull AS DOUBLE)
+                        <= {2.5 * m}
+                      AND {m} - nz > 0
+                 THEN {float(m)!r} * ln({float(m)!r}
+                      / CAST({m} - nz AS DOUBLE))
+                 ELSE {num!r} / CAST(zfull AS DOUBLE) END,
+                 4) AS n_distinct_est
+    FROM agg
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4914,6 +5027,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "asof_join": q_asof_join,
         "salted_agg": q_salted_agg,
+        # --- r10 staging (temporary tail placement while the window
+        # swap is assembled; final order lands with the unigram row) ---
+        "windowed_distinct": q_windowed_distinct,
+        "ann_variants": q_ann_variants,
+        "dedup_against_levels": q_dedup_against_levels,
     }
 
 
@@ -5019,4 +5137,7 @@ def oracle_sql() -> dict[str, str]:
         "select_to_budget": _oracle_select_to_budget(),
         "length_histogram": _oracle_length_histogram(),
         "weighted_sample": _oracle_weighted_sample(),
+        "windowed_distinct": _oracle_windowed_distinct(),
+        "ann_variants": _oracle_ann_variants(),
+        "dedup_against_levels": _oracle_dedup_against_levels(),
     }

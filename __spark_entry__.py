@@ -4766,6 +4766,83 @@ def _oracle_hll_registers() -> str:
     """
 
 
+_UNI_VOCAB = 300
+_UNI_G = 3
+
+
+def q_unigram_vocab(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) tokenizer seed model over the
+    documents corpus (functions/unigram.unigram_seed_counts +
+    seed_vocab — Kudo 2018, arXiv:1804.10959): ONE corpus word-count
+    pass (map-side combined, min_word_freq floor), a substring-grid
+    explode over the DISTINCT-WORD table (vocabulary-bounded, never
+    corpus-bounded), then all single characters + the top multi-char
+    pieces by (cnt DESC, piece ASC) to vocab_size, normalized as
+    logp = ln(cnt/Σcnt). Every count is an exact integer and the one
+    float op rounds to 6, so the whole training stage replays
+    bit-for-bit in SQL (parity proven first at
+    tests/test_unigram.py::test_unigram_seed_duckdb_parity). EM
+    refinement and Viterbi encode build on exactly these counts and
+    are pytest-verified (train_unigram / unigram_encode — float EM is
+    not cross-engine-replayable by design).
+
+    Scale shape: corpus touched once; the top-K is
+    TakeOrderedAndProject (per-partition partial top-k), and the
+    ≤ vocab_size result is localCheckpoint-pinned before its two
+    reads (normalizer + projection) so the substring agg runs once."""
+    from greenmask_spark.functions.unigram import (
+        seed_vocab,
+        unigram_seed_counts,
+    )
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return seed_vocab(
+        unigram_seed_counts(docs, max_piece_len=_UNI_G, min_word_freq=2),
+        vocab_size=_UNI_VOCAB, min_piece_freq=2,
+    )
+
+
+def _oracle_unigram_vocab() -> str:
+    return f"""
+    WITH words AS (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(str_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY 1 HAVING count(*) >= 2
+    ),
+    starts AS (
+      SELECT word, cnt,
+             unnest(generate_series(1, length(word))) AS i
+      FROM words
+    ),
+    subs AS (
+      SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, cnt
+      FROM (
+        SELECT word, cnt, i,
+               unnest(generate_series(1,
+                 least({_UNI_G}, length(word) - CAST(i AS INT) + 1))) AS l
+        FROM starts)
+    ),
+    pc AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+           FROM subs GROUP BY 1),
+    chars AS (SELECT piece, cnt FROM pc WHERE length(piece) = 1),
+    multi AS (
+      SELECT piece, cnt,
+             row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+      FROM pc WHERE length(piece) > 1 AND cnt >= 2
+    ),
+    kept AS (
+      SELECT piece, cnt FROM chars
+      UNION ALL
+      SELECT piece, cnt FROM multi
+      WHERE rk <= {_UNI_VOCAB} - (SELECT count(*) FROM chars)
+    ),
+    tot AS (SELECT sum(cnt) AS t FROM kept)
+    SELECT piece, cnt, round(ln(cnt / CAST(t AS DOUBLE)), 6) AS logp
+    FROM kept CROSS JOIN tot
+    """
+
+
 _WD_P = 7
 
 
@@ -4831,94 +4908,132 @@ def _oracle_windowed_distinct() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """100 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
-    brief; executed in r7, r8, r9) — no entry's driver row goes more
-    than two rounds stale.
+    brief; executed in r7, r8, r9, r10) — no entry's driver evidence is
+    older than two rounds.
 
-    r9 WINDOW = the 33 rows that sat in the r8 tail (all r7-green:
-    bm25, stratified_sample, pack_sequences, repeated_spans,
-    mask_customer, t_random_int, t_faker, subset_orders,
-    q1_pricing_summary, q5_region_revenue, dedup_clusters,
-    ngram_decontaminate, events_json, dedup_lines, multimodal_frames,
-    train_split, cluster_split, term_frequencies, corpus_summary,
-    quantize_embeddings, semantic_dedup, winnow_pairs, range_join,
-    normalize_urls, sample_mixture, det_shuffle, shard_write,
-    dedup_against_verified, ann_recall, ann_rerank, skew_join,
-    events_windowed, classifier_weights) + the 3 r9 additions closing
-    the r8 verdict's oracle-row gap (ivf_pq_topk, gopher_filter,
-    pagerank — each a transcription of an existing DuckDB-parity
-    pytest) + the 7 late-r9 operators (bm25_indexed, c4_filter,
-    image_dhash, image_near_dup, audio_fingerprint, host_graph,
-    robots_filter — NEW code never debuts without a driver row) + the
-    7 late-r9 operators (bloom_seen, cms_terms, hll_registers,
-    length_histogram — the mergeable Bloom/Count-Min/HLL/histogram
-    sketch family — hits_scores, fixed-point HITS, select_to_budget,
-    the token-budget corpus cut, and weighted_sample, the Gumbel-top-k
-    draw; same no-debut-without-a-row rule). No keepers this round:
-    every window slot is a rotated or new row.
+    r10 WINDOW = EXACTLY the r9 tail (the pre-staged halves swap the r9
+    verdict mandated: every one of those 50 rows is r8-green and their
+    evidence would go stale otherwise), with two in-window family
+    consolidations that keep ALL 50 swapped-in operators running while
+    freeing the two slots the round's new operators need:
 
-    r9 TAIL = 50 rows, every one green in CORRECTNESS_r08, each with
-    >= 1 same-family row in the window: t_random_float +
-    t_random_numeric (→ t_random_int, numeric noise family),
-    t_net_company + t_real_address (→ t_faker, generator family),
-    t_json_ops (→ events_json), subset_cycle + subset_lineitem +
-    subset_polymorphic (→ subset_orders), q3_shipping_priority
-    (→ q1_pricing_summary/q5_region_revenue), events_daily +
-    sessionize (→ events_windowed/events_json, event-time family),
-    dedup_exact (→ dedup_lines/dedup_clusters), text_profile +
-    repetition_profile (→ term_frequencies/corpus_summary),
-    minhash_sigs + simhash + ngram_jaccard + lsh_recall_eval
-    (→ dedup_clusters/winnow_pairs), dedup_against +
-    dedup_against_fuzzy (→ dedup_against_verified),
-    cross_split_contamination (→ ngram_decontaminate/train_split/
-    cluster_split), ann_topk + ann_topk_lsh + ann_topk_ivf +
-    ann_topk_pq (→ ann_recall/ann_rerank/ivf_pq_topk),
-    embedding_near_dup (→ semantic_dedup), multimodal_features
-    (→ multimodal_frames), strip_html + scrub_pii + cap_per_domain
-    (→ normalize_urls, web-hygiene family), linear_text_score
-    (→ classifier_weights), bm25_topk (→ bm25), dsir_weights
-    (→ sample_mixture/stratified_sample), zorder_events
-    (→ copy_roundtrip, storage-layout/io family; r8-green, returns in
-    the r10 window), asof_join (→ range_join), salted_agg
-    (→ skew_join), the seven keepers displaced late-r9 by the sketch,
-    HITS, budget and sampling rows — t_orders_temporal (→ t_faker,
-    transformer families), t_dynamic_param and t_when_condition
-    (planner family, tail-only this round), t_cmd and
-    t_apply_for_references (user-code UDF / inheritance families,
-    tail-only this round), copy_roundtrip (→ zorder's io family is
-    tail-only this round) and validate_diff (validate family sole rep,
-    tail-only this round) — all r8-green, all return in the r10
-    window — and the seven
-    displaced keepers lm_score
-    (→ classifier_weights, scoring family), t_query_override
-    (→ t_when_condition, planner family), t_masking (→ mask_customer,
-    masking/Hash family), t_custom_plugin (→ t_cmd, user-code UDF
-    surface), t_type_override (→ t_dynamic_param, parameter-cast
-    family), t_random_person (→ t_faker, generator family) and
-    t_template (→ t_cmd, user-logic transformer surface) — displaced
-    to make room for the seven late-r9 operators so no NEW operator
-    ships without a driver row; all r8-green, all return in the r10
-    window.
+    - ann_variants = ann_topk_lsh + ann_topk_ivf (identical
+      (query_id, neighbor_id, cos_sim, rank) schema; each variant runs
+      its ORIGINAL parameters under a `variant` tag; the oracle is the
+      UNION ALL of the two original oracles).
+    - dedup_against_levels = dedup_against (exact) +
+      dedup_against_fuzzy (band) (identical (doc_id, lang, n_chars)
+      survivor schema; original prepare_reference + dedup_against
+      calls under a `level` tag; oracle = UNION ALL of the originals).
 
-    Union coverage: CORRECTNESS_r09 ∪ r08 covers ALL 100 entries (the
-    50 tail rows were green in r08's window; the 50 window rows get
-    fresh r09 rows).
+    This is the r1 precedent (single-transformer rows consolidated
+    into same-table family rows, each member keeping its key/params)
+    applied once more; the per-variant query functions and oracles
+    remain in this file unchanged — the merged rows call them.
 
-    r10 PLAN (pre-staged): at 100 entries the rotation is a clean
-    halves swap — the r10 window is EXACTLY today's 50-row tail (every
-    row r8-green, so by r10's end none is >2 rounds stale), and
-    today's window (all r9-green) becomes the r10 tail. Any NEW r10
-    operator displaces one of the swapped-in rows back to the tail
-    ONLY if that row is r9-green (it won't be — the incoming tail rows
-    are r8-green), so r10 additions must instead displace rows that
-    carry r9 evidence, i.e. keep the swap intact and grow the registry
-    past 100 only with the displaced row returning in r11.
+    The two freed slots hold the round's new rows, so no NEW operator
+    debuts without a driver row:
+    - windowed_distinct — the late-r9 batch operator whose staged
+      transcription the r9 verdict required (exact-integer-Z HLL
+      estimate per event-time window; parity SQL from
+      tests/test_sketches.py::test_windowed_distinct_duckdb_parity).
+    - unigram_vocab — NEW r10: the unigram-LM (SentencePiece-style)
+      tokenizer's corpus-scale seed stage (functions/unigram.py;
+      parity SQL from tests/test_unigram.py::
+      test_unigram_seed_duckdb_parity). EM + Viterbi encode are
+      pytest-verified (floats are not cross-engine-replayable).
+
+    r10 TAIL = exactly the 50 r9-window rows, every one green in
+    CORRECTNESS_r09 (bm25 … weighted_sample, order preserved), each
+    with >= 1 same-family row in the window: the transformer family
+    rows (t_* window rows cover mask/faker/numeric/temporal/planner/
+    inheritance families), subset rows (subset_cycle/lineitem/
+    polymorphic → subset_orders), TPC-H rows (q3 → q1/q5), event-time
+    rows (events_daily/sessionize → events_windowed twin windowed_
+    distinct), dedup rows (dedup_exact/minhash_sigs/simhash/
+    ngram_jaccard/lsh_recall_eval/dedup_against_levels →
+    dedup_clusters/dedup_lines/dedup_against_verified/winnow_pairs),
+    ANN rows (ann_topk/ann_variants/ann_topk_pq → ivf_pq_topk/
+    ann_recall/ann_rerank), text rows (text_profile/repetition_profile
+    → term_frequencies/corpus_summary/gopher_filter/c4_filter),
+    scoring rows (lm_score/linear_text_score → classifier_weights),
+    web rows (strip_html/scrub_pii/cap_per_domain → normalize_urls/
+    robots_filter/host_graph), storage rows (copy_roundtrip/
+    zorder_events → shard_write), sampling rows (dsir_weights →
+    sample_mixture/stratified_sample/weighted_sample/select_to_budget)
+    and join/skew rows (asof_join/salted_agg → range_join/skew_join).
+
+    Union coverage: CORRECTNESS_r10 ∪ r09 covers ALL 100 entries (the
+    50 tail rows are r9-green; the 50 window rows get fresh r10 rows;
+    the four consolidated member operators' r10 evidence rides their
+    merged rows).
+
+    r11 PLAN (pre-staged): swap the halves again — the r11 window =
+    exactly this round's 50-row tail (all r9-green, stale otherwise),
+    and this round's window becomes the r11 tail. Any NEW r11 operator
+    needs a window slot: consolidate two same-schema r10-green tail
+    rows into a family row (the ann_variants pattern) rather than
+    displacing a swapped-in row — the swapped-in rows are r9-green and
+    must all run.
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its
     original key/params, so per-transformer semantics are unchanged;
     the docstring of each family query lists its members."""
     return {
-        # --- r9 window: the full r8 tail rotates back in ---
+        # --- r10 window: the full r9 tail rotates back in (two family
+        # consolidations marked •, two new rows at the end) ---
+        "t_apply_for_references": q_t_apply_for_references,
+        "t_cmd": q_t_cmd,                        # json + text + csv drivers
+        "t_when_condition": q_t_when_condition,
+        "validate_diff": q_validate_diff,
+        "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
+        "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
+        "copy_roundtrip": q_copy_roundtrip,
+        "lm_score": q_lm_score,
+        "t_query_override": q_t_query_override,
+        "t_masking": q_t_masking,
+        "t_custom_plugin": q_t_custom_plugin,
+        "t_type_override": q_t_type_override,
+        "t_random_person": q_t_random_person,
+        "t_template": q_t_template,
+        "t_random_float": q_t_random_float,      # +NoiseFloat
+        "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
+        "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
+        "t_real_address": q_t_real_address,
+        "t_json_ops": q_t_json_ops,              # +RandomBool/RandomUnixTimestamp
+        "subset_cycle": q_subset_cycle,
+        "subset_lineitem": q_subset_lineitem,
+        "subset_polymorphic": q_subset_polymorphic,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "events_daily": q_events_daily,
+        "sessionize": q_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "text_profile": q_text_profile,
+        "minhash_sigs": q_minhash_sigs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_recall_eval": q_lsh_recall_eval,
+        "dedup_against_levels": q_dedup_against_levels,  # • exact + band
+        "cross_split_contamination": q_cross_split_contamination,
+        "ann_topk": q_ann_topk,
+        "ann_variants": q_ann_variants,          # • lsh + ivf
+        "ann_topk_pq": q_ann_topk_pq,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "strip_html": q_strip_html,
+        "scrub_pii": q_scrub_pii,
+        "repetition_profile": q_repetition_profile,
+        "linear_text_score": q_linear_text_score,
+        "bm25_topk": q_bm25_topk,
+        "cap_per_domain": q_cap_per_domain,
+        "dsir_weights": q_dsir_weights,
+        "zorder_events": q_zorder_events,
+        "asof_join": q_asof_join,
+        "salted_agg": q_salted_agg,
+        "windowed_distinct": q_windowed_distinct,  # staged r9 transcription
+        "unigram_vocab": q_unigram_vocab,        # NEW r10: unigram-LM seed
+        # --- r10 tail: all green in CORRECTNESS_r09; family reps above ---
         "bm25": q_bm25,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -4952,86 +5067,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "classifier_weights": q_classifier_weights,
         "shard_write": q_shard_write,
-        # --- r9 additions: the r8 verdict's three staged oracle rows
-        # plus the two late-r9 operators (displacing the lm_score and
-        # t_query_override keepers, both r8-green — their evidence
-        # stays within the 2-round invariant via r08 and they return
-        # in the r10 window; this keeps NEW operators from ever
-        # debuting without a driver row) ---
-        "ivf_pq_topk": q_ivf_pq_topk,            # NEW r9: IVF probe + PQ-ADC
-        "gopher_filter": q_gopher_filter,        # NEW r9: Gopher rule audit
-        "pagerank": q_pagerank,                  # NEW r9: fixed-point PageRank
-        "bm25_indexed": q_bm25_indexed,          # NEW r9: persisted-index BM25
-        "c4_filter": q_c4_filter,                # NEW r9: C4 cleaning pass
-        "image_dhash": q_image_dhash,            # NEW r9: perceptual hash
-        "image_near_dup": q_image_near_dup,      # NEW r9: banded Hamming pairs
-        "audio_fingerprint": q_audio_fingerprint,  # NEW r9: PCM energy-delta
-        "host_graph": q_host_graph,              # NEW r9: link extraction →
-                                                 # host-level web graph
-        "robots_filter": q_robots_filter,        # NEW r9: robots.txt engine
-        "bloom_seen": q_bloom_seen,              # NEW r9: Bloom seen-set
-        "cms_terms": q_cms_terms,                # NEW r9: Count-Min freqs
-        "hll_registers": q_hll_registers,        # NEW r9: HLL cardinality
-        "hits_scores": q_hits_scores,            # NEW r9: fixed-point HITS
-        "select_to_budget": q_select_to_budget,  # NEW r9: token-budget cut
-        "length_histogram": q_length_histogram,  # NEW r9: histogram sketch
-        "weighted_sample": q_weighted_sample,    # NEW r9: Gumbel-top-k draw
-        # --- r9 tail: all green in CORRECTNESS_r08; family reps above ---
-        "t_apply_for_references": q_t_apply_for_references,
-        "t_cmd": q_t_cmd,                        # json + text + csv drivers
-        "t_when_condition": q_t_when_condition,
-        "validate_diff": q_validate_diff,
-        "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
-        "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
-        "copy_roundtrip": q_copy_roundtrip,
-        "lm_score": q_lm_score,                  # → classifier_weights (scoring)
-        "t_query_override": q_t_query_override,  # → t_when_condition (planner)
-        "t_masking": q_t_masking,                # → mask_customer (masking/Hash)
-        "t_custom_plugin": q_t_custom_plugin,    # → t_cmd (user-code UDF surface)
-        "t_type_override": q_t_type_override,    # → t_dynamic_param (param casts)
-        "t_random_person": q_t_random_person,    # → t_faker (generator family)
-        "t_template": q_t_template,              # → t_cmd (user-logic surface)
-        "t_random_float": q_t_random_float,      # +NoiseFloat
-        "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
-        "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
-        "t_real_address": q_t_real_address,
-        "t_json_ops": q_t_json_ops,              # +RandomBool/RandomUnixTimestamp
-        "subset_cycle": q_subset_cycle,
-        "subset_lineitem": q_subset_lineitem,
-        "subset_polymorphic": q_subset_polymorphic,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "events_daily": q_events_daily,
-        "sessionize": q_sessionize,
-        "dedup_exact": q_dedup_exact,
-        "text_profile": q_text_profile,
-        "minhash_sigs": q_minhash_sigs,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "lsh_recall_eval": q_lsh_recall_eval,
-        "dedup_against": q_dedup_against,
-        "dedup_against_fuzzy": q_dedup_against_fuzzy,
-        "cross_split_contamination": q_cross_split_contamination,
-        "ann_topk": q_ann_topk,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_pq": q_ann_topk_pq,
-        "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_features": q_multimodal_features,
-        "strip_html": q_strip_html,
-        "scrub_pii": q_scrub_pii,
-        "repetition_profile": q_repetition_profile,
-        "linear_text_score": q_linear_text_score,
-        "bm25_topk": q_bm25_topk,
-        "cap_per_domain": q_cap_per_domain,
-        "dsir_weights": q_dsir_weights,
-        "zorder_events": q_zorder_events,
-        "asof_join": q_asof_join,
-        "salted_agg": q_salted_agg,
-        # --- r10 staging (temporary tail placement while the window
-        # swap is assembled; final order lands with the unigram row) ---
-        "windowed_distinct": q_windowed_distinct,
-        "ann_variants": q_ann_variants,
-        "dedup_against_levels": q_dedup_against_levels,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "gopher_filter": q_gopher_filter,
+        "pagerank": q_pagerank,
+        "bm25_indexed": q_bm25_indexed,
+        "c4_filter": q_c4_filter,
+        "image_dhash": q_image_dhash,
+        "image_near_dup": q_image_near_dup,
+        "audio_fingerprint": q_audio_fingerprint,
+        "host_graph": q_host_graph,
+        "robots_filter": q_robots_filter,
+        "bloom_seen": q_bloom_seen,
+        "cms_terms": q_cms_terms,
+        "hll_registers": q_hll_registers,
+        "hits_scores": q_hits_scores,
+        "select_to_budget": q_select_to_budget,
+        "length_histogram": q_length_histogram,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -5070,8 +5122,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _oracle_dedup_clusters(),
         "simhash": _oracle_simhash(),
         "ann_topk": _oracle_ann_topk(),
-        "ann_topk_lsh": _oracle_ann_topk_lsh(),
-        "ann_topk_ivf": _oracle_ann_topk_ivf(),
         "ann_topk_pq": _oracle_ann_topk_pq(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
@@ -5085,8 +5135,6 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": _oracle_scrub_pii(),
         "strip_html": _oracle_strip_html(),
         "lm_score": _oracle_lm_score(),
-        "dedup_against": _oracle_dedup_against(),
-        "dedup_against_fuzzy": _oracle_dedup_against_fuzzy(),
         "linear_text_score": _oracle_linear_text_score(),
         "lsh_recall_eval": _oracle_lsh_recall_eval(),
         "events_json": _oracle_events_json(),
@@ -5140,4 +5188,5 @@ def oracle_sql() -> dict[str, str]:
         "windowed_distinct": _oracle_windowed_distinct(),
         "ann_variants": _oracle_ann_variants(),
         "dedup_against_levels": _oracle_dedup_against_levels(),
+        "unigram_vocab": _oracle_unigram_vocab(),
     }

@@ -759,8 +759,11 @@ def select_to_budget(
     ).drop("__lo", "__hi")
     # per-bucket token totals, then a running sum in score-descending
     # bucket order — <= n_buckets+1 rows, so the single-partition
-    # window is a non-issue
-    run = Window.orderBy(F.desc("__b")).rowsBetween(
+    # window is a non-issue; the constant partition key exists ONLY to
+    # keep WindowExec's "No Partition Defined" warning out of the logs
+    # (harmless here by construction, but the noise would mask a REAL
+    # unpartitioned window appearing elsewhere)
+    run = Window.partitionBy(F.lit(0)).orderBy(F.desc("__b")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     plan = (

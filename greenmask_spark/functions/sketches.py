@@ -202,11 +202,18 @@ def bloom_dedup_against(
     is always dropped (no false negatives); a novel document is dropped
     with the sized false-positive probability. Contrast with the exact
     ``dedup_against`` (digest anti-join): that shuffles the reference's
-    digests every run, this reduces the reference to a ≤ num_bits/8-
-    byte word table built ONCE (persist it; merge rolling crawls with
-    ``bloom_merge``) and broadcast to every shard — at a 10 B-document
-    reference, a 14 GB digest anti-join side becomes a 120 MB bitmap
-    (10 bits/key at 1% FP).
+    digests every run, this reduces the reference to a bitmap of
+    num_bits/8 raw bytes built ONCE (persist it; merge rolling crawls
+    with ``bloom_merge``) and broadcast to every shard. Sizing at 10
+    bits/key for ~1% FP: a 100 M-document reference is a ~125 MB
+    bitmap (vs a ~140 GB/1e9-doc-scaled digest join side per billion);
+    a 10 B-document reference is ~12.5 GB — above broadcast range, so
+    shard the reference and probe against per-shard blooms, or drop to
+    the digest anti-join. The persisted word-table FORM costs about
+    num_bits/2 raw bytes (one (word_idx bigint, bits bigint) row —
+    16 bytes — per occupied 32-bit word), 4× the raw bitmap; parquet
+    delta/RLE encoding recovers most of that overhead on densely
+    occupied filters.
 
     Digest = sha2(text) — byte-identical semantics to dedup_exact /
     dedup_against(level="exact"), so the two paths drop the same true
@@ -251,11 +258,19 @@ def cms_build(
     fixed-memory frequency table for an open vocabulary.
 
     Point estimates from ``cms_lookup`` are never under the true count
-    (weights must be non-negative) and overshoot by ≤ 2N/width with
-    probability 1 − 2^−depth. One shuffle: groupBy(row_idx, bucket)
-    with a map-side-combined sum."""
+    and overshoot by ≤ 2N/width with probability 1 − 2^−depth. That
+    never-undercount guarantee requires non-negative weights, so rows
+    with ``weight_col < 0`` are FILTERED OUT (the same enforcement
+    ``linkgraph.hits`` applies to edge weights — a silent negative
+    would break the ``cms_lookup >= exact`` invariant); NULL weights
+    contribute nothing. One shuffle: groupBy(row_idx, bucket) with a
+    map-side-combined sum."""
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be positive")
+    if weight_col:
+        df = df.filter(
+            F.col(weight_col).isNull() | (F.col(weight_col) >= 0)
+        )
     w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast(
         "bigint"
     )

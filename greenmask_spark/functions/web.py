@@ -296,6 +296,7 @@ def robots_filter(
     df: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
+    broadcast_rules: bool = True,
 ) -> DataFrame:
     """Drop URLs a ``parse_robots`` rule set disallows — RFC 9309
     longest-match: among the rules of the URL's domain whose prefix
@@ -308,9 +309,14 @@ def robots_filter(
     empty path normalized to "/" so a blanket ``Disallow: /`` covers
     ``https://d.com?x=1`` too.
 
-    Scale shape: one equi-join on domain (rules per domain are small,
-    the rule set is tiny next to any URL frame — AQE broadcasts it
-    when it fits), the prefix test is a codegen'd startswith, and the
+    Scale shape: one equi-join on domain. Rules are tiny next to any
+    URL frame, so the rules side is broadcast EXPLICITLY — the static
+    plan should never sort-merge on statistics grounds (AQE would
+    usually convert it at runtime, but the pre-hint static plan showed
+    one SMJ). A crawl spanning tens of millions of domains can outgrow
+    a broadcast (rules ≈ domains × rules-per-file); pass
+    ``broadcast_rules=False`` there to fall back to a shuffled hash
+    join on domain. The prefix test is a codegen'd startswith, and the
     verdict is one max over (specificity, allow) structs — ties
     break to allow because the struct orders allow=true above
     allow=false at equal specificity. URL bodies never fan out: only
@@ -336,6 +342,8 @@ def robots_filter(
         F.col("prefix").alias("__r_prefix"),
         F.col("spec").alias("__r_spec"),
     )  # renamed so caller columns named domain/allow/prefix can't clash
+    if broadcast_rules:
+        r = F.broadcast(r)
     matched = (
         tagged.join(r, F.col("__dom") == F.col("__r_dom"))
         .filter(F.col("__path").startswith(F.col("__r_prefix")))

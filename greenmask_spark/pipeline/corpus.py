@@ -989,14 +989,25 @@ def _step_known_keys(name: str) -> frozenset | None:
                     and isinstance(node.func, _ast.Attribute)
                     and node.func.attr == "get"
                     and isinstance(node.func.value, _ast.Name)
-                    and node.func.value.id == arg and node.args
-                    and isinstance(node.args[0], _ast.Constant)):
-                found.add(node.args[0].value)
+                    and node.func.value.id == arg and node.args):
+                if isinstance(node.args[0], _ast.Constant):
+                    found.add(node.args[0].value)
+                else:
+                    dynamic = True  # p.get(variable) — key unknowable
             elif (isinstance(node, _ast.Subscript)
                     and isinstance(node.value, _ast.Name)
                     and node.value.id == arg
                     and isinstance(node.slice, _ast.Constant)):
                 found.add(node.slice.value)
+            elif (isinstance(node, _ast.Compare)
+                    and any(isinstance(op, (_ast.In, _ast.NotIn))
+                            for op in node.ops)
+                    and any(isinstance(c, _ast.Name) and c.id == arg
+                            for c in node.comparators)
+                    and isinstance(node.left, _ast.Constant)):
+                # membership reads count too: `'k' in p` gates a
+                # parameter just like p.get('k') does
+                found.add(node.left.value)
             elif isinstance(node, _ast.Call) and any(
                 isinstance(a, _ast.Name) and a.id == arg
                 for a in list(node.args) + [kw.value for kw in node.keywords]

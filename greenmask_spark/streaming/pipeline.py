@@ -472,10 +472,28 @@ def sketch_stream(
     contract discipline as the batch mergers."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        # stage-and-rename publication: mode("overwrite") on the live
+        # path would DELETE the directory first, so a concurrent
+        # merged_sketch glob could hit missing files mid-commit (not
+        # just read a partial batch). Writing to _staging and renaming
+        # makes the batch appear atomically on filesystems with atomic
+        # directory rename (local/HDFS; object stores degrade to a
+        # fast copy window — still strictly narrower than the
+        # delete-then-write window). Replays stay idempotent: the
+        # stale target is removed only after its replacement is fully
+        # written.
         sketch = build(batch_df)
-        sketch.write.mode("overwrite").parquet(
-            f"{state_dir}/batch={batch_id}"
-        )
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        staging = f"{state_dir}/_staging/batch={batch_id}"
+        final = f"{state_dir}/batch={batch_id}"
+        sketch.write.mode("overwrite").parquet(staging)
+        src = jvm.org.apache.hadoop.fs.Path(staging)
+        dst = jvm.org.apache.hadoop.fs.Path(final)
+        fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        fs.rename(src, dst)
 
     return (
         stream_df.writeStream.foreachBatch(_write)
@@ -500,10 +518,16 @@ def merged_sketch(spark, state_dir: str, merge) -> DataFrame:
     paths. A maintenance job can periodically compact old batches
     into one (the merge is associative).
 
-    Read between triggers or after the query stops: an overwrite in
-    flight for the CURRENT batch directory can expose a partial batch
-    to a concurrent reader (sum-merged sketches would undercount that
-    batch until its commit completes)."""
+    Concurrency: ``sketch_stream`` publishes each batch by writing to
+    ``_staging`` and RENAMING into place (underscore-prefixed, so this
+    glob never sees half-written files), which removes the old
+    delete-then-rewrite failure mode where a concurrent read could
+    fail outright on missing files mid-commit. What remains is the
+    narrow replace window on a REPLAYED batch id (delete stale target
+    + rename): a read landing exactly there can miss that one batch's
+    rows — undercounting it until the rename lands, never erroring on
+    a partially written file. Read between triggers or after the
+    query stops for exact results."""
     from pyspark.errors import AnalysisException
 
     try:

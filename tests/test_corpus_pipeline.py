@@ -1104,3 +1104,40 @@ def test_unknown_step_parameters_warn(spark, sf_dir):
             "steps": [{"op": "noop_custom", "whatever": 1}],
         }, sf_dir=sf_dir).count()
     assert not [x for x in rec if "IGNORED" in str(x.message)]
+
+
+def _membership_step(df, p):
+    # reads one param via get, GATES another via membership — both are
+    # legitimate reads the AST scan must record
+    if "opt_flag" in p:
+        return df.limit(int(p.get("n", 1)))
+    return df
+
+
+def _dynamic_get_step(df, p):
+    key = "n"  # non-constant at the read site
+    return df.limit(int(p.get(key, 1)))
+
+
+def test_step_known_keys_membership_and_dynamic_get():
+    """`'k' in p` counts as a parameter read; `p.get(variable)` makes
+    the contract unknowable (None) instead of producing false IGNORED
+    warnings for keys the scan cannot see."""
+    from greenmask_spark.pipeline import corpus as corpus_mod
+    from greenmask_spark.pipeline.corpus import (
+        _STEP_KEYS_CACHE,
+        _step_known_keys,
+        register_corpus_step,
+    )
+
+    for fn, name in ((_membership_step, "t_membership"),
+                     (_dynamic_get_step, "t_dynamic_get")):
+        fn.__module__ = corpus_mod.__name__  # introspect like a builtin
+        register_corpus_step(name, fn, replace=True)
+        _STEP_KEYS_CACHE.pop(name, None)
+    try:
+        assert _step_known_keys("t_membership") == {"opt_flag", "n"}
+        assert _step_known_keys("t_dynamic_get") is None
+    finally:
+        for name in ("t_membership", "t_dynamic_get"):
+            _STEP_KEYS_CACHE.pop(name, None)

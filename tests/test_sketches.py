@@ -261,6 +261,22 @@ def test_cms_weighted_counts(spark):
     assert est == {"a": 12, "b": 1}
 
 
+def test_cms_negative_weights_filtered(spark):
+    """Negative weights would silently break the never-undercount
+    guarantee — cms_build filters them out (NULL weights contribute
+    nothing), the same enforcement hits() applies to edge weights."""
+    df = spark.createDataFrame(
+        [("a", 5), ("a", -3), ("b", None), ("b", 2)],
+        "term string, w long",
+    )
+    cms = cms_build(df, "term", depth=3, width=1024, weight_col="w")
+    est = {r["term"]: r["est"] for r in cms_lookup(
+        df.select("term").distinct(), "term", cms, 3, 1024).collect()}
+    assert est["a"] >= 5 and est["b"] >= 2  # never under the clean sum
+    # and the negative row was dropped, not subtracted: 'a' is not 2
+    assert est["a"] != 2
+
+
 def test_cms_merge_equals_union_build(spark):
     a = spark.createDataFrame([(f"x{i % 5}",) for i in range(50)], "t string")
     b = spark.createDataFrame([(f"x{i % 9}",) for i in range(90)], "t string")

@@ -732,6 +732,94 @@ def _oracle_cluster_split() -> str:
     """
 
 
+def q_split_levels(spark, sf_dir):
+    """r11 window consolidation of the train_split + cluster_split
+    rows (both r9-green, identical (doc_id, split) schema): each
+    scheme runs with its ORIGINAL parameters — plain hash_split on
+    doc_id and cluster_aware_split keyed on the near-dup cluster id —
+    tagged by a ``scheme`` column and unioned. Same r1/r10 precedent
+    as ann_variants/dedup_against_levels: per-scheme semantics and
+    driver evidence are unchanged (oracle = UNION ALL of the two
+    original oracles), and the freed window slot lets the NEW r11
+    operator (ppl_bucket) debut with a driver row while every
+    swapped-in r9-green row still runs."""
+    hashed = q_train_split(spark, sf_dir).select(
+        F.lit("hash").alias("scheme"), "*"
+    )
+    clustered = q_cluster_split(spark, sf_dir).select(
+        F.lit("cluster").alias("scheme"), "*"
+    )
+    return hashed.unionByName(clustered)
+
+
+def _oracle_split_levels() -> str:
+    return f"""
+    SELECT 'hash' AS scheme, * FROM ({_oracle_train_split()})
+    UNION ALL
+    SELECT 'cluster' AS scheme, * FROM ({_oracle_cluster_split()})
+    """
+
+
+def q_ppl_bucket(spark, sf_dir):
+    """NEW r11: CC-Net head/middle/tail perplexity buckets (Wenzek
+    2020, arXiv:1911.00359 §3.3; pipeline/corpus._step_ppl_bucket —
+    the bucket stage of the ccnet preset, configs/ccnet.yaml). The
+    driver-checked form is ``method=rank``: per-language positional
+    terciles by the pure-integer comparison 3*(rank-1) < i*n over
+    row_number() PARTITION BY lang ORDER BY (ppl, doc_id) — every
+    term replays bit-for-bit in any SQL engine (the default
+    ``percentile`` method's interpolated float cuts would be
+    engine-ulp-sensitive exactly at the boundaries). Perplexity is
+    the driver-green lm_score pipeline unchanged (train the bigram
+    Stupid-Backoff model on the even-id half, score the odd half);
+    lang is the documents column. Unscored (blank) docs keep a NULL
+    bucket.
+
+    Scale shape: the model joins are the audited lm_score plan; the
+    bucket window runs over projected (doc_id, lang, ppl) SLIVERS
+    with the label joined back on doc_id — document bodies never
+    cross the rank exchange (the robots_filter __rid-rejoin
+    pattern)."""
+    from greenmask_spark.functions.lm import ngram_lm_score, train_ngram_lm
+    from greenmask_spark.pipeline.corpus import CORPUS_STEPS
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    model = train_ngram_lm(train, n=2)
+    scored = ngram_lm_score(score, model, n=2, alpha=_LM_ALPHA).select(
+        F.col("id").alias("doc_id"), "ppl"
+    )
+    with_lang = scored.join(
+        docs.select("doc_id", "lang"), on="doc_id", how="inner"
+    )
+    out = CORPUS_STEPS["ppl_bucket"](with_lang, {"method": "rank"})
+    return out.select("doc_id", "lang", "ppl", "ppl_bucket")
+
+
+def _oracle_ppl_bucket() -> str:
+    return f"""
+    WITH lm AS ({_oracle_lm_score()}),
+    j AS (
+      SELECT l.doc_id, d.lang, l.ppl
+      FROM lm l JOIN documents d ON d.doc_id = l.doc_id
+    ),
+    r AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY ppl, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM j WHERE ppl IS NOT NULL
+    )
+    SELECT j.doc_id, j.lang, j.ppl,
+           CASE WHEN r.rk IS NULL THEN NULL
+                WHEN 3 * (r.rk - 1) < r.n THEN 'head'
+                WHEN 3 * (r.rk - 1) < 2 * r.n THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM j LEFT JOIN r ON r.doc_id = j.doc_id
+    """
+
+
 _DECON_N = 8
 
 
@@ -4843,6 +4931,45 @@ def _oracle_unigram_vocab() -> str:
     """
 
 
+#: sf_dir → trained [(piece, logp)] — q_unigram_encode is a bench/
+#: plan-shape row, not a registry row; training (em_iters=0: the
+#: exact replayable seed truncation) happens ONCE per sf_dir at
+#: plan-build time so the timed/audited plan is the encode scan alone.
+_UNI_MODEL_CACHE: dict[str, list] = {}
+
+
+def q_unigram_encode(spark, sf_dir):
+    """Unigram-LM Viterbi encode over the documents corpus
+    (functions/unigram.unigram_token_count): ONE Arrow-batched pandas
+    UDF stage with the ≤ vocab_size log-prob dict in the task closure
+    — zero shuffles, zero joins; the model is trained once per sf_dir
+    outside the returned plan (module cache above). NOT a registry
+    row (Viterbi float segmentation is not DuckDB-replayable; the
+    seed stage it builds on has the driver-green `unigram_vocab`
+    parity row); consumed by bench.py HEADLINE and the
+    test_plan_shapes guard via the q_* fallback."""
+    from greenmask_spark.functions.unigram import (
+        train_unigram,
+        unigram_token_count,
+    )
+
+    pieces = _UNI_MODEL_CACHE.get(sf_dir)
+    if pieces is None:
+        docs = _tables(spark, sf_dir, "documents")["documents"]
+        pieces = train_unigram(
+            docs, vocab_size=_UNI_VOCAB, max_piece_len=_UNI_G,
+            min_word_freq=2, min_piece_freq=2, em_iters=0,
+        )
+        _UNI_MODEL_CACHE[sf_dir] = pieces
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        F.col("doc_id"),
+        unigram_token_count(
+            F.col("text"), pieces, max_piece_len=_UNI_G,
+        ).alias("n_unigram_tokens"),
+    )
+
+
 _WD_P = 7
 
 
@@ -4911,78 +5038,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     brief; executed in r7, r8, r9, r10) — no entry's driver evidence is
     older than two rounds.
 
-    r10 WINDOW = EXACTLY the r9 tail (the pre-staged halves swap the r9
-    verdict mandated: every one of those 50 rows is r8-green and their
-    evidence would go stale otherwise), with two in-window family
-    consolidations that keep ALL 50 swapped-in operators running while
-    freeing the two slots the round's new operators need:
+    r11 WINDOW = EXACTLY the r10 tail (the pre-staged halves swap the
+    r10 registry docstring mandated: every one of those 50 rows is
+    r9-green and their evidence would go stale otherwise), with ONE
+    in-window family consolidation that keeps all 50 swapped-in
+    operators running while freeing the slot the round's new operator
+    needs:
 
-    - ann_variants = ann_topk_lsh + ann_topk_ivf (identical
-      (query_id, neighbor_id, cos_sim, rank) schema; each variant runs
-      its ORIGINAL parameters under a `variant` tag; the oracle is the
-      UNION ALL of the two original oracles).
-    - dedup_against_levels = dedup_against (exact) +
-      dedup_against_fuzzy (band) (identical (doc_id, lang, n_chars)
-      survivor schema; original prepare_reference + dedup_against
-      calls under a `level` tag; oracle = UNION ALL of the originals).
+    - split_levels = train_split (hash_split on doc_id) +
+      cluster_split (cluster_aware_split on the near-dup cluster id)
+      (identical (doc_id, split) schema; each scheme runs its
+      ORIGINAL parameters under a ``scheme`` tag; oracle = UNION ALL
+      of the two original oracles). Same r1/r10 precedent as
+      ann_variants / dedup_against_levels; the per-scheme query
+      functions and oracles remain in this file unchanged — the
+      merged row calls them (and test_plan_shapes' train_split guard
+      still drives q_train_split directly).
 
-    This is the r1 precedent (single-transformer rows consolidated
-    into same-table family rows, each member keeping its key/params)
-    applied once more; the per-variant query functions and oracles
-    remain in this file unchanged — the merged rows call them.
+    The freed slot holds the round's new row, so no NEW operator
+    debuts without driver evidence:
+    - ppl_bucket — NEW r11: the CC-Net per-language head/middle/tail
+      perplexity buckets (pipeline/corpus._step_ppl_bucket, the
+      bucket stage of the ccnet preset) in their integer-exact
+      ``method=rank`` form over the driver-green lm_score perplexity
+      pipeline.
 
-    The two freed slots hold the round's new rows, so no NEW operator
-    debuts without a driver row:
-    - windowed_distinct — the late-r9 batch operator whose staged
-      transcription the r9 verdict required (exact-integer-Z HLL
-      estimate per event-time window; parity SQL from
-      tests/test_sketches.py::test_windowed_distinct_duckdb_parity).
-    - unigram_vocab — NEW r10: the unigram-LM (SentencePiece-style)
-      tokenizer's corpus-scale seed stage (functions/unigram.py;
-      parity SQL from tests/test_unigram.py::
-      test_unigram_seed_duckdb_parity). EM + Viterbi encode are
-      pytest-verified (floats are not cross-engine-replayable).
+    r11 TAIL = exactly the 50 r10-window rows, every one green in
+    CORRECTNESS_r10 (t_apply_for_references … unigram_vocab, order
+    preserved), each with >= 1 same-family row in the window: the
+    transformer family rows (mask_customer/t_random_int/t_faker cover
+    the t_* tail rows), subset rows (subset_orders → subset_cycle/
+    lineitem/polymorphic), TPC-H rows (q1/q5 → q3), event-time rows
+    (events_windowed/events_json → events_daily/sessionize/
+    windowed_distinct), dedup rows (dedup_clusters/dedup_lines/
+    dedup_against_verified/winnow_pairs → dedup_exact/minhash_sigs/
+    simhash/ngram_jaccard/lsh_recall_eval/dedup_against_levels), ANN
+    rows (ivf_pq_topk/ann_recall/ann_rerank → ann_topk/ann_variants/
+    ann_topk_pq), text rows (term_frequencies/corpus_summary/
+    gopher_filter/c4_filter → text_profile/repetition_profile), LM/
+    scoring rows (classifier_weights/bm25/bm25_indexed + the
+    ppl_bucket window row itself → lm_score/linear_text_score/
+    bm25_topk + unigram_vocab), web rows (normalize_urls/
+    robots_filter/host_graph → strip_html/scrub_pii/cap_per_domain),
+    storage rows (shard_write → copy_roundtrip/zorder_events),
+    sampling rows (split_levels/stratified_sample/sample_mixture/
+    weighted_sample/select_to_budget → dsir_weights/
+    cross_split_contamination) and join/skew rows (range_join/
+    skew_join → asof_join/salted_agg).
 
-    r10 TAIL = exactly the 50 r9-window rows, every one green in
-    CORRECTNESS_r09 (bm25 … weighted_sample, order preserved), each
-    with >= 1 same-family row in the window: the transformer family
-    rows (t_* window rows cover mask/faker/numeric/temporal/planner/
-    inheritance families), subset rows (subset_cycle/lineitem/
-    polymorphic → subset_orders), TPC-H rows (q3 → q1/q5), event-time
-    rows (events_daily/sessionize → events_windowed twin windowed_
-    distinct), dedup rows (dedup_exact/minhash_sigs/simhash/
-    ngram_jaccard/lsh_recall_eval/dedup_against_levels →
-    dedup_clusters/dedup_lines/dedup_against_verified/winnow_pairs),
-    ANN rows (ann_topk/ann_variants/ann_topk_pq → ivf_pq_topk/
-    ann_recall/ann_rerank), text rows (text_profile/repetition_profile
-    → term_frequencies/corpus_summary/gopher_filter/c4_filter),
-    scoring rows (lm_score/linear_text_score → classifier_weights),
-    web rows (strip_html/scrub_pii/cap_per_domain → normalize_urls/
-    robots_filter/host_graph), storage rows (copy_roundtrip/
-    zorder_events → shard_write), sampling rows (dsir_weights →
-    sample_mixture/stratified_sample/weighted_sample/select_to_budget)
-    and join/skew rows (asof_join/salted_agg → range_join/skew_join).
+    Union coverage: CORRECTNESS_r11 ∪ r10 covers ALL 100 entries (the
+    50 tail rows are r10-green; the 50 window rows get fresh r11
+    rows; train_split's and cluster_split's r11 evidence rides the
+    merged split_levels row).
 
-    Union coverage: CORRECTNESS_r10 ∪ r09 covers ALL 100 entries (the
-    50 tail rows are r9-green; the 50 window rows get fresh r10 rows;
-    the four consolidated member operators' r10 evidence rides their
-    merged rows).
-
-    r11 PLAN (pre-staged): swap the halves again — the r11 window =
-    exactly this round's 50-row tail (all r9-green, stale otherwise),
-    and this round's window becomes the r11 tail. Any NEW r11 operator
-    needs a window slot: consolidate two same-schema r10-green tail
-    rows into a family row (the ann_variants pattern) rather than
-    displacing a swapped-in row — the swapped-in rows are r9-green and
-    must all run.
+    r12 PLAN (pre-staged): swap the halves again — the r12 window =
+    exactly this round's 50-row tail (all r10-green, stale
+    otherwise), and this round's window becomes the r12 tail. Any NEW
+    r12 operator needs a window slot: consolidate two same-schema
+    rows WITHIN the incoming window into a family row (the
+    ann_variants / split_levels pattern) so every swapped-in row
+    keeps running — and update bench.py HEADLINE +
+    test_plan_shapes.SHAPES consumers in the SAME commit
+    (tests/test_registry_contract.py enforces this).
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its
     original key/params, so per-transformer semantics are unchanged;
     the docstring of each family query lists its members."""
     return {
-        # --- r10 window: the full r9 tail rotates back in (two family
-        # consolidations marked •, two new rows at the end) ---
+        # --- r11 window: the full r10 tail rotates back in (one
+        # family consolidation marked •, the new row at the end) ---
+        "bm25": q_bm25,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "repeated_spans": q_repeated_spans,
+        "mask_customer": q_mask_customer,        # +Hash max_length (h16)
+        "t_random_int": q_t_random_int,          # +NoiseInt/RandomString/RegexpReplace
+        "t_faker": q_t_faker,                    # all 22 faker transformers
+        "subset_orders": q_subset_orders,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q5_region_revenue": q_q5_region_revenue,
+        "dedup_clusters": q_dedup_clusters,      # +minhash_pairs
+        "ngram_decontaminate": q_ngram_decontaminate,
+        "events_json": q_events_json,
+        "dedup_lines": q_dedup_lines,
+        "multimodal_frames": q_multimodal_frames,
+        "split_levels": q_split_levels,          # • hash + cluster splits
+        "term_frequencies": q_term_frequencies,
+        "quantize_embeddings": q_quantize_embeddings,
+        "winnow_pairs": q_winnow_pairs,
+        "range_join": q_range_join,
+        "normalize_urls": q_normalize_urls,
+        "sample_mixture": q_sample_mixture,
+        "dedup_against_verified": q_dedup_against_verified,
+        "ann_recall": q_ann_recall,
+        "corpus_summary": q_corpus_summary,
+        "ann_rerank": q_ann_rerank,
+        "semantic_dedup": q_semantic_dedup,
+        "det_shuffle": q_det_shuffle,
+        "skew_join": q_skew_join,
+        "events_windowed": q_events_windowed,
+        "classifier_weights": q_classifier_weights,
+        "shard_write": q_shard_write,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "gopher_filter": q_gopher_filter,
+        "pagerank": q_pagerank,
+        "bm25_indexed": q_bm25_indexed,
+        "c4_filter": q_c4_filter,
+        "image_dhash": q_image_dhash,
+        "image_near_dup": q_image_near_dup,
+        "audio_fingerprint": q_audio_fingerprint,
+        "host_graph": q_host_graph,
+        "robots_filter": q_robots_filter,
+        "bloom_seen": q_bloom_seen,
+        "cms_terms": q_cms_terms,
+        "hll_registers": q_hll_registers,
+        "hits_scores": q_hits_scores,
+        "select_to_budget": q_select_to_budget,
+        "length_histogram": q_length_histogram,
+        "weighted_sample": q_weighted_sample,
+        "ppl_bucket": q_ppl_bucket,              # NEW r11: CC-Net buckets
+        # --- r11 tail: all green in CORRECTNESS_r10; family reps above ---
         "t_apply_for_references": q_t_apply_for_references,
         "t_cmd": q_t_cmd,                        # json + text + csv drivers
         "t_when_condition": q_t_when_condition,
@@ -5032,58 +5208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "salted_agg": q_salted_agg,
         "windowed_distinct": q_windowed_distinct,  # staged r9 transcription
-        "unigram_vocab": q_unigram_vocab,        # NEW r10: unigram-LM seed
-        # --- r10 tail: all green in CORRECTNESS_r09; family reps above ---
-        "bm25": q_bm25,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "repeated_spans": q_repeated_spans,
-        "mask_customer": q_mask_customer,        # +Hash max_length (h16)
-        "t_random_int": q_t_random_int,          # +NoiseInt/RandomString/RegexpReplace
-        "t_faker": q_t_faker,                    # all 22 faker transformers
-        "subset_orders": q_subset_orders,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q5_region_revenue": q_q5_region_revenue,
-        "dedup_clusters": q_dedup_clusters,      # +minhash_pairs
-        "ngram_decontaminate": q_ngram_decontaminate,
-        "events_json": q_events_json,
-        "dedup_lines": q_dedup_lines,
-        "multimodal_frames": q_multimodal_frames,
-        "train_split": q_train_split,
-        "term_frequencies": q_term_frequencies,
-        "quantize_embeddings": q_quantize_embeddings,
-        "winnow_pairs": q_winnow_pairs,
-        "range_join": q_range_join,
-        "normalize_urls": q_normalize_urls,
-        "sample_mixture": q_sample_mixture,
-        "dedup_against_verified": q_dedup_against_verified,
-        "ann_recall": q_ann_recall,
-        "corpus_summary": q_corpus_summary,
-        "cluster_split": q_cluster_split,
-        "ann_rerank": q_ann_rerank,
-        "semantic_dedup": q_semantic_dedup,
-        "det_shuffle": q_det_shuffle,
-        "skew_join": q_skew_join,
-        "events_windowed": q_events_windowed,
-        "classifier_weights": q_classifier_weights,
-        "shard_write": q_shard_write,
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "gopher_filter": q_gopher_filter,
-        "pagerank": q_pagerank,
-        "bm25_indexed": q_bm25_indexed,
-        "c4_filter": q_c4_filter,
-        "image_dhash": q_image_dhash,
-        "image_near_dup": q_image_near_dup,
-        "audio_fingerprint": q_audio_fingerprint,
-        "host_graph": q_host_graph,
-        "robots_filter": q_robots_filter,
-        "bloom_seen": q_bloom_seen,
-        "cms_terms": q_cms_terms,
-        "hll_registers": q_hll_registers,
-        "hits_scores": q_hits_scores,
-        "select_to_budget": q_select_to_budget,
-        "length_histogram": q_length_histogram,
-        "weighted_sample": q_weighted_sample,
+        "unigram_vocab": q_unigram_vocab,        # r10: unigram-LM seed
     }
 
 
@@ -5139,7 +5264,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_recall_eval": _oracle_lsh_recall_eval(),
         "events_json": _oracle_events_json(),
         "multimodal_frames": _oracle_multimodal_frames(),
-        "train_split": _oracle_train_split(),
+        "split_levels": _oracle_split_levels(),
+        "ppl_bucket": _oracle_ppl_bucket(),
         "term_frequencies": _oracle_term_frequencies(),
         "quantize_embeddings": _oracle_quantize_embeddings(),
         "winnow_pairs": _oracle_winnow_pairs(),
@@ -5150,7 +5276,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_against_verified": _oracle_dedup_against_verified(),
         "ann_recall": _oracle_ann_recall(),
         "corpus_summary": _oracle_corpus_summary(),
-        "cluster_split": _oracle_cluster_split(),
         "ann_rerank": _oracle_ann_rerank(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "pack_sequences": _oracle_pack_sequences(),

@@ -38,8 +38,11 @@ HEADLINE = [
     "minhash_sigs",
     "simhash",
     "ann_topk",
-    "ann_topk_ivf",
-    "ann_topk_lsh",
+    # r10 consolidated the lsh/ivf registry rows into one family row
+    # (each variant keeps its original parameters under a tag); the
+    # r10 judge bench already ran this substitution, so the common-23
+    # prefix stays comparable with that certified run
+    "ann_variants",
     # r6: the two heavy text operators promoted to driver rows — the LM
     # scorer (train on the even-id half, score the odd half: the
     # windows × count-tables join stream) and the codegen'd
@@ -69,6 +72,20 @@ HEADLINE = [
     # common-22 prefix stays comparable within r9.
     "bloom_seen",
     "select_to_budget",
+    # r11: first wall-time pins for every remaining r9/r10 operator
+    # family (VERDICT r10 task 4). Appended so the common-23 prefix
+    # stays comparable with the r10 judge run: the link-graph
+    # fixed-point twin (HITS), the robots.txt rule engine (per-domain
+    # parse windows + broadcast rule join), the Arrow-batch perceptual
+    # hash, the C4 heuristic bundle, the windowed HLL distinct, and
+    # the unigram-LM Viterbi encode (Arrow stage; model trained once
+    # per sf_dir at plan-build time, see q_unigram_encode)
+    "hits_scores",
+    "robots_filter",
+    "image_dhash",
+    "c4_filter",
+    "windowed_distinct",
+    "unigram_encode",
 ]
 
 
@@ -125,7 +142,10 @@ def main() -> int:
 
     for name in HEADLINE:
         checkpoint()
-        fn = qs[name]
+        # registry rows by name; bench-only rows (e.g. unigram_encode,
+        # which needs a one-time trained model outside the timed
+        # region) resolve to their q_* function directly
+        fn = qs.get(name) or getattr(entrymod, "q_" + name)
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _rep in range(reps):

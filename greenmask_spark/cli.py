@@ -517,9 +517,22 @@ def cmd_corpus(args) -> int:
     """Run a config-driven corpus pipeline (dedup/filter/scrub/split/
     pack steps over a documents table) — the training-data analog of
     `dump`."""
-    from greenmask_spark.pipeline import run_corpus_pipeline
+    from greenmask_spark.pipeline import PRESETS, run_corpus_pipeline
 
     cfg = load_config(args.config)
+    if "preset" in cfg:
+        # {"preset": "ccnet", "args": {...}} — the config file
+        # instantiates a published recipe; any extra top-level keys
+        # (e.g. an output override) win over what the preset built
+        name = cfg["preset"]
+        if name not in PRESETS:
+            raise SystemExit(
+                f"unknown preset {name!r}; available: "
+                f"{sorted(PRESETS)}")
+        built = PRESETS[name](**(cfg.get("args") or {}))
+        built.update({k: v for k, v in cfg.items()
+                      if k not in ("preset", "args")})
+        cfg = built
     spark = _spark("greenmask-spark-corpus")
     if args.describe:
         from greenmask_spark.pipeline.corpus import describe_corpus_pipeline

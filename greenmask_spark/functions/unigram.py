@@ -382,8 +382,10 @@ def _viterbi(
                     continue
                 lp = unk_logp
             cand = best[i] + lp
-            # strict > plus ascending l means the LAST accepted
-            # candidate among ties is the longest piece
+            # >= plus ascending l means the LAST accepted candidate
+            # among ties wins, i.e. the longest piece ("fixing" this
+            # to strict > would silently flip the tie-break to the
+            # shortest piece)
             if cand >= best[j]:
                 best[j] = cand
                 back[j] = (i, sub)

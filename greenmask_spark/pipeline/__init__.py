@@ -4,3 +4,7 @@ from greenmask_spark.pipeline.corpus import (  # noqa: F401
     build_corpus_pipeline,
     run_corpus_pipeline,
 )
+from greenmask_spark.pipeline.presets import (  # noqa: F401
+    PRESETS,
+    ccnet_config,
+)

@@ -544,9 +544,16 @@ def _step_select_to_budget(df: DataFrame, p: dict) -> DataFrame:
     step."""
     from greenmask_spark.functions.sampling import select_to_budget
 
-    if "token_budget" not in p or "score_col" not in p:
+    if "token_budget" not in p or not (
+            "score_col" in p or "score_expr" in p):
         raise ValueError("select_to_budget needs 'token_budget' and "
-                         "'score_col'")
+                         "'score_col' (or 'score_expr')")
+    score_col = p.get("score_col")
+    if score_col is None:
+        # a derived ranking, e.g. "-ppl" (CC-Net: lower perplexity =
+        # better) — evaluated once, dropped after the cut
+        score_col = "__budget_score"
+        df = df.withColumn(score_col, F.expr(str(p["score_expr"])))
     token_col = p.get("token_col")
     derived = token_col is None
     if derived:
@@ -560,11 +567,11 @@ def _step_select_to_budget(df: DataFrame, p: dict) -> DataFrame:
         df,
         int(p["token_budget"]),
         token_col=token_col,
-        score_col=p["score_col"],
+        score_col=score_col,
         id_col=p.get("id_col", "doc_id"),
         n_buckets=int(p.get("n_buckets", 4096)),
     )
-    return out.drop("__budget_tok") if derived else out
+    return out.drop("__budget_tok", "__budget_score")
 
 
 def _step_weighted_sample(df: DataFrame, p: dict) -> DataFrame:
@@ -831,6 +838,117 @@ def _step_lm_filter(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_lang_id(df: DataFrame, p: dict) -> DataFrame:
+    """Attach the heuristic language-ID column (stopword-profile
+    n-gram scorer, functions/text_analysis.lang_id) — pure
+    expressions at scan bandwidth. CC-Net splits the crawl into
+    per-language streams BEFORE the LM gate (Wenzek 2020,
+    arXiv:1911.00359 §3.2); this step makes that split a real column
+    instead of a quality_filter side effect, so downstream steps
+    (``ppl_bucket`` grouping, mixture rates) can key on it."""
+    from greenmask_spark.functions.text_analysis import lang_id
+
+    return df.withColumn(
+        p.get("lang_col", "lang"), lang_id(F.col(p.get("text_col", "text")))
+    )
+
+
+def _step_ppl_bucket(df: DataFrame, p: dict) -> DataFrame:
+    """CC-Net head/middle/tail perplexity buckets (Wenzek 2020,
+    arXiv:1911.00359 §3.3): per-language perplexity percentile cuts
+    label each document head (lowest ppl = closest to the trusted
+    reference), middle, or tail. Needs a ``ppl`` column — run
+    ``lm_score`` (with a trusted ``reference``) first.
+
+    Scale shape: the cuts come from ONE map-side-combined
+    ``percentile`` agg over the projected (group, ppl) pair — a
+    ≤ #languages-row frame — broadcast-joined back; document bodies
+    never cross an exchange and there is no per-group window sort.
+
+    Params: ``ppl_col`` (default ppl), ``group_col`` (default lang;
+    null-group docs bucket NULL), ``cuts`` (ascending percentiles,
+    default [1/3, 2/3]), ``labels`` (len(cuts)+1, default
+    head/middle/tail), ``keep`` (optional label allowlist — CC-Net
+    keeps head+middle; unscored/NULL-ppl docs drop once ``keep`` is
+    set), ``bucket_col`` (default ppl_bucket), ``method``:
+
+    - ``percentile`` (default): value cuts from the exact
+      ``percentile`` agg — cheapest (no per-group sort of the data),
+      but the cut is a float interpolation, so a document whose ppl
+      EQUALS a cut is engine-float-sensitive.
+    - ``rank``: pure-integer tercile by position — ``3*(rank-1) <
+      i*n`` over ``row_number() PARTITION BY group ORDER BY (ppl,
+      id)`` — bit-replayable in any SQL engine (the driver-checked
+      form, registry row ``ppl_bucket``). The window runs over
+      projected (id, group, ppl) SLIVERS and the label joins back on
+      id, so bodies still never cross an exchange; requires uniform
+      cuts i/len(labels) (the definition is positional)."""
+    ppl_col = p.get("ppl_col", "ppl")
+    group_col = p.get("group_col", "lang")
+    cuts = [float(c) for c in p.get("cuts", (1 / 3, 2 / 3))]
+    labels = [str(x) for x in p.get("labels", ("head", "middle", "tail"))]
+    bucket_col = p.get("bucket_col", "ppl_bucket")
+    method = p.get("method", "percentile")
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"ppl_bucket: {len(cuts)} cuts need {len(cuts) + 1} labels, "
+            f"got {len(labels)}")
+    if sorted(cuts) != cuts or not all(0.0 < c < 1.0 for c in cuts):
+        raise ValueError(f"ppl_bucket: cuts must be ascending in (0,1): "
+                         f"{cuts}")
+    if method == "rank":
+        from pyspark.sql import Window
+
+        id_col = p.get("id_col", "doc_id")
+        k = len(labels)
+        if any(abs(c - (i + 1) / k) > 1e-9 for i, c in enumerate(cuts)):
+            raise ValueError(
+                f"ppl_bucket method=rank needs uniform cuts "
+                f"{[(i + 1) / k for i in range(k - 1)]}, got {cuts} — "
+                f"positional buckets are equal-population by definition")
+        sliver = df.filter(F.col(ppl_col).isNotNull()).select(
+            id_col, group_col, ppl_col)
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(ppl_col).asc(), F.col(id_col).asc())
+        ranked = sliver.select(
+            F.col(id_col),
+            ((F.row_number().over(w) - F.lit(1)) * F.lit(k)).alias("__kr"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy(group_col)).alias("__n"),
+        )
+        bucket = F.when(F.col("__kr") < F.col("__n"), F.lit(labels[0]))
+        for i, lab in enumerate(labels[1:-1], start=2):
+            bucket = bucket.when(
+                F.col("__kr") < F.lit(i) * F.col("__n"), F.lit(lab))
+        lab_df = ranked.select(
+            F.col(id_col),
+            bucket.otherwise(F.lit(labels[-1])).alias(bucket_col))
+        out = df.join(lab_df, on=id_col, how="left")
+    elif method == "percentile":
+        cut_cols = [
+            F.percentile(F.col(ppl_col), F.lit(c)).alias(f"__cut{i}")
+            for i, c in enumerate(cuts)
+        ]
+        cuts_df = df.groupBy(F.col(group_col)).agg(*cut_cols)
+        joined = df.join(F.broadcast(cuts_df), on=group_col, how="left")
+        bucket = F.when(
+            F.col(ppl_col).isNull(), F.lit(None).cast("string"))
+        for i, lab in enumerate(labels[:-1]):
+            bucket = bucket.when(
+                F.col(ppl_col) <= F.col(f"__cut{i}"), F.lit(lab))
+        bucket = bucket.otherwise(F.lit(labels[-1]))
+        out = joined.withColumn(bucket_col, bucket).drop(
+            *[f"__cut{i}" for i in range(len(cuts))])
+    else:
+        raise ValueError(
+            f"ppl_bucket: unknown method {method!r} "
+            f"(percentile | rank)")
+    if "keep" in p:
+        out = out.filter(
+            F.col(bucket_col).isin([str(x) for x in p["keep"]]))
+    return out
+
+
 def _step_shuffle(df: DataFrame, p: dict) -> DataFrame:
     """Global deterministic pre-training shuffle (one range sort; order
     is a pure function of (key, seed) so resumed jobs see the same
@@ -959,6 +1077,8 @@ CORPUS_STEPS: dict[str, Step] = {
     "bpe_count": _step_bpe_count,
     "lm_score": _step_lm_score,
     "lm_filter": _step_lm_filter,
+    "lang_id": _step_lang_id,
+    "ppl_bucket": _step_ppl_bucket,
 }
 
 

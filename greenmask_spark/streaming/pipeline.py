@@ -493,7 +493,16 @@ def sketch_stream(
         fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(dst):
             fs.delete(dst, True)
-        fs.rename(src, dst)
+        # Hadoop FileSystem.rename signals most failures by returning
+        # false, not raising — swallowing it would leave the batch in
+        # _staging (merged_sketch permanently undercounts; on a replay
+        # the stale target was already deleted above). Raising makes
+        # the foreachBatch fail so structured streaming retries.
+        if not fs.rename(src, dst):
+            raise IOError(
+                f"atomic publish failed: rename {staging} -> {final} "
+                f"returned false"
+            )
 
     return (
         stream_df.writeStream.foreachBatch(_write)

@@ -1,0 +1,268 @@
+"""CC-Net preset (Wenzek 2020, arXiv:1911.00359): the ppl_bucket /
+lang_id steps in isolation, and the full preset e2e — WARC archive →
+strip_html → paragraph dedup → lang-ID → LM ppl buckets vs a trusted
+reference → fuzzy dedup → budget cut → training shards."""
+
+import gzip
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from greenmask_spark.pipeline.corpus import (  # noqa: E402
+    CORPUS_STEPS,
+    run_corpus_pipeline,
+)
+from greenmask_spark.pipeline.presets import PRESETS, ccnet_config  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# ppl_bucket step
+# ---------------------------------------------------------------------------
+
+
+def _bucket_df(spark):
+    # two language groups with known per-group ppl distributions
+    rows = [
+        ("a1", "en", 10.0), ("a2", "en", 20.0), ("a3", "en", 30.0),
+        ("a4", "en", 40.0), ("a5", "en", 50.0), ("a6", "en", 60.0),
+        ("b1", "fr", 100.0), ("b2", "fr", 200.0), ("b3", "fr", 300.0),
+        ("u1", "en", None),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, lang string, ppl double")
+
+
+def test_ppl_bucket_per_group_terciles(spark):
+    out = CORPUS_STEPS["ppl_bucket"](_bucket_df(spark), {})
+    got = {r.doc_id: r.ppl_bucket for r in out.collect()}
+    # en terciles (exact percentile, linear interpolation over 6
+    # values): cut1 = 26.67, cut2 = 43.33
+    assert got["a1"] == got["a2"] == "head"
+    assert got["a3"] == got["a4"] == "middle"
+    assert got["a5"] == got["a6"] == "tail"
+    # fr cuts computed over the fr group alone: 166.7 / 233.3
+    assert got["b1"] == "head"
+    assert got["b2"] == "middle"
+    assert got["b3"] == "tail"
+    # NULL ppl → NULL bucket (kept when no allowlist)
+    assert got["u1"] is None
+    assert "__cut0" not in out.columns and "__cut1" not in out.columns
+
+
+def test_ppl_bucket_keep_drops_tail_and_unscored(spark):
+    out = CORPUS_STEPS["ppl_bucket"](
+        _bucket_df(spark), {"keep": ["head", "middle"]})
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {"a1", "a2", "a3", "a4", "b1", "b2"}
+
+
+def test_ppl_bucket_custom_cuts_and_validation(spark):
+    df = _bucket_df(spark)
+    out = CORPUS_STEPS["ppl_bucket"](
+        df, {"cuts": [0.5], "labels": ["good", "bad"]})
+    got = {r.doc_id: r.ppl_bucket for r in out.collect()}
+    assert got["a1"] == "good" and got["a6"] == "bad"
+    with pytest.raises(ValueError, match="labels"):
+        CORPUS_STEPS["ppl_bucket"](df, {"cuts": [0.5]})  # 2 cuts' labels
+    with pytest.raises(ValueError, match="ascending"):
+        CORPUS_STEPS["ppl_bucket"](df, {"cuts": [0.9, 0.1],
+                                        "labels": ["a", "b", "c"]})
+
+
+def test_ppl_bucket_rank_method_integer_exact(spark):
+    """method=rank: positional terciles by pure-integer comparison
+    (3*(rank-1) < i*n) — the bit-replayable form the registry row
+    drives. Equal-population by construction; NULL ppl → NULL bucket."""
+    out = CORPUS_STEPS["ppl_bucket"](_bucket_df(spark), {"method": "rank"})
+    got = {r.doc_id: r.ppl_bucket for r in out.collect()}
+    assert got["a1"] == got["a2"] == "head"
+    assert got["a3"] == got["a4"] == "middle"
+    assert got["a5"] == got["a6"] == "tail"
+    assert got["b1"] == "head" and got["b2"] == "middle"
+    assert got["b3"] == "tail"
+    assert got["u1"] is None
+    with pytest.raises(ValueError, match="uniform"):
+        CORPUS_STEPS["ppl_bucket"](
+            _bucket_df(spark), {"method": "rank", "cuts": [0.25, 0.8],
+                                "labels": ["a", "b", "c"]})
+    with pytest.raises(ValueError, match="unknown method"):
+        CORPUS_STEPS["ppl_bucket"](_bucket_df(spark), {"method": "x"})
+
+
+def test_ppl_bucket_no_body_shuffle(spark):
+    """Scale guard: the cuts frame is a broadcast — the document
+    stream itself must not gain an exchange beyond the tiny cuts agg
+    (bodies never move; the join is BroadcastHashJoin)."""
+    out = CORPUS_STEPS["ppl_bucket"](_bucket_df(spark), {})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lang_id_step_attaches_column(spark):
+    df = spark.createDataFrame(
+        [("d1", "the cat and the dog have a ball"),
+         ("d2", "le chat et la vache est dans la ville pour un jour")],
+        "doc_id string, text string")
+    out = CORPUS_STEPS["lang_id"](df, {})
+    got = {r.doc_id: r.lang for r in out.collect()}
+    assert got == {"d1": "en", "d2": "fr"}
+
+
+# ---------------------------------------------------------------------------
+# the preset config builder
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_config_shape():
+    cfg = ccnet_config({"table": "documents"}, {"table": "documents"},
+                       "/tmp/x", token_budget=1000)
+    ops = [s["op"] for s in cfg["steps"]]
+    assert ops == ["strip_html", "dedup_lines", "lang_id",
+                   "quality_filter", "lm_score", "ppl_bucket",
+                   "fuzzy_dedup", "select_to_budget"]
+    assert cfg["output"]["format"] == "shards"
+    assert PRESETS["ccnet"] is ccnet_config
+    # every op the preset emits is a registered step
+    assert all(op in CORPUS_STEPS for op in ops)
+
+
+# ---------------------------------------------------------------------------
+# e2e: WARC crawl → CC-Net → shards
+# ---------------------------------------------------------------------------
+
+_RIVER = (
+    "the river ran slow past the old mill and the miller stood with "
+    "his son to watch the water turn the wheel that ground the grain "
+    "they would carry into town before the market opened because the "
+    "farmers of the valley depended on that flour for the bread of "
+    "the whole long winter season")
+_BRIDGE = (
+    "a mountain path climbed above the old stone bridge and the "
+    "walkers moved slowly with heavy packs because the morning fog "
+    "had not lifted from the high meadows where the shepherds kept "
+    "their flocks through the short summer and every traveler that "
+    "passed would have stopped beside the cold spring water")
+_SHARED_PAR = (
+    "subscribe to the newsletter for the latest updates from the "
+    "town and the valley every week of the year")
+_FRENCH = (
+    "le chat et la vache sont dans la ville pour un jour et le "
+    "marchand est dans la rue avec une charrette de pommes pour "
+    "les gens de la place qui sont dans les maisons")
+_GIBBERISH = (
+    "zxqv wvruk qqzpt lmnop vvxzz kjhgf zzyxw pqrst uvwxy abcde "
+    "fghij klmno zzzzq wwwwk xxxxj yyyyh qpzmv nbvcx mklji uhygt "
+    "rfedc wsxqa plokm ijnuh bgtvf cdexs")
+
+
+def _http(body: bytes) -> bytes:
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: " + str(len(body)).encode()
+            + b"\r\n\r\n" + body)
+
+
+def _warc_record(uri: str, body: bytes) -> bytes:
+    block = _http(body)
+    head = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:" + uri.encode() + b">\r\n"
+            b"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"Content-Type: application/http;msgtype=response\r\n"
+            b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n")
+    return head + block + b"\r\n\r\n"
+
+
+def _html(*paragraphs: str) -> bytes:
+    return ("<html><body>"
+            + "".join(f"<p>{p}</p>" for p in paragraphs)
+            + "</body></html>").encode()
+
+
+def test_ccnet_e2e_warc_to_shards(spark, tmp_path):
+    """Every CC-Net stage earns its keep on one archive: the boiler-
+    plate paragraph dedups across documents, the French page drops at
+    the language gate, the gibberish page lands in the per-language
+    tail bucket and drops, one of the near-dup pair drops at fuzzy
+    dedup, and the survivors ship as deterministic shards carrying
+    their ppl/bucket provenance columns."""
+    docs = {
+        "http://a.example/river": _html(_RIVER, _SHARED_PAR),
+        "http://a.example/river2": _html(_RIVER + " indeed"),
+        "http://b.example/bridge": _html(_BRIDGE, _SHARED_PAR),
+        "http://c.example/fr": _html(_FRENCH),
+        "http://d.example/gib": _html(_GIBBERISH),
+    }
+    archive = b"".join(
+        gzip.compress(_warc_record(u, b)) for u, b in sorted(docs.items()))
+    (tmp_path / "crawl.warc.gz").write_bytes(archive)
+
+    # trusted reference corpus (the Wikipedia stand-in): river/bridge
+    # style prose, so gibberish scores high-ppl against it
+    ref_rows = [("r1", _RIVER), ("r2", _BRIDGE),
+                ("r3", _SHARED_PAR),
+                ("r4", "the miller and the shepherd walked into the "
+                       "town to sell flour and wool at the market")]
+    ref_path = str(tmp_path / "reference.parquet")
+    spark.createDataFrame(ref_rows, "doc_id string, text string") \
+        .write.parquet(ref_path)
+
+    shards = str(tmp_path / "shards")
+    cfg = ccnet_config(
+        {"path": str(tmp_path / "crawl.warc.gz"), "format": "warc"},
+        {"path": ref_path, "format": "parquet"},
+        shards,
+        rows_per_shard=10,
+    )
+    out = run_corpus_pipeline(spark, cfg)
+    rows = {r.url: r for r in out.collect()}
+
+    # language gate: the French page is gone
+    assert "http://c.example/fr" not in rows
+    # ppl tail: gibberish scored against the trusted LM is the worst
+    # of the en group and drops with keep=(head, middle)
+    assert "http://d.example/gib" not in rows
+    # fuzzy dedup: exactly one of the river pair survives
+    river_survivors = [u for u in rows if "river" in u]
+    assert len(river_survivors) == 1
+    # paragraph dedup: the boilerplate paragraph appears ONCE corpus-wide
+    n_shared = sum(r.text.count(_SHARED_PAR[:40]) for r in rows.values())
+    assert n_shared == 1
+    # provenance columns ride through to the output
+    sample = next(iter(rows.values()))
+    assert sample.lang == "en"
+    assert sample.ppl_bucket in ("head", "middle")
+    assert sample.ppl is not None and float(sample.ppl) > 0
+    # shards actually landed, deterministically named
+    shard_files = [f for f in os.listdir(shards)
+                   if f.endswith(".parquet") or "part-" in f or
+                   os.path.isdir(os.path.join(shards, f))]
+    assert shard_files, os.listdir(shards)
+    back = spark.read.parquet(shards)
+    assert back.count() == len(rows)
+
+
+def test_ccnet_preset_describe_dry_run(spark, tmp_path):
+    """--describe contract: the preset config schema-walks over empty
+    frames without touching data (config errors surface for free)."""
+    from greenmask_spark.pipeline.corpus import describe_corpus_pipeline
+
+    ref_path = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(
+        [("r1", "the quick brown fox")], "doc_id string, text string"
+    ).write.parquet(ref_path)
+    src_path = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [("d1", "u", "the quick brown fox")],
+        "doc_id string, url string, text string",
+    ).write.parquet(src_path)
+    cfg = ccnet_config({"path": src_path, "format": "parquet"},
+                       {"path": ref_path, "format": "parquet"})
+    report = describe_corpus_pipeline(spark, cfg)
+    steps = [r["step"] for r in report]
+    assert steps[0] == "input" and "ppl_bucket" in steps
+    by_step = {r["step"]: r for r in report}
+    assert "lang" in by_step["lang_id"]["added"]
+    assert "ppl_bucket" in by_step["ppl_bucket"]["added"]

@@ -1130,6 +1130,10 @@ def test_step_known_keys_membership_and_dynamic_get():
         register_corpus_step,
     )
 
+    from greenmask_spark.pipeline.corpus import CORPUS_STEPS
+
+    orig_mod = {fn: fn.__module__
+                for fn in (_membership_step, _dynamic_get_step)}
     for fn, name in ((_membership_step, "t_membership"),
                      (_dynamic_get_step, "t_dynamic_get")):
         fn.__module__ = corpus_mod.__name__  # introspect like a builtin
@@ -1139,5 +1143,10 @@ def test_step_known_keys_membership_and_dynamic_get():
         assert _step_known_keys("t_membership") == {"opt_flag", "n"}
         assert _step_known_keys("t_dynamic_get") is None
     finally:
+        # fully unwind: cache AND registry entries AND the rebound
+        # __module__, so no state leaks into the rest of the session
         for name in ("t_membership", "t_dynamic_get"):
             _STEP_KEYS_CACHE.pop(name, None)
+            CORPUS_STEPS.pop(name, None)
+        for fn, mod in orig_mod.items():
+            fn.__module__ = mod

@@ -1,0 +1,182 @@
+"""Deterministic scale-up of the driver testdata: sf0.1 -> sf1 (or any
+multiple), for the decade-step oracle sweep SCALE.md records.
+
+The sandbox has no network, so DuckDB's `tpch` extension cannot
+install; instead this derives a larger SF from the committed sf0.1
+parquet with the SAME seeds every run:
+
+- region/nation: copied verbatim (dimensions are SF-invariant).
+- customer/supplier/part/orders/lineitem/events: replicated ``mult``
+  times with per-copy key offsets (stride = max(key)+1 of the base),
+  applied consistently to every FK, so referential integrity and the
+  key-collision-free invariants hold at the new SF.
+- documents/embeddings: synthesized FRESH from the base tables'
+  empirical distributions (vocab + word frequencies, lang/source
+  mixes, doc length range; unit-normalized Gaussian embeddings) with
+  a fixed numpy seed — replicating text 10x would turn the whole
+  corpus into exact duplicates and distort every dedup/ANN operator's
+  behavior at scale, which is exactly what the sweep must measure.
+
+Correctness of the sweep is unaffected by the data being derived:
+tools/check_oracle.py runs Spark and DuckDB over the SAME files.
+
+Usage: python tools/make_sf.py [out_dir] [--mult 10] [--base DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+#: table -> [(key_column, stride_source_column)] offsets; stride is
+#: max(stride_source)+1 in the BASE table so copies never collide
+_OFFSETS = {
+    "customer": [("c_custkey", "customer.c_custkey")],
+    "supplier": [("s_suppkey", "supplier.s_suppkey")],
+    "part": [("p_partkey", "part.p_partkey")],
+    "orders": [("o_orderkey", "orders.o_orderkey"),
+               ("o_custkey", "customer.c_custkey")],
+    "lineitem": [("l_orderkey", "orders.o_orderkey"),
+                 ("l_partkey", "part.p_partkey"),
+                 ("l_suppkey", "supplier.s_suppkey")],
+    "events": [("event_id", "events.event_id"),
+               ("user_id", "events.user_id")],
+}
+
+
+def _strides(con, base: str) -> dict[str, int]:
+    out = {}
+    for table, cols in _OFFSETS.items():
+        for _, src in cols:
+            t, c = src.split(".")
+            if src not in out:
+                out[src] = con.execute(
+                    f"SELECT max({c}) + 1 FROM "
+                    f"read_parquet('{base}/{t}.parquet')"
+                ).fetchone()[0]
+    return out
+
+
+def _replicate(con, base, out_dir, table, mult, strides):
+    cols = con.execute(
+        f"SELECT * FROM read_parquet('{base}/{table}.parquet') LIMIT 0"
+    ).description
+    names = [c[0] for c in cols]
+    offset_for = dict(_OFFSETS[table])
+    sel = ", ".join(
+        f"t.{n} + i.i * {strides[offset_for[n]]} AS {n}"
+        if n in offset_for else f"t.{n}"
+        for n in names
+    )
+    con.execute(
+        f"COPY (SELECT {sel} "
+        f"FROM read_parquet('{base}/{table}.parquet') t, "
+        f"range({mult}) i(i) ORDER BY {names[0]}) "
+        f"TO '{out_dir}/{table}.parquet' (FORMAT parquet)"
+    )
+
+
+def _copy_dim(con, base, out_dir, table):
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{base}/{table}.parquet')) "
+        f"TO '{out_dir}/{table}.parquet' (FORMAT parquet)"
+    )
+
+
+def _synth_documents(con, base, out_dir, mult, seed):
+    words, freqs = zip(*con.execute(
+        "SELECT word, count(*) FROM (SELECT unnest(str_split(text, ' ')) "
+        f"AS word FROM read_parquet('{base}/documents.parquet')) "
+        "WHERE word <> '' GROUP BY 1 ORDER BY 1"
+    ).fetchall())
+    langs, lfreqs = zip(*con.execute(
+        "SELECT lang, count(*) FROM "
+        f"read_parquet('{base}/documents.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchall())
+    n_base, lo_w, hi_w = con.execute(
+        "SELECT count(*), min(len(str_split(text, ' '))), "
+        "max(len(str_split(text, ' '))) FROM "
+        f"read_parquet('{base}/documents.parquet')"
+    ).fetchone()
+    n_src = con.execute(
+        "SELECT count(DISTINCT source) FROM "
+        f"read_parquet('{base}/documents.parquet')"
+    ).fetchone()[0]
+    n = n_base * mult
+    rng = np.random.default_rng(seed)
+    p_w = np.asarray(freqs, dtype=np.float64)
+    p_w /= p_w.sum()
+    p_l = np.asarray(lfreqs, dtype=np.float64)
+    p_l /= p_l.sum()
+    lens = rng.integers(lo_w, hi_w + 1, size=n)
+    word_ids = rng.choice(len(words), size=int(lens.sum()), p=p_w)
+    texts, pos = [], 0
+    for ln in lens:
+        texts.append(" ".join(words[w] for w in word_ids[pos:pos + ln]))
+        pos += ln
+    lang = [langs[i] for i in rng.choice(len(langs), size=n, p=p_l)]
+    source = [f"src{i}" for i in rng.integers(0, n_src, size=n)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(lang, pa.string()),
+        "source": pa.array(source, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, f"{out_dir}/documents.parquet")
+
+
+def _synth_embeddings(con, base, out_dir, mult, seed):
+    n_base, dim, n_label = con.execute(
+        "SELECT count(*), max(len(embedding)), "
+        "count(DISTINCT label) FROM "
+        f"read_parquet('{base}/embeddings.parquet')"
+    ).fetchone()
+    n = n_base * mult
+    rng = np.random.default_rng(seed + 1)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, n_label, size=n), pa.int32()),
+    })
+    pq.write_table(tbl, f"{out_dir}/embeddings.parquet")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir", nargs="?", default="/root/repo/.scale/sf1")
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
+    con = duckdb.connect()
+    strides = _strides(con, args.base)
+    for t in ("region", "nation"):
+        _copy_dim(con, args.base, args.out_dir, t)
+        print("dim   ", t)
+    for t in _OFFSETS:
+        _replicate(con, args.base, args.out_dir, t, args.mult, strides)
+        print("x{:<4}".format(args.mult), t)
+    _synth_documents(con, args.base, args.out_dir, args.mult, args.seed)
+    print("synth  documents")
+    _synth_embeddings(con, args.base, args.out_dir, args.mult, args.seed)
+    print("synth  embeddings")
+    for f in sorted(os.listdir(args.out_dir)):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{args.out_dir}/{f}')"
+        ).fetchone()[0]
+        print(f"{f:24} {n:>10}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -6,5 +6,7 @@ from greenmask_spark.pipeline.corpus import (  # noqa: F401
 )
 from greenmask_spark.pipeline.presets import (  # noqa: F401
     PRESETS,
+    c4_config,
     ccnet_config,
+    gopher_config,
 )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Any
 
-__all__ = ["ccnet_config", "PRESETS"]
+__all__ = ["ccnet_config", "c4_config", "gopher_config", "PRESETS"]
 
 
 def ccnet_config(
@@ -81,7 +81,89 @@ def ccnet_config(
     return cfg
 
 
-#: preset name → config builder (CLI: ``corpus --preset ccnet``)
+def c4_config(
+    input_spec: dict[str, Any],
+    output_path: str | None = None,
+    *,
+    langs: tuple[str, ...] = ("en",),
+    min_words: int = 3,
+    min_sentences: int = 5,
+    benchmark: dict[str, Any] | None = None,
+    rows_per_shard: int = 100_000,
+    seed: int = 42,
+) -> dict[str, Any]:
+    """The C4 cleaning pipeline (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", §2.2) as one config:
+
+      input (C4 starts from extracted text; pass a WARC spec to add
+      the extraction tier) → language ID + allowlist (the paper gates
+      on langdetect en) → the C4 line/page rules (terminal
+      punctuation, min words per line, javascript lines, lorem ipsum,
+      curly braces, min sentences per page) → corpus-wide line dedup
+      (the paper's three-sentence-span dedup, line-granular here) →
+      optional benchmark decontamination (the paper drops pages
+      sharing any 13-gram with eval sets) → shards.
+    """
+    steps: list[dict[str, Any]] = [
+        {"op": "lang_id"},
+        {"op": "quality_filter", "langs": list(langs)},
+        {"op": "c4_filter", "min_words": int(min_words),
+         "min_sentences": int(min_sentences)},
+        {"op": "dedup_lines"},
+    ]
+    if benchmark is not None:
+        steps.append({"op": "decontaminate", "benchmark": dict(benchmark),
+                      "n": 13})
+    cfg: dict[str, Any] = {"input": dict(input_spec), "steps": steps}
+    if output_path is not None:
+        cfg["output"] = {
+            "path": output_path, "format": "shards",
+            "rows_per_shard": int(rows_per_shard), "seed": int(seed),
+        }
+    return cfg
+
+
+def gopher_config(
+    input_spec: dict[str, Any],
+    output_path: str | None = None,
+    *,
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.18,
+    dedup_threshold: float = 0.8,
+    rows_per_shard: int = 100_000,
+    seed: int = 42,
+) -> dict[str, Any]:
+    """The MassiveWeb/Gopher data pipeline (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training
+    Gopher", appendix A) as one config:
+
+      input → the Gopher document-quality rule bundle (A1.1: word
+      count/length/symbol-ratio/bullet/ellipsis/stopword rules, one
+      scan-bandwidth filter) → repetition gates (A1.1 dup-line and
+      top-bigram fractions; the paper's thresholds) → exact dedup →
+      MinHash near-dup removal (A1.2) → shards.
+    """
+    steps: list[dict[str, Any]] = [
+        {"op": "gopher_filter"},
+        {"op": "repetition_filter",
+         "max_dup_line_frac": float(max_dup_line_frac),
+         "max_top_bigram_frac": float(max_top_bigram_frac)},
+        {"op": "dedup_exact"},
+        {"op": "fuzzy_dedup", "threshold": float(dedup_threshold)},
+    ]
+    cfg: dict[str, Any] = {"input": dict(input_spec), "steps": steps}
+    if output_path is not None:
+        cfg["output"] = {
+            "path": output_path, "format": "shards",
+            "rows_per_shard": int(rows_per_shard), "seed": int(seed),
+        }
+    return cfg
+
+
+#: preset name → config builder (CLI: ``corpus --preset <name>``)
 PRESETS = {
     "ccnet": ccnet_config,
+    "c4": c4_config,
+    "gopher": gopher_config,
 }

@@ -244,6 +244,73 @@ def test_ccnet_e2e_warc_to_shards(spark, tmp_path):
     assert back.count() == len(rows)
 
 
+def test_c4_preset_e2e(spark, tmp_path):
+    """C4 recipe (Raffel 2020 §2.2) over a tiny corpus: the no-terminal-
+    punctuation line drops at the line rules, the 3-sentence page drops
+    at min_sentences, the benchmark-13-gram page drops at
+    decontamination, the clean page survives."""
+    from greenmask_spark.pipeline.presets import c4_config
+
+    five = ("The miller walked into the town. The market opened at "
+            "dawn for the farmers. Everyone carried flour and wool "
+            "to sell. The bridge stood over the cold river. The "
+            "shepherds came down from the high meadows.")
+    leaky = ("The benchmark asked about the river that ran past the "
+             "old mill and the miller who stood with his son to "
+             "watch. The answer was the water wheel. The judge read "
+             "it twice. The crowd pressed between the stalls. The "
+             "frost had been late this year.")
+    rows = [
+        ("1", five),
+        # drops: only 3 sentences survive the line rules
+        ("2", "One sentence here. Another one there. A third one."),
+        # drops: the 13-gram overlap with the benchmark
+        ("3", leaky),
+    ]
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(rows, "doc_id string, text string") \
+        .write.parquet(src)
+    bench_path = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [("b1", "the river that ran past the old mill and the miller "
+                "who stood with his son to watch the water")],
+        "doc_id string, text string").write.parquet(bench_path)
+    cfg = c4_config({"path": src, "format": "parquet"},
+                    benchmark={"path": bench_path, "format": "parquet"})
+    out = run_corpus_pipeline(spark, cfg)
+    assert {r.doc_id for r in out.collect()} == {"1"}
+
+
+def test_gopher_preset_e2e(spark, tmp_path):
+    """Gopher recipe (Rae 2021 appendix A): the short page drops at the
+    quality rules, the repeated-line page drops at the repetition gate,
+    the exact duplicate and the near duplicate each collapse to one
+    survivor."""
+    from greenmask_spark.pipeline.presets import gopher_config
+
+    dup_lines = "\n".join(["the same boilerplate line again"] * 30)
+    rows = [
+        ("1", _RIVER),
+        ("2", _RIVER),                     # exact duplicate of 1
+        ("3", _RIVER + " indeed"),         # near duplicate of 1
+        ("4", _BRIDGE),
+        ("5", "too short"),                # gopher word-count drop
+        ("6", dup_lines),                  # repetition drop
+    ]
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(rows, "doc_id string, text string") \
+        .write.parquet(src)
+    cfg = gopher_config({"path": src, "format": "parquet"})
+    out = run_corpus_pipeline(spark, cfg)
+    ids = {r.doc_id for r in out.collect()}
+    assert "4" in ids and "5" not in ids and "6" not in ids
+    assert len(ids & {"1", "2", "3"}) == 1  # one river survivor
+    ops = [s["op"] for s in cfg["steps"]]
+    assert ops == ["gopher_filter", "repetition_filter", "dedup_exact",
+                   "fuzzy_dedup"]
+    assert PRESETS["gopher"] and PRESETS["c4"]
+
+
 def test_ccnet_preset_describe_dry_run(spark, tmp_path):
     """--describe contract: the preset config schema-walks over empty
     frames without touching data (config errors surface for free)."""

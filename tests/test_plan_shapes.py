@@ -181,6 +181,15 @@ SHAPES = {
     # (KB-sized robots frames), the domain rule join and the verdict
     # re-join on row id; never Python
     "robots_filter": (5, 0),
+    # r11 — consolidated split family: train_split contributes zero
+    # exchanges (pure scan+project); the 4 are cluster_split's audited
+    # CC-fixpoint shape (PLANS.md: split_levels = exact sum of its
+    # members)
+    "split_levels": (4, 0),
+    # r11 — CC-Net ppl buckets (method=rank over the lm_score ppl
+    # pipeline): lm_score's 4 audited exchanges + the sliver rank
+    # window + the label rejoin + the lang join; never Python
+    "ppl_bucket": (7, 0),
     # r11 — unigram-LM Viterbi encode: ONE Arrow-batch pandas UDF over
     # a scan, the ≤ vocab_size piece dict in the task closure — zero
     # exchanges (training happens once per sf_dir at plan-build time,

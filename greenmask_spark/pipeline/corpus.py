@@ -906,8 +906,9 @@ def _step_ppl_bucket(df: DataFrame, p: dict) -> DataFrame:
                 f"ppl_bucket method=rank needs uniform cuts "
                 f"{[(i + 1) / k for i in range(k - 1)]}, got {cuts} — "
                 f"positional buckets are equal-population by definition")
-        sliver = df.filter(F.col(ppl_col).isNotNull()).select(
-            id_col, group_col, ppl_col)
+        sliver = df.filter(
+            F.col(ppl_col).isNotNull() & F.col(group_col).isNotNull()
+        ).select(id_col, group_col, ppl_col)
         w = Window.partitionBy(group_col).orderBy(
             F.col(ppl_col).asc(), F.col(id_col).asc())
         ranked = sliver.select(
@@ -931,8 +932,12 @@ def _step_ppl_bucket(df: DataFrame, p: dict) -> DataFrame:
         ]
         cuts_df = df.groupBy(F.col(group_col)).agg(*cut_cols)
         joined = df.join(F.broadcast(cuts_df), on=group_col, how="left")
+        # NULL ppl OR NULL group → NULL bucket (a join miss on a NULL
+        # group key leaves __cut0 NULL; without this guard such rows
+        # would fall through every `when` into the tail label)
         bucket = F.when(
-            F.col(ppl_col).isNull(), F.lit(None).cast("string"))
+            F.col(ppl_col).isNull() | F.col("__cut0").isNull(),
+            F.lit(None).cast("string"))
         for i, lab in enumerate(labels[:-1]):
             bucket = bucket.when(
                 F.col(ppl_col) <= F.col(f"__cut{i}"), F.lit(lab))

@@ -30,6 +30,7 @@ def _bucket_df(spark):
         ("a4", "en", 40.0), ("a5", "en", 50.0), ("a6", "en", 60.0),
         ("b1", "fr", 100.0), ("b2", "fr", 200.0), ("b3", "fr", 300.0),
         ("u1", "en", None),
+        ("g1", None, 5.0),  # NULL group → NULL bucket, both methods
     ]
     return spark.createDataFrame(rows, "doc_id string, lang string, ppl double")
 
@@ -46,8 +47,8 @@ def test_ppl_bucket_per_group_terciles(spark):
     assert got["b1"] == "head"
     assert got["b2"] == "middle"
     assert got["b3"] == "tail"
-    # NULL ppl → NULL bucket (kept when no allowlist)
-    assert got["u1"] is None
+    # NULL ppl / NULL group → NULL bucket (kept when no allowlist)
+    assert got["u1"] is None and got["g1"] is None
     assert "__cut0" not in out.columns and "__cut1" not in out.columns
 
 
@@ -82,7 +83,7 @@ def test_ppl_bucket_rank_method_integer_exact(spark):
     assert got["a5"] == got["a6"] == "tail"
     assert got["b1"] == "head" and got["b2"] == "middle"
     assert got["b3"] == "tail"
-    assert got["u1"] is None
+    assert got["u1"] is None and got["g1"] is None
     with pytest.raises(ValueError, match="uniform"):
         CORPUS_STEPS["ppl_bucket"](
             _bucket_df(spark), {"method": "rank", "cuts": [0.25, 0.8],

@@ -966,7 +966,14 @@ def q_det_shuffle(spark, sf_dir):
         out.withColumn("__mid", F.monotonically_increasing_id())
         .withColumn(
             "shuffle_rank",
-            F.row_number().over(Window.orderBy("__mid")).cast("int"),
+            # the global rank IS the verification semantics (one
+            # partition either way); the constant partition key only
+            # silences the WindowExec warning so it can't mask a real
+            # unpartitioned window elsewhere (the r10 select_to_budget
+            # medicine, sampling.py:766)
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy("__mid")
+            ).cast("int"),
         )
         .drop("__mid")
     )
@@ -4662,17 +4669,27 @@ def _oracle_hits_scores() -> str:
     from greenmask_spark.functions.linkgraph import RANK_SCALE
 
     sc = RANK_SCALE
+    # every CTE MATERIALIZED: the final h{n} ⋈ a{n} references the
+    # alternating hub/authority chain twice, so an inlining planner
+    # re-computes the whole chain per reference — work doubles per
+    # level (2^(2·iters) edge joins; at sf1 this exhausted 78 GB of
+    # DuckDB spill). Materialization pins the oracle at one pass per
+    # CTE, exactly like the Spark side's per-iteration checkpoints.
     step = """
-    ar{i} AS (SELECT e.dst AS node, CAST(sum(h.h * e.w) AS BIGINT) AS raw
+    ar{i} AS MATERIALIZED (
+              SELECT e.dst AS node, CAST(sum(h.h * e.w) AS BIGINT) AS raw
               FROM e JOIN h{p} h ON e.src = h.node GROUP BY e.dst),
-    a{i} AS (SELECT n.node,
+    a{i} AS MATERIALIZED (
+             SELECT n.node,
                     CAST(coalesce(ar.raw, 0)
                          // (SELECT greatest(1, coalesce(max(raw), 0)
                              // {sc}) FROM ar{i}) AS BIGINT) AS a
              FROM nodes n LEFT JOIN ar{i} ar ON n.node = ar.node),
-    hr{i} AS (SELECT e.src AS node, CAST(sum(a.a * e.w) AS BIGINT) AS raw
+    hr{i} AS MATERIALIZED (
+              SELECT e.src AS node, CAST(sum(a.a * e.w) AS BIGINT) AS raw
               FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
-    h{i} AS (SELECT n.node,
+    h{i} AS MATERIALIZED (
+             SELECT n.node,
                     CAST(coalesce(hr.raw, 0)
                          // (SELECT greatest(1, coalesce(max(raw), 0)
                              // {sc}) FROM hr{i}) AS BIGINT) AS h
@@ -4682,7 +4699,7 @@ def _oracle_hits_scores() -> str:
         step.format(i=i + 1, p=i, sc=sc) for i in range(_HITS_ITERS)
     )
     return f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT src, dst, sum(w) AS w FROM (
         SELECT l_suppkey AS src,
                l_partkey + {_PR_DST_OFFSET} AS dst,
@@ -4690,9 +4707,10 @@ def _oracle_hits_scores() -> str:
         FROM lineitem) t
       WHERE src IS NOT NULL AND dst IS NOT NULL AND w > 0
       GROUP BY src, dst),
-    nodes AS (SELECT DISTINCT src AS node FROM e
+    nodes AS MATERIALIZED (
+              SELECT DISTINCT src AS node FROM e
               UNION SELECT DISTINCT dst FROM e),
-    h0 AS (SELECT node, {sc}::BIGINT AS h FROM nodes),
+    h0 AS MATERIALIZED (SELECT node, {sc}::BIGINT AS h FROM nodes),
     {steps}
     SELECT h.node, h.h AS hub_fp, a.a AS auth_fp
     FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a USING (node)

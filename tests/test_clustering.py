@@ -1,0 +1,186 @@
+"""Integer-exact k-means (functions/clustering.py): DuckDB iteration
+parity (transcription-ready for a future driver row), partitioning
+determinism, degenerate inputs, and the driver rail."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, LongType, StructField, StructType,
+)
+
+from greenmask_spark.functions.clustering import (
+    assign_clusters, kmeans_assign, kmeans_train,
+)
+
+DIM, K, ITERS = 4, 3, 2
+
+
+def _vectors(n=40):
+    """Deterministic vectors whose components are multiples of 1/256 —
+    exactly representable in float32 AND float64, so the Spark table
+    (array<float>) and the DuckDB VALUES literals (doubles) quantize
+    identically."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(-256, 257, size=(n, DIM)) / 256.0
+    # three planted clusters so iterations actually move the centroids
+    base[:14, 0] += 2.0
+    base[14:27, 1] -= 2.0
+    return [(i, [float(x) for x in row]) for i, row in enumerate(base)]
+
+
+def _df(spark, rows):
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def _duckdb_kmeans(rows, qbits=20):
+    """The same init + ITERS Lloyd steps + final assignment, unrolled
+    in ANSI SQL (floor division via the nonnegative modulus; argmin
+    tie-break ORDER BY dist, cid)."""
+    scale = 1 << qbits
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE v AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, {', '.join(repr(x) for x in vec)})" for i, vec in rows
+        )
+        + f") x(vec_id, {', '.join(f'e{d}' for d in range(DIM))})"
+    )
+    qcols = ", ".join(
+        f"CAST(floor(e{d} * {scale}) AS BIGINT) AS q{d}"
+        for d in range(DIM)
+    )
+    sql = f"""
+    WITH q AS (
+      SELECT vec_id, {qcols},
+             CAST(('0x' || substr(sha256(vec_id || ':kmeans:42'), 1, 15))
+                  AS BIGINT) AS h
+      FROM v),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+             {', '.join(f'q{d} AS c{d}' for d in range(DIM))}
+      FROM q ORDER BY h, vec_id LIMIT {K})"""
+    prev = "c0"
+    for it in range(1, ITERS + 1):
+        dist = " + ".join(
+            f"(q.q{d} - c.c{d}) * (q.q{d} - c.c{d})" for d in range(DIM)
+        )
+        floordivs = ", ".join(
+            f"(sum(q{d}) - ((sum(q{d}) % count(*)) + count(*)) % count(*))"
+            f" / count(*) AS m{d}"
+            for d in range(DIM)
+        )
+        sql += f""",
+    a{it} AS (
+      SELECT q.vec_id, c.cid, {', '.join(f'q.q{d}' for d in range(DIM))}
+      FROM q, {prev} c
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                 ORDER BY {dist}, c.cid) = 1),
+    s{it} AS (
+      SELECT cid, {floordivs} FROM a{it} GROUP BY cid),
+    c{it} AS (
+      SELECT p.cid,
+             {', '.join(
+                 f'CAST(coalesce(s.m{d}, p.c{d}) AS BIGINT) AS c{d}'
+                 for d in range(DIM))}
+      FROM {prev} p LEFT JOIN s{it} s USING (cid))"""
+        prev = f"c{it}"
+    dist = " + ".join(
+        f"(q.q{d} - c.c{d}) * (q.q{d} - c.c{d})" for d in range(DIM)
+    )
+    sql += f"""
+    SELECT q.vec_id, CAST(c.cid AS INT) AS cid
+    FROM q, {prev} c
+    QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY {dist}, c.cid) = 1
+    ORDER BY q.vec_id"""
+    out = con.sql(sql).fetchall()
+    cents = con.sql(
+        f"{sql.rsplit('SELECT q.vec_id', 1)[0]}"
+        f" SELECT * FROM {prev} ORDER BY cid"
+    )
+    return out, [list(r)[1:] for r in cents.fetchall()]
+
+
+def test_duckdb_iteration_parity(spark):
+    rows = _vectors()
+    df = _df(spark, rows)
+    cents = kmeans_train(df, k=K, n_iters=ITERS, seed=42)
+    got = sorted(
+        (r.vec_id, r.cid)
+        for r in assign_clusters(df, cents).collect()
+    )
+    want, want_cents = _duckdb_kmeans(rows)
+    assert [list(c) for c in cents] == [
+        [int(x) for x in c] for c in want_cents
+    ]
+    assert got == sorted(want)
+    # the planted structure actually separated: >1 cluster in use
+    assert len({c for _, c in got}) > 1
+
+
+def test_partitioning_invariance(spark):
+    rows = _vectors()
+    a = sorted(
+        (r.vec_id, r.cid)
+        for r in kmeans_assign(_df(spark, rows), k=K, n_iters=ITERS)
+        .collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cid)
+        for r in kmeans_assign(
+            _df(spark, rows).repartition(7), k=K, n_iters=ITERS
+        ).collect()
+    )
+    assert a == b
+
+
+def test_invalid_vectors_get_null_cid(spark):
+    rows = _vectors(10) + [(100, None), (101, [0.5, 0.5])]  # null + short
+    df = _df(spark, rows)
+    cents = kmeans_train(df, k=2, n_iters=1)
+    got = {r.vec_id: r.cid for r in assign_clusters(df, cents).collect()}
+    assert got[100] is None and got[101] is None
+    assert all(got[i] is not None for i, _ in rows[:10])
+
+
+def test_sample_mod_trains_on_subset_assigns_all(spark):
+    rows = _vectors(40)
+    df = _df(spark, rows)
+    out = kmeans_assign(df, k=2, n_iters=1, sample_mod=4)
+    assert out.count() == 40
+
+
+def test_small_sample_degrades_k(spark):
+    rows = _vectors(2)
+    cents = kmeans_train(_df(spark, rows), k=5, n_iters=1)
+    assert len(cents) == 2
+
+
+def test_empty_sample_raises(spark):
+    df = _df(spark, _vectors(5)).filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty training sample"):
+        kmeans_train(df, k=2, n_iters=1)
+
+
+def test_cell_rail(spark):
+    df = _df(spark, _vectors(5))
+    with pytest.raises(ValueError, match="driver rail"):
+        kmeans_train(df, k=(1 << 20), n_iters=1)
+
+
+def test_assign_plan_is_scan_plus_one_arrow_stage(spark):
+    from greenmask_spark.plan.health import plan_health
+
+    df = _df(spark, _vectors(20))
+    cents = kmeans_train(df, k=2, n_iters=1)
+    out = assign_clusters(df, cents)
+    out.count()
+    h = plan_health(out)
+    assert h["shuffles"] == 0 and h["python"] == 1

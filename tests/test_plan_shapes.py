@@ -201,6 +201,11 @@ SHAPES = {
     # fold; rows crossing each are ≤ 2^p per window regardless of
     # event volume
     "windowed_distinct": (2, 0),
+    # r11 (late) — integer-exact k-means assignment: scan + ONE
+    # Arrow-batch stage with the k*dim centroid matrix in the
+    # closure, zero exchanges (training runs at plan-build time); a
+    # shuffle here means assignment stopped being closure-driven
+    "kmeans_clusters": (0, 1),
 }
 
 

@@ -296,6 +296,7 @@ C4_TERMINAL = (".", "!", "?", '"', "”")
 def c4_clean_text(
     text: Column,
     min_words: int = 3,
+    require_terminal_punct: bool = True,
 ) -> Column:
     """The LINE-level C4 rules (Raffel et al. 2020, arXiv:1910.10683
     §2.2 — the Colossal Clean Crawled Corpus cleaning pass) as one
@@ -304,16 +305,25 @@ def c4_clean_text(
     'javascript' (case-insensitive); return the retained lines
     re-joined with newlines. Pure expressions — runs at scan
     bandwidth, composes with ``c4_page_flags`` for the page-level
-    drops."""
+    drops.
+
+    ``require_terminal_punct=False`` drops the punctuation gate —
+    FineWeb (Penedo et al. 2024, arXiv:2406.17557 §3.2) adopts the C4
+    rules but found that one too aggressive on modern crawl text; the
+    other line rules still apply. Note the page-level sentence count
+    (``c4_page_flags``) then runs over lines that need not end in
+    ``. ! ?`` — its "each retained line contributes a sentence"
+    property no longer holds."""
     lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
     term = F.array(*[F.lit(c) for c in C4_TERMINAL])
 
     def keep(ln):
         t = F.trim(ln)
-        ends_ok = F.exists(term, lambda c: t.endswith(c))
         n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
-        return (ends_ok & (n_words >= min_words)
-                & ~F.lower(t).contains("javascript"))
+        ok = (n_words >= min_words) & ~F.lower(t).contains("javascript")
+        if require_terminal_punct:
+            ok = F.exists(term, lambda c: t.endswith(c)) & ok
+        return ok
 
     return F.array_join(F.filter(lines, keep), "\n")
 
@@ -361,14 +371,20 @@ def c4_filter(
     min_words: int = 3,
     min_sentences: int = 5,
     flags_col: str | None = None,
+    require_terminal_punct: bool = True,
 ) -> DataFrame:
     """The full C4 cleaning pass (line rules + page rules): the text
     column is REPLACED by its retained lines, and pages failing any
     page rule drop — unless ``flags_col`` is given: AUDIT MODE keeps
     every page with its per-rule struct attached (filter afterwards
     with ``.filter(F.col(flags_col)['passed'])``), matching
-    ``gopher_filter``'s audit contract. Zero shuffle either way."""
-    cleaned = c4_clean_text(F.col(text_col), min_words=min_words)
+    ``gopher_filter``'s audit contract. Zero shuffle either way.
+    ``require_terminal_punct=False`` is the FineWeb variant of the
+    line rules (see ``c4_clean_text``)."""
+    cleaned = c4_clean_text(
+        F.col(text_col), min_words=min_words,
+        require_terminal_punct=require_terminal_punct,
+    )
     out = df.withColumn(text_col, cleaned)
     flags = c4_page_flags(F.col(text_col), min_sentences=min_sentences)
     if flags_col:

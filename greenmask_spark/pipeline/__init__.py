@@ -8,5 +8,6 @@ from greenmask_spark.pipeline.presets import (  # noqa: F401
     PRESETS,
     c4_config,
     ccnet_config,
+    fineweb_config,
     gopher_config,
 )

@@ -151,7 +151,9 @@ def _step_c4_filter(df: DataFrame, p: dict) -> DataFrame:
     """The C4 cleaning pass (Raffel et al. 2020 §2.2): line-level
     terminal-punctuation/min-words/javascript rules rewrite the text
     column, page-level sentence-count/lorem-ipsum/curly-brace rules
-    drop pages; ``flags_col`` switches to audit mode."""
+    drop pages; ``flags_col`` switches to audit mode;
+    ``require_terminal_punct: false`` is the FineWeb line-rule
+    variant."""
     from greenmask_spark.functions.text_analysis import c4_filter
 
     return c4_filter(
@@ -160,6 +162,8 @@ def _step_c4_filter(df: DataFrame, p: dict) -> DataFrame:
         min_words=int(p.get("min_words", 3)),
         min_sentences=int(p.get("min_sentences", 5)),
         flags_col=p.get("flags_col"),
+        require_terminal_punct=bool(
+            p.get("require_terminal_punct", True)),
     )
 
 

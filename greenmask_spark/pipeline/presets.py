@@ -14,7 +14,10 @@ from __future__ import annotations
 
 from typing import Any
 
-__all__ = ["ccnet_config", "c4_config", "gopher_config", "PRESETS"]
+__all__ = [
+    "ccnet_config", "c4_config", "gopher_config", "fineweb_config",
+    "PRESETS",
+]
 
 
 def ccnet_config(
@@ -161,9 +164,78 @@ def gopher_config(
     return cfg
 
 
+def fineweb_config(
+    input_spec: dict[str, Any],
+    output_path: str | None = None,
+    *,
+    langs: tuple[str, ...] = ("en",),
+    blocklist: dict[str, Any] | list[str] | None = None,
+    url_col: str = "url",
+    min_words: int = 3,
+    min_sentences: int = 5,
+    dedup_threshold: float = 0.75,
+    pii_kinds: tuple[str, ...] = ("email", "ipv4"),
+    rows_per_shard: int = 100_000,
+    seed: int = 42,
+) -> dict[str, Any]:
+    """The FineWeb pipeline (Penedo et al. 2024, "The FineWeb
+    Datasets: Decanting the Web for the Finest Text Data at Scale",
+    arXiv:2406.17557) as one config:
+
+      WARC/raw input → URL normalization + domain blocklist (§3.1;
+      only when ``blocklist`` is given — test-scale ``documents``
+      inputs have no URL column) → text extraction (strip_html; the
+      paper uses trafilatura) → language ID + allowlist (§3.1, the
+      paper gates fastText en ≥ 0.65; this engine's n-gram heuristic
+      twin) → the Gopher quality + repetition rule bundles (§3.2
+      adopts both) → the C4 rules WITHOUT the terminal-punctuation
+      line gate (§3.2: FineWeb keeps the other C4 filters but found
+      that one too aggressive) → per-snapshot MinHash near-dedup
+      (§3.3; threshold ~0.75 ≈ the paper's 5-gram 112-hash banding
+      operating point) → PII anonymization (§3.5: email + IP) →
+      deterministically-shuffled shards.
+
+    ``blocklist`` is an inline domain list or a {table/path} input
+    spec (resolved through pipeline context, same as the blocklist
+    step). Every stage is the scale-shaped operator: URL rules and
+    the quality bundles are scan-bandwidth expressions, fuzzy dedup
+    moves band keys (bodies never shuffle), PII scrubbing is a
+    regexp rewrite on the scan."""
+    steps: list[dict[str, Any]] = []
+    if blocklist is not None:
+        steps.append({"op": "normalize_urls", "url_col": url_col,
+                      "domain_col": "__domain"})
+        bl: dict[str, Any] = (
+            {"domains": list(blocklist)} if isinstance(blocklist, list)
+            else {"source": dict(blocklist)}
+        )
+        steps.append({"op": "blocklist", "url_col": url_col,
+                      "domain_col": "__domain", **bl})
+    steps += [
+        {"op": "strip_html"},
+        {"op": "lang_id"},
+        {"op": "quality_filter", "langs": list(langs)},
+        {"op": "gopher_filter"},
+        {"op": "repetition_filter"},
+        {"op": "c4_filter", "min_words": int(min_words),
+         "min_sentences": int(min_sentences),
+         "require_terminal_punct": False},
+        {"op": "fuzzy_dedup", "threshold": float(dedup_threshold)},
+        {"op": "scrub_pii", "kinds": list(pii_kinds)},
+    ]
+    cfg: dict[str, Any] = {"input": dict(input_spec), "steps": steps}
+    if output_path is not None:
+        cfg["output"] = {
+            "path": output_path, "format": "shards",
+            "rows_per_shard": int(rows_per_shard), "seed": int(seed),
+        }
+    return cfg
+
+
 #: preset name → config builder (CLI: ``corpus --preset <name>``)
 PRESETS = {
     "ccnet": ccnet_config,
     "c4": c4_config,
     "gopher": gopher_config,
+    "fineweb": fineweb_config,
 }

@@ -93,19 +93,32 @@ def assign_clusters(
     vec_col: str = "embedding",
     out_col: str = "cid",
     qbits: int = QBITS,
+    passthrough: bool = False,
 ) -> DataFrame:
     """(id, cid) for every row of ``df`` against a FIXED quantized
     centroid matrix: ONE Arrow-batch pass, zero shuffles — the
     centroid matrix rides inside the closure (k*dim int64, a few KB
     broadcast with the task), so the plan is a scan + mapInPandas
     however large the corpus is. Invalid vectors (null / wrong
-    dimension) get a NULL cid, matching `_assign_centroids`."""
+    dimension) get a NULL cid, matching `_assign_centroids`.
+
+    ``passthrough=True`` keeps EVERY input column and appends the cid
+    — the corpus-pipeline shape (the alternative, (id, cid) plus a
+    rejoin on id, pays a corpus-sized shuffle for nothing). Stateless
+    either way, so the same plan runs on a streaming DataFrame."""
     cmat = np.array(qcentroids, dtype=np.int64)
     dim = cmat.shape[1]
-    id_field = df.schema[id_col]
-    schema = (
-        f"{id_col} {id_field.dataType.simpleString()}, {out_col} int"
-    )
+    if passthrough:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        schema = StructType(
+            list(df.schema.fields) + [StructField(out_col, IntegerType())]
+        )
+    else:
+        id_field = df.schema[id_col]
+        schema = (
+            f"{id_col} {id_field.dataType.simpleString()}, {out_col} int"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -122,12 +135,16 @@ def assign_clusters(
                 # ORDER BY dist, cid LIMIT 1)
                 diff = q[:, None, :] - cmat[None, :, :]
                 cids[valid] = (diff * diff).sum(axis=2).argmin(axis=1)
-            out = pd.DataFrame({
-                id_col: pdf[id_col],
-                out_col: pd.Series(cids, index=pdf.index).astype(
-                    "Int32").where(pd.Series(valid, index=pdf.index),
-                                   None),
-            })
+            cid_series = pd.Series(cids, index=pdf.index).astype(
+                "Int32").where(pd.Series(valid, index=pdf.index), None)
+            if passthrough:
+                out = pdf.copy()
+                out[out_col] = cid_series
+            else:
+                out = pd.DataFrame({
+                    id_col: pdf[id_col],
+                    out_col: cid_series,
+                })
             yield out
 
     return df.mapInPandas(run, schema=schema)
@@ -244,9 +261,11 @@ def kmeans_assign(
     seed: int = 42,
     sample_mod: int = 1,
     qbits: int = QBITS,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Train on the hash-gated sample, then assign the FULL corpus:
-    (id, cid) for every row. The returned plan is scan + one Arrow
+    (id, cid) for every row — or every input column plus cid with
+    ``passthrough=True``. The returned plan is scan + one Arrow
     stage, zero exchanges — training ran eagerly at plan-build time
     (n_iters pre-combined sliver aggregations over the sample)."""
     cents = kmeans_train(
@@ -255,5 +274,5 @@ def kmeans_assign(
     )
     return assign_clusters(
         df, cents, id_col=id_col, vec_col=vec_col, out_col=out_col,
-        qbits=qbits,
+        qbits=qbits, passthrough=passthrough,
     )

@@ -1049,6 +1049,33 @@ def _step_packing_report(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_kmeans_cluster(df: DataFrame, p: dict) -> DataFrame:
+    """Attach an integer-exact k-means cluster id over an embedding
+    column (functions/clustering.kmeans_assign — fixed-point Lloyd's,
+    bit-identical across engines/partitionings): the clustering twin
+    of ``lang_id`` for cluster-keyed downstream steps (SemDeDup-style
+    pruning, cluster-balanced mixtures, or ``hash_split`` keyed on
+    ``cid`` for leakage control on SEMANTIC near-dups the way
+    ``cluster_split`` handles lexical ones). Compose after
+    ``join_embeddings`` when the corpus frame has no embedding
+    column. Training reads a hash-gated 1/sample_mod of the rows;
+    assignment is one Arrow PASSTHROUGH stage with the centroids in
+    the closure — every corpus column rides through, no rejoin."""
+    from greenmask_spark.functions.clustering import kmeans_assign
+
+    return kmeans_assign(
+        df,
+        k=int(p.get("k", 8)),
+        n_iters=int(p.get("n_iters", 3)),
+        id_col=p.get("id_col", "doc_id"),
+        vec_col=p.get("vec_col", "embedding"),
+        out_col=p.get("out_col", "cid"),
+        seed=int(p.get("seed", 42)),
+        sample_mod=int(p.get("sample_mod", 1)),
+        passthrough=True,
+    )
+
+
 CORPUS_STEPS: dict[str, Step] = {
     "dedup_exact": _step_dedup_exact,
     "dedup_lines": _step_dedup_lines,
@@ -1088,6 +1115,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "lm_filter": _step_lm_filter,
     "lang_id": _step_lang_id,
     "ppl_bucket": _step_ppl_bucket,
+    "kmeans_cluster": _step_kmeans_cluster,
 }
 
 

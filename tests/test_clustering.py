@@ -8,7 +8,7 @@ import pytest
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, FloatType, LongType, StructField, StructType,
+    ArrayType, FloatType, LongType, StringType, StructField, StructType,
 )
 
 from greenmask_spark.functions.clustering import (
@@ -173,6 +173,61 @@ def test_cell_rail(spark):
     df = _df(spark, _vectors(5))
     with pytest.raises(ValueError, match="driver rail"):
         kmeans_train(df, k=(1 << 20), n_iters=1)
+
+
+def test_passthrough_keeps_columns_no_join(spark):
+    rows = _vectors(20)
+    df = _df(spark, rows).withColumn("extra", F.col("vec_id") * 2)
+    out = kmeans_assign(df, k=2, n_iters=1, passthrough=True)
+    assert out.columns == ["vec_id", "embedding", "extra", "cid"]
+    got = {r.vec_id: r for r in out.collect()}
+    assert all(got[i].extra == 2 * i for i, _ in rows)
+    # matches the (id, cid) form exactly
+    plain = {r.vec_id: r.cid
+             for r in kmeans_assign(df, k=2, n_iters=1).collect()}
+    assert {i: r.cid for i, r in got.items()} == plain
+    # the scale contract: no rejoin — still zero exchanges
+    from greenmask_spark.plan.health import plan_health
+    out.count()
+    assert plan_health(out)["shuffles"] == 0
+
+
+def test_corpus_step_kmeans_cluster(spark):
+    from greenmask_spark.pipeline.corpus import CORPUS_STEPS
+
+    rows = [(i, f"doc {i}", v) for i, v in _vectors(20)]
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = CORPUS_STEPS["kmeans_cluster"](df, {"k": 2, "n_iters": 1})
+    assert out.columns == ["doc_id", "text", "embedding", "cid"]
+    assert out.count() == 20
+    assert out.filter(F.col("cid").isNull()).count() == 0
+
+
+def test_assign_runs_on_a_stream(spark, tmp_path):
+    """assign_clusters is stateless (centroids in the closure), so
+    the identical plan runs on a streaming DataFrame — the
+    bloom_contains licence."""
+    rows = _vectors(20)
+    src = str(tmp_path / "vec_stream_src")
+    _df(spark, rows).write.parquet(src)
+    batch = spark.read.parquet(src)
+    cents = kmeans_train(batch, k=2, n_iters=1)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = assign_clusters(stream, cents)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("kmeans_stream_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.vec_id: r.cid
+           for r in spark.sql("SELECT * FROM kmeans_stream_out").collect()}
+    want = {r.vec_id: r.cid
+            for r in assign_clusters(batch, cents).collect()}
+    assert got == want
 
 
 def test_assign_plan_is_scan_plus_one_arrow_stage(spark):

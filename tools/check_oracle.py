@@ -48,10 +48,43 @@ def norm_rows(cols, rows):
     )
 
 
+def _run_oracle(con, sql: str, timeout_s: float | None):
+    """Run the DuckDB twin, interrupting it after ``timeout_s``.
+
+    Some oracle twins deliberately RE-DERIVE the operator in
+    interpreted SQL (per-doc minhash recompute, unrolled fixpoint
+    iterations) — at decade-step scale a few of those replays cost
+    hours of ORACLE time while the Spark side runs in seconds. The
+    timeout keeps a big-SF sweep terminating: a timed-out query
+    degrades to the driver's weaker rows-only evidence and is
+    REPORTED as such, never silently passed."""
+    if not timeout_s:
+        res = con.sql(sql)
+        return [d[0] for d in res.description], res.fetchall()
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            con.interrupt()
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        res = con.sql(sql)
+        cols = [d[0] for d in res.description]
+        rows = res.fetchall()
+        return cols, rows
+    finally:
+        done.set()
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
         else "/root/testdata/sf0.01"
     only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    oracle_timeout = float(os.environ.get("ORACLE_TIMEOUT_S", "0")) or None
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -63,9 +96,11 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     passed = failed = skipped = 0
+    import time as _time
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = _time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -74,18 +109,27 @@ def main():
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
             failed += 1
             continue
+        spark_s = _time.perf_counter() - t0
         if name not in oracles:
-            print(f"skip  {name}: no oracle (rows={len(srows)})")
+            print(f"skip  {name}: no oracle (rows={len(srows)}) "
+                  f"[spark {spark_s:.1f}s]")
             skipped += 1
             continue
+        t1 = _time.perf_counter()
         try:
-            res = con.sql(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dcols, drows = _run_oracle(con, oracles[name], oracle_timeout)
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
-            failed += 1
+            msg = str(e)
+            if "INTERRUPT" in msg.upper():
+                print(f"skip  {name}: oracle timeout after "
+                      f"{oracle_timeout:.0f}s — rows-only evidence "
+                      f"(spark ok, {len(srows)} rows in {spark_s:.1f}s)")
+                skipped += 1
+            else:
+                print(f"FAIL  {name}: duckdb error: {msg[:200]}")
+                failed += 1
             continue
+        duck_s = _time.perf_counter() - t1
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
             failed += 1
@@ -101,7 +145,8 @@ def main():
                   f" rows); first: {bad}")
             failed += 1
             continue
-        print(f"ok    {name} ({len(srows)} rows)")
+        print(f"ok    {name} ({len(srows)} rows) "
+              f"[spark {spark_s:.1f}s, duck {duck_s:.1f}s]")
         passed += 1
     print(f"\n{passed} ok, {failed} failed, {skipped} skipped (rows-only)")
     return 1 if failed else 0

@@ -251,6 +251,33 @@ def kmeans_train(
     return cents
 
 
+def kmeans_centroids_float(
+    df: DataFrame,
+    k: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_mod: int = 1,
+    qbits: int = QBITS,
+) -> list[list[float]]:
+    """Trained centroids in the float form ``similarity.ivf_topk`` /
+    ``ivf_pq_index`` take as their ``centroids`` argument — bridging
+    this trainer into the ANN family: previously trained-IVF meant
+    ``train_ivf_centroids`` (better recall than hash centroids, but
+    float avg() updates that no other engine reproduces, so the
+    oracle rows run hash centroids); these are trained AND exactly
+    reproducible anywhere, including as literal arrays in an
+    ANSI-SQL twin. Each component is an int64 divided by 2^qbits —
+    exact in a double — so cross-engine parity survives the cast."""
+    cents = kmeans_train(
+        df, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col,
+        seed=seed, sample_mod=sample_mod, qbits=qbits,
+    )
+    s = float(1 << qbits)
+    return [[c / s for c in row] for row in cents]
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = 8,

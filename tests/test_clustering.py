@@ -239,3 +239,33 @@ def test_assign_plan_is_scan_plus_one_arrow_stage(spark):
     out.count()
     h = plan_health(out)
     assert h["shuffles"] == 0 and h["python"] == 1
+
+
+def test_float_centroids_drive_ivf_topk(spark):
+    """The trained quantized centroids slot into the existing IVF ANN
+    as its ``centroids`` argument (trained AND engine-reproducible,
+    where train_ivf_centroids documents its float avg() is not); the
+    probe stays deterministic under repartitioning."""
+    from greenmask_spark.functions.clustering import kmeans_centroids_float
+    from greenmask_spark.functions.similarity import ivf_topk
+
+    rows = _vectors(40)
+    corpus = _df(spark, rows)
+    queries = _df(spark, rows[:3])
+    cents = kmeans_centroids_float(corpus, k=4, n_iters=2)
+    assert all(
+        abs(c * (1 << 20) - round(c * (1 << 20))) == 0.0
+        for row in cents for c in row
+    )  # every component is an exact int/2^20
+    a = sorted(map(tuple, ivf_topk(
+        corpus, queries, k=3, n_probe=2, centroids=cents).collect()))
+    b = sorted(map(tuple, ivf_topk(
+        corpus.repartition(5), queries, k=3, n_probe=2,
+        centroids=cents).collect()))
+    assert a == b and len(a) == 9
+    # ivf_topk excludes self-matches by contract; with the planted
+    # structure each query's rank-1 neighbor comes from its own
+    # cluster (ids 0..13 share the +2.0 offset on component 0)
+    best = {qid: nid for qid, nid, score, rank in a if rank == 1}
+    assert set(best) == {0, 1, 2}
+    assert all(nid != qid and 0 <= nid < 14 for qid, nid in best.items())

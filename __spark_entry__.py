@@ -5021,6 +5021,66 @@ def q_kmeans_clusters(spark, sf_dir):
     return assign_clusters(emb, cents)
 
 
+def _oracle_kmeans_clusters(k: int = 8, iters: int = 3,
+                            qbits: int = 20) -> str:
+    """STAGED r12 oracle for q_kmeans_clusters (not yet in
+    oracle_sql() — tests/test_registry_contract.py forbids oracle
+    keys without registry rows; the r12 window swap adds both): the
+    full fixed-point Lloyd's replay over the real embeddings table —
+    list-lambda quantization, integer distances via the two-arg
+    (x, i) index lambda, floor-division centroid updates through the
+    nonnegative modulus, empty clusters keeping their previous
+    centroid. Verified against the Spark side at sf0.001 in
+    tests/test_clustering.py::test_registry_oracle_parity_sf0001.
+    Assumes every embedding is valid (true of the driver tables);
+    NULL/short vectors get NULL cid on the Spark side by contract."""
+    scale = 1 << qbits
+
+    def dist(qv, cv):
+        return (f"list_sum(list_transform({qv}, (x, i) -> "
+                f"(x - {cv}[i]) * (x - {cv}[i])))")
+
+    sql = f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv,
+             CAST(('0x' || substr(sha256(vec_id || ':kmeans:42'), 1, 15))
+                  AS BIGINT) AS h
+      FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, qv AS cv
+      FROM q ORDER BY h, vec_id LIMIT {k})"""
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql += f""",
+    a{it} AS (
+      SELECT q.vec_id, c.cid, q.qv
+      FROM q, {prev} c
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {dist('q.qv', 'c.cv')}, c.cid) = 1),
+    s{it} AS (
+      SELECT cid, u.pos,
+             CAST((sum(u.val) - ((sum(u.val) % count(*)) + count(*))
+                   % count(*)) / count(*) AS BIGINT) AS m
+      FROM a{it},
+           UNNEST(list_transform(qv, (x, i) -> {{'pos': i, 'val': x}}))
+             AS t(u)
+      GROUP BY cid, u.pos),
+    c{it} AS (
+      SELECT p.cid, coalesce(s.mv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, list(m ORDER BY pos) AS mv FROM s{it} GROUP BY cid) s
+      USING (cid))"""
+        prev = f"c{it}"
+    sql += f"""
+    SELECT q.vec_id, CAST(c.cid AS INT) AS cid
+    FROM q, {prev} c
+    QUALIFY row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY {dist('q.qv', 'c.cv')}, c.cid) = 1"""
+    return sql
+
+
 _WD_P = 7
 
 
@@ -5144,12 +5204,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r12 PLAN (pre-staged): swap the halves again — the r12 window =
     exactly this round's 50-row tail (all r10-green, stale
-    otherwise), and this round's window becomes the r12 tail. Any NEW
-    r12 operator needs a window slot: consolidate two same-schema
-    rows WITHIN the incoming window into a family row (the
-    ann_variants / split_levels pattern) so every swapped-in row
-    keeps running — and update bench.py HEADLINE +
-    test_plan_shapes.SHAPES consumers in the SAME commit
+    otherwise), and this round's window becomes the r12 tail. The
+    NEW r12 operator and its slot are ALREADY STAGED: fold ann_topk
+    (brute-force) into the incoming ann_variants family row as a
+    third ``variant='brute'`` leg with its original parameters
+    (schema already matches; oracle = UNION ALL gains the brute
+    oracle), and spend the freed slot on ``kmeans_clusters`` —
+    q_kmeans_clusters exists (bench HEADLINE row since r11) and its
+    oracle is transcription-ready: `_oracle_kmeans_clusters()` below,
+    already proven against the Spark side over the real embeddings
+    table (tests/test_clustering.py::test_registry_oracle_parity_
+    sf0001). bench.py HEADLINE and test_plan_shapes.SHAPES keep
+    resolving "ann_topk" through the q_* fallback
     (tests/test_registry_contract.py enforces this).
 
     Single-transformer queries from r1 remain consolidated into

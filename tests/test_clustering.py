@@ -241,6 +241,31 @@ def test_assign_plan_is_scan_plus_one_arrow_stage(spark):
     assert h["shuffles"] == 0 and h["python"] == 1
 
 
+def test_registry_oracle_parity_sf0001(spark):
+    """The STAGED r12 driver row end-to-end at sf0.001: Spark
+    q_kmeans_clusters vs the generated dim-64 list-lambda DuckDB
+    replay (__spark_entry__._oracle_kmeans_clusters) over the REAL
+    embeddings table — exact (vec_id, cid) equality."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.vec_id, r.cid)
+        for r in entrymod.q_kmeans_clusters(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS FROM "
+            f"'{sf_dir}/embeddings.parquet'")
+    want = sorted(map(tuple, con.sql(
+        entrymod._oracle_kmeans_clusters()).fetchall()))
+    assert got == want and len(got) == 500
+
+
 def test_float_centroids_drive_ivf_topk(spark):
     """The trained quantized centroids slot into the existing IVF ANN
     as its ``centroids`` argument (trained AND engine-reproducible,

@@ -241,6 +241,46 @@ def test_assign_plan_is_scan_plus_one_arrow_stage(spark):
     assert h["shuffles"] == 0 and h["python"] == 1
 
 
+def test_assignment_matches_brute_force_property(spark):
+    """Property: for ARBITRARY float32 vectors (hypothesis-generated,
+    ties and negatives included) the Arrow kernel's cid equals a
+    from-scratch integer replay — exact quantization (floor after a
+    power-of-two scale), int64 distances, first-minimum tie-break."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    comps = st.integers(min_value=-512, max_value=512)
+    vec = st.lists(comps, min_size=3, max_size=3)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(vec, min_size=4, max_size=24))
+    def check(int_vecs):
+        # /256 keeps every component exact in float32 AND float64
+        rows = [(i, [x / 256.0 for x in v])
+                for i, v in enumerate(int_vecs)]
+        cents = [q for _, q in rows[:3]]
+        qc = [
+            [int(np.floor(np.float64(np.float32(x)) * (1 << 20)))
+             for x in c] for c in cents
+        ]
+        got = {r.vec_id: r.cid for r in assign_clusters(
+            spark.createDataFrame(
+                rows,
+                StructType([
+                    StructField("vec_id", LongType()),
+                    StructField("embedding", ArrayType(FloatType())),
+                ])), qc).collect()}
+        cmat = np.array(qc, dtype=np.int64)
+        for i, v in rows:
+            q = np.floor(
+                np.asarray(v, np.float64) * (1 << 20)).astype(np.int64)
+            d = ((q[None, :] - cmat) ** 2).sum(axis=1)
+            assert got[i] == int(d.argmin())
+
+    check()
+
+
 def test_registry_oracle_parity_sf0001(spark):
     """The STAGED r12 driver row end-to-end at sf0.001: Spark
     q_kmeans_clusters vs the generated dim-64 list-lambda DuckDB

@@ -545,6 +545,16 @@ def cmd_corpus(args) -> int:
                 delta.append("-" + ",".join(row["removed"]))
             print(f"{row['step']:<20} {' '.join(delta)}")
         return 0
+    if args.funnel:
+        from greenmask_spark.pipeline.corpus import corpus_funnel
+
+        rows = corpus_funnel(spark, cfg, sf_dir=args.sf_dir)
+        prev = None
+        for r in rows:
+            drop = "" if prev is None else f"  ({r['rows'] - prev:+d})"
+            print(f"{r['op']:<20} {r['rows']:>12}{drop}")
+            prev = r["rows"]
+        return 0
     out = run_corpus_pipeline(spark, cfg, sf_dir=args.sf_dir)
     if not cfg.get("output"):
         n = out.count()
@@ -571,6 +581,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="directory holding <table>.parquet for input.table")
     cp.add_argument("--describe", action="store_true",
                     help="dry-run: per-step schema changes, no corpus reads")
+    cp.add_argument("--funnel", action="store_true",
+                    help="run the pipeline once and print per-stage "
+                         "survivor counts (DataFrame.observe — no "
+                         "per-stage jobs)")
     cp.set_defaults(fn=cmd_corpus)
 
     r = sub.add_parser("restore", help="read dump dir, write tables in topo order")

@@ -1278,16 +1278,9 @@ def _load_input(spark, inp: dict, sf_dir: str | None) -> DataFrame:
     raise ValueError("input needs 'table' or 'path'")
 
 
-def run_corpus_pipeline(
-    spark, config: dict[str, Any], sf_dir: str | None = None
-) -> DataFrame:
-    """Config → DataFrame. ``input`` is either {table: name} resolved
-    from ``sf_dir`` parquet, or {path, format[, schema]}. Multi-source
-    training mixtures use ``inputs`` (name → input spec) together with
-    ``mixture: {rates: {name: rate}, key_col?, seed?}`` — sources are
-    weighted/upsampled via ``sample_mixture`` and the union feeds the
-    step list. The ``output`` section (optional) writes
-    {path, format: parquet|jsonl}."""
+def _resolve_input_df(spark, config: dict, sf_dir: str | None) -> DataFrame:
+    """The config's input tier: a single ``input`` spec, or ``inputs``
+    + ``mixture`` (weighted multi-source union via sample_mixture)."""
     if "inputs" in config:
         mix = config.get("mixture") or {}
         if "rates" not in mix:
@@ -1298,14 +1291,26 @@ def run_corpus_pipeline(
             name: _load_input(spark, spec, sf_dir)
             for name, spec in config["inputs"].items()
         }
-        df = sample_mixture(
+        return sample_mixture(
             sources,
             {k: float(v) for k, v in mix["rates"].items()},
             key_col=mix.get("key_col", "doc_id"),
             seed=int(mix.get("seed", 42)),
         )
-    else:
-        df = _load_input(spark, config.get("input") or {}, sf_dir)
+    return _load_input(spark, config.get("input") or {}, sf_dir)
+
+
+def run_corpus_pipeline(
+    spark, config: dict[str, Any], sf_dir: str | None = None
+) -> DataFrame:
+    """Config → DataFrame. ``input`` is either {table: name} resolved
+    from ``sf_dir`` parquet, or {path, format[, schema]}. Multi-source
+    training mixtures use ``inputs`` (name → input spec) together with
+    ``mixture: {rates: {name: rate}, key_col?, seed?}`` — sources are
+    weighted/upsampled via ``sample_mixture`` and the union feeds the
+    step list. The ``output`` section (optional) writes
+    {path, format: parquet|jsonl}."""
+    df = _resolve_input_df(spark, config, sf_dir)
     out = build_corpus_pipeline(
         df, config.get("steps", []),
         context={"spark": spark, "sf_dir": sf_dir},
@@ -1378,3 +1383,107 @@ def describe_corpus_pipeline(
             "removed": sorted(before - set(df.columns)),
         })
     return report
+
+
+def corpus_funnel(
+    spark, config: dict[str, Any], sf_dir: str | None = None
+) -> list[dict]:
+    """Per-stage survivor counts for a corpus config in ONE pass —
+    the funnel every curation run is judged by (how many documents
+    each gate dropped), without the naive cost of one count() job
+    per stage re-running the whole prefix.
+
+    Spark-first mechanism: ``DataFrame.observe`` (CollectMetrics)
+    attaches a count at every stage boundary and the single
+    evaluating action — a noop write — reports them all. No
+    per-stage jobs, no persistence, and the optimizer does not push
+    filters through an observation point, so each count is exactly
+    the rows that crossed that boundary. A step that materializes
+    eagerly at composition time (the CC fixpoints, k-means training)
+    consumes its upstream observations then; an Observation keeps
+    its first action's result, which counts the same rows.
+
+    Two optimizer interactions are handled explicitly (tests pin
+    both): AQE's empty-relation propagation is excluded for the one
+    action (a zero-survivor gate is what a funnel must report, not
+    optimize away), and when the STATIC optimizer proves a gate
+    impossible and eliminates the subtree below it — observation
+    nodes included — the eliminated prefix is re-derived exactly by
+    a bounded recursive funnel over the steps before the cut.
+
+    Returns ``[{"stage": -1, "op": "input", "rows": N}, {"stage": 0,
+    "op": <first step>, "rows": ...}, ...]``. Batch diagnostic; a
+    streaming funnel would read the same metrics from the
+    query-progress listener instead."""
+    from pyspark.sql import Observation
+
+    steps = config.get("steps", [])
+    _validate_steps(steps)
+    df = _resolve_input_df(spark, config, sf_dir)
+    ctx = {"spark": spark, "sf_dir": sf_dir}
+    taps: list[tuple[int, str, Observation]] = []
+
+    def tap(frame: DataFrame, stage: int, op: str) -> DataFrame:
+        ob = Observation(f"funnel:{stage}:{op}")
+        taps.append((stage, op, ob))
+        return frame.observe(ob, F.count(F.lit(1)).alias("rows"))
+
+    df = tap(df, -1, "input")
+    for i, step in enumerate(steps):
+        params = {k: v for k, v in step.items() if k != "op"}
+        params["_context"] = ctx
+        df = CORPUS_STEPS[step["op"]](df, params)
+        df = tap(df, i, step["op"])
+    # empty-relation propagation would ELIMINATE the subtree —
+    # CollectMetrics nodes included — the moment any gate drops every
+    # row (AQE replans mid-query; the observations above the cut are
+    # silently discarded and .get dies on the null metrics row).
+    # Exclude just those rewrite rules for the funnel's one action: a
+    # zero-survivor stage is exactly what a funnel must report, not
+    # optimize away.
+    conf = spark.conf
+    saved = {}
+    excl = {
+        "spark.sql.adaptive.optimizer.excludedRules":
+            "org.apache.spark.sql.execution.adaptive."
+            "AQEPropagateEmptyRelation",
+        "spark.sql.optimizer.excludedRules":
+            "org.apache.spark.sql.catalyst.optimizer."
+            "PropagateEmptyRelation",
+    }
+    for k, v in excl.items():
+        saved[k] = conf.get(k, None)
+        conf.set(k, v if not saved[k] else f"{saved[k]},{v}")
+    try:
+        df.write.format("noop").mode("overwrite").save()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    out: list[dict] = []
+    dead: list[int] = []
+    for s, op, ob in taps:
+        try:
+            rows = ob.get["rows"]
+        except Exception:
+            # the STATIC optimizer can prove a later gate empty
+            # (e.g. a filter on values an upstream CASE can never
+            # produce) and replace the whole subtree BELOW it with an
+            # empty relation — those observation nodes never execute.
+            # Boundaries above the cut still fire (with 0).
+            rows = None
+            dead.append(s)
+        out.append({"stage": s, "op": op, "rows": rows})
+    if dead:
+        # re-derive the eliminated prefix exactly: every dead boundary
+        # sits strictly below the impossible gate, so the prefix that
+        # stops before it executes normally. Bounded recursion — each
+        # level drops at least one step.
+        prefix = dict(config)
+        prefix["steps"] = steps[: max(dead) + 1]
+        prefix.pop("output", None)
+        for row in corpus_funnel(spark, prefix, sf_dir):
+            out[row["stage"] + 1]["rows"] = row["rows"]
+    return out

@@ -1150,3 +1150,73 @@ def test_step_known_keys_membership_and_dynamic_get():
             CORPUS_STEPS.pop(name, None)
         for fn, mod in orig_mod.items():
             fn.__module__ = mod
+
+
+# ---------------------------------------------------------------------------
+# corpus_funnel: one-pass per-stage survivor counts (DataFrame.observe)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_funnel_exact_counts(spark, sf_dir):
+    """Every stage's count equals an independent run of that prefix —
+    the observe-based funnel is exact, from ONE evaluating action."""
+    from greenmask_spark.pipeline.corpus import (
+        _resolve_input_df,
+        build_corpus_pipeline,
+        corpus_funnel,
+    )
+
+    cfg = {"input": {"table": "documents"},
+           "steps": [{"op": "lang_id"},
+                     {"op": "quality_filter", "langs": ["en"]},
+                     {"op": "dedup_exact"},
+                     {"op": "hash_sample", "fraction": 0.5}]}
+    rows = corpus_funnel(spark, cfg, sf_dir=sf_dir)
+    assert [r["op"] for r in rows] == [
+        "input", "lang_id", "quality_filter", "dedup_exact", "hash_sample"]
+    df0 = _resolve_input_df(spark, cfg, sf_dir)
+    ctx = {"spark": spark, "sf_dir": sf_dir}
+    want = [df0.count()] + [
+        build_corpus_pipeline(df0, cfg["steps"][:i], ctx).count()
+        for i in range(1, len(cfg["steps"]) + 1)
+    ]
+    assert [r["rows"] for r in rows] == want
+    assert want[0] > want[2] > want[4] > 0  # the funnel actually funnels
+
+
+def test_corpus_funnel_zero_survivor_stage(spark, sf_dir):
+    """A gate that drops EVERY row must report 0 — AQE's
+    empty-relation propagation would silently discard the
+    observation nodes (the .get dies on a null metrics row); the
+    funnel excludes that rewrite for its one action and restores the
+    session conf afterwards."""
+    from greenmask_spark.pipeline.corpus import corpus_funnel
+
+    keys = ("spark.sql.adaptive.optimizer.excludedRules",
+            "spark.sql.optimizer.excludedRules")
+    before = tuple(spark.conf.get(k, None) for k in keys)
+    cfg = {"input": {"table": "documents"},
+           "steps": [{"op": "quality_filter", "langs": ["zz"]},
+                     {"op": "dedup_exact"},
+                     {"op": "lang_id"}]}
+    rows = corpus_funnel(spark, cfg, sf_dir=sf_dir)
+    counts = [r["rows"] for r in rows]
+    assert counts[0] > 0 and counts[1:] == [0, 0, 0]
+    assert tuple(spark.conf.get(k, None) for k in keys) == before
+
+
+def test_corpus_funnel_cli(spark, sf_dir, tmp_path, capsys):
+    from greenmask_spark.cli import main
+
+    cfg = {"input": {"table": "documents"},
+           "steps": [{"op": "lang_id"},
+                     {"op": "quality_filter", "langs": ["en"]}]}
+    cfgp = tmp_path / "funnel.json"
+    cfgp.write_text(json.dumps(cfg))
+    rc = main(["corpus", "--config", str(cfgp), "--sf-dir", sf_dir,
+               "--funnel"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "input" in out and "quality_filter" in out
+    # the per-stage delta annotation renders for post-input stages
+    assert "(" in out and ")" in out

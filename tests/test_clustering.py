@@ -208,6 +208,31 @@ def test_corpus_step_kmeans_cluster(spark):
     assert out.filter(F.col("cid").isNull()).count() == 0
 
 
+def test_kmeans_then_split_is_leakage_safe(spark):
+    """The documented composition: kmeans_cluster → hash_split keyed
+    on cid gives a SEMANTIC leakage-safe split (cluster_aware_split's
+    guarantee, for embedding near-dups instead of lexical ones) —
+    every member of a cluster lands in the same split."""
+    from greenmask_spark.pipeline.corpus import CORPUS_STEPS
+
+    rows = [(i, v) for i, v in _vectors(30)]
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = CORPUS_STEPS["hash_split"](
+        CORPUS_STEPS["kmeans_cluster"](df, {"k": 3, "n_iters": 2}),
+        {"id_col": "cid"},
+    )
+    got = [(r.cid, r.split) for r in out.collect()]
+    per_cluster = {}
+    for cid, split in got:
+        per_cluster.setdefault(cid, set()).add(split)
+    assert all(len(s) == 1 for s in per_cluster.values())
+    assert len(per_cluster) == 3
+
+
 def test_assign_runs_on_a_stream(spark, tmp_path):
     """assign_clusters is stateless (centroids in the closure), so
     the identical plan runs on a streaming DataFrame — the

@@ -119,6 +119,13 @@ def _canary(spark) -> float:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    # scoped runs (scale sweeps, single-query iteration): a
+    # comma-separated HEADLINE subset; unset = the full set, and the
+    # output metric name marks subset runs so a partial total can
+    # never be mistaken for the headline series
+    only = [s for s in os.environ.get(
+        "SPARK_GRAFT_BENCH_ONLY", "").split(",") if s]
+    headline = [n for n in HEADLINE if not only or n in only]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("greenmask-spark-bench")
     qs = entrymod.queries()
@@ -145,7 +152,7 @@ def main() -> int:
         # cleanup; genuine external contention shows in ALL three
         canaries.append(min(_canary(spark) for _ in range(3)))
 
-    for name in HEADLINE:
+    for name in headline:
         checkpoint()
         # registry rows by name; bench-only rows (e.g. unigram_encode,
         # which needs a one-time trained model outside the timed
@@ -182,7 +189,8 @@ def main() -> int:
     above_floor = best > 2.0 * CANARY_FLOOR  # best == min(canaries)
     contended = contended or above_floor
     out = {
-        "metric": "headline_queries_total",
+        "metric": ("headline_queries_total" if not only
+                   else "headline_queries_subset"),
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -111,6 +111,11 @@ def assign_clusters(
     if passthrough:
         from pyspark.sql.types import IntegerType, StructField, StructType
 
+        if out_col in df.columns:
+            raise ValueError(
+                f"assign_clusters: passthrough would duplicate column "
+                f"{out_col!r}; pass a different out_col"
+            )
         schema = StructType(
             list(df.schema.fields) + [StructField(out_col, IntegerType())]
         )
@@ -212,6 +217,10 @@ def kmeans_train(
         sample = sample.filter(F.pmod("h", F.lit(sample_mod)) == 0)
     init_rows = sample.orderBy("h", "id").limit(k).collect()
     init = [r.vec for r in init_rows if r.vec is not None]
+    # a malformed row (wrong dimension) in the init window would make
+    # the centroid matrix ragged; keep the first row's dimension
+    if init:
+        init = [v for v in init if len(v) == len(init[0])]
     if not init:
         raise ValueError(
             "kmeans_train: empty training sample — lower sample_mod or "

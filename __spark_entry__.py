@@ -765,21 +765,23 @@ def q_ppl_bucket(spark, sf_dir):
     2020, arXiv:1911.00359 §3.3; pipeline/corpus._step_ppl_bucket —
     the bucket stage of the ccnet preset, configs/ccnet.yaml). The
     driver-checked form is ``method=rank``: per-language positional
-    terciles by the pure-integer comparison 3*(rank-1) < i*n over
-    row_number() PARTITION BY lang ORDER BY (ppl, doc_id) — every
-    term replays bit-for-bit in any SQL engine (the default
-    ``percentile`` method's interpolated float cuts would be
-    engine-ulp-sensitive exactly at the boundaries). Perplexity is
-    the driver-green lm_score pipeline unchanged (train the bigram
-    Stupid-Backoff model on the even-id half, score the odd half);
-    lang is the documents column. Unscored (blank) docs keep a NULL
-    bucket.
+    terciles, label index = floor((rank-1)*3 / n) with rank over
+    (ppl asc, doc_id asc) within the language — every term replays
+    bit-for-bit in any SQL engine (the default ``percentile``
+    method's interpolated float cuts would be engine-ulp-sensitive
+    exactly at the boundaries). Perplexity is the driver-green
+    lm_score pipeline unchanged (train the bigram Stupid-Backoff
+    model on the even-id half, score the odd half); lang is the
+    documents column. Unscored (blank) docs keep a NULL bucket.
 
-    Scale shape: the model joins are the audited lm_score plan; the
-    bucket window runs over projected (doc_id, lang, ppl) SLIVERS
-    with the label joined back on doc_id — document bodies never
-    cross the rank exchange (the robots_filter __rid-rejoin
-    pattern)."""
+    Scale shape (r12): the model joins are the audited lm_score
+    plan; the rank runs as the two-phase bucket decomposition (see
+    _step_ppl_bucket) — the exact window is partitioned by
+    (lang, ppl-bucket), never by lang alone, so a monolingual corpus
+    fans out to ~n/n_buckets-row sorts; the oracle below stays the
+    NAIVE per-language window because the decomposition is
+    bit-identical to it at any n_buckets. Labels join back on
+    doc_id — document bodies never cross the rank exchange."""
     from greenmask_spark.functions.lm import ngram_lm_score, train_ngram_lm
     from greenmask_spark.pipeline.corpus import CORPUS_STEPS
 
@@ -809,7 +811,7 @@ def _oracle_ppl_bucket() -> str:
              row_number() OVER (PARTITION BY lang
                                 ORDER BY ppl, doc_id) AS rk,
              count(*) OVER (PARTITION BY lang) AS n
-      FROM j WHERE ppl IS NOT NULL
+      FROM j WHERE ppl IS NOT NULL AND lang IS NOT NULL
     )
     SELECT j.doc_id, j.lang, j.ppl,
            CASE WHEN r.rk IS NULL THEN NULL
@@ -1513,28 +1515,38 @@ def _oracle_ann_topk_ivf() -> str:
 
 
 def q_ann_variants(spark, sf_dir):
-    """r10 window consolidation of the ann_topk_lsh + ann_topk_ivf
-    rows (both r8-green, identical (query_id, neighbor_id, cos_sim,
-    rank) schema): each variant runs with its ORIGINAL parameters —
-    hyperplane LSH (dim=64, n_planes=8, seed=42) and IVF
+    """ANN family row. r10 consolidated the ann_topk_lsh +
+    ann_topk_ivf rows (both r8-green, identical (query_id,
+    neighbor_id, cos_sim, rank) schema); r12 folds in the brute-force
+    ann_topk row the same way (r11-green, schema already identical).
+    Each variant runs with its ORIGINAL parameters — exact brute-force
+    cosine top-k, hyperplane LSH (dim=64, n_planes=8, seed=42) and IVF
     (hash_centroids(64, 16, seed=42), n_probe=4) — tagged by a
     ``variant`` column and unioned. Merging follows the r1 precedent
     of same-table family consolidation: per-variant semantics and
     driver evidence are unchanged (the oracle is the UNION ALL of the
-    two original oracles), and the freed window slot lets a NEW r10
-    operator debut with a driver row while every swapped-in r8-green
-    row still runs."""
+    three original oracles), and each freed window slot lets a NEW
+    operator debut with a driver row while every swapped-in green row
+    still runs (r10: windowed_distinct; r12: kmeans_clusters).
+    bench.py HEADLINE and test_plan_shapes keep driving q_ann_topk
+    directly through the q_* fallback, so the brute plan keeps its
+    own budget guard."""
+    brute = q_ann_topk(spark, sf_dir).select(
+        F.lit("brute").alias("variant"), "*"
+    )
     lsh = q_ann_topk_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("variant"), "*"
     )
     ivf = q_ann_topk_ivf(spark, sf_dir).select(
         F.lit("ivf").alias("variant"), "*"
     )
-    return lsh.unionByName(ivf)
+    return brute.unionByName(lsh).unionByName(ivf)
 
 
 def _oracle_ann_variants() -> str:
     return f"""
+    SELECT 'brute' AS variant, * FROM ({_oracle_ann_topk()})
+    UNION ALL
     SELECT 'lsh' AS variant, * FROM ({_oracle_ann_topk_lsh()})
     UNION ALL
     SELECT 'ivf' AS variant, * FROM ({_oracle_ann_topk_ivf()})
@@ -5004,11 +5016,10 @@ def q_kmeans_clusters(spark, sf_dir):
     The returned plan is scan + ONE Arrow-batch stage, zero
     exchanges — centroids ride in the closure; training's per-
     iteration exchange is a (cid,pos,sum,n) sliver agg pre-combined
-    inside the Arrow batches. NOT yet a registry row (staged for the
-    r12 window per the queries() docstring plan; the oracle SQL is
-    transcription-ready in tests/test_clustering._duckdb_kmeans);
-    consumed by bench.py HEADLINE and the test_plan_shapes guard via
-    the q_* fallback."""
+    inside the Arrow batches. Registry row since r12 (debuted with
+    its oracle already proven end-to-end at sf0.001,
+    tests/test_clustering.py::test_registry_oracle_parity_sf0001);
+    also a bench.py HEADLINE row and test_plan_shapes guard."""
     from greenmask_spark.functions.clustering import (
         assign_clusters, kmeans_train,
     )
@@ -5023,9 +5034,7 @@ def q_kmeans_clusters(spark, sf_dir):
 
 def _oracle_kmeans_clusters(k: int = 8, iters: int = 3,
                             qbits: int = 20) -> str:
-    """STAGED r12 oracle for q_kmeans_clusters (not yet in
-    oracle_sql() — tests/test_registry_contract.py forbids oracle
-    keys without registry rows; the r12 window swap adds both): the
+    """Oracle for q_kmeans_clusters (registry row since r12): the
     full fixed-point Lloyd's replay over the real embeddings table —
     list-lambda quantization, integer distances via the two-arg
     (x, i) index lambda, floor-division centroid updates through the
@@ -5146,85 +5155,127 @@ def _oracle_windowed_distinct() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """100 entries. The driver harness records CORRECTNESS rows for the
     FIRST 50 entries only, so the window ROTATES each round (r6 verdict
-    brief; executed in r7, r8, r9, r10) — no entry's driver evidence is
-    older than two rounds.
+    brief; executed in r7, r8, r9, r10, r11) — no entry's driver
+    evidence is older than two rounds.
 
-    r11 WINDOW = EXACTLY the r10 tail (the pre-staged halves swap the
-    r10 registry docstring mandated: every one of those 50 rows is
-    r9-green and their evidence would go stale otherwise), with ONE
+    r12 WINDOW = EXACTLY the r11 tail (the pre-staged halves swap the
+    r11 registry docstring mandated: every one of those 50 rows is
+    r10-green and their evidence would go stale otherwise), with ONE
     in-window family consolidation that keeps all 50 swapped-in
     operators running while freeing the slot the round's new operator
     needs:
 
-    - split_levels = train_split (hash_split on doc_id) +
-      cluster_split (cluster_aware_split on the near-dup cluster id)
-      (identical (doc_id, split) schema; each scheme runs its
-      ORIGINAL parameters under a ``scheme`` tag; oracle = UNION ALL
-      of the two original oracles). Same r1/r10 precedent as
-      ann_variants / dedup_against_levels; the per-scheme query
-      functions and oracles remain in this file unchanged — the
-      merged row calls them (and test_plan_shapes' train_split guard
-      still drives q_train_split directly).
+    - ann_variants gains the brute-force ann_topk row as a third
+      ``variant='brute'`` leg with its original parameters (identical
+      (query_id, neighbor_id, cos_sim, rank) schema; oracle = UNION
+      ALL gains the brute oracle). Same r1/r10/r11 precedent as the
+      lsh+ivf merge itself / dedup_against_levels / split_levels; the
+      per-variant query functions and oracles remain in this file
+      unchanged — the merged row calls them (and bench.py HEADLINE +
+      test_plan_shapes' ann_topk guard still drive q_ann_topk
+      directly through the q_* fallback,
+      tests/test_registry_contract.py enforces this).
 
     The freed slot holds the round's new row, so no NEW operator
     debuts without driver evidence:
-    - ppl_bucket — NEW r11: the CC-Net per-language head/middle/tail
-      perplexity buckets (pipeline/corpus._step_ppl_bucket, the
-      bucket stage of the ccnet preset) in their integer-exact
-      ``method=rank`` form over the driver-green lm_score perplexity
-      pipeline.
+    - kmeans_clusters — NEW r12: integer-exact k-means assignment
+      over the embeddings corpus (functions/clustering — fixed-point
+      Lloyd's, bit-identical across engines), bench HEADLINE row
+      since r11; its oracle was proven against the Spark side over
+      the real embeddings table BEFORE debuting here
+      (tests/test_clustering.py::test_registry_oracle_parity_sf0001).
 
-    r11 TAIL = exactly the 50 r10-window rows, every one green in
-    CORRECTNESS_r10 (t_apply_for_references … unigram_vocab, order
-    preserved), each with >= 1 same-family row in the window: the
-    transformer family rows (mask_customer/t_random_int/t_faker cover
-    the t_* tail rows), subset rows (subset_orders → subset_cycle/
-    lineitem/polymorphic), TPC-H rows (q1/q5 → q3), event-time rows
-    (events_windowed/events_json → events_daily/sessionize/
-    windowed_distinct), dedup rows (dedup_clusters/dedup_lines/
-    dedup_against_verified/winnow_pairs → dedup_exact/minhash_sigs/
-    simhash/ngram_jaccard/lsh_recall_eval/dedup_against_levels), ANN
-    rows (ivf_pq_topk/ann_recall/ann_rerank → ann_topk/ann_variants/
-    ann_topk_pq), text rows (term_frequencies/corpus_summary/
-    gopher_filter/c4_filter → text_profile/repetition_profile), LM/
-    scoring rows (classifier_weights/bm25/bm25_indexed + the
-    ppl_bucket window row itself → lm_score/linear_text_score/
-    bm25_topk + unigram_vocab), web rows (normalize_urls/
-    robots_filter/host_graph → strip_html/scrub_pii/cap_per_domain),
-    storage rows (shard_write → copy_roundtrip/zorder_events),
-    sampling rows (split_levels/stratified_sample/sample_mixture/
-    weighted_sample/select_to_budget → dsir_weights/
-    cross_split_contamination) and join/skew rows (range_join/
-    skew_join → asof_join/salted_agg).
+    r12 TAIL = exactly the 50 r11-window rows, every one green in
+    CORRECTNESS_r11 (bm25 … ppl_bucket, order preserved), each with
+    >= 1 same-family row in the window (tail row → window coverage):
+    mask_customer/t_random_int/t_faker → the window's t_* rows;
+    subset_orders → subset_cycle/lineitem/
+    polymorphic; q1/q5 → q3; events_windowed/events_json →
+    events_daily/sessionize/windowed_distinct; dedup_clusters/
+    dedup_lines/dedup_against_verified/winnow_pairs → dedup_exact/
+    minhash_sigs/simhash/ngram_jaccard/lsh_recall_eval/
+    dedup_against_levels; ivf_pq_topk/ann_recall/ann_rerank →
+    ann_variants (incl. brute)/ann_topk_pq/kmeans_clusters;
+    term_frequencies/corpus_summary/gopher_filter/c4_filter →
+    text_profile/repetition_profile; classifier_weights/bm25/
+    bm25_indexed/ppl_bucket → lm_score/linear_text_score/bm25_topk/
+    unigram_vocab; normalize_urls/robots_filter/host_graph →
+    strip_html/scrub_pii/cap_per_domain; shard_write →
+    copy_roundtrip/zorder_events; split_levels/stratified_sample/
+    sample_mixture/weighted_sample/select_to_budget → dsir_weights/
+    cross_split_contamination; range_join/skew_join →
+    asof_join/salted_agg.
 
-    Union coverage: CORRECTNESS_r11 ∪ r10 covers ALL 100 entries (the
-    50 tail rows are r10-green; the 50 window rows get fresh r11
-    rows; train_split's and cluster_split's r11 evidence rides the
-    merged split_levels row).
+    Union coverage: CORRECTNESS_r12 ∪ r11 covers ALL 100 entries (the
+    50 tail rows are r11-green; the 50 window rows get fresh r12
+    rows; ann_topk's r12 evidence rides the merged ann_variants row).
 
-    r12 PLAN (pre-staged): swap the halves again — the r12 window =
-    exactly this round's 50-row tail (all r10-green, stale
-    otherwise), and this round's window becomes the r12 tail. The
-    NEW r12 operator and its slot are ALREADY STAGED: fold ann_topk
-    (brute-force) into the incoming ann_variants family row as a
-    third ``variant='brute'`` leg with its original parameters
-    (schema already matches; oracle = UNION ALL gains the brute
-    oracle), and spend the freed slot on ``kmeans_clusters`` —
-    q_kmeans_clusters exists (bench HEADLINE row since r11) and its
-    oracle is transcription-ready: `_oracle_kmeans_clusters()` below,
-    already proven against the Spark side over the real embeddings
-    table (tests/test_clustering.py::test_registry_oracle_parity_
-    sf0001). bench.py HEADLINE and test_plan_shapes.SHAPES keep
-    resolving "ann_topk" through the q_* fallback
-    (tests/test_registry_contract.py enforces this).
+    r13 PLAN (pre-staged): swap the halves again — the r13 window =
+    exactly this round's 50-row tail (all r11-green, stale
+    otherwise), and this round's window becomes the r13 tail. If a
+    new r13 operator needs a slot, consolidate a same-schema family
+    inside the incoming window first (precedents: ann_variants,
+    dedup_against_levels, split_levels) so no row loses driver
+    evidence.
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its
     original key/params, so per-transformer semantics are unchanged;
     the docstring of each family query lists its members."""
     return {
-        # --- r11 window: the full r10 tail rotates back in (one
+        # --- r12 window: the full r11 tail rotates back in (one
         # family consolidation marked •, the new row at the end) ---
+        "t_apply_for_references": q_t_apply_for_references,
+        "t_cmd": q_t_cmd,                        # json + text + csv drivers
+        "t_when_condition": q_t_when_condition,
+        "validate_diff": q_validate_diff,
+        "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
+        "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
+        "copy_roundtrip": q_copy_roundtrip,
+        "lm_score": q_lm_score,
+        "t_query_override": q_t_query_override,
+        "t_masking": q_t_masking,
+        "t_custom_plugin": q_t_custom_plugin,
+        "t_type_override": q_t_type_override,
+        "t_random_person": q_t_random_person,
+        "t_template": q_t_template,
+        "t_random_float": q_t_random_float,      # +NoiseFloat
+        "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
+        "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
+        "t_real_address": q_t_real_address,
+        "t_json_ops": q_t_json_ops,              # +RandomBool/RandomUnixTimestamp
+        "subset_cycle": q_subset_cycle,
+        "subset_lineitem": q_subset_lineitem,
+        "subset_polymorphic": q_subset_polymorphic,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "events_daily": q_events_daily,
+        "sessionize": q_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "text_profile": q_text_profile,
+        "minhash_sigs": q_minhash_sigs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_recall_eval": q_lsh_recall_eval,
+        "dedup_against_levels": q_dedup_against_levels,  # • exact + band
+        "cross_split_contamination": q_cross_split_contamination,
+        "ann_variants": q_ann_variants,          # • brute + lsh + ivf
+        "ann_topk_pq": q_ann_topk_pq,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "strip_html": q_strip_html,
+        "scrub_pii": q_scrub_pii,
+        "repetition_profile": q_repetition_profile,
+        "linear_text_score": q_linear_text_score,
+        "bm25_topk": q_bm25_topk,
+        "cap_per_domain": q_cap_per_domain,
+        "dsir_weights": q_dsir_weights,
+        "zorder_events": q_zorder_events,
+        "asof_join": q_asof_join,
+        "salted_agg": q_salted_agg,
+        "windowed_distinct": q_windowed_distinct,
+        "unigram_vocab": q_unigram_vocab,
+        "kmeans_clusters": q_kmeans_clusters,    # NEW r12: int-exact k-means
+        # --- r12 tail: all green in CORRECTNESS_r11; family reps above ---
         "bm25": q_bm25,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -5274,58 +5325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_to_budget": q_select_to_budget,
         "length_histogram": q_length_histogram,
         "weighted_sample": q_weighted_sample,
-        "ppl_bucket": q_ppl_bucket,              # NEW r11: CC-Net buckets
-        # --- r11 tail: all green in CORRECTNESS_r10; family reps above ---
-        "t_apply_for_references": q_t_apply_for_references,
-        "t_cmd": q_t_cmd,                        # json + text + csv drivers
-        "t_when_condition": q_t_when_condition,
-        "validate_diff": q_validate_diff,
-        "t_orders_temporal": q_t_orders_temporal,  # +RandomChoice/RandomDate/NoiseDate/Replace/SetNull
-        "t_dynamic_param": q_t_dynamic_param,    # +default_value fallback
-        "copy_roundtrip": q_copy_roundtrip,
-        "lm_score": q_lm_score,
-        "t_query_override": q_t_query_override,
-        "t_masking": q_t_masking,
-        "t_custom_plugin": q_t_custom_plugin,
-        "t_type_override": q_t_type_override,
-        "t_random_person": q_t_random_person,
-        "t_template": q_t_template,
-        "t_random_float": q_t_random_float,      # +NoiseFloat
-        "t_random_numeric": q_t_random_numeric,  # +NoiseNumeric
-        "t_net_company": q_t_net_company,        # RandomIp/RandomMac/RandomCompany
-        "t_real_address": q_t_real_address,
-        "t_json_ops": q_t_json_ops,              # +RandomBool/RandomUnixTimestamp
-        "subset_cycle": q_subset_cycle,
-        "subset_lineitem": q_subset_lineitem,
-        "subset_polymorphic": q_subset_polymorphic,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "events_daily": q_events_daily,
-        "sessionize": q_sessionize,
-        "dedup_exact": q_dedup_exact,
-        "text_profile": q_text_profile,
-        "minhash_sigs": q_minhash_sigs,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "lsh_recall_eval": q_lsh_recall_eval,
-        "dedup_against_levels": q_dedup_against_levels,  # • exact + band
-        "cross_split_contamination": q_cross_split_contamination,
-        "ann_topk": q_ann_topk,
-        "ann_variants": q_ann_variants,          # • lsh + ivf
-        "ann_topk_pq": q_ann_topk_pq,
-        "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_features": q_multimodal_features,
-        "strip_html": q_strip_html,
-        "scrub_pii": q_scrub_pii,
-        "repetition_profile": q_repetition_profile,
-        "linear_text_score": q_linear_text_score,
-        "bm25_topk": q_bm25_topk,
-        "cap_per_domain": q_cap_per_domain,
-        "dsir_weights": q_dsir_weights,
-        "zorder_events": q_zorder_events,
-        "asof_join": q_asof_join,
-        "salted_agg": q_salted_agg,
-        "windowed_distinct": q_windowed_distinct,  # staged r9 transcription
-        "unigram_vocab": q_unigram_vocab,        # r10: unigram-LM seed
+        "ppl_bucket": q_ppl_bucket,              # r11: CC-Net buckets
     }
 
 
@@ -5363,7 +5363,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sigs": _oracle_minhash_sigs(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "simhash": _oracle_simhash(),
-        "ann_topk": _oracle_ann_topk(),
         "ann_topk_pq": _oracle_ann_topk_pq(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
@@ -5428,6 +5427,7 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": _oracle_length_histogram(),
         "weighted_sample": _oracle_weighted_sample(),
         "windowed_distinct": _oracle_windowed_distinct(),
+        "kmeans_clusters": _oracle_kmeans_clusters(),
         "ann_variants": _oracle_ann_variants(),
         "dedup_against_levels": _oracle_dedup_against_levels(),
         "unigram_vocab": _oracle_unigram_vocab(),

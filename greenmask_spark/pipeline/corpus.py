@@ -880,13 +880,33 @@ def _step_ppl_bucket(df: DataFrame, p: dict) -> DataFrame:
       ``percentile`` agg — cheapest (no per-group sort of the data),
       but the cut is a float interpolation, so a document whose ppl
       EQUALS a cut is engine-float-sensitive.
-    - ``rank``: pure-integer tercile by position — ``3*(rank-1) <
-      i*n`` over ``row_number() PARTITION BY group ORDER BY (ppl,
-      id)`` — bit-replayable in any SQL engine (the driver-checked
-      form, registry row ``ppl_bucket``). The window runs over
-      projected (id, group, ppl) SLIVERS and the label joins back on
-      id, so bodies still never cross an exchange; requires uniform
-      cuts i/len(labels) (the definition is positional)."""
+    - ``rank``: pure-integer tercile by position — label index =
+      floor((rank-1)*k / n) with rank over (ppl asc, id asc) within
+      the group — bit-replayable in any SQL engine (the driver-checked
+      form, registry row ``ppl_bucket``); requires uniform cuts
+      i/len(labels) (the definition is positional).
+
+      Scale shape (r12): a naive ``row_number() PARTITION BY group``
+      funnels an entire language through ONE task's window sort — on
+      a mostly-English 100 TB corpus that is a single-reducer sort of
+      nearly everything. Instead the rank decomposes through the
+      select_to_budget two-phase pattern (sampling.select_to_budget):
+      quantize ppl into ``n_buckets`` per-group value buckets (any
+      monotone function of ppl works — equal ppl values always share
+      a bucket, so bucket order + in-bucket (ppl, id) order IS the
+      global (ppl, id) order), take per-(group, bucket) counts and a
+      running offset over the ≤ groups×n_buckets-row plan frame, and
+      run the exact (ppl, id) window partitioned by (group, BUCKET) —
+      thousands of ~n/n_buckets-row parallel sorts, never a
+      per-language funnel. Global rank = bucket offset + in-bucket
+      rank, exactly; the result is bit-identical to the naive
+      formulation at ANY n_buckets. The (id, group, ppl) sliver is
+      pinned with an eager localCheckpoint so the (possibly
+      expensive) upstream ppl pipeline computes it ONCE for the
+      stats/plan/rank phases; document bodies never cross an exchange
+      (label joins back on id). Degenerate caveat (select_to_budget's
+      twin): a group where most rows share ONE ppl value concentrates
+      that bucket."""
     ppl_col = p.get("ppl_col", "ppl")
     group_col = p.get("group_col", "lang")
     cuts = [float(c) for c in p.get("cuts", (1 / 3, 2 / 3))]
@@ -905,29 +925,64 @@ def _step_ppl_bucket(df: DataFrame, p: dict) -> DataFrame:
 
         id_col = p.get("id_col", "doc_id")
         k = len(labels)
+        nb = int(p.get("n_buckets", 1024))
+        if nb < 1:
+            raise ValueError(f"ppl_bucket: n_buckets={nb} must be >= 1")
         if any(abs(c - (i + 1) / k) > 1e-9 for i, c in enumerate(cuts)):
             raise ValueError(
                 f"ppl_bucket method=rank needs uniform cuts "
                 f"{[(i + 1) / k for i in range(k - 1)]}, got {cuts} — "
                 f"positional buckets are equal-population by definition")
+        # (id, group, ppl) sliver, pinned: stats/plan/rank all read it
         sliver = df.filter(
             F.col(ppl_col).isNotNull() & F.col(group_col).isNotNull()
-        ).select(id_col, group_col, ppl_col)
-        w = Window.partitionBy(group_col).orderBy(
-            F.col(ppl_col).asc(), F.col(id_col).asc())
-        ranked = sliver.select(
-            F.col(id_col),
-            ((F.row_number().over(w) - F.lit(1)) * F.lit(k)).alias("__kr"),
-            F.count(F.lit(1)).over(
-                Window.partitionBy(group_col)).alias("__n"),
+        ).select(
+            id_col, group_col, F.col(ppl_col).cast("double").alias("__s")
+        ).localCheckpoint(eager=True)
+        # per-group value range + size: <= #groups rows, broadcast back
+        stats = sliver.groupBy(group_col).agg(
+            F.min("__s").alias("__lo"), F.max("__s").alias("__hi"),
+            F.count(F.lit(1)).alias("__n"),
+        ).localCheckpoint(eager=True)
+        b = sliver.join(F.broadcast(stats), on=group_col).withColumn(
+            "__b",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(nb - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col("__s") - F.col("__lo"))
+                                / (F.col("__hi") - F.col("__lo")) * nb),
+                    ),
+                )
+            ).cast("int"),
+        ).drop("__lo", "__hi")
+        # running offset per (group, bucket) over the tiny plan frame
+        run = Window.partitionBy(group_col).orderBy("__b").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        plan = (
+            b.groupBy(group_col, "__b").agg(F.count(F.lit(1)).alias("__bn"))
+            .withColumn("__off", F.sum("__bn").over(run) - F.col("__bn"))
+            .select(group_col, "__b", "__off")
+            .localCheckpoint(eager=True)
         )
-        bucket = F.when(F.col("__kr") < F.col("__n"), F.lit(labels[0]))
-        for i, lab in enumerate(labels[1:-1], start=2):
-            bucket = bucket.when(
-                F.col("__kr") < F.lit(i) * F.col("__n"), F.lit(lab))
-        lab_df = ranked.select(
-            F.col(id_col),
-            bucket.otherwise(F.lit(labels[-1])).alias(bucket_col))
+        # exact (ppl, id) rank INSIDE each (group, bucket) partition —
+        # global rank = __off + in-bucket rank, bit-identical to the
+        # single per-group window at any n_buckets
+        wb = Window.partitionBy(group_col, "__b").orderBy(
+            F.col("__s").asc(), F.col(id_col).asc())
+        labarr = F.array(*[F.lit(x) for x in labels])
+        lab_df = (
+            b.join(F.broadcast(plan), on=[group_col, "__b"])
+            .withColumn(
+                "__li",
+                F.floor((F.col("__off") + F.row_number().over(wb) - 1)
+                        * k / F.col("__n")).cast("int"),
+            )
+            .select(F.col(id_col),
+                    F.element_at(labarr, F.col("__li") + 1)
+                    .alias(bucket_col))
+        )
         out = df.join(lab_df, on=id_col, how="left")
     elif method == "percentile":
         cut_cols = [

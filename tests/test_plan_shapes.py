@@ -186,9 +186,14 @@ SHAPES = {
     # CC-fixpoint shape (PLANS.md: split_levels = exact sum of its
     # members)
     "split_levels": (4, 0),
-    # r11 — CC-Net ppl buckets (method=rank over the lm_score ppl
-    # pipeline): lm_score's 4 audited exchanges + the sliver rank
-    # window + the label rejoin + the lang join; never Python
+    # r11/r12 — CC-Net ppl buckets (method=rank over the lm_score ppl
+    # pipeline). r12 two-phase shape: the (id, lang, ppl) sliver is
+    # eagerly checkpointed (sealing its upstream lineage), so the
+    # result plan is lm_score's 4 audited exchanges on the rejoin side
+    # + the (lang, bucket)-partitioned rank window + the label rejoin
+    # + the lang join; never Python. The per-language single-task
+    # window funnel is gone — test_ppl_bucket_rank_no_group_funnel
+    # pins the window's partition keys
     "ppl_bucket": (7, 0),
     # r11 — unigram-LM Viterbi encode: ONE Arrow-batch pandas UDF over
     # a scan, the ≤ vocab_size piece dict in the task closure — zero

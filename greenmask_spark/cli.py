@@ -551,9 +551,17 @@ def cmd_corpus(args) -> int:
         rows = corpus_funnel(spark, cfg, sf_dir=args.sf_dir)
         prev = None
         for r in rows:
-            drop = "" if prev is None else f"  ({r['rows'] - prev:+d})"
-            print(f"{r['op']:<20} {r['rows']:>12}{drop}")
-            prev = r["rows"]
+            n = r["rows"]
+            if n is None:
+                # a boundary the recursive re-derivation could not fill
+                # (e.g. the prefix re-run erroring) — render the partial
+                # funnel instead of dying on None arithmetic
+                print(f"{r['op']:<20} {'n/a':>12}")
+                prev = None
+                continue
+            drop = "" if prev is None else f"  ({n - prev:+d})"
+            print(f"{r['op']:<20} {n:>12}{drop}")
+            prev = n
         return 0
     out = run_corpus_pipeline(spark, cfg, sf_dir=args.sf_dir)
     if not cfg.get("output"):

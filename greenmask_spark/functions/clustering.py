@@ -82,8 +82,25 @@ def _quantize(mat: np.ndarray, qbits: int) -> np.ndarray:
 
 def _valid_mask(col: pd.Series, dim: int) -> np.ndarray:
     # O(n), not O(n*dim): same validity contract as the float
-    # assigner (similarity._assign_centroids)
+    # assigner (similarity._assign_centroids); non-finite components
+    # are caught AFTER the vmat build (_finite_filter — vectorized,
+    # so the O(n*dim) check costs a fraction of the distance pass)
     return np.array([v is not None and len(v) == dim for v in col])
+
+
+def _finite_filter(valid: np.ndarray, vmat: np.ndarray):
+    """Demote rows with NaN/Inf components to invalid (NULL cid):
+    np.floor(nan).astype(int64) is undefined behavior and +/-Inf
+    overflows the int64 squared distance — either silently breaks the
+    module's cross-engine bit-exactness, so non-finite vectors follow
+    the NULL/wrong-dim path instead. Mutates ``valid`` in place and
+    returns the finite-row submatrix."""
+    finite = np.isfinite(vmat).all(axis=1) if len(vmat) else np.empty(
+        0, dtype=bool)
+    if not finite.all():
+        valid[np.nonzero(valid)[0][~finite]] = False
+        vmat = vmat[finite]
+    return vmat
 
 
 def assign_clusters(
@@ -134,6 +151,8 @@ def assign_clusters(
                     [np.asarray(v, dtype=np.float64)
                      for v, ok in zip(pdf[vec_col], valid) if ok]
                 )
+                vmat = _finite_filter(valid, vmat)
+            if valid.any():
                 q = _quantize(vmat, qbits)
                 # int64 throughout; argmin takes the FIRST minimum =
                 # lowest cid, the documented tie-break (SQL twin:
@@ -177,6 +196,9 @@ def _partial_sums(
                 [np.asarray(v, dtype=np.float64)
                  for v, ok in zip(pdf[vec_col], valid) if ok]
             )
+            vmat = _finite_filter(valid, vmat)
+            if not valid.any():
+                continue
             q = _quantize(vmat, qbits)
             diff = q[:, None, :] - cmat[None, :, :]
             cids = (diff * diff).sum(axis=2).argmin(axis=1)
@@ -218,9 +240,15 @@ def kmeans_train(
     init_rows = sample.orderBy("h", "id").limit(k).collect()
     init = [r.vec for r in init_rows if r.vec is not None]
     # a malformed row (wrong dimension) in the init window would make
-    # the centroid matrix ragged; keep the first row's dimension
+    # the centroid matrix ragged; keep the first row's dimension.
+    # NaN/Inf components would quantize to undefined int64 — exclude
+    # them the same way the assigner NULLs them (_finite_filter)
     if init:
-        init = [v for v in init if len(v) == len(init[0])]
+        init = [
+            v for v in init
+            if len(v) == len(init[0])
+            and np.isfinite(np.asarray(v, dtype=np.float64)).all()
+        ]
     if not init:
         raise ValueError(
             "kmeans_train: empty training sample — lower sample_mod or "

@@ -1115,9 +1115,17 @@ def _step_kmeans_cluster(df: DataFrame, p: dict) -> DataFrame:
     ``join_embeddings`` when the corpus frame has no embedding
     column. Training reads a hash-gated 1/sample_mod of the rows;
     assignment is one Arrow PASSTHROUGH stage with the centroids in
-    the closure — every corpus column rides through, no rejoin."""
+    the closure — every corpus column rides through, no rejoin.
+
+    Under ``describe_corpus_pipeline`` (empty dry-run frames, context
+    flag ``dry_run``) training is skipped — it would collect an empty
+    init sample and raise — and the step only reports its schema:
+    the ``out_col`` int column with NULL values."""
     from greenmask_spark.functions.clustering import kmeans_assign
 
+    if (p.get("_context") or {}).get("dry_run"):
+        return df.withColumn(
+            p.get("out_col", "cid"), F.lit(None).cast("int"))
     return kmeans_assign(
         df,
         k=int(p.get("k", 8)),
@@ -1424,7 +1432,10 @@ def describe_corpus_pipeline(
     else:
         df = empty_like(config.get("input") or {})
     report = [{"step": "input", "added": list(df.columns), "removed": []}]
-    ctx = {"spark": spark, "sf_dir": sf_dir}
+    # dry_run: steps that TRAIN eagerly at composition time over the
+    # corpus (kmeans_cluster) would collect an empty sample here and
+    # raise — they must report schema only
+    ctx = {"spark": spark, "sf_dir": sf_dir, "dry_run": True}
     steps = config.get("steps", [])
     _validate_steps(steps)  # fail fast on op/shape errors, no execution
     for step in steps:

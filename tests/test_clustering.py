@@ -169,6 +169,32 @@ def test_empty_sample_raises(spark):
         kmeans_train(df, k=2, n_iters=1)
 
 
+def test_nonfinite_vectors_get_null_cid_and_never_train(spark):
+    """NaN/Inf components would make floor().astype(int64) undefined
+    (platform-dependent INT64_MIN) and overflow the int64 squared
+    distance — silently breaking cross-engine bit-exactness. They must
+    follow the invalid-row contract instead: NULL cid on assignment,
+    excluded from the init sample, ignored by the iteration sums."""
+    good = _vectors(20)
+    bad = [
+        (100, [float("nan")] + [0.0] * (DIM - 1)),
+        (101, [float("inf"), 0.0] + [0.0] * (DIM - 2)),
+        (102, [0.0] * (DIM - 1) + [float("-inf")]),
+    ]
+    df = _df(spark, good + bad)
+    cents = kmeans_train(df, k=K, n_iters=ITERS)
+    got = {r.vec_id: r.cid for r in assign_clusters(df, cents).collect()}
+    assert all(got[i] is None for i, _ in bad)
+    assert all(got[i] is not None for i, _ in good)
+    # training is unaffected by the poisoned rows: same centroids as
+    # the clean frame (none of the bad ids lands in the k-row init
+    # window, and the partial sums must skip them)
+    assert cents == kmeans_train(_df(spark, good), k=K, n_iters=ITERS)
+    # an all-nonfinite frame has nothing to train on
+    with pytest.raises(ValueError, match="empty training sample"):
+        kmeans_train(_df(spark, bad), k=2, n_iters=1)
+
+
 def test_cell_rail(spark):
     df = _df(spark, _vectors(5))
     with pytest.raises(ValueError, match="driver rail"):

@@ -298,6 +298,29 @@ def test_describe_handles_context_steps(spark, sf_dir):
     assert steps["join_embeddings"]["added"] == ["embedding"]
 
 
+def test_describe_handles_kmeans_cluster_step(spark, sf_dir):
+    """--describe composes over EMPTY frames, but kmeans_cluster trains
+    eagerly at composition time — without the dry_run context flag it
+    would collect an empty init sample and raise ValueError('empty
+    training sample'), crashing describe on a perfectly valid config.
+    The dry-run path must report the schema without training."""
+    from greenmask_spark.pipeline.corpus import describe_corpus_pipeline
+
+    cfg = {
+        "input": {"table": "documents"},
+        "steps": [
+            {"op": "join_embeddings"},
+            {"op": "kmeans_cluster", "k": 4, "vec_col": "embedding"},
+            {"op": "hash_split", "key_col": "cid",
+             "weights": {"train": 0.9, "test": 0.1}},
+        ],
+    }
+    rep = describe_corpus_pipeline(spark, cfg, sf_dir=sf_dir)
+    steps = {r["step"]: r for r in rep}
+    assert steps["kmeans_cluster"]["added"] == ["cid"]
+    assert steps["hash_split"]["added"] == ["split"]
+
+
 def test_linear_score_step_overwrites_existing_column(corpus):
     from greenmask_spark.pipeline import build_corpus_pipeline
 

@@ -63,21 +63,29 @@ def _run_oracle(con, sql: str, timeout_s: float | None):
         return [d[0] for d in res.description], res.fetchall()
     import threading
 
+    # dedicated cursor (shares the catalog/views): a completion/timeout
+    # race — query finishing right as timeout_s elapses — could leave a
+    # PENDING interrupt on the connection that aborts the NEXT oracle
+    # query, misreporting it as a timeout. An interrupt stranded on this
+    # cursor dies with the cursor instead.
+    cur = con.cursor()
     done = threading.Event()
 
     def watchdog():
         if not done.wait(timeout_s):
-            con.interrupt()
+            cur.interrupt()
 
     t = threading.Thread(target=watchdog, daemon=True)
     t.start()
     try:
-        res = con.sql(sql)
+        res = cur.sql(sql)
         cols = [d[0] for d in res.description]
         rows = res.fetchall()
         return cols, rows
     finally:
         done.set()
+        t.join()  # never close a cursor a live thread may interrupt
+        cur.close()
 
 
 def main():

@@ -116,6 +116,25 @@ def _canary(spark) -> float:
     return time.perf_counter() - t0
 
 
+def _string_canary(spark) -> float:
+    """A fixed CPU-bound JVM string/regex job (no IO, no shuffle, no
+    data dependence): each round runs on a FRESH VM boot, and r11→r12
+    showed the text-scan queries (text_profile, repeated_spans) drifting
+    +60-70% across boots with identical code/plans/data while the
+    scheduler canary stayed under its floor — the scheduler canary
+    can't see string-throughput differences between physical hosts.
+    This canary moves WITH the text queries, so a cross-boot comparison
+    can normalize: quote text-query ratios next to the string-canary
+    ratio of the two runs. Recorded in the JSON only (no contended
+    verdict) until enough boots pin a floor band."""
+    t0 = time.perf_counter()
+    spark.range(0, 60_000, 1, 8).selectExpr(
+        "sum(length(regexp_replace(repeat(concat('ab c', "
+        "cast(id % 97 as string), ' xy. '), 20), '[a-z]+', 'X'))) AS s"
+    ).collect()
+    return time.perf_counter() - t0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
@@ -136,6 +155,9 @@ def main() -> int:
     qs["q1_pricing_summary"](spark, sf_dir).count()
     for _ in range(10):  # canary warmup — the scheduler/codegen paths
         _canary(spark)   # keep speeding up for several iterations (JIT)
+    for _ in range(5):
+        _string_canary(spark)
+    string_canary = round(min(_string_canary(spark) for _ in range(3)), 3)
 
     # per-query: one UNTIMED warmup pass (codegen compile, shuffle-file
     # page cache, broadcast build) then median of `reps` timed runs —
@@ -202,6 +224,9 @@ def main() -> int:
             "floor": CANARY_FLOOR,
             "above_floor": above_floor,
         },
+        # boot-throughput reference, not a contention signal: compare
+        # across recorded runs to normalize text-query drift
+        "string_canary": string_canary,
         "contended": contended,
     }
     if load_start is not None:

@@ -989,7 +989,11 @@ def _step_ppl_bucket(df: DataFrame, p: dict) -> DataFrame:
             F.percentile(F.col(ppl_col), F.lit(c)).alias(f"__cut{i}")
             for i, c in enumerate(cuts)
         ]
-        cuts_df = df.groupBy(F.col(group_col)).agg(*cut_cols)
+        # explicit (group, ppl) projection: Spark prunes columns into
+        # the aggregate anyway, but the docstring's "projected pairs"
+        # should hold by construction, not by optimizer courtesy
+        cuts_df = df.select(group_col, ppl_col).groupBy(
+            F.col(group_col)).agg(*cut_cols)
         joined = df.join(F.broadcast(cuts_df), on=group_col, how="left")
         # NULL ppl OR NULL group → NULL bucket (a join miss on a NULL
         # group key leaves __cut0 NULL; without this guard such rows

@@ -2633,33 +2633,23 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def _oracle_ngram_jaccard() -> str:
-    from greenmask_spark.functions.dedup import perm_constants
-
-    hs = f"list_transform({_DUCK_SHINGLES}, s -> {_duck_shingle_hash('s')})"
-    mins = [
-        f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % 2147483647))"
-        for a, b in perm_constants(_NUM_PERM)
-    ]
-    rows_per_band = _NUM_PERM // _BANDS
-    band_exprs = []
-    for b in range(_BANDS):
-        parts = [f"'{b}'"] + [
-            f"CAST({mins[b * rows_per_band + r]} AS VARCHAR)"
-            for r in range(rows_per_band)
-        ]
-        band_exprs.append("(" + " || '_' || ".join(parts) + ")")
-    bands_list = "[" + ", ".join(band_exprs) + "]"
+    """Same semantics as the original inline form, restructured (r12)
+    around the materialized ``hs`` CTE its siblings already use
+    (_oracle_minhash_pairs): the inline band expressions re-ran the
+    sha256 shingle pipeline once per permutation (~350M sha256 calls
+    at sf1 — the r11/r12 sweep timeouts), and the ``sh`` CTE re-ran it
+    once more; both now read the per-doc hash list computed ONCE.
+    list_min over the materialized list is value-identical (the
+    inline hs was the same list), and sh = list_distinct(hs)."""
     return f"""
-    WITH keyed AS (
-      SELECT doc_id AS id, unnest({bands_list}) AS bk FROM documents
+    WITH h AS MATERIALIZED ({_duck_hs_cte()}),
+    keyed AS (
+      SELECT doc_id AS id, unnest({_duck_bands_list()}) AS bk FROM h
     ), pairs AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.id < b.id
     ), sh AS (
-      SELECT doc_id AS id,
-             list_distinct(list_transform({_DUCK_SHINGLES},
-                                          s -> {_duck_shingle_hash('s')})) AS sh
-      FROM documents
+      SELECT doc_id AS id, list_distinct(hs) AS sh FROM h
     )
     SELECT p.id_a, p.id_b,
       round(len(list_intersect(a.sh, b.sh)) /

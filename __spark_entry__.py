@@ -822,6 +822,60 @@ def _oracle_ppl_bucket() -> str:
     """
 
 
+_SEMDECON_THR = 0.45
+
+
+def q_semantic_decontaminate(spark, sf_dir):
+    """STAGED r13 debut row (not yet in queries() — the r13 window swap
+    adds it per the queries() docstring plan, the kmeans_clusters
+    precedent): semantic benchmark decontamination
+    (functions/similarity.semantic_decontaminate) — survivors of the
+    embeddings corpus after dropping every vector whose max cosine
+    against the vec_id%17 'benchmark' slice reaches the 4-dp-rounded
+    0.45 threshold (the benchmark rows drop by construction, cos=1
+    with themselves — ngram_decontaminate's convention, which this
+    operator twins for paraphrased leakage n-grams cannot see).
+
+    Scale shape: the benchmark matrix rides in the task closure
+    (railed), the corpus pays ONE Arrow pass, zero exchanges —
+    scan → mapInPandas → filter. Cross-engine: sequential dim-order
+    folds for dot/norms, raw max, HALF_UP round JVM-side; the oracle
+    replays the identical pipeline (its list_sum folds the same
+    values in the same order). Parity proven in
+    tests/test_semantic_decontaminate.py BEFORE any driver debut."""
+    from greenmask_spark.functions.similarity import semantic_decontaminate
+
+    emb = _tables(spark, sf_dir, "embeddings")["embeddings"]
+    bench = emb.filter(F.col("vec_id") % 17 == 0)
+    return semantic_decontaminate(
+        emb, bench, threshold=_SEMDECON_THR, score_col="max_cos"
+    ).select("vec_id", "max_cos")
+
+
+def _oracle_semantic_decontaminate() -> str:
+    """STAGED r13 oracle for q_semantic_decontaminate (not yet in
+    oracle_sql() — test_registry_contract forbids oracle keys without
+    registry rows): raw max cosine over the corpus × benchmark cross
+    product (benchmark is the tiny side), THEN the HALF_UP 4-dp round,
+    threshold on the rounded value — exactly the Spark kernel's
+    raw-max → F.round pipeline."""
+    nrm = "sqrt(list_sum(list_transform({t}, x -> x * x)))"
+    cos = (f"CASE WHEN {nrm.format(t='e.v')} * {nrm.format(t='b.v')} > 0 "
+           f"THEN {_sql_dot('e.v', 'b.v')} / "
+           f"({nrm.format(t='e.v')} * {nrm.format(t='b.v')}) END")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+               FROM embeddings),
+    b AS (SELECT v FROM e WHERE vec_id % 17 = 0),
+    scored AS (
+      SELECT e.vec_id, max({cos}) AS mc FROM e CROSS JOIN b
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, round(mc, 4) AS max_cos FROM scored
+    WHERE mc IS NULL OR round(mc, 4) < {_SEMDECON_THR}
+    """
+
+
 _DECON_N = 8
 
 
@@ -5202,11 +5256,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r13 PLAN (pre-staged): swap the halves again — the r13 window =
     exactly this round's 50-row tail (all r11-green, stale
-    otherwise), and this round's window becomes the r13 tail. If a
-    new r13 operator needs a slot, consolidate a same-schema family
-    inside the incoming window first (precedents: ann_variants,
-    dedup_against_levels, split_levels) so no row loses driver
-    evidence.
+    otherwise), and this round's window becomes the r13 tail. The
+    NEW r13 operator is ALREADY STAGED with its oracle proven:
+    ``semantic_decontaminate`` (q_semantic_decontaminate +
+    _oracle_semantic_decontaminate, parity over the real embeddings
+    table in tests/test_semantic_decontaminate.py, bench HEADLINE
+    row since r12). Free its slot by a same-schema family
+    consolidation inside the incoming window (precedents:
+    ann_variants, dedup_against_levels, split_levels) so no row
+    loses driver evidence — e.g. fold dedup_against_verified into
+    dedup_against_levels as a third level (same (doc_id, lang,
+    n_chars)-shaped survivors? verify schemas before choosing).
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its

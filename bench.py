@@ -91,6 +91,11 @@ HEADLINE = [
     # region like the unigram model). Appended so the common-29
     # prefix stays comparable with the r11 pins in BASELINE.md §2.6.
     "kmeans_clusters",
+    # r12: semantic benchmark decontamination (benchmark matrix in the
+    # task closure, one Arrow pass, zero exchanges — the staged r13
+    # registry row). Appended so the common-30 prefix stays comparable
+    # with tools/records/bench_sf0.1_r12.json.
+    "semantic_decontaminate",
 ]
 
 

@@ -1116,6 +1116,120 @@ def semantic_dedup(
     return df.join(dupes, id_col, "left_anti")
 
 
+#: the benchmark matrix rides inside every task's closure — rail it
+#: like the k-means trainer rails k*dim (a benchmark set is small by
+#: definition; a "benchmark" that trips this is a corpus, and corpus ×
+#: corpus similarity is the LSH/IVF families' job)
+_SEMDECON_MAX_CELLS = 1 << 24
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    bench_vec_col: str | None = None,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Drop rows whose embedding is too close to ANY benchmark vector —
+    the SEMANTIC twin of ``dedup.ngram_decontaminate`` (GPT-3 appendix C
+    drops on 13-gram collision; paraphrased or translated benchmark
+    leakage has no n-gram overlap, and eval-hygiene work post-GPT-4
+    checks embedding similarity for exactly that reason). A row is
+    contaminated iff max over benchmark of round(cosine, 4) >=
+    ``threshold``; rows with NULL / wrong-dimension / zero-norm vectors
+    cannot match anything and are KEPT (their score is NULL), mirroring
+    the invalid-row contract of ``_assign_centroids``.
+
+    Scale shape: the benchmark embeddings are collected ONCE onto the
+    driver (railed at ``_SEMDECON_MAX_CELLS`` cells) and ride inside the
+    task closure as a k×dim float64 matrix — the full corpus pays one
+    Arrow-batch mapInPandas pass with ZERO exchanges (scan → filter),
+    the assign_clusters discipline. Cross-engine reproducibility: dot
+    products and both norms accumulate as an explicit SEQUENTIAL fold in
+    dimension order (bit-identical to DuckDB's list_sum / Spark's
+    aggregate over the same values — ndarray matmul's pairwise summation
+    could flip a 4th-decimal knife-edge); the kernel emits the RAW max
+    (max commutes with the monotone round, so max(round(c)) ==
+    round(max(c))) and the 4-dp rounding runs JVM-side with F.round —
+    HALF_UP exactly like SQL round(), where np.round's half-even would
+    diverge on exact halves (the pq_topk precedent).
+
+    ``score_col`` keeps the max rounded cosine as a column (diagnostic /
+    oracle form); default drops it."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bcol = bench_vec_col or vec_col
+    brows = [r[0] for r in bench.select(bcol).collect() if r[0] is not None]
+    if not brows:
+        raise ValueError("semantic_decontaminate: empty benchmark")
+    dim = len(brows[0])
+    brows = [v for v in brows if len(v) == dim]
+    if len(brows) * dim > _SEMDECON_MAX_CELLS:
+        raise ValueError(
+            f"semantic_decontaminate: benchmark matrix {len(brows)}x{dim} "
+            f"exceeds the {_SEMDECON_MAX_CELLS}-cell closure rail — a set "
+            "this large is a corpus; use the LSH/IVF near-dup families"
+        )
+    bmat = np.array(brows, dtype=np.float64)  # k × dim
+    bnorm = np.zeros(len(bmat))
+    for d in range(dim):  # sequential fold in dim order (docstring)
+        bnorm = bnorm + bmat[:, d] * bmat[:, d]
+    bnorm = np.sqrt(bnorm)
+    keep_score = score_col is not None
+    out_col = score_col or "__semdecon_max_cos"
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def run(it):
+        for pdf in it:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out[out_col] = np.array([], dtype="float64")
+                yield out
+                continue
+            valid = np.array(
+                [v is not None and len(v) == dim for v in pdf[vec_col]]
+            )
+            scores = np.full(len(pdf), np.nan)
+            if valid.any():
+                vmat = np.array([
+                    np.asarray(v, dtype=np.float64)
+                    for v, ok in zip(pdf[vec_col], valid) if ok
+                ])
+                dots = np.zeros((len(vmat), len(bmat)))
+                vn = np.zeros(len(vmat))
+                for d in range(dim):  # sequential fold in dim order
+                    dots = dots + vmat[:, d, None] * bmat[None, :, d]
+                    vn = vn + vmat[:, d] * vmat[:, d]
+                vn = np.sqrt(vn)
+                denom = vn[:, None] * bnorm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, dots / denom, np.nan)
+                # RAW max — rounding happens JVM-side (docstring)
+                mx = np.nanmax(
+                    np.where(np.isnan(cos), -np.inf, cos), axis=1
+                )
+                scores[valid] = np.where(np.isinf(mx), np.nan, mx)
+            out[out_col] = pd.Series(scores, index=pdf.index).where(
+                pd.Series(valid, index=pdf.index)
+                & ~pd.Series(np.isnan(scores), index=pdf.index),
+                None,
+            )
+            yield out
+
+    tagged = df.mapInPandas(run, schema=schema).withColumn(
+        out_col, F.round(F.col(out_col), 4)
+    )
+    kept = tagged.filter(
+        F.col(out_col).isNull() | (F.col(out_col) < F.lit(threshold))
+    )
+    return kept if keep_score else kept.drop(out_col)
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

@@ -775,6 +775,36 @@ def _step_decontaminate(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_semantic_decontaminate(df: DataFrame, p: dict) -> DataFrame:
+    """Semantic benchmark decontamination: drop docs whose EMBEDDING is
+    too close (max cosine >= ``threshold``, 4-dp-rounded) to any vector
+    of the ``benchmark`` input spec — the paraphrase-proof twin of
+    ``decontaminate`` (n-gram collision misses translated/rephrased
+    eval leakage). Compose after ``join_embeddings``. The benchmark
+    matrix rides in the task closure (railed), so the corpus pays one
+    Arrow pass, zero exchanges (similarity.semantic_decontaminate).
+    Under --describe (empty dry-run frames) the benchmark collect is
+    skipped and the frame passes through unchanged — the step adds no
+    columns by default."""
+    from greenmask_spark.functions.similarity import semantic_decontaminate
+
+    ctx = p.get("_context") or {}
+    if ctx.get("dry_run"):
+        sc = p.get("score_col")
+        return df.withColumn(sc, F.lit(None).cast("double")) if sc else df
+    if "spark" not in ctx or "benchmark" not in p:
+        raise ValueError("semantic_decontaminate needs a 'benchmark' "
+                         "input spec and pipeline context")
+    bench = _load_input(ctx["spark"], p["benchmark"], ctx.get("sf_dir"))
+    return semantic_decontaminate(
+        df, bench,
+        threshold=float(p.get("threshold", 0.9)),
+        vec_col=p.get("vec_col", "embedding"),
+        bench_vec_col=p.get("bench_vec_col"),
+        score_col=p.get("score_col"),
+    )
+
+
 def _resolve_lm_model(df: DataFrame, p: dict):
     from greenmask_spark.functions.lm import load_ngram_lm, train_ngram_lm
 
@@ -1174,6 +1204,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "select_to_budget": _step_select_to_budget,
     "weighted_sample": _step_weighted_sample,
     "decontaminate": _step_decontaminate,
+    "semantic_decontaminate": _step_semantic_decontaminate,
     "remove_repeated_spans": _step_remove_repeated_spans,
     "bm25": _step_bm25,
     "dsir": _step_dsir,
@@ -1298,6 +1329,14 @@ def build_corpus_pipeline(
 
 
 def _load_input(spark, inp: dict, sf_dir: str | None) -> DataFrame:
+    """Resolve a {table}/{path} input spec. An optional ``where`` key
+    (a SQL boolean expression) filters ANY spec kind — benchmark
+    slices, sub-corpora — and being a plain Catalyst filter it pushes
+    into the scan."""
+    where = inp.get("where")
+    inp = {k: v for k, v in inp.items() if k != "where"}
+    if where is not None:
+        return _load_input(spark, inp, sf_dir).filter(where)
     if "table" in inp:
         if sf_dir is None:
             raise ValueError("input.table needs sf_dir")

@@ -211,6 +211,11 @@ SHAPES = {
     # closure, zero exchanges (training runs at plan-build time); a
     # shuffle here means assignment stopped being closure-driven
     "kmeans_clusters": (0, 1),
+    # r12 — semantic benchmark decontamination: benchmark matrix in
+    # the closure (collected at plan-build time), scan + ONE Arrow
+    # stage + filter, zero exchanges; a shuffle here means the
+    # benchmark stopped being a closure
+    "semantic_decontaminate": (0, 1),
 }
 
 

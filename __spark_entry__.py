@@ -5261,12 +5261,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``semantic_decontaminate`` (q_semantic_decontaminate +
     _oracle_semantic_decontaminate, parity over the real embeddings
     table in tests/test_semantic_decontaminate.py, bench HEADLINE
-    row since r12). Free its slot by a same-schema family
-    consolidation inside the incoming window (precedents:
-    ann_variants, dedup_against_levels, split_levels) so no row
-    loses driver evidence — e.g. fold dedup_against_verified into
-    dedup_against_levels as a third level (same (doc_id, lang,
-    n_chars)-shaped survivors? verify schemas before choosing).
+    row since r12). Free its slot by folding dedup_against_verified
+    into dedup_against_levels as a third ``level='verified'`` leg —
+    schema VERIFIED identical ((doc_id, lang, n_chars) survivors,
+    both in this round's tail so both rotate into the r13 window
+    together) and the oracle is the UNION ALL gaining
+    _oracle_dedup_against_verified(), the exact ann_variants/r12
+    precedent.
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its

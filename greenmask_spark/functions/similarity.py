@@ -1142,7 +1142,10 @@ def semantic_decontaminate(
     the invalid-row contract of ``_assign_centroids``.
 
     Scale shape: the benchmark embeddings are collected ONCE onto the
-    driver (railed at ``_SEMDECON_MAX_CELLS`` cells) and ride inside the
+    driver (railed at ``_SEMDECON_MAX_CELLS`` cells, with the rail
+    enforced by a distributed count+dim pre-check BEFORE the collect so
+    an oversized or mixed-dimension benchmark raises without ever
+    materializing on the driver) and ride inside the
     task closure as a k×dim float64 matrix — the full corpus pays one
     Arrow-batch mapInPandas pass with ZERO exchanges (scan → filter),
     the assign_clusters discipline. Cross-engine reproducibility: dot
@@ -1162,17 +1165,38 @@ def semantic_decontaminate(
     from pyspark.sql import types as T
 
     bcol = bench_vec_col or vec_col
-    brows = [r[0] for r in bench.select(bcol).collect() if r[0] is not None]
-    if not brows:
+    # Pre-flight over the benchmark BEFORE any driver collect: one
+    # map-side-combined agg (count + min/max dim) so an oversized or
+    # mixed-dimension benchmark raises the documented ValueError instead
+    # of materializing onto the driver first (the k-means driver-rail
+    # discipline). Passing a corpus as `bench` by mistake now costs one
+    # distributed count, not a driver OOM.
+    pre = bench.filter(F.col(bcol).isNotNull()).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.size(bcol)).alias("__dmin"),
+        F.max(F.size(bcol)).alias("__dmax"),
+    ).collect()[0]
+    if pre["__n"] == 0:
         raise ValueError("semantic_decontaminate: empty benchmark")
-    dim = len(brows[0])
-    brows = [v for v in brows if len(v) == dim]
-    if len(brows) * dim > _SEMDECON_MAX_CELLS:
+    if pre["__dmin"] != pre["__dmax"]:
         raise ValueError(
-            f"semantic_decontaminate: benchmark matrix {len(brows)}x{dim} "
+            f"semantic_decontaminate: benchmark contains mixed embedding "
+            f"dimensions ({pre['__dmin']}..{pre['__dmax']}) — a malformed "
+            "benchmark would silently turn the filter into a no-op; clean "
+            "it (filter size(vec) = expected_dim) before decontaminating"
+        )
+    dim = int(pre["__dmax"])
+    if dim == 0:
+        raise ValueError(
+            "semantic_decontaminate: benchmark embeddings are zero-length"
+        )
+    if pre["__n"] * dim > _SEMDECON_MAX_CELLS:
+        raise ValueError(
+            f"semantic_decontaminate: benchmark matrix {pre['__n']}x{dim} "
             f"exceeds the {_SEMDECON_MAX_CELLS}-cell closure rail — a set "
             "this large is a corpus; use the LSH/IVF near-dup families"
         )
+    brows = [r[0] for r in bench.select(bcol).collect() if r[0] is not None]
     bmat = np.array(brows, dtype=np.float64)  # k × dim
     bnorm = np.zeros(len(bmat))
     for d in range(dim):  # sequential fold in dim order (docstring)

@@ -911,10 +911,14 @@ def _step_ppl_bucket(df: DataFrame, p: dict) -> DataFrame:
       but the cut is a float interpolation, so a document whose ppl
       EQUALS a cut is engine-float-sensitive.
     - ``rank``: pure-integer tercile by position — label index =
-      floor((rank-1)*k / n) with rank over (ppl asc, id asc) within
-      the group — bit-replayable in any SQL engine (the driver-checked
+      (rank-1)*k div n (SQL integer division, no double round-trip)
+      with rank over (ppl asc, id asc) within the group —
+      bit-replayable in any SQL engine (the driver-checked
       form, registry row ``ppl_bucket``); requires uniform cuts
-      i/len(labels) (the definition is positional).
+      i/len(labels) (the definition is positional). NaN ppl is
+      treated exactly like NULL ppl (NULL bucket): a NaN cannot be
+      ranked, and letting it into the sliver would poison the
+      per-group max and collapse the bucket fan-out.
 
       Scale shape (r12): a naive ``row_number() PARTITION BY group``
       funnels an entire language through ONE task's window sort — on
@@ -963,11 +967,17 @@ def _step_ppl_bucket(df: DataFrame, p: dict) -> DataFrame:
                 f"ppl_bucket method=rank needs uniform cuts "
                 f"{[(i + 1) / k for i in range(k - 1)]}, got {cuts} — "
                 f"positional buckets are equal-population by definition")
-        # (id, group, ppl) sliver, pinned: stats/plan/rank all read it
-        sliver = df.filter(
-            F.col(ppl_col).isNotNull() & F.col(group_col).isNotNull()
-        ).select(
+        # (id, group, ppl) sliver, pinned: stats/plan/rank all read it.
+        # NaN is excluded like NULL (NULL bucket via the left-join miss):
+        # one NaN score would otherwise poison the per-group max, turn
+        # every bucket expression NaN → floor → bucket 0, and silently
+        # collapse the whole group back into the single-task funnel the
+        # decomposition exists to prevent.
+        sliver = df.select(
             id_col, group_col, F.col(ppl_col).cast("double").alias("__s")
+        ).filter(
+            F.col("__s").isNotNull() & ~F.isnan("__s")
+            & F.col(group_col).isNotNull()
         ).localCheckpoint(eager=True)
         # per-group value range + size: <= #groups rows, broadcast back
         stats = sliver.groupBy(group_col).agg(
@@ -1002,12 +1012,17 @@ def _step_ppl_bucket(df: DataFrame, p: dict) -> DataFrame:
         wb = Window.partitionBy(group_col, "__b").orderBy(
             F.col("__s").asc(), F.col(id_col).asc())
         labarr = F.array(*[F.lit(x) for x in labels])
+        # label index via PURE integer arithmetic — `div` is SQL integer
+        # division, so (rank-1)*k div n is exact at any count (the /
+        # operator would round-trip through double and break the
+        # bit-replayability contract past 2^53)
         lab_df = (
             b.join(F.broadcast(plan), on=[group_col, "__b"])
             .withColumn(
+                "__r0", F.col("__off") + F.row_number().over(wb) - 1)
+            .withColumn(
                 "__li",
-                F.floor((F.col("__off") + F.row_number().over(wb) - 1)
-                        * k / F.col("__n")).cast("int"),
+                F.expr(f"cast((__r0 * {int(k)}) div __n as int)"),
             )
             .select(F.col(id_col),
                     F.element_at(labarr, F.col("__li") + 1)

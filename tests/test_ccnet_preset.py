@@ -134,6 +134,30 @@ def test_ppl_bucket_rank_bucket_decomposition_bit_identical(spark):
             assert got == base, f"n_buckets={nb} diverged"
 
 
+def test_ppl_bucket_rank_nan_does_not_collapse_fanout(spark):
+    """r12 ADVICE: one NaN ppl must not poison the per-group max (which
+    would send every row's quantize expression to NaN → floor → bucket
+    0 and silently restore the single-task funnel). NaN behaves exactly
+    like NULL: NULL bucket for the NaN row, every other row's label
+    unchanged, and the quantizer still spreads rows over >1 bucket."""
+    clean = [(f"d{i:03d}", "en", float(i)) for i in range(30)]
+    df_clean = spark.createDataFrame(
+        clean, "doc_id string, lang string, ppl double")
+    df_nan = spark.createDataFrame(
+        clean + [("bad", "en", float("nan"))],
+        "doc_id string, lang string, ppl double")
+    base = {r.doc_id: r.ppl_bucket
+            for r in CORPUS_STEPS["ppl_bucket"](
+                df_clean, {"method": "rank"}).collect()}
+    got = {r.doc_id: r.ppl_bucket
+           for r in CORPUS_STEPS["ppl_bucket"](
+               df_nan, {"method": "rank"}).collect()}
+    # pre-fix the NaN row passed isNotNull, entered the sliver and got
+    # ranked (a real label); post-fix it is excluded like NULL -> NULL
+    assert got.pop("bad") is None
+    assert got == base
+
+
 def test_ppl_bucket_no_body_shuffle(spark):
     """Scale guard: the cuts frame is a broadcast — the document
     stream itself must not gain an exchange beyond the tiny cuts agg

@@ -87,6 +87,42 @@ def test_empty_benchmark_and_rail(spark):
         S._SEMDECON_MAX_CELLS = orig
 
 
+def test_rail_precheck_runs_before_any_full_collect(spark, monkeypatch):
+    """r12 VERDICT "What's wrong" #2: the closure rail must fire from
+    the distributed count+dim pre-check, NOT after a driver collect of
+    the whole benchmark — every collect on the over-limit path returns
+    at most one row (the pre-check agg)."""
+    from pyspark.sql.classic.dataframe import DataFrame  # concrete impl
+
+    from greenmask_spark.functions import similarity as S
+
+    sizes = []
+    orig_collect = DataFrame.collect
+
+    def spy(self):
+        rows = orig_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    monkeypatch.setattr(S, "_SEMDECON_MAX_CELLS", 16)
+    bench = _df(spark, [_unit(i, i % DIM) for i in range(10)])  # 80 cells
+    corpus = _df(spark, [_unit(0, 0)])
+    with pytest.raises(ValueError, match="closure rail"):
+        semantic_decontaminate(corpus, bench, threshold=0.9)
+    assert sizes and max(sizes) <= 1, sizes
+
+
+def test_mixed_dim_benchmark_raises(spark):
+    """A malformed benchmark (mixed embedding dims) raises instead of
+    silently keying everything off one row's dimension and turning the
+    decontamination filter into a no-op."""
+    bench = _df(spark, [_unit(0, 0), (1, [1.0, 0.0])])
+    corpus = _df(spark, [_unit(0, 0)])
+    with pytest.raises(ValueError, match="mixed embedding dim"):
+        semantic_decontaminate(corpus, bench, threshold=0.9)
+
+
 def test_plan_is_scan_plus_one_arrow_stage(spark, sf_dir, tables):
     """The scale contract: benchmark in the closure, corpus pays one
     Arrow pass — zero exchanges however large the corpus."""

@@ -826,8 +826,8 @@ _SEMDECON_THR = 0.45
 
 
 def q_semantic_decontaminate(spark, sf_dir):
-    """STAGED r13 debut row (not yet in queries() — the r13 window swap
-    adds it per the queries() docstring plan, the kmeans_clusters
+    """NEW r13 registry row (debuted via the pre-staged window swap,
+    the kmeans_clusters proven-before-debut
     precedent): semantic benchmark decontamination
     (functions/similarity.semantic_decontaminate) — survivors of the
     embeddings corpus after dropping every vector whose max cosine
@@ -853,9 +853,8 @@ def q_semantic_decontaminate(spark, sf_dir):
 
 
 def _oracle_semantic_decontaminate() -> str:
-    """STAGED r13 oracle for q_semantic_decontaminate (not yet in
-    oracle_sql() — test_registry_contract forbids oracle keys without
-    registry rows): raw max cosine over the corpus × benchmark cross
+    """Oracle for q_semantic_decontaminate (r13 registry row):
+    raw max cosine over the corpus × benchmark cross
     product (benchmark is the tiny side), THEN the HALF_UP 4-dp round,
     threshold on the rounded value — exactly the Spark kernel's
     raw-max → F.round pipeline."""
@@ -3765,15 +3764,29 @@ def q_dedup_against_levels(spark, sf_dir):
     parameters, tagged by a ``level`` column and unioned — the same
     r1 family-consolidation precedent as ann_variants, freeing a
     window slot for a NEW r10 operator while both levels keep fresh
-    driver evidence. The min_jaccard-verified tier stays its own row
-    (dedup_against_verified, r9-green tail)."""
+    driver evidence.
+
+    r13: gains the min_jaccard-VERIFIED tier as a third
+    ``level='verified'`` leg — the former standalone
+    dedup_against_verified row (r11-green, identical survivor schema),
+    folded here with its original parameters exactly like ann_variants
+    absorbed the brute ann_topk leg in r12; q_dedup_against_verified /
+    _oracle_dedup_against_verified remain in this file unchanged and
+    the merged row calls them. The merged shape's oracle parity was
+    proven at sf0.001 BEFORE this debut
+    (tests/test_functions.py::
+    test_dedup_against_levels_merged_parity, the kmeans_clusters /
+    semantic_decontaminate proven-before-debut convention)."""
     exact = q_dedup_against(spark, sf_dir).select(
         F.lit("exact").alias("level"), "*"
     )
     band = q_dedup_against_fuzzy(spark, sf_dir).select(
         F.lit("band").alias("level"), "*"
     )
-    return exact.unionByName(band)
+    verified = q_dedup_against_verified(spark, sf_dir).select(
+        F.lit("verified").alias("level"), "*"
+    )
+    return exact.unionByName(band).unionByName(verified)
 
 
 def _oracle_dedup_against_levels() -> str:
@@ -3781,6 +3794,8 @@ def _oracle_dedup_against_levels() -> str:
     SELECT 'exact' AS level, * FROM ({_oracle_dedup_against()})
     UNION ALL
     SELECT 'band' AS level, * FROM ({_oracle_dedup_against_fuzzy()})
+    UNION ALL
+    SELECT 'verified' AS level, * FROM ({_oracle_dedup_against_verified()})
     """
 
 
@@ -5202,80 +5217,143 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     brief; executed in r7, r8, r9, r10, r11) — no entry's driver
     evidence is older than two rounds.
 
-    r12 WINDOW = EXACTLY the r11 tail (the pre-staged halves swap the
-    r11 registry docstring mandated: every one of those 50 rows is
-    r10-green and their evidence would go stale otherwise), with ONE
-    in-window family consolidation that keeps all 50 swapped-in
-    operators running while freeing the slot the round's new operator
-    needs:
+    r13 WINDOW = EXACTLY the r12 tail (the pre-staged halves swap the
+    r12 registry docstring mandated: every one of those 50 rows is
+    r11-green and their evidence would go stale otherwise), with ONE
+    family consolidation that keeps all 50 operators running while
+    freeing the slot the round's new operator needs:
 
-    - ann_variants gains the brute-force ann_topk row as a third
-      ``variant='brute'`` leg with its original parameters (identical
-      (query_id, neighbor_id, cos_sim, rank) schema; oracle = UNION
-      ALL gains the brute oracle). Same r1/r10/r11 precedent as the
-      lsh+ivf merge itself / dedup_against_levels / split_levels; the
-      per-variant query functions and oracles remain in this file
-      unchanged — the merged row calls them (and bench.py HEADLINE +
-      test_plan_shapes' ann_topk guard still drive q_ann_topk
-      directly through the q_* fallback,
-      tests/test_registry_contract.py enforces this).
+    - dedup_against_verified (an r12-tail row) folds into
+      dedup_against_levels as a third ``level='verified'`` leg with
+      its original parameters (identical (doc_id, lang, n_chars)
+      survivor schema; oracle = UNION ALL gains
+      _oracle_dedup_against_verified()) — the ann_variants/r12
+      precedent. The merged row sits in the r13 TAIL (it is r12-green
+      in its previous exact+band shape), so the merged shape's oracle
+      parity was proven at sf0.001 BEFORE this debut
+      (tests/test_functions.py::
+      test_dedup_against_levels_merged_parity — the proven-before-
+      debut convention); its fresh driver row lands when it rotates
+      into the r14 window. The per-leg query function and oracle
+      remain in this file unchanged — the merged row calls them
+      (q_dedup_against_verified stays resolvable for guards via the
+      q_* fallback, tests/test_registry_contract.py enforces this).
 
     The freed slot holds the round's new row, so no NEW operator
     debuts without driver evidence:
-    - kmeans_clusters — NEW r12: integer-exact k-means assignment
-      over the embeddings corpus (functions/clustering — fixed-point
-      Lloyd's, bit-identical across engines), bench HEADLINE row
-      since r11; its oracle was proven against the Spark side over
-      the real embeddings table BEFORE debuting here
-      (tests/test_clustering.py::test_registry_oracle_parity_sf0001).
+    - semantic_decontaminate — NEW r13: embedding-space benchmark
+      decontamination (functions/similarity.semantic_decontaminate,
+      the paraphrase-proof twin of ngram_decontaminate), bench
+      HEADLINE row since r12; its oracle was proven against the
+      Spark side over the real embeddings table BEFORE debuting here
+      (tests/test_semantic_decontaminate.py::
+      test_registry_oracle_parity_sf0001).
 
-    r12 TAIL = exactly the 50 r11-window rows, every one green in
-    CORRECTNESS_r11 (bm25 … ppl_bucket, order preserved), each with
-    >= 1 same-family row in the window (tail row → window coverage):
-    mask_customer/t_random_int/t_faker → the window's t_* rows;
-    subset_orders → subset_cycle/lineitem/
-    polymorphic; q1/q5 → q3; events_windowed/events_json →
-    events_daily/sessionize/windowed_distinct; dedup_clusters/
-    dedup_lines/dedup_against_verified/winnow_pairs → dedup_exact/
+    r13 TAIL = exactly the 50 r12-window rows, every one green in
+    CORRECTNESS_r12 (t_apply_for_references … kmeans_clusters, order
+    preserved), each with >= 1 same-family row in the window: the
+    transformer family window rows (mask_customer/t_random_int/
+    t_faker cover the t_* tail rows), subset rows (subset_orders →
+    subset_cycle/lineitem/polymorphic), TPC-H rows (q1/q5 → q3),
+    event-time rows (events_windowed/events_json → events_daily/
+    sessionize/windowed_distinct), dedup rows (dedup_clusters/
+    dedup_lines/winnow_pairs/semantic_decontaminate → dedup_exact/
     minhash_sigs/simhash/ngram_jaccard/lsh_recall_eval/
-    dedup_against_levels; ivf_pq_topk/ann_recall/ann_rerank →
-    ann_variants (incl. brute)/ann_topk_pq/kmeans_clusters;
-    term_frequencies/corpus_summary/gopher_filter/c4_filter →
-    text_profile/repetition_profile; classifier_weights/bm25/
+    dedup_against_levels incl. its folded verified leg), ANN rows
+    (ivf_pq_topk/ann_recall/ann_rerank → ann_variants (incl. brute)/
+    ann_topk_pq/kmeans_clusters), text rows (term_frequencies/
+    corpus_summary/gopher_filter/c4_filter → text_profile/
+    repetition_profile), LM/scoring rows (classifier_weights/bm25/
     bm25_indexed/ppl_bucket → lm_score/linear_text_score/bm25_topk/
-    unigram_vocab; normalize_urls/robots_filter/host_graph →
-    strip_html/scrub_pii/cap_per_domain; shard_write →
-    copy_roundtrip/zorder_events; split_levels/stratified_sample/
-    sample_mixture/weighted_sample/select_to_budget → dsir_weights/
-    cross_split_contamination; range_join/skew_join →
-    asof_join/salted_agg.
+    unigram_vocab), web rows (normalize_urls/robots_filter/
+    host_graph → strip_html/scrub_pii/cap_per_domain), storage rows
+    (shard_write → copy_roundtrip/zorder_events), sampling rows
+    (split_levels/stratified_sample/sample_mixture/weighted_sample/
+    select_to_budget → dsir_weights/cross_split_contamination) and
+    join/skew rows (range_join/skew_join → asof_join/salted_agg).
 
-    Union coverage: CORRECTNESS_r12 ∪ r11 covers ALL 100 entries (the
-    50 tail rows are r11-green; the 50 window rows get fresh r12
-    rows; ann_topk's r12 evidence rides the merged ann_variants row).
+    Union coverage: CORRECTNESS_r13 ∪ r12 covers ALL 100 entries (the
+    50 tail rows are r12-green; the 50 window rows get fresh r13
+    rows; dedup_against_verified's former coverage rides the merged
+    dedup_against_levels row — r12-green as exact+band, merged shape
+    pytest-proven, driver-checked on its r14 window rotation).
 
-    r13 PLAN (pre-staged): swap the halves again — the r13 window =
-    exactly this round's 50-row tail (all r11-green, stale
-    otherwise), and this round's window becomes the r13 tail. The
-    NEW r13 operator is ALREADY STAGED with its oracle proven:
-    ``semantic_decontaminate`` (q_semantic_decontaminate +
-    _oracle_semantic_decontaminate, parity over the real embeddings
-    table in tests/test_semantic_decontaminate.py, bench HEADLINE
-    row since r12). Free its slot by folding dedup_against_verified
-    into dedup_against_levels as a third ``level='verified'`` leg —
-    schema VERIFIED identical ((doc_id, lang, n_chars) survivors,
-    both in this round's tail so both rotate into the r13 window
-    together) and the oracle is the UNION ALL gaining
-    _oracle_dedup_against_verified(), the exact ann_variants/r12
-    precedent.
+    r14 PLAN (pre-staged): swap the halves again — the r14 window =
+    exactly this round's 50-row tail (all r12-green, stale
+    otherwise), and this round's window becomes the r14 tail. Slot
+    headroom for the next new operator comes from ONE in-window
+    consolidation, schema-compatibility verified now: fold
+    minhash_sigs + simhash (both in this round's tail, so both
+    rotate into the r14 window together — the exact ann_variants/r12
+    shape) into a single ``fingerprints`` row with schema
+    (method, doc_id, fp): minhash's sig is already a string,
+    simhash's sh is BIGINT and casts losslessly (fp = CAST(sh AS
+    STRING)); each leg runs its ORIGINAL parameters under a
+    ``method`` tag and the oracle is the UNION ALL of the two
+    original oracles with the same casts. q_minhash_sigs/q_simhash
+    and their oracles stay in this file for the q_* fallback
+    (bench.py HEADLINE + test_plan_shapes keep driving them
+    directly).
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its
     original key/params, so per-transformer semantics are unchanged;
     the docstring of each family query lists its members."""
     return {
-        # --- r12 window: the full r11 tail rotates back in (one
-        # family consolidation marked •, the new row at the end) ---
+        # --- r13 window: the full r12 tail rotates back in (the
+        # freed dedup_against_verified slot holds the new row at the
+        # end; its verified leg rides dedup_against_levels, tail) ---
+        "bm25": q_bm25,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "repeated_spans": q_repeated_spans,
+        "mask_customer": q_mask_customer,        # +Hash max_length (h16)
+        "t_random_int": q_t_random_int,          # +NoiseInt/RandomString/RegexpReplace
+        "t_faker": q_t_faker,                    # all 22 faker transformers
+        "subset_orders": q_subset_orders,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q5_region_revenue": q_q5_region_revenue,
+        "dedup_clusters": q_dedup_clusters,      # +minhash_pairs
+        "ngram_decontaminate": q_ngram_decontaminate,
+        "events_json": q_events_json,
+        "dedup_lines": q_dedup_lines,
+        "multimodal_frames": q_multimodal_frames,
+        "split_levels": q_split_levels,          # • hash + cluster splits
+        "term_frequencies": q_term_frequencies,
+        "quantize_embeddings": q_quantize_embeddings,
+        "winnow_pairs": q_winnow_pairs,
+        "range_join": q_range_join,
+        "normalize_urls": q_normalize_urls,
+        "sample_mixture": q_sample_mixture,
+        "ann_recall": q_ann_recall,
+        "corpus_summary": q_corpus_summary,
+        "ann_rerank": q_ann_rerank,
+        "semantic_dedup": q_semantic_dedup,
+        "det_shuffle": q_det_shuffle,
+        "skew_join": q_skew_join,
+        "events_windowed": q_events_windowed,
+        "classifier_weights": q_classifier_weights,
+        "shard_write": q_shard_write,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "gopher_filter": q_gopher_filter,
+        "pagerank": q_pagerank,
+        "bm25_indexed": q_bm25_indexed,
+        "c4_filter": q_c4_filter,
+        "image_dhash": q_image_dhash,
+        "image_near_dup": q_image_near_dup,
+        "audio_fingerprint": q_audio_fingerprint,
+        "host_graph": q_host_graph,
+        "robots_filter": q_robots_filter,
+        "bloom_seen": q_bloom_seen,
+        "cms_terms": q_cms_terms,
+        "hll_registers": q_hll_registers,
+        "hits_scores": q_hits_scores,
+        "select_to_budget": q_select_to_budget,
+        "length_histogram": q_length_histogram,
+        "weighted_sample": q_weighted_sample,
+        "ppl_bucket": q_ppl_bucket,              # r11: CC-Net buckets
+        "semantic_decontaminate": q_semantic_decontaminate,  # NEW r13
+        # --- r13 tail: all green in CORRECTNESS_r12; family reps above ---
         "t_apply_for_references": q_t_apply_for_references,
         "t_cmd": q_t_cmd,                        # json + text + csv drivers
         "t_when_condition": q_t_when_condition,
@@ -5307,7 +5385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_recall_eval": q_lsh_recall_eval,
-        "dedup_against_levels": q_dedup_against_levels,  # • exact + band
+        "dedup_against_levels": q_dedup_against_levels,  # • exact+band+verified (r13)
         "cross_split_contamination": q_cross_split_contamination,
         "ann_variants": q_ann_variants,          # • brute + lsh + ivf
         "ann_topk_pq": q_ann_topk_pq,
@@ -5325,58 +5403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "windowed_distinct": q_windowed_distinct,
         "unigram_vocab": q_unigram_vocab,
-        "kmeans_clusters": q_kmeans_clusters,    # NEW r12: int-exact k-means
-        # --- r12 tail: all green in CORRECTNESS_r11; family reps above ---
-        "bm25": q_bm25,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "repeated_spans": q_repeated_spans,
-        "mask_customer": q_mask_customer,        # +Hash max_length (h16)
-        "t_random_int": q_t_random_int,          # +NoiseInt/RandomString/RegexpReplace
-        "t_faker": q_t_faker,                    # all 22 faker transformers
-        "subset_orders": q_subset_orders,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q5_region_revenue": q_q5_region_revenue,
-        "dedup_clusters": q_dedup_clusters,      # +minhash_pairs
-        "ngram_decontaminate": q_ngram_decontaminate,
-        "events_json": q_events_json,
-        "dedup_lines": q_dedup_lines,
-        "multimodal_frames": q_multimodal_frames,
-        "split_levels": q_split_levels,          # • hash + cluster splits
-        "term_frequencies": q_term_frequencies,
-        "quantize_embeddings": q_quantize_embeddings,
-        "winnow_pairs": q_winnow_pairs,
-        "range_join": q_range_join,
-        "normalize_urls": q_normalize_urls,
-        "sample_mixture": q_sample_mixture,
-        "dedup_against_verified": q_dedup_against_verified,
-        "ann_recall": q_ann_recall,
-        "corpus_summary": q_corpus_summary,
-        "ann_rerank": q_ann_rerank,
-        "semantic_dedup": q_semantic_dedup,
-        "det_shuffle": q_det_shuffle,
-        "skew_join": q_skew_join,
-        "events_windowed": q_events_windowed,
-        "classifier_weights": q_classifier_weights,
-        "shard_write": q_shard_write,
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "gopher_filter": q_gopher_filter,
-        "pagerank": q_pagerank,
-        "bm25_indexed": q_bm25_indexed,
-        "c4_filter": q_c4_filter,
-        "image_dhash": q_image_dhash,
-        "image_near_dup": q_image_near_dup,
-        "audio_fingerprint": q_audio_fingerprint,
-        "host_graph": q_host_graph,
-        "robots_filter": q_robots_filter,
-        "bloom_seen": q_bloom_seen,
-        "cms_terms": q_cms_terms,
-        "hll_registers": q_hll_registers,
-        "hits_scores": q_hits_scores,
-        "select_to_budget": q_select_to_budget,
-        "length_histogram": q_length_histogram,
-        "weighted_sample": q_weighted_sample,
-        "ppl_bucket": q_ppl_bucket,              # r11: CC-Net buckets
+        "kmeans_clusters": q_kmeans_clusters,    # r12: int-exact k-means
     }
 
 
@@ -5440,7 +5467,6 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _oracle_range_join(),
         "normalize_urls": _oracle_normalize_urls(),
         "sample_mixture": _oracle_sample_mixture(),
-        "dedup_against_verified": _oracle_dedup_against_verified(),
         "ann_recall": _oracle_ann_recall(),
         "corpus_summary": _oracle_corpus_summary(),
         "ann_rerank": _oracle_ann_rerank(),
@@ -5482,4 +5508,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_variants": _oracle_ann_variants(),
         "dedup_against_levels": _oracle_dedup_against_levels(),
         "unigram_vocab": _oracle_unigram_vocab(),
+        "semantic_decontaminate": _oracle_semantic_decontaminate(),
     }

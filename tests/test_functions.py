@@ -4521,3 +4521,34 @@ def test_select_to_budget_negative_tokens_clamp_to_zero(spark):
                select_to_budget(df, budget, "toks", "score",
                                 n_buckets=4).collect()}
         assert got == naive, budget
+
+
+def test_dedup_against_levels_merged_parity(spark, sf_dir):
+    """The r13-merged dedup_against_levels row (exact + band +
+    verified legs) vs its DuckDB UNION-ALL oracle over the REAL
+    documents table — proven here BEFORE the merged shape's driver
+    debut (the kmeans_clusters / semantic_decontaminate convention).
+    The verified leg is the former standalone dedup_against_verified
+    row folded in with its original parameters."""
+    import os as _os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.q_dedup_against_levels(spark, sf_dir)
+    srows = sorted(
+        (r.level, int(r.doc_id), r.lang, int(r.n_chars))
+        for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS FROM "
+            f"'{_os.path.join(sf_dir, 'documents.parquet')}'")
+    drows = sorted(
+        (a, int(b), c, int(d))
+        for a, b, c, d in con.sql(
+            entrymod._oracle_dedup_against_levels()).fetchall()
+    )
+    assert len(srows) > 0
+    assert {lv for lv, *_ in srows} == {"exact", "band", "verified"}
+    assert srows == drows

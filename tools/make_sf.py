@@ -17,6 +17,17 @@ parquet with the SAME seeds every run:
   corpus into exact duplicates and distort every dedup/ANN operator's
   behavior at scale, which is exactly what the sweep must measure.
 
+Synthesis v2 (r13): each document additionally gets 0-4 DISTINCT
+Gopher stopwords injected at random positions (separate rng stream,
+seed+2, so the base word draw is unchanged vs v1; ~80% of docs get
+the >= 2 the Gopher stopword rule needs). The base sf0.1 vocabulary
+contains exactly ONE Gopher stopword (measured, VERDICT r12), which
+gated the fineweb preset funnel to 0 survivors at the gopher stage —
+the seeding lets the funnel's post-gopher stages (MinHash dedup, PII,
+shards) actually execute at sf >= 1 while still exercising the gate
+(the 0/1-stopword docs fail it). SCALE.md records which synthesis
+version each pinned run used; v1-pinned value evidence predates this.
+
 Correctness of the sweep is unaffected by the data being derived:
 tools/check_oracle.py runs Spark and DuckDB over the SAME files.
 
@@ -116,9 +127,22 @@ def _synth_documents(con, base, out_dir, mult, seed):
     p_l /= p_l.sum()
     lens = rng.integers(lo_w, hi_w + 1, size=n)
     word_ids = rng.choice(len(words), size=int(lens.sum()), p=p_w)
+    # v2: inject 0-4 DISTINCT Gopher stopwords per doc (separate rng
+    # stream so the base word draw above is bit-identical to v1) —
+    # ~80% of docs clear the stops>=2 Gopher rule, the rest fail it,
+    # so the fineweb gate filters instead of annihilating (docstring)
+    stopwords = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    srng = np.random.default_rng(seed + 2)
+    n_stops = srng.choice(5, size=n, p=[0.1, 0.1, 0.3, 0.3, 0.2])
     texts, pos = [], 0
-    for ln in lens:
-        texts.append(" ".join(words[w] for w in word_ids[pos:pos + ln]))
+    for ln, ns in zip(lens, n_stops):
+        doc = [words[w] for w in word_ids[pos:pos + ln]]
+        if ns:
+            picks = srng.choice(len(stopwords), size=ns, replace=False)
+            for sw in picks:
+                doc.insert(int(srng.integers(0, len(doc) + 1)),
+                           stopwords[sw])
+        texts.append(" ".join(doc))
         pos += ln
     lang = [langs[i] for i in rng.choice(len(langs), size=n, p=p_l)]
     source = [f"src{i}" for i in rng.integers(0, n_src, size=n)]

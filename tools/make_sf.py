@@ -17,16 +17,20 @@ parquet with the SAME seeds every run:
   corpus into exact duplicates and distort every dedup/ANN operator's
   behavior at scale, which is exactly what the sweep must measure.
 
-Synthesis v2 (r13): each document additionally gets 0-4 DISTINCT
+Synthesis v2 (r13): each document additionally gets (a) 0-4 DISTINCT
 Gopher stopwords injected at random positions (separate rng stream,
 seed+2, so the base word draw is unchanged vs v1; ~80% of docs get
-the >= 2 the Gopher stopword rule needs). The base sf0.1 vocabulary
-contains exactly ONE Gopher stopword (measured, VERDICT r12), which
-gated the fineweb preset funnel to 0 survivors at the gopher stage —
-the seeding lets the funnel's post-gopher stages (MinHash dedup, PII,
-shards) actually execute at sf >= 1 while still exercising the gate
-(the 0/1-stopword docs fail it). SCALE.md records which synthesis
-version each pinned run used; v1-pinned value evidence predates this.
+the >= 2 the Gopher stopword rule needs) and (b) a sentence-final
+'.' every 5-10 words (same stream; the base vocabulary contains no
+`.!?`, so C4's min_sentences rule annihilated the funnel the same
+way). The base sf0.1 vocabulary contains exactly ONE Gopher stopword
+(measured, VERDICT r12), which gated the fineweb preset funnel to 0
+survivors at the gopher stage — the seeding lets the funnel's
+post-gopher stages (MinHash dedup, PII, shards) actually execute at
+sf >= 1 while still exercising both gates (0/1-stopword docs fail
+Gopher; short docs fail min_sentences). SCALE.md records which
+synthesis version each pinned run used; v1-pinned value evidence
+predates this.
 
 Correctness of the sweep is unaffected by the data being derived:
 tools/check_oracle.py runs Spark and DuckDB over the SAME files.
@@ -142,6 +146,15 @@ def _synth_documents(con, base, out_dir, mult, seed):
             for sw in picks:
                 doc.insert(int(srng.integers(0, len(doc) + 1)),
                            stopwords[sw])
+        # sentence punctuation every 5-10 words (same v2 stream): the
+        # base vocabulary contains NO `.!?`, so the C4 min_sentences
+        # rule would annihilate the funnel exactly like the stopword
+        # rule did — short docs still fail it, which keeps the gate a
+        # filter rather than a pass-through
+        i = 0
+        while i < len(doc):
+            i += int(srng.integers(5, 11))
+            doc[min(i - 1, len(doc) - 1)] += "."
         texts.append(" ".join(doc))
         pos += ln
     lang = [langs[i] for i in rng.choice(len(langs), size=n, p=p_l)]

@@ -894,6 +894,68 @@ def q_ngram_decontaminate(spark, sf_dir):
     )
 
 
+_NOVELTY_N = 8
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """STAGED r14 debut row (not yet in queries() — the r14 window
+    swap adds it per the queries() docstring plan, the
+    semantic_decontaminate/kmeans_clusters proven-before-debut
+    convention): per-document n-gram novelty
+    (functions/dedup.ngram_novelty) — the fraction of each doc's
+    distinct 8-grams whose first corpus occurrence (min doc_id) is
+    that doc, the corpus-redundancy score template farms evade
+    near-dup dedup with.
+
+    Scale shape: grams ride as 60-bit sha256-slice hashes — every
+    exchange is (bigint, bigint) slivers, bodies never move, all aggs
+    map-side-combined; the final join glues two #docs-row frames."""
+    from greenmask_spark.functions.dedup import ngram_novelty
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return ngram_novelty(docs, n=_NOVELTY_N)
+
+
+def _oracle_ngram_novelty() -> str:
+    """STAGED r14 oracle for q_ngram_novelty (not yet in oracle_sql()
+    — test_registry_contract forbids oracle keys without registry
+    rows): the same tokens → 8-gram windows → 60-bit gram hash →
+    min-owner pipeline in DuckDB SQL (hash = the _window_hash twin,
+    NO 31-bit fold)."""
+    n = _NOVELTY_N
+    return f"""
+    WITH d AS (
+      SELECT doc_id, str_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(sha256(
+               array_to_string(list_slice(toks, CAST(i AS INTEGER),
+                                          CAST(i + {n - 1} AS INTEGER)),
+                               ' ')), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - {n} + 1, 0) + 1)) AS i
+        FROM d
+      )
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+    ), novel AS (
+      SELECT owner AS doc_id, count(*) AS n_novel
+      FROM (SELECT h, min(doc_id) AS owner FROM g GROUP BY h)
+      GROUP BY owner
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(v.n_novel, 0) AS n_novel,
+           round(coalesce(v.n_novel, 0) /
+                 CAST(p.n_grams AS DOUBLE), 4) AS novelty
+    FROM documents d
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    LEFT JOIN novel v ON v.doc_id = d.doc_id
+    """
+
+
 def _oracle_ngram_decontaminate() -> str:
     n = _DECON_N
     return f"""
@@ -1323,6 +1385,40 @@ def _oracle_simhash() -> str:
         bits.append(f"CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END")
     acc = " + ".join(bits)
     return f"SELECT doc_id, CAST({acc} AS INTEGER) AS sh FROM documents"
+
+
+def q_fingerprints(spark, sf_dir):
+    """STAGED r14 consolidation row (not yet in queries() — the r14
+    window swap adds it per the queries() docstring plan): the
+    minhash_sigs + simhash rows folded under a ``method`` tag with
+    their ORIGINAL parameters — identical (method, doc_id, fp) schema
+    (minhash's sig is already a string; simhash's sh is an integer
+    and casts losslessly). The per-method query functions and oracles
+    stay in this file unchanged; bench HEADLINE and test_plan_shapes
+    keep driving them directly through the q_* fallback."""
+    mh = q_minhash_sigs(spark, sf_dir).select(
+        F.lit("minhash").alias("method"), "doc_id",
+        F.col("sig").alias("fp"),
+    )
+    sh = q_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("method"), "doc_id",
+        F.col("sh").cast("string").alias("fp"),
+    )
+    return mh.unionByName(sh)
+
+
+def _oracle_fingerprints() -> str:
+    """STAGED r14 oracle for q_fingerprints (not yet in oracle_sql()
+    — test_registry_contract forbids oracle keys without registry
+    rows): UNION ALL of the two original oracles under the same
+    method tag and string cast."""
+    return f"""
+    SELECT 'minhash' AS method, doc_id, sig AS fp
+    FROM ({_oracle_minhash_sigs()})
+    UNION ALL
+    SELECT 'simhash' AS method, doc_id, CAST(sh AS VARCHAR) AS fp
+    FROM ({_oracle_simhash()})
+    """
 
 
 _ANN_K = 5
@@ -5281,19 +5377,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r14 PLAN (pre-staged): swap the halves again — the r14 window =
     exactly this round's 50-row tail (all r12-green, stale
     otherwise), and this round's window becomes the r14 tail. Slot
-    headroom for the next new operator comes from ONE in-window
-    consolidation, schema-compatibility verified now: fold
-    minhash_sigs + simhash (both in this round's tail, so both
-    rotate into the r14 window together — the exact ann_variants/r12
-    shape) into a single ``fingerprints`` row with schema
-    (method, doc_id, fp): minhash's sig is already a string,
-    simhash's sh is BIGINT and casts losslessly (fp = CAST(sh AS
-    STRING)); each leg runs its ORIGINAL parameters under a
-    ``method`` tag and the oracle is the UNION ALL of the two
-    original oracles with the same casts. q_minhash_sigs/q_simhash
-    and their oracles stay in this file for the q_* fallback
-    (bench.py HEADLINE + test_plan_shapes keep driving them
-    directly).
+    headroom comes from ONE in-window consolidation, ALREADY
+    IMPLEMENTED with its oracle proven: fold minhash_sigs + simhash
+    (both in this round's tail, so both rotate into the r14 window
+    together — the exact ann_variants/r12 shape) into the staged
+    ``fingerprints`` row (q_fingerprints + _oracle_fingerprints
+    below; identical (method, doc_id, fp) schema — sig is already a
+    string, sh casts losslessly; parity proven at sf0.001 in
+    tests/test_functions.py::test_staged_r14_rows_oracle_parity).
+    The freed slot's NEW r14 operator is ALSO already staged with
+    parity proven: ``ngram_novelty`` (q_ngram_novelty +
+    _oracle_ngram_novelty — per-doc distinct-8-gram first-owner
+    novelty, 60-bit gram-hash slivers, bench HEADLINE row since
+    r13). q_minhash_sigs/q_simhash and their oracles stay in this
+    file for the q_* fallback (bench.py HEADLINE + test_plan_shapes
+    keep driving them directly).
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its

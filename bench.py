@@ -96,6 +96,12 @@ HEADLINE = [
     # registry row). Appended so the common-30 prefix stays comparable
     # with tools/records/bench_sf0.1_r12.json.
     "semantic_decontaminate",
+    # r13: per-document n-gram novelty (distinct-gram first-owner
+    # fraction; 60-bit gram-hash slivers through four map-side-combined
+    # shuffles — the staged r14 registry row). Appended so the
+    # common-31 prefix stays comparable with
+    # tools/records/bench_sf0.1_r13.json.
+    "ngram_novelty",
 ]
 
 

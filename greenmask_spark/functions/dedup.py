@@ -589,6 +589,66 @@ def ngram_decontaminate(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams whose first corpus occurrence (minimum
+    ``id_col`` over every document containing the gram) is this
+    document — a corpus-diversity / redundancy score for training-data
+    curation. A document can add almost no new n-grams without any
+    single document being its near-duplicate (boilerplate quilts,
+    template farms); near-dup and ExactSubstr dedup both miss that,
+    and this is the per-document measure that exposes it (the additive
+    complement of ``ngram_decontaminate``'s binary collision test,
+    over the corpus itself instead of a benchmark).
+
+    Returns (``id_col``, n_grams, n_novel, novelty) for EVERY input
+    row: novelty = round(n_novel / n_grams, 4); documents with fewer
+    than ``n`` tokens have no grams → (0, 0, NULL).
+
+    Scale shape: grams are identified by their 60-bit sha256-slice
+    hash (the ``_window_hash`` space — a 31-bit space would
+    birthday-collide under a real corpus's billions of grams), so
+    every exchange carries (id, bigint) or (bigint, bigint) slivers —
+    document bodies never move. All aggregations are
+    map-side-combinable: per-doc distinct grams, per-doc gram counts,
+    gram → min(id) first-owner, owner → novel-count; the final join
+    glues two #docs-row aggregate frames, never the gram stream.
+    """
+    from greenmask_spark.functions.lm import doc_ngrams
+
+    grams = (
+        doc_ngrams(df, int(n), text_col, id_col)
+        .select("id", _window_hash(F.col("gram")).alias("h"))
+        .distinct()
+    )
+    per_doc = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        grams.groupBy("h").agg(F.min("id").alias("id"))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("id", id_col), id_col, "left")
+        .join(novel.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            # a doc with grams but no novel ones scores 0.0 (its novel
+            # join row is absent); only gram-less docs stay NULL
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0))
+                / F.col("n_grams").cast("double"), 4
+            ).alias("novelty"),
+        )
+    )
+
+
 def prepare_reference(
     reference: DataFrame,
     level: str = "exact",

@@ -752,6 +752,32 @@ def _step_bpe_count(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_ngram_novelty(df: DataFrame, p: dict) -> DataFrame:
+    """Per-document n-gram novelty scoring (+ optional floor): attach
+    the fraction of each doc's distinct word ``n``-grams (default 8)
+    whose first corpus occurrence is that doc (dedup.ngram_novelty —
+    the redundancy measure boilerplate quilts evade near-dup dedup
+    with), then optionally drop docs below ``min_novelty``. Docs with
+    fewer than ``n`` tokens score NULL and are KEPT by the floor (they
+    are unscorable, not redundant — the lm_score/ppl convention);
+    pure DataFrame composition, safe under --describe."""
+    from greenmask_spark.functions.dedup import ngram_novelty
+
+    id_col = p.get("id_col", "doc_id")
+    nov_col = p.get("novelty_col", "novelty")
+    nov = ngram_novelty(
+        df, n=int(p.get("n", 8)),
+        text_col=p.get("text_col", "text"), id_col=id_col,
+    ).select(id_col, F.col("novelty").alias(nov_col))
+    out = df.join(nov, id_col, "left")
+    if "min_novelty" in p:
+        thr = float(p["min_novelty"])
+        out = out.filter(
+            F.col(nov_col).isNull() | (F.col(nov_col) >= F.lit(thr))
+        )
+    return out
+
+
 def _step_decontaminate(df: DataFrame, p: dict) -> DataFrame:
     """GPT-3 Appendix-C benchmark decontamination: drop training docs
     sharing at least ``min_hits`` distinct word n-grams (default: any
@@ -1223,6 +1249,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "remove_repeated_spans": _step_remove_repeated_spans,
     "bm25": _step_bm25,
     "dsir": _step_dsir,
+    "ngram_novelty": _step_ngram_novelty,
     "bpe_count": _step_bpe_count,
     "lm_score": _step_lm_score,
     "lm_filter": _step_lm_filter,

@@ -1243,3 +1243,20 @@ def test_corpus_funnel_cli(spark, sf_dir, tmp_path, capsys):
     assert "input" in out and "quality_filter" in out
     # the per-stage delta annotation renders for post-input stages
     assert "(" in out and ")" in out
+
+
+def test_ngram_novelty_step(spark):
+    """The ngram_novelty corpus step: attaches the per-doc novelty
+    column and the optional floor drops quilted re-posts but KEEPS
+    unscorable (< n-token) docs."""
+    from greenmask_spark.pipeline.corpus import CORPUS_STEPS
+
+    base = "a b c d e f g h i j"
+    rows = [(1, base), (2, base), (3, "tiny doc"),
+            (4, "k l m n o p q r s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = CORPUS_STEPS["ngram_novelty"](df, {})
+    got = {r.doc_id: r.novelty for r in out.collect()}
+    assert got == {1: 1.0, 2: 0.0, 3: None, 4: 1.0}
+    kept = CORPUS_STEPS["ngram_novelty"](df, {"min_novelty": 0.5})
+    assert {r.doc_id for r in kept.collect()} == {1, 3, 4}

@@ -4552,3 +4552,73 @@ def test_dedup_against_levels_merged_parity(spark, sf_dir):
     assert len(srows) > 0
     assert {lv for lv, *_ in srows} == {"exact", "band", "verified"}
     assert srows == drows
+
+
+def test_ngram_novelty_semantics(spark):
+    """Planted-corpus contract for ngram_novelty: a verbatim re-post
+    scores 0.0 (its grams' first owner is the earlier doc), unique
+    text scores 1.0, sub-n-token docs return (0, 0, NULL), and a
+    partially-quilted doc scores exactly its new-gram fraction."""
+    from greenmask_spark.functions.dedup import ngram_novelty
+
+    base = "a b c d e f g h i j"           # 10 toks -> 3 distinct 8-grams
+    quilt = "a b c d e f g h x"            # 9 toks -> 2 grams: one from
+    # base ("a..h" window) is NOT a gram of base (base's grams start at
+    # a/b/c) — compute expected from first principles instead:
+    rows = [
+        (1, base),
+        (2, base),                         # re-post -> 0.0
+        (3, "one two three"),              # < 8 toks -> no grams
+        (4, "k l m n o p q r s"),          # disjoint -> 1.0
+        (5, quilt),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+           for r in ngram_novelty(df, n=8).collect()}
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 0, 0.0)
+    assert got[3] == (0, 0, None)
+    assert got[4] == (2, 2, 1.0)
+    # quilt's grams: "a b c d e f g h" (owned by doc 1? NO — doc 1's
+    # grams are a..h, b..i, c..j; "a b c d e f g h" IS a..h -> owned
+    # by doc 1) and "b c d e f g h x" (novel) -> 1 of 2 novel
+    assert got[5] == (2, 1, 0.5)
+
+
+def test_staged_r14_rows_oracle_parity(spark, sf_dir):
+    """The two staged r14 registry rows vs their DuckDB oracles over
+    the REAL documents table — proven BEFORE any driver debut (the
+    kmeans_clusters / semantic_decontaminate convention):
+    fingerprints (the minhash_sigs + simhash fold) and ngram_novelty
+    (the NEW r14 operator)."""
+    import os as _os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS FROM "
+            f"'{_os.path.join(sf_dir, 'documents.parquet')}'")
+
+    srows = sorted(
+        (r.method, int(r.doc_id), r.fp)
+        for r in entrymod.q_fingerprints(spark, sf_dir).collect()
+    )
+    drows = sorted(
+        (a, int(b), c)
+        for a, b, c in con.sql(entrymod._oracle_fingerprints()).fetchall()
+    )
+    assert len(srows) > 0 and srows == drows
+
+    srows = sorted(
+        (int(r.doc_id), int(r.n_grams), int(r.n_novel),
+         None if r.novelty is None else float(r.novelty))
+        for r in entrymod.q_ngram_novelty(spark, sf_dir).collect()
+    )
+    drows = sorted(
+        (int(a), int(b), int(c), None if d is None else float(d))
+        for a, b, c, d in con.sql(
+            entrymod._oracle_ngram_novelty()).fetchall()
+    )
+    assert len(srows) > 0 and srows == drows

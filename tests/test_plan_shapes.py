@@ -216,6 +216,16 @@ SHAPES = {
     # stage + filter, zero exchanges; a shuffle here means the
     # benchmark stopped being a closure
     "semantic_decontaminate": (0, 1),
+    # r13 — per-document n-gram novelty (the staged r14 row): four
+    # map-side-combined exchanges carrying (bigint, bigint) gram-hash
+    # slivers (per-doc distinct, per-doc count, gram min-owner,
+    # owner count) + broadcast rejoins of the two #docs-row
+    # aggregates; never Python, bodies never shuffle
+    "ngram_novelty": (4, 0),
+    # r13 — the staged r14 minhash+simhash fold: the union of the two
+    # original rows' plans (2 explode-agg exchanges each); never
+    # Python
+    "fingerprints": (4, 0),
 }
 
 

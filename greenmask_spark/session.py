@@ -50,8 +50,13 @@ DEFAULT_CONFS = {
 
 def get_spark(app_name: str = "greenmask-spark", **extra_confs: str) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # local-mode heap = the whole unified memory pool; the sf10+ scale
+    # sweeps need more than the 8g default (on a cluster this is just
+    # spark.executor.memory, so an env knob is the honest local analog)
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    confs = {**DEFAULT_CONFS, **({"spark.driver.memory": mem} if mem else {})}
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
-    for k, v in {**DEFAULT_CONFS, **extra_confs}.items():
+    for k, v in {**confs, **extra_confs}.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
 

@@ -83,8 +83,19 @@ def main() -> int:
     con.sql("CREATE VIEW documents AS FROM "
             f"'{os.path.join(sf_dir, 'documents.parquet')}'")
 
-    print("duckdb: iterated min-label propagation")
-    duck_clusters(con)
+    # the duck phase is hours at sf10 (the pair build is a 250M-sha256
+    # interpreted pipeline) — persist its labels next to the data so a
+    # failed SPARK phase (r13: OOM at the old fixed 8g heap) doesn't
+    # force a duck rerun; delete the cache to recompute
+    cache = os.path.join(sf_dir, "cc_labels_cache.parquet")
+    if os.path.exists(cache):
+        print(f"duckdb: reusing cached labels {cache}")
+        con.sql(f"CREATE TABLE clusters AS FROM '{cache}'")
+    else:
+        print("duckdb: iterated min-label propagation")
+        duck_clusters(con)
+        con.sql(f"COPY clusters TO '{cache}' (FORMAT parquet)")
+        print(f"  labels cached -> {cache}")
 
     failures = 0
 

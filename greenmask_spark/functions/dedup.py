@@ -1413,18 +1413,33 @@ def connected_components(
     the LLM-pipeline dedup stage (candidate pairs → duplicate clusters),
     the canonical final step of MinHash/SimHash fuzzy dedup.
     """
-    e = _canonical_edges(
+    # per-round checkpoint storage: the default (None = MEMORY_AND_DISK)
+    # is right on a cluster, but a local-mode scale sweep iterating a
+    # few-hundred-million-edge graph pins several superseded rounds in
+    # the one unified pool faster than the context cleaner frees them
+    # (observed: execution-memory OOM at sf10's 328M pairs) — DISK_ONLY
+    # caps the loop at scan bandwidth instead
+    import os as _os
+
+    from pyspark import StorageLevel as _SL
+
+    _lvl_name = _os.environ.get("SPARK_GRAFT_CC_CHECKPOINT")
+    _lvl = getattr(_SL, _lvl_name) if _lvl_name else None
+
+    def _ckpt(df):
+        return df.localCheckpoint(eager=True, storageLevel=_lvl)
+
+    e = _ckpt(_canonical_edges(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=True)
-    nodes = (
+    ))
+    nodes = _ckpt(
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     prev_sig, converged = None, False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _ckpt(_small_star(_large_star(e)))
         # order-insensitive fingerprint; bit_xor cannot overflow under ANSI
         sig = tuple(
             e.agg(

@@ -23,7 +23,10 @@ seed+2, so the base word draw is unchanged vs v1; ~80% of docs get
 the >= 2 the Gopher stopword rule needs) and (b) a sentence-final
 '.' every 5-10 words (same stream; the base vocabulary contains no
 `.!?`, so C4's min_sentences rule annihilated the funnel the same
-way). The base sf0.1 vocabulary contains exactly ONE Gopher stopword
+way), and (c) ~2% of docs become one-word-swapped NEAR-duplicates of
+an earlier doc (fresh synthesis has no 0.75-Jaccard pairs, so the
+fuzzy-dedup funnel stage never fired; originals keep the lower doc_id
+and survive). The base sf0.1 vocabulary contains exactly ONE Gopher stopword
 (measured, VERDICT r12), which gated the fineweb preset funnel to 0
 survivors at the gopher stage — the seeding lets the funnel's
 post-gopher stages (MinHash dedup, PII, shards) actually execute at
@@ -157,6 +160,19 @@ def _synth_documents(con, base, out_dir, mult, seed):
             doc[min(i - 1, len(doc) - 1)] += "."
         texts.append(" ".join(doc))
         pos += ln
+    # v2: ~2% of docs become NEAR-duplicates of an earlier doc (one
+    # word swapped) — a fresh-synthesized corpus has no 0.75-Jaccard
+    # pairs at all, so the funnel's fuzzy_dedup stage never fired at
+    # sf >= 1; the planted twins make it a real filter while the
+    # originals (lower doc_id) survive by the keep-min rule
+    n_dup = max(1, n // 50)
+    dup_j = srng.choice(np.arange(1, n), size=n_dup, replace=False)
+    for j in dup_j:
+        src_i = int(srng.integers(0, j))          # twin an EARLIER doc
+        tw = texts[src_i].split(" ")
+        tw[int(srng.integers(0, len(tw)))] = words[
+            int(srng.integers(0, len(words)))]
+        texts[j] = " ".join(tw)
     lang = [langs[i] for i in rng.choice(len(langs), size=n, p=p_l)]
     source = [f"src{i}" for i in rng.integers(0, n_src, size=n)]
     tbl = pa.table({

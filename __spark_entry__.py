@@ -956,6 +956,66 @@ def _oracle_ngram_novelty() -> str:
     """
 
 
+_CHUNK_MAX_TOKENS = 16
+_CHUNK_OVERLAP = 4
+
+
+def q_chunk_documents(spark, sf_dir):
+    """STAGED r15 debut row (not yet in queries() — the r15 window
+    swap adds it per the queries() docstring plan, the proven-before-
+    debut convention): fixed context-window chunking with overlap
+    (functions/sampling.chunk_documents) — every document's token
+    stream windows into max_tokens=16 / overlap=4 chunks (stride 12;
+    the 10-100-word synthetic docs emit 1-8 chunks each, exercising
+    the pass-through, mid-stream and final-runt paths), the RAG /
+    long-context preprocessing step between cleaning and
+    tokenize-and-pack.
+
+    Scale shape: ZERO exchanges — one scan, codegen'd
+    split/sequence/explode/slice; chunks materialize inline at the
+    scan (plan guard in test_plan_shapes: (0 shuffles, 0 python))."""
+    from greenmask_spark.functions.sampling import chunk_documents
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return chunk_documents(
+        docs.select("doc_id", "text"),
+        max_tokens=_CHUNK_MAX_TOKENS, overlap=_CHUNK_OVERLAP,
+    )
+
+
+def _oracle_chunk_documents() -> str:
+    """STAGED r15 oracle for q_chunk_documents (not yet in
+    oracle_sql() — test_registry_contract forbids oracle keys without
+    registry rows): identical integer window arithmetic over the same
+    original-case whitespace split (parity proven at sf0.001 in
+    tests/test_functions.py::test_staged_r15_rows_oracle_parity)."""
+    mt, st = _CHUNK_MAX_TOKENS, _CHUNK_MAX_TOKENS - _CHUNK_OVERLAP
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= {mt} THEN 1
+                  ELSE 1 + (len(toks) - {mt} + {st - 1}) // {st}
+             END AS n_chunks
+      FROM t WHERE len(toks) > 0
+    ), e AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, n_chunks - 1)) AS i
+      FROM c
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(
+             list_slice(toks, i*{st} + 1, i*{st} + {mt}), ' ')
+             AS chunk_text,
+           CAST(least({mt}, n - i*{st}) AS INT) AS n_tokens
+    FROM e
+    """
+
+
 def _oracle_ngram_decontaminate() -> str:
     n = _DECON_N
     return f"""
@@ -4436,6 +4496,42 @@ def _oracle_bm25_indexed() -> str:
     """
 
 
+def q_bm25_variants(spark, sf_dir):
+    """STAGED r15 consolidation row (not yet in queries() — the r15
+    window swap adds it per the queries() docstring plan): the bm25 +
+    bm25_indexed rows folded under a ``query_id`` tag with their
+    ORIGINAL parameters — the direct full-corpus leg (one fixed query,
+    misses kept as 0.0) rides as query_id='direct' alongside the
+    persisted-index multi-query leg's q1/q2 rows; identical
+    (query_id, doc_id, score) schema (the direct leg gains only the
+    constant tag). The per-leg query functions and oracles stay in
+    this file unchanged; bench HEADLINE and test_plan_shapes keep
+    driving them directly through the q_* fallback."""
+    direct = q_bm25(spark, sf_dir).select(
+        F.lit("direct").alias("query_id"), "doc_id", "score",
+    )
+    indexed = q_bm25_indexed(spark, sf_dir).select(
+        F.col("query_id").cast("string").alias("query_id"),
+        "doc_id", "score",
+    )
+    return direct.unionByName(indexed)
+
+
+def _oracle_bm25_variants() -> str:
+    """STAGED r15 oracle for q_bm25_variants (not yet in oracle_sql()
+    — test_registry_contract forbids oracle keys without registry
+    rows): UNION ALL of the two original oracles under the query_id
+    tag (parity proven at sf0.001 in tests/test_functions.py::
+    test_staged_r15_rows_oracle_parity)."""
+    return f"""
+    SELECT 'direct' AS query_id, doc_id, score
+    FROM ({_oracle_bm25()})
+    UNION ALL
+    SELECT CAST(query_id AS VARCHAR) AS query_id, doc_id, score
+    FROM ({_oracle_bm25_indexed()})
+    """
+
+
 def q_classifier_weights(spark, sf_dir):
     """Quality-classifier TRAINING with an oracle-checked artifact
     (functions/classifier.train_nb_weights): closed-form Bernoulli-NB
@@ -5392,6 +5488,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r13). q_minhash_sigs/q_simhash and their oracles stay in this
     file for the q_* fallback (bench.py HEADLINE + test_plan_shapes
     keep driving them directly).
+
+    r15 PLAN (pre-staged): swap the halves again — the r15 window =
+    the r14 tail (= this round's window). Slot headroom comes from ONE
+    in-window consolidation, ALREADY IMPLEMENTED with its oracle
+    proven: fold bm25 + bm25_indexed (both in this round's window, so
+    both rotate into the r15 window together) into the staged
+    ``bm25_variants`` row (q_bm25_variants + _oracle_bm25_variants —
+    identical (query_id, doc_id, score) schema; the direct leg gains
+    only the constant query_id='direct' tag; parity proven at sf0.001
+    in tests/test_functions.py::test_staged_r15_rows_oracle_parity).
+    The freed slot's NEW r15 operator is ALSO already staged with
+    parity proven: ``chunk_documents`` (q_chunk_documents +
+    _oracle_chunk_documents — fixed context-window chunking with
+    overlap, functions/sampling.chunk_documents, ZERO exchanges,
+    bench HEADLINE row since r13). q_bm25/q_bm25_indexed and their
+    oracles stay in this file for the q_* fallback.
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its

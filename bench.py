@@ -102,6 +102,11 @@ HEADLINE = [
     # common-31 prefix stays comparable with
     # tools/records/bench_sf0.1_r13.json.
     "ngram_novelty",
+    # r13 (late): fixed context-window chunking with overlap (zero
+    # exchanges — codegen'd split/sequence/explode/slice at the scan;
+    # the staged r15 registry row). Appended so the common-32 prefix
+    # stays comparable within r13.
+    "chunk_documents",
 ]
 
 

@@ -825,3 +825,87 @@ def weighted_sample(
         .limit(int(n))
         .drop("__g")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 0,
+    chunk_id_col: str = "chunk_id",
+    chunk_col: str = "chunk_text",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """Fixed context-window document chunking with overlap: split each
+    document's whitespace token stream into windows of ``max_tokens``
+    tokens advancing by ``max_tokens - overlap`` (the RAG / long-context
+    preprocessing step between cleaning and tokenize-and-pack — the
+    within-document complement of pack_sequences' across-document
+    binning). Chunk i covers tokens [i*stride, i*stride + max_tokens);
+    the final window is the first one reaching the end of the document,
+    so every token appears in >= 1 chunk, consecutive chunks share
+    exactly ``overlap`` tokens (boundary sentences survive in one
+    intact window), and a document never emits a fully-contained
+    trailing runt. Documents with <= max_tokens tokens pass through as
+    one chunk; whitespace-only/empty documents emit NO rows (there is
+    nothing to train on — count them upstream if needed).
+
+    Tokens are the trimmed ``\\s+`` split of the ORIGINAL-case text and
+    chunks re-join with single spaces, so intra-document whitespace
+    runs normalize — provenance is (id, chunk_id), by construction, not
+    byte offsets. Everything is integer arithmetic over the token
+    array, so the whole operator replays bit-for-bit in ANSI SQL (the
+    registry oracle).
+
+    Output: every input column except ``text_col``, plus
+    (``chunk_id_col``, ``chunk_col``, ``count_col``) — chunk_id is the
+    0-based window index, ``count_col`` the chunk's actual token count
+    (== max_tokens everywhere but the final window). Provenance is the
+    passed-through id columns plus chunk_id; pass ``chunk_col=
+    text_col`` to replace the text in place (pipeline composition).
+
+    Scale shape: ZERO exchanges — one scan, pure codegen'd expressions
+    (split/sequence/explode/slice), chunks materialize inline at the
+    scan. Row amplification is ~n/stride per document and byte
+    amplification is bounded by max_tokens/stride (= 1 at overlap=0);
+    with overlap the duplicated bytes are the price of window
+    continuity, stated here so a 100 TB run sizes its output for it.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"chunk_documents: max_tokens={max_tokens} "
+                         "must be >= 1")
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(
+            f"chunk_documents: overlap={overlap} must satisfy "
+            f"0 <= overlap < max_tokens={max_tokens} (stride must be "
+            "positive or chunking never advances)")
+    stride = max_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size("__toks")
+    # windows past the first: integer ceil((n - max_tokens) / stride)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(
+            f"(size(__toks) - {max_tokens} + {stride - 1}) "
+            f"div {stride}").cast("int")
+    )
+    start = F.col(chunk_id_col) * stride
+    keep = [c for c in df.columns if c != text_col]
+    return (
+        df.withColumn("__toks", toks)
+        .filter(F.size("__toks") > 0)
+        .withColumn(
+            chunk_id_col,
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))),
+        )
+        .select(
+            *keep,
+            F.col(chunk_id_col).cast("int").alias(chunk_id_col),
+            F.array_join(
+                F.slice(F.col("__toks"), start + 1, max_tokens), " "
+            ).alias(chunk_col),
+            F.least(F.lit(max_tokens), F.size("__toks") - start)
+            .cast("int").alias(count_col),
+        )
+    )

@@ -778,6 +778,33 @@ def _step_ngram_novelty(df: DataFrame, p: dict) -> DataFrame:
     return out
 
 
+def _step_chunk(df: DataFrame, p: dict) -> DataFrame:
+    """Fixed context-window chunking with overlap (sampling.
+    chunk_documents — the RAG / long-context preprocessing step
+    between cleaning and tokenize-and-pack): each document's token
+    stream windows into ``max_tokens`` chunks advancing by
+    ``max_tokens - overlap``; consecutive chunks share exactly
+    ``overlap`` tokens and the final window anchors to the document
+    end. The chunk text replaces ``text_col`` IN PLACE by default so
+    every downstream step keeps composing — after this step the
+    pipeline grain is (id columns, ``chunk_id``); pass ``chunk_col``
+    to keep the original grain columns distinct. Whitespace-only
+    documents drop (nothing to train on). Pure codegen'd expressions,
+    zero exchanges, safe under --describe."""
+    from greenmask_spark.functions.sampling import chunk_documents
+
+    text_col = p.get("text_col", "text")
+    return chunk_documents(
+        df,
+        text_col=text_col,
+        max_tokens=int(p.get("max_tokens", 512)),
+        overlap=int(p.get("overlap", 0)),
+        chunk_id_col=p.get("chunk_id_col", "chunk_id"),
+        chunk_col=p.get("chunk_col", text_col),
+        count_col=p.get("count_col", "n_tokens"),
+    )
+
+
 def _step_decontaminate(df: DataFrame, p: dict) -> DataFrame:
     """GPT-3 Appendix-C benchmark decontamination: drop training docs
     sharing at least ``min_hits`` distinct word n-grams (default: any
@@ -1250,6 +1277,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "bm25": _step_bm25,
     "dsir": _step_dsir,
     "ngram_novelty": _step_ngram_novelty,
+    "chunk": _step_chunk,
     "bpe_count": _step_bpe_count,
     "lm_score": _step_lm_score,
     "lm_filter": _step_lm_filter,

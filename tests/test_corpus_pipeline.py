@@ -1260,3 +1260,28 @@ def test_ngram_novelty_step(spark):
     assert got == {1: 1.0, 2: 0.0, 3: None, 4: 1.0}
     kept = CORPUS_STEPS["ngram_novelty"](df, {"min_novelty": 0.5})
     assert {r.doc_id for r in kept.collect()} == {1, 3, 4}
+
+
+def test_chunk_step(spark):
+    """The chunk corpus step: in-place text replacement keeps the
+    pipeline composable (same text column, new (doc_id, chunk_id)
+    grain), whitespace-only docs drop, and a downstream expression
+    step still sees a `text` column."""
+    from greenmask_spark.pipeline.corpus import CORPUS_STEPS
+
+    rows = [(1, "a b c d e f g h i j"), (2, "  "), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = CORPUS_STEPS["chunk"](df, {"max_tokens": 4, "overlap": 1})
+    assert out.columns == ["doc_id", "chunk_id", "text", "n_tokens"]
+    got = {(r.doc_id, r.chunk_id): (r.text, r.n_tokens)
+           for r in out.collect()}
+    # n=10, stride=3: 1 + ceil(6/3) = 3 chunks
+    assert got[(1, 0)] == ("a b c d", 4)
+    assert got[(1, 1)] == ("d e f g", 4)
+    assert got[(1, 2)] == ("g h i j", 4)
+    assert not any(k[0] == 2 for k in got)
+    assert got[(3, 0)] == ("solo", 1)
+    # distinct chunk column keeps the original text alongside
+    named = CORPUS_STEPS["chunk"](
+        df, {"max_tokens": 4, "chunk_col": "chunk_text"})
+    assert "chunk_text" in named.columns and "text" not in named.columns

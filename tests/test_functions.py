@@ -4622,3 +4622,115 @@ def test_staged_r14_rows_oracle_parity(spark, sf_dir):
             entrymod._oracle_ngram_novelty()).fetchall()
     )
     assert len(srows) > 0 and srows == drows
+
+
+def test_chunk_documents_semantics(spark):
+    """Window arithmetic: coverage, overlap sharing, final-runt size,
+    single-chunk pass-through, empty-doc drop, whitespace
+    normalization."""
+    from greenmask_spark.functions.sampling import chunk_documents
+
+    rows = [
+        (1, "a b c d e f g h i j"),                    # 10 toks
+        (2, "one  two\tthree"),                        # messy whitespace
+        (3, "   "),                                    # -> no rows
+        (4, "solo"),
+        (5, " ".join(f"t{i}" for i in range(25))),     # 25 toks
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, max_tokens=8, overlap=3)
+    r = {(x.doc_id, x.chunk_id): (x.chunk_text, x.n_tokens)
+         for x in out.collect()}
+    # n=10, stride=5: 2 chunks — [0..8) and the end-anchored [5..10)
+    assert r[(1, 0)] == ("a b c d e f g h", 8)
+    assert r[(1, 1)] == ("f g h i j", 5)
+    # whitespace runs normalize to single spaces
+    assert r[(2, 0)] == ("one two three", 3)
+    # whitespace-only docs emit nothing
+    assert not any(k[0] == 3 for k in r)
+    assert r[(4, 0)] == ("solo", 1)
+    # n=25, stride=5: 5 chunks; every token covered; consecutive
+    # chunks share exactly `overlap` tokens while both are full
+    five = [r[(5, i)][0].split() for i in range(5)]
+    assert len([k for k in r if k[0] == 5]) == 5
+    assert five[0][-3:] == five[1][:3]
+    covered = []
+    for i, c in enumerate(five):
+        covered[i * 5:] = c
+    assert covered == [f"t{i}" for i in range(25)]
+    assert r[(5, 4)][1] == 5  # final runt: tokens [20, 25)
+
+
+def test_chunk_documents_no_contained_runt(spark):
+    """A document whose tail would land fully inside the previous
+    window emits no extra chunk: n=12, mt=8, overlap=4 (stride 4) ->
+    ceil((12-8)/4)+1 = 2 chunks, the second ending exactly at n."""
+    from greenmask_spark.functions.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(12)))], ["doc_id", "text"])
+    out = chunk_documents(df, max_tokens=8, overlap=4).collect()
+    assert len(out) == 2
+    assert out[1].chunk_text.split() == [f"w{i}" for i in range(4, 12)]
+
+
+def test_chunk_documents_validation(spark):
+    from greenmask_spark.functions.sampling import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(df, max_tokens=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=8, overlap=8)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=8, overlap=-1)
+
+
+def test_chunk_documents_keeps_passthrough_columns(spark):
+    from greenmask_spark.functions.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b c")], ["doc_id", "lang", "text"])
+    out = chunk_documents(df, max_tokens=2, overlap=0)
+    assert out.columns == ["doc_id", "lang", "chunk_id",
+                           "chunk_text", "n_tokens"]
+    assert [tuple(r) for r in out.orderBy("chunk_id").collect()] == [
+        (1, "en", 0, "a b", 2), (1, "en", 1, "c", 1)]
+
+
+def test_staged_r15_rows_oracle_parity(spark, sf_dir):
+    """The two staged r15 registry rows vs their DuckDB oracles over
+    the REAL documents table — proven BEFORE any driver debut (the
+    kmeans_clusters / semantic_decontaminate / staged-r14
+    convention): bm25_variants (the bm25 + bm25_indexed fold) and
+    chunk_documents (the NEW r15 operator)."""
+    import os as _os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS FROM "
+            f"'{_os.path.join(sf_dir, 'documents.parquet')}'")
+
+    srows = sorted(
+        (r.query_id, int(r.doc_id), float(r.score))
+        for r in entrymod.q_bm25_variants(spark, sf_dir).collect()
+    )
+    drows = sorted(
+        (a, int(b), float(c))
+        for a, b, c in con.sql(entrymod._oracle_bm25_variants()).fetchall()
+    )
+    assert len(srows) > 0 and srows == drows
+
+    srows = sorted(
+        (int(r.doc_id), int(r.chunk_id), r.chunk_text, int(r.n_tokens))
+        for r in entrymod.q_chunk_documents(spark, sf_dir).collect()
+    )
+    drows = sorted(
+        (int(a), int(b), c, int(d))
+        for a, b, c, d in con.sql(
+            entrymod._oracle_chunk_documents()).fetchall()
+    )
+    assert len(srows) > 0 and srows == drows

@@ -226,6 +226,13 @@ SHAPES = {
     # original rows' plans (2 explode-agg exchanges each); never
     # Python
     "fingerprints": (4, 0),
+    # r13 — fixed context-window chunking (the staged r15 debut row):
+    # ZERO exchanges — one scan, codegen'd split/sequence/explode/
+    # slice; a shuffle here means chunking stopped being inline
+    "chunk_documents": (0, 0),
+    # r13 — the staged r15 bm25 + bm25_indexed fold: the union of the
+    # two original rows' plans (6 + 7 exchange budgets); never Python
+    "bm25_variants": (13, 0),
 }
 
 

@@ -1016,6 +1016,192 @@ def _oracle_chunk_documents() -> str:
     """
 
 
+def q_entropy_profile(spark, sf_dir):
+    """STAGED r16 debut row (not yet in queries() — the r16 window
+    swap adds it per the queries() docstring plan, the proven-before-
+    debut convention): per-document character-distribution quality
+    signals (functions/text_analysis.entropy_profile — the
+    Dolma/RedPajama tagger family): Shannon entropy of the char
+    histogram, distinct-char count, modal-char fraction. Catches
+    padding runs / ASCII-art / single-char floods that the length,
+    stopword (gopher) and line/bigram repetition gates all miss.
+
+    Scale shape: chars explode to (id, char) slivers — ONE
+    map-side-combined count shuffle, a per-doc histogram agg, an
+    id-keyed join back; bodies never cross an exchange and the
+    ordered entropy fold runs per DISTINCT char (alphabet-bounded),
+    not per char."""
+    from greenmask_spark.functions.text_analysis import entropy_profile
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return entropy_profile(docs.select("doc_id", "text"))
+
+
+def _oracle_entropy_profile() -> str:
+    """STAGED r16 oracle for q_entropy_profile (not yet in
+    oracle_sql() — test_registry_contract forbids oracle keys without
+    registry rows): the identical histogram → ordered Σ cnt·ln(cnt)
+    fold (list_sum ORDER BY char — the DSIR/PQ ordered-fold
+    primitive) → (ln(n) − Σ/n)/ln 2 arithmetic in DuckDB; parity
+    proven at sf0.001 in tests/test_functions.py::
+    test_staged_r16_rows_oracle_parity before any debut."""
+    return """
+    WITH d AS (SELECT doc_id, text FROM documents),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(text) + 1),
+                    i -> substring(text, CAST(i AS INTEGER), 1))) AS c
+      FROM d WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    hist AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(*) AS INTEGER) AS distinct_chars,
+             MAX(cnt) AS top,
+             list_sum(list(cnt * ln(CAST(cnt AS DOUBLE)) ORDER BY c)) AS s
+      FROM hist GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           a.n AS n_chars,
+           a.distinct_chars,
+           round((ln(CAST(a.n AS DOUBLE)) - a.s / a.n)
+                 / ln(CAST(2.0 AS DOUBLE)), 4) AS char_entropy,
+           round(CAST(a.top AS DOUBLE) / a.n, 4) AS top_char_frac
+    FROM d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def q_ann_methods(spark, sf_dir):
+    """STAGED r16 fold row (not yet in queries() — the r16 window
+    swap adds it per the queries() docstring plan): ann_variants
+    (brute/lsh/ivf legs) + ann_topk_pq merge into ONE ANN family row,
+    the ann_variants/fingerprints/bm25_variants precedent. Each leg
+    runs with its ORIGINAL parameters and produces its ORIGINAL
+    values verbatim; the only transformations are the constant
+    ``variant`` tag the pq leg gains and the lossless column RENAME
+    that unifies the score column (brute/lsh/ivf: score := cos_sim;
+    pq: score := adc_dist — per-leg score semantics documented, no
+    value changes). Oracle = UNION ALL of the four original oracles
+    under the same rename."""
+    var = q_ann_variants(spark, sf_dir).withColumnRenamed(
+        "cos_sim", "score"
+    )
+    pq = q_ann_topk_pq(spark, sf_dir).select(
+        F.lit("pq").alias("variant"),
+        "query_id", "neighbor_id",
+        F.col("adc_dist").alias("score"), "rank",
+    )
+    return var.unionByName(pq)
+
+
+def _oracle_ann_methods() -> str:
+    """STAGED r16 oracle for q_ann_methods (not yet in oracle_sql()):
+    the four original oracles under the unifying score rename; parity
+    proven at sf0.001 in tests/test_functions.py::
+    test_staged_r16_rows_oracle_parity before any debut."""
+    return f"""
+    SELECT variant, query_id, neighbor_id, cos_sim AS score, rank
+    FROM ({_oracle_ann_variants()})
+    UNION ALL
+    SELECT 'pq' AS variant, query_id, neighbor_id,
+           adc_dist AS score, rank
+    FROM ({_oracle_ann_topk_pq()})
+    """
+
+
+def q_linkrank_scores(spark, sf_dir):
+    """STAGED r17 fold row (not yet in queries() — the r17 window
+    swap adds it per the queries() docstring plan): pagerank +
+    hits_scores merge into ONE iterative-link-centrality family row.
+    Both run with their ORIGINAL parameters over the same
+    supplier→part shipment graph; the hits leg MELTS its two score
+    columns into method='hub' / method='authority' rows (a lossless
+    reshape — every bigint fixed-point value appears verbatim,
+    keyed), the pagerank leg gains only the constant tag."""
+    pr = q_pagerank(spark, sf_dir).select(
+        F.lit("pagerank").alias("method"), "node",
+        F.col("rank_fp").alias("score_fp"),
+    )
+    ht = q_hits_scores(spark, sf_dir)
+    hub = ht.select(
+        F.lit("hub").alias("method"), "node",
+        F.col("hub_fp").alias("score_fp"),
+    )
+    auth = ht.select(
+        F.lit("authority").alias("method"), "node",
+        F.col("auth_fp").alias("score_fp"),
+    )
+    return pr.unionByName(hub).unionByName(auth)
+
+
+def _oracle_linkrank_scores() -> str:
+    """STAGED r17 oracle for q_linkrank_scores (not yet in
+    oracle_sql()): the two original integer-unroll oracles under the
+    same melt; parity proven at sf0.001 in tests/test_functions.py::
+    test_staged_r17_rows_oracle_parity before any debut."""
+    return f"""
+    WITH h AS ({_oracle_hits_scores()})
+    SELECT 'pagerank' AS method, node, rank_fp AS score_fp
+    FROM ({_oracle_pagerank()})
+    UNION ALL
+    SELECT 'hub' AS method, node, hub_fp AS score_fp FROM h
+    UNION ALL
+    SELECT 'authority' AS method, node, auth_fp AS score_fp FROM h
+    """
+
+
+def q_webdataset_roundtrip(spark, sf_dir):
+    """STAGED r17 debut row (not yet in queries() — the r17 window
+    swap adds it per the queries() docstring plan, the proven-before-
+    debut convention): WebDataset tar-shard sink + source
+    (sources/webdataset — the multimodal-training I/O format: one tar
+    member ``<key>.<ext>`` per modality, adjacent members form one
+    sample). Writes the documents table's text as ``.txt`` members
+    into 4 deterministic hash-assigned shards under a fresh local tmp
+    dir, reads the tars back with the binaryFile→tarfile source, and
+    projects (doc_id, ext, n_bytes) — so the driver row exercises the
+    FULL write→bytes-on-disk→read loop while the oracle stays plain
+    SQL over documents (the copy_roundtrip/shard_write pattern;
+    payload equality itself is pytest-checked byte-for-byte).
+
+    Scale shape: ONE exchange (repartition on the sha256-slice shard
+    stream) + a streaming per-batch tar writer bounded by Arrow batch
+    size; read side is per-FILE parallel (the WebDataset/Common Crawl
+    distribution unit)."""
+    import tempfile
+
+    from greenmask_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    out = tempfile.mkdtemp(prefix="wds_roundtrip_")
+    write_webdataset(
+        docs, out, members={"txt": "text"}, n_shards=4
+    ).collect()  # the write IS the operator under test; 4 summary rows
+    back = read_webdataset(spark, out + "/*.tar")
+    return back.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        "ext",
+        "n_bytes",
+    )
+
+
+def _oracle_webdataset_roundtrip() -> str:
+    """STAGED r17 oracle for q_webdataset_roundtrip (not yet in
+    oracle_sql()): every non-NULL text round-trips through the tar as
+    exactly its UTF-8 byte length; parity proven at sf0.001 in
+    tests/test_functions.py::test_staged_r17_rows_oracle_parity
+    before any debut."""
+    return """
+    SELECT doc_id, 'txt' AS ext,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE text IS NOT NULL
+    """
+
+
 def _oracle_ngram_decontaminate() -> str:
     n = _DECON_N
     return f"""
@@ -5504,6 +5690,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     overlap, functions/sampling.chunk_documents, ZERO exchanges,
     bench HEADLINE row since r13). q_bm25/q_bm25_indexed and their
     oracles stay in this file for the q_* fallback.
+
+    r16 PLAN (pre-staged): swap the halves again — the r16 window =
+    the r15 tail (= the r14 window). Slot headroom comes from ONE
+    in-window consolidation, ALREADY IMPLEMENTED with its oracle
+    proven: fold ann_variants + ann_topk_pq (both in the r14 window,
+    so both rotate into the r16 window together) into the staged
+    ``ann_methods`` row (q_ann_methods + _oracle_ann_methods — the
+    four ANN legs brute/lsh/ivf/pq under ONE unified schema; the only
+    leg transformations are the constant variant tag and the LOSSLESS
+    score-column rename (cos_sim/adc_dist := score, per-leg values
+    verbatim); parity proven at sf0.001 in tests/test_functions.py::
+    test_staged_r16_rows_oracle_parity). The freed slot's NEW r16
+    operator is ALSO already staged with parity proven:
+    ``entropy_profile`` (q_entropy_profile + _oracle_entropy_profile
+    — per-document char-distribution quality signals,
+    functions/text_analysis.entropy_profile, bench HEADLINE row since
+    r13). q_ann_variants/q_ann_topk_pq and their oracles stay in this
+    file for the q_* fallback.
+
+    r17 PLAN (pre-staged): swap the halves again — the r17 window =
+    the r16 tail (= the r15 window). Slot headroom: fold pagerank +
+    hits_scores (both in the r15 window, so both rotate into the r17
+    window together) into the staged ``linkrank_scores`` row
+    (q_linkrank_scores + _oracle_linkrank_scores — the three
+    link-centrality legs pagerank/hub/authority; the hits leg MELTS
+    its two bigint score columns into method-tagged rows, every
+    fixed-point value verbatim; parity proven at sf0.001 in
+    tests/test_functions.py::test_staged_r17_rows_oracle_parity). The
+    freed slot's NEW r17 operator is ALSO already staged with parity
+    proven: ``webdataset_roundtrip`` (q_webdataset_roundtrip +
+    _oracle_webdataset_roundtrip — WebDataset tar-shard sink+source,
+    sources/webdataset, a REAL write→bytes-on-disk→read loop with a
+    plain-SQL oracle; bench HEADLINE row since r13).
+    q_pagerank/q_hits_scores and their oracles stay in this file for
+    the q_* fallback (bench.py HEADLINE + test_plan_shapes keep
+    driving them directly).
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its

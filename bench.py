@@ -107,6 +107,15 @@ HEADLINE = [
     # the staged r15 registry row). Appended so the common-32 prefix
     # stays comparable within r13.
     "chunk_documents",
+    # r13 (late): char-distribution quality signals (one (id, char)
+    # sliver count shuffle + the per-doc histogram fold — the staged
+    # r16 registry row). Appended so the common-33 prefix stays
+    # comparable within r13.
+    "entropy_profile",
+    # r13 (late): WebDataset tar-shard sink+source roundtrip (ONE
+    # shard-stream exchange + the streaming tar writer; read is
+    # per-file parallel — the staged r17 registry row).
+    "webdataset_roundtrip",
 ]
 
 

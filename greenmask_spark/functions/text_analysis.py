@@ -1322,3 +1322,101 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(int(n))
     )
+
+
+def entropy_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-document character-distribution quality signals (the
+    Dolma/RedPajama tagger family): Shannon entropy of the character
+    histogram, distinct-character count, and the modal character's
+    frequency fraction.
+
+    Low ``char_entropy`` flags degenerate pages — padding runs,
+    ASCII-art, repeated-character spam — that length/stopword gates
+    (gopher_filter) and repetition gates (repetition_profile, which
+    measure LINE and BIGRAM structure) both miss; ``top_char_frac``
+    is the same signal in ratio form and catches single-character
+    floods even when the tail of the histogram keeps entropy nonzero.
+
+    Output: (id, n_chars, distinct_chars, char_entropy, top_char_frac)
+    with one row per INPUT row — empty/NULL text yields NULL metrics
+    (unscorable, not low-quality: the lm_score/ngram_novelty NULL
+    contract).
+
+    Cross-engine float parity (the dsir_weights rule): the only float
+    work is ln() on exact integer counts, ONE ordered fold, and two
+    divisions. The per-doc fold Σ cnt·ln(cnt) runs SEQUENTIALLY over
+    the histogram sorted by character (F.aggregate is a left fold;
+    DuckDB replays it as list_sum(list(... ORDER BY c)) — the ordered
+    list_sum primitive the DSIR/PQ oracles already rely on), then
+    H = (ln(n) − Σ/n) / ln(2), rounded. ln parity between the JVM and
+    DuckDB is already load-bearing for the BM25/classifier/DSIR rows.
+
+    Scale shape: characters explode to (id, char) slivers — the
+    term_frequencies shape, ONE map-side-combined count shuffle to
+    (id, char, cnt) rows (≤ alphabet-size per doc), a second sliver
+    agg to one histogram row per doc, and an id-keyed join back.
+    Document bodies never cross an exchange; the fold runs over
+    per-doc histograms bounded by the alphabet (≤ a few hundred
+    entries), so the interpreted-HOF cost is per-DISTINCT-char, not
+    per-char. Characters are codepoint-based on both engines
+    (substr semantics match for BMP text).
+    """
+    t = F.col(text_col)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col).alias("id"))
+    ex = (
+        df.repartition(n_part)
+        .select(F.col(id_col).alias("id"), t.alias("t"))
+        .filter(F.col("t").isNotNull() & (F.length("t") > 0))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t"))
+            ).alias("i"),
+            F.col("t"),
+        )
+        .select("id", F.expr("substr(t, i, 1)").alias("c"))
+    )
+    hist = ex.groupBy("id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    ln2 = F.log(F.lit(2.0))
+    prof = (
+        hist.groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.count(F.lit(1)).cast("int").alias("distinct_chars"),
+            F.max("cnt").alias("top"),
+            F.sort_array(F.collect_list(F.struct("c", "cnt"))).alias("h"),
+        )
+        .select(
+            "id",
+            F.col("n").alias("n_chars"),
+            "distinct_chars",
+            F.round(
+                (
+                    F.log(F.col("n").cast("double"))
+                    - F.aggregate(
+                        "h",
+                        F.lit(0.0),
+                        lambda acc, x: acc
+                        + x["cnt"].cast("double")
+                        * F.log(x["cnt"].cast("double")),
+                    )
+                    / F.col("n")
+                )
+                / ln2,
+                decimals,
+            ).alias("char_entropy"),
+            F.round(
+                F.col("top").cast("double") / F.col("n"), decimals
+            ).alias("top_char_frac"),
+        )
+    )
+    return base.join(prof, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_chars", "distinct_chars", "char_entropy", "top_char_frac",
+    )

@@ -778,6 +778,38 @@ def _step_ngram_novelty(df: DataFrame, p: dict) -> DataFrame:
     return out
 
 
+def _step_entropy(df: DataFrame, p: dict) -> DataFrame:
+    """Character-distribution quality signals (+ optional floor):
+    attach char_entropy / top_char_frac / distinct_chars
+    (text_analysis.entropy_profile — the Dolma-style tagger that
+    catches padding runs, ASCII-art and single-char floods the
+    length/stopword/repetition gates miss), then optionally drop docs
+    below ``min_char_entropy`` or above ``max_top_char_frac``.
+    Empty/NULL-text docs score NULL and are KEPT by the gates
+    (unscorable, not low-quality — the lm_score/ngram_novelty NULL
+    contract); pure DataFrame composition, safe under --describe."""
+    from greenmask_spark.functions.text_analysis import entropy_profile
+
+    id_col = p.get("id_col", "doc_id")
+    prof = entropy_profile(
+        df, text_col=p.get("text_col", "text"), id_col=id_col,
+    ).select(id_col, "distinct_chars", "char_entropy", "top_char_frac")
+    out = df.join(prof, id_col, "left")
+    if "min_char_entropy" in p:
+        thr = float(p["min_char_entropy"])
+        out = out.filter(
+            F.col("char_entropy").isNull()
+            | (F.col("char_entropy") >= F.lit(thr))
+        )
+    if "max_top_char_frac" in p:
+        thr = float(p["max_top_char_frac"])
+        out = out.filter(
+            F.col("top_char_frac").isNull()
+            | (F.col("top_char_frac") <= F.lit(thr))
+        )
+    return out
+
+
 def _step_chunk(df: DataFrame, p: dict) -> DataFrame:
     """Fixed context-window chunking with overlap (sampling.
     chunk_documents — the RAG / long-context preprocessing step
@@ -1277,6 +1309,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "bm25": _step_bm25,
     "dsir": _step_dsir,
     "ngram_novelty": _step_ngram_novelty,
+    "entropy": _step_entropy,
     "chunk": _step_chunk,
     "bpe_count": _step_bpe_count,
     "lm_score": _step_lm_score,

@@ -4734,3 +4734,157 @@ def test_staged_r15_rows_oracle_parity(spark, sf_dir):
             entrymod._oracle_chunk_documents()).fetchall()
     )
     assert len(srows) > 0 and srows == drows
+
+
+def test_entropy_profile_semantics(spark):
+    """Closed-form contract for entropy_profile: a uniform alphabet of
+    2^k distinct chars scores exactly k bits, a single-char flood
+    scores 0.0 with top_char_frac 1.0, empty/NULL text returns the
+    NULL-metrics row (unscorable, not low-quality), and a 3:1 binary
+    mix scores the hand-computed H(3/4, 1/4)."""
+    import math
+
+    from greenmask_spark.functions.text_analysis import entropy_profile
+
+    rows = [
+        (1, "abcdabcd"),      # 4 distinct, uniform -> exactly 2 bits
+        (2, "aaaaaa"),        # flood -> 0 bits, top frac 1.0
+        (3, ""),              # empty -> NULL metrics
+        (4, None),            # NULL -> NULL metrics
+        (5, "aaab"),          # H(3/4, 1/4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_chars, r.distinct_chars, r.char_entropy,
+                      r.top_char_frac)
+           for r in entropy_profile(df).collect()}
+    assert got[1] == (8, 4, 2.0, 0.25)
+    assert got[2] == (6, 1, 0.0, 1.0)
+    assert got[3] == (None, None, None, None)
+    assert got[4] == (None, None, None, None)
+    h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert got[5] == (4, 2, round(h, 4), 0.75)
+
+
+def test_entropy_profile_row_conservation(spark, sf_dir):
+    """One output row per input row, id-aligned, over the real
+    documents table; every non-empty doc gets non-NULL metrics with
+    entropy in [0, log2(distinct_chars)]."""
+    import math
+
+    from greenmask_spark.functions.text_analysis import entropy_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = entropy_profile(docs).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        if r.n_chars is None:
+            continue
+        assert 0.0 <= r.char_entropy <= math.log2(r.distinct_chars) + 1e-9
+        assert 0.0 < r.top_char_frac <= 1.0
+
+
+def test_entropy_corpus_step(spark):
+    """The `entropy` corpus step attaches the signal columns and the
+    min_char_entropy / max_top_char_frac gates drop floods while
+    KEEPING unscorable empty docs (the NULL contract)."""
+    from greenmask_spark.pipeline.corpus import build_corpus_pipeline
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+            (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = build_corpus_pipeline(df, [
+        {"op": "entropy", "min_char_entropy": 1.0,
+         "max_top_char_frac": 0.9},
+    ]).collect()
+    kept = {r.doc_id for r in out}
+    assert kept == {1, 3}            # flood dropped, empty kept
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].char_entropy > 3.0
+    assert by_id[3].char_entropy is None
+
+
+def test_staged_r16_rows_oracle_parity(spark, sf_dir):
+    """The two staged r16 registry rows vs their DuckDB oracles over
+    the REAL tables — proven BEFORE any driver debut (the staged-r14/
+    r15 convention): ann_methods (the ann_variants + ann_topk_pq fold
+    under the lossless score rename) and entropy_profile (the NEW r16
+    operator)."""
+    import os as _os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS FROM "
+                f"'{_os.path.join(sf_dir, t + '.parquet')}'")
+
+    srows = sorted(
+        (r.variant, int(r.query_id), int(r.neighbor_id),
+         float(r.score), int(r.rank))
+        for r in entrymod.q_ann_methods(spark, sf_dir).collect()
+    )
+    drows = sorted(
+        (a, int(b), int(c), float(d), int(e))
+        for a, b, c, d, e in con.sql(
+            entrymod._oracle_ann_methods()).fetchall()
+    )
+    assert len(srows) > 0 and srows == drows
+
+    srows = sorted(
+        (int(r.doc_id),) + tuple(
+            None if v is None else round(float(v), 4)
+            for v in (r.n_chars, r.distinct_chars,
+                      r.char_entropy, r.top_char_frac))
+        for r in entrymod.q_entropy_profile(spark, sf_dir).collect()
+    )
+    drows = sorted(
+        (int(a),) + tuple(
+            None if v is None else round(float(v), 4)
+            for v in (b, c, d, e))
+        for a, b, c, d, e in con.sql(
+            entrymod._oracle_entropy_profile()).fetchall()
+    )
+    assert len(srows) > 0 and srows == drows
+
+
+def test_staged_r17_rows_oracle_parity(spark, sf_dir):
+    """The two staged r17 registry rows vs their DuckDB oracles —
+    proven BEFORE any driver debut: linkrank_scores (the pagerank +
+    hits fold under the lossless method melt) and webdataset_roundtrip
+    (the NEW r17 operator: a REAL tar write→read loop whose oracle is
+    plain SQL over documents)."""
+    import os as _os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ("documents", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS FROM "
+                f"'{_os.path.join(sf_dir, t + '.parquet')}'")
+
+    srows = sorted(
+        (r.method, int(r.node), int(r.score_fp))
+        for r in entrymod.q_linkrank_scores(spark, sf_dir).collect()
+    )
+    drows = sorted(
+        (a, int(b), int(c))
+        for a, b, c in con.sql(
+            entrymod._oracle_linkrank_scores()).fetchall()
+    )
+    assert len(srows) > 0 and srows == drows
+
+    srows = sorted(
+        (int(r.doc_id), r.ext, int(r.n_bytes))
+        for r in entrymod.q_webdataset_roundtrip(spark, sf_dir).collect()
+    )
+    drows = sorted(
+        (int(a), b, int(c))
+        for a, b, c in con.sql(
+            entrymod._oracle_webdataset_roundtrip()).fetchall()
+    )
+    assert len(srows) > 0 and srows == drows

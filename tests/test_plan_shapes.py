@@ -233,6 +233,24 @@ SHAPES = {
     # r13 — the staged r15 bm25 + bm25_indexed fold: the union of the
     # two original rows' plans (6 + 7 exchange budgets); never Python
     "bm25_variants": (13, 0),
+    # r13 — char-distribution quality signals (the staged r16 debut
+    # row): (id, char) sliver count agg + the per-doc histogram agg +
+    # the id rejoin; never Python, bodies never shuffle, the entropy
+    # fold runs per DISTINCT char
+    "entropy_profile": (3, 0),
+    # r13 — the staged r16 ann_variants + ann_topk_pq fold: the union
+    # of the four legs' plans (brute/lsh/ivf Arrow stages + the PQ
+    # encode/ADC pair; exchanges are the per-query ranks)
+    "ann_methods": (4, 5),
+    # r13 — the staged r17 pagerank + hits fold: both legs' iteration
+    # lineage is sealed behind eager localCheckpoints; what remains is
+    # hits' final quantized-rescale joins — never Python
+    "linkrank_scores": (4, 0),
+    # r13 — WebDataset tar roundtrip (the staged r17 debut row): the
+    # RESULT plan is the read side — binaryFile scan + ONE Arrow
+    # tarfile parse stage, zero exchanges (the write's single shard
+    # repartition runs eagerly inside the row)
+    "webdataset_roundtrip": (0, 1),
 }
 
 

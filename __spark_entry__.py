@@ -1202,6 +1202,117 @@ def _oracle_webdataset_roundtrip() -> str:
     """
 
 
+def q_script_profile(spark, sf_dir):
+    """STAGED r18 debut row (not yet in queries() — the r18 window
+    swap adds it per the queries() docstring plan, the proven-before-
+    debut convention): per-document Unicode-script composition
+    (functions/text_analysis.script_profile — the FineWeb/CC-Net
+    script gate, orthogonal to the stopword lang_id): per-script
+    character fractions over frozen BMP codepoint ranges, digit/space
+    fractions, and the tie-ordered argmax main_script.
+
+    Scale shape: ONE scan of pure codegen'd regexp length-drop
+    expressions, zero shuffle, zero Python — the gopher_filter cost
+    floor."""
+    from greenmask_spark.functions.text_analysis import script_profile
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    return script_profile(docs.select("doc_id", "text"))
+
+
+def _oracle_script_profile() -> str:
+    """STAGED r18 oracle for q_script_profile (not yet in
+    oracle_sql()): generated from the SAME frozen class dicts the
+    Spark side compiles, so the codepoint ranges cannot drift — each
+    fraction is the identical length()-drop after regexp_replace
+    (codepoint semantics in both engines), main_script the identical
+    in-order tie argmax; parity proven at sf0.001 in
+    tests/test_functions.py::test_staged_r18_rows_oracle_parity
+    before any debut."""
+    from greenmask_spark.functions.text_analysis import (
+        AUX_CLASSES,
+        SCRIPT_CLASSES,
+        SCRIPT_ORDER,
+    )
+
+    def cnt(cls: str) -> str:
+        pat = cls.replace("\t", "\\t").replace("\n", "\\n") \
+                 .replace("\r", "\\r").replace("'", "''")
+        return (f"length(text) - length(regexp_replace(text, "
+                f"'[{pat}]', '', 'g'))")
+
+    counts = ",\n             ".join(
+        f"{cnt(SCRIPT_CLASSES[s])} AS c_{s}" for s in SCRIPT_ORDER
+    )
+    aux = ",\n             ".join(
+        f"{cnt(AUX_CLASSES[a])} AS c_{a}" for a in sorted(AUX_CLASSES)
+    )
+    script_fracs = ",\n           ".join(
+        f"round(CAST(c_{s} AS DOUBLE) / n, 4) AS {s}_frac"
+        for s in SCRIPT_ORDER
+    )
+    aux_fracs = ",\n           ".join(
+        f"round(CAST(c_{a} AS DOUBLE) / n, 4) AS {a}_frac"
+        for a in sorted(AUX_CLASSES)
+    )
+    gmax = "greatest(" + ", ".join(f"c_{s}" for s in SCRIPT_ORDER) + ")"
+    main = "CASE " + " ".join(
+        f"WHEN c_{s} > 0 AND c_{s} >= {gmax} THEN '{s}'"
+        for s in SCRIPT_ORDER
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n,
+             {counts},
+             {aux}
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    m AS (
+      SELECT doc_id, CAST(n AS INTEGER) AS n_chars,
+           {script_fracs},
+           {aux_fracs},
+           {main} AS main_script
+      FROM c
+    )
+    SELECT d.doc_id, m.* EXCLUDE (doc_id)
+    FROM documents d LEFT JOIN m USING (doc_id)
+    """
+
+
+def q_near_pair_scores(spark, sf_dir):
+    """STAGED r18 fold row (not yet in queries() — the r18 window
+    swap adds it per the queries() docstring plan): embedding_near_dup
+    + ngram_jaccard merge into ONE near-duplicate pair-scoring family
+    row (the ann_methods precedent). Each leg runs with its ORIGINAL
+    parameters and produces its ORIGINAL values verbatim; the only
+    transformations are the constant ``method`` tag and the LOSSLESS
+    rename unifying the score column (embedding: score := cos_sim;
+    ngram: score := jaccard)."""
+    emb = q_embedding_near_dup(spark, sf_dir).select(
+        F.lit("embedding").alias("method"), "id_a", "id_b",
+        F.col("cos_sim").alias("score"),
+    )
+    ng = q_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("method"), "id_a", "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    return emb.unionByName(ng)
+
+
+def _oracle_near_pair_scores() -> str:
+    """STAGED r18 oracle for q_near_pair_scores (not yet in
+    oracle_sql()): the two original oracles under the unifying
+    rename; parity proven at sf0.001 in tests/test_functions.py::
+    test_staged_r18_rows_oracle_parity before any debut."""
+    return f"""
+    SELECT 'embedding' AS method, id_a, id_b, cos_sim AS score
+    FROM ({_oracle_embedding_near_dup()})
+    UNION ALL
+    SELECT 'ngram' AS method, id_a, id_b, jaccard AS score
+    FROM ({_oracle_ngram_jaccard()})
+    """
+
+
 def _oracle_ngram_decontaminate() -> str:
     n = _DECON_N
     return f"""
@@ -5726,6 +5837,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_pagerank/q_hits_scores and their oracles stay in this file for
     the q_* fallback (bench.py HEADLINE + test_plan_shapes keep
     driving them directly).
+
+    r18 PLAN (pre-staged): swap the halves again — the r18 window =
+    the r17 tail (= the r16 window). Slot headroom: fold
+    embedding_near_dup + ngram_jaccard (both in the r16 window, so
+    both rotate into the r18 window together) into the staged
+    ``near_pair_scores`` row (q_near_pair_scores +
+    _oracle_near_pair_scores — the two near-duplicate pair-scoring
+    legs under the constant method tag and the lossless score rename
+    (cos_sim/jaccard := score, per-leg values verbatim); parity
+    proven at sf0.001 in tests/test_functions.py::
+    test_staged_r18_rows_oracle_parity). The freed slot's NEW r18
+    operator is ALSO already staged with parity proven:
+    ``script_profile`` (q_script_profile + _oracle_script_profile —
+    per-document Unicode-script composition over frozen BMP ranges,
+    functions/text_analysis.script_profile; the oracle is GENERATED
+    from the same class dicts so the ranges cannot drift; bench
+    HEADLINE row since r13). q_embedding_near_dup/q_ngram_jaccard
+    and their oracles stay in this file for the q_* fallback.
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its

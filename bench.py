@@ -116,6 +116,10 @@ HEADLINE = [
     # shard-stream exchange + the streaming tar writer; read is
     # per-file parallel — the staged r17 registry row).
     "webdataset_roundtrip",
+    # r13 (late): Unicode-script composition (pure codegen'd regexp
+    # length-drop expressions, zero exchanges — the staged r18
+    # registry row).
+    "script_profile",
 ]
 
 

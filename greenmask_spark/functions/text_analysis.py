@@ -1420,3 +1420,100 @@ def entropy_profile(
         F.col("id").alias(id_col),
         "n_chars", "distinct_chars", "char_entropy", "top_char_frac",
     )
+
+
+#: Frozen Unicode script classes for script_profile — part of the
+#: operator contract (the oracle replays the same codepoint ranges).
+#: Disjoint BMP ranges; literal chars (not escape syntax) so the Java
+#: and RE2 regex engines receive identical patterns.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": "A-Za-z",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿",
+    "kana": "぀-ヿ",
+    "hangul": "가-힣",
+}
+
+#: Non-script character classes reported alongside (never argmax'd).
+AUX_CLASSES: dict[str, str] = {
+    "digit": "0-9",
+    "space": " \t\n\r",
+}
+
+#: Deterministic argmax tie order (first wins ties) — frozen.
+SCRIPT_ORDER = ("latin", "cyrillic", "greek", "arabic",
+                "cjk", "kana", "hangul")
+
+
+def _class_count(t: Column, char_class: str) -> Column:
+    """Codepoints of ``t`` inside a regex character class, counted as
+    the length drop after deleting them — one codegen'd
+    regexp_replace, SQL-identical in DuckDB (length() is codepoints
+    in both engines; all classes are BMP ranges)."""
+    return F.length(t) - F.length(
+        F.regexp_replace(t, f"[{char_class}]", "")
+    )
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-document Unicode-script composition (the FineWeb/CC-Net
+    script gate, orthogonal to the stopword ``lang_id``): the fraction
+    of characters in each frozen script class (SCRIPT_CLASSES), digit
+    and whitespace fractions (AUX_CLASSES), and ``main_script`` — the
+    argmax script with ties broken in SCRIPT_ORDER, ``'und'`` when no
+    script character occurs. A Latin-stopword language model scoring a
+    Cyrillic page is garbage-in; this is the cheap gate that routes
+    pages to the right per-script pipeline (and drops mixed-script
+    spam, a documented crawl-quality signal).
+
+    Empty/NULL text yields NULL metrics (the entropy_profile /
+    lm_score unscorable-not-bad contract). Fractions round to
+    ``decimals``.
+
+    Scale shape: ONE scan of pure codegen'd expressions — a
+    regexp_replace length-drop per class (9 passes over the string,
+    all fused into the same whole-stage-codegen span), zero shuffle,
+    zero Python: the gopher_filter cost floor. SQL parity: identical
+    codepoint ranges, identical length()-drop counting, HALF_UP
+    rounds on exact integer/length ratios."""
+    t = F.col(text_col)
+    n = F.length(t)
+    scorable = t.isNotNull() & (n > 0)
+
+    counts = {k: _class_count(t, c) for k, c in SCRIPT_CLASSES.items()}
+    aux = {k: _class_count(t, c) for k, c in AUX_CLASSES.items()}
+
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for name in reversed(SCRIPT_ORDER):
+        # reversed + >= keeps earlier SCRIPT_ORDER entries on ties
+        # (the lang_id argmax idiom)
+        cond = counts[name] > F.lit(0)
+        better = counts[name] >= best_n
+        best = F.when(cond & better, F.lit(name)).otherwise(best)
+        best_n = F.greatest(best_n, counts[name])
+
+    cols = [F.col(id_col), F.when(scorable, n).alias("n_chars")]
+    for name in SCRIPT_ORDER:
+        cols.append(
+            F.when(
+                scorable,
+                F.round(counts[name].cast("double") / n, decimals),
+            ).alias(f"{name}_frac")
+        )
+    for name in sorted(AUX_CLASSES):
+        cols.append(
+            F.when(
+                scorable,
+                F.round(aux[name].cast("double") / n, decimals),
+            ).alias(f"{name}_frac")
+        )
+    cols.append(F.when(scorable, best).alias("main_script"))
+    return df.select(*cols)

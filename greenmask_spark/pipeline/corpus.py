@@ -778,6 +778,31 @@ def _step_ngram_novelty(df: DataFrame, p: dict) -> DataFrame:
     return out
 
 
+def _step_script(df: DataFrame, p: dict) -> DataFrame:
+    """Unicode-script gate (+ optional allowlist): attach main_script
+    and per-script fractions (text_analysis.script_profile — the
+    FineWeb/CC-Net script router, orthogonal to the stopword
+    lang_id), then optionally keep only docs whose main_script is in
+    ``keep`` (list of SCRIPT_ORDER names, plus 'und'). Empty/NULL
+    docs score NULL metrics and are KEPT by the gate (unscorable, not
+    wrong-script — the NULL contract); pure expressions, safe under
+    --describe."""
+    from greenmask_spark.functions.text_analysis import script_profile
+
+    id_col = p.get("id_col", "doc_id")
+    prof = script_profile(
+        df, text_col=p.get("text_col", "text"), id_col=id_col,
+    ).select(id_col, "main_script")
+    out = df.join(prof, id_col, "left")
+    if "keep" in p:
+        keep = [str(s) for s in p["keep"]]
+        out = out.filter(
+            F.col("main_script").isNull()
+            | F.col("main_script").isin(keep)
+        )
+    return out
+
+
 def _step_entropy(df: DataFrame, p: dict) -> DataFrame:
     """Character-distribution quality signals (+ optional floor):
     attach char_entropy / top_char_frac / distinct_chars
@@ -1310,6 +1335,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "dsir": _step_dsir,
     "ngram_novelty": _step_ngram_novelty,
     "entropy": _step_entropy,
+    "script": _step_script,
     "chunk": _step_chunk,
     "bpe_count": _step_bpe_count,
     "lm_score": _step_lm_score,

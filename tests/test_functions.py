@@ -4888,3 +4888,124 @@ def test_staged_r17_rows_oracle_parity(spark, sf_dir):
             entrymod._oracle_webdataset_roundtrip()).fetchall()
     )
     assert len(srows) > 0 and srows == drows
+
+
+def test_script_profile_semantics(spark):
+    """One crafted doc per frozen script class resolves to that
+    main_script with the hand-computed fractions; ASCII punctuation
+    scores 'und'; empty/NULL text returns the NULL-metrics row; kana
+    beats cjk on a mixed Japanese doc only when it has more chars."""
+    from greenmask_spark.functions.text_analysis import script_profile
+
+    rows = [
+        (1, "Hello world 123"),
+        (2, "Привет мир"),
+        (3, "日本語のテキストです"),   # 3 kanji + 7 kana
+        (4, "안녕하세요"),
+        (5, "ελληνικά"),
+        (6, ""),
+        (7, None),
+        (8, "!!! ???"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in script_profile(df).collect()}
+    assert got[1].main_script == "latin"
+    assert got[1].latin_frac == 0.6667          # 10/15
+    assert got[1].digit_frac == 0.2             # 3/15
+    assert got[1].space_frac == 0.1333          # 2/15
+    assert got[2].main_script == "cyrillic"
+    assert got[2].cyrillic_frac == 0.9          # 9/10
+    assert got[3].main_script == "kana"
+    assert got[3].cjk_frac == 0.3 and got[3].kana_frac == 0.7
+    assert got[4].main_script == "hangul"
+    assert got[4].hangul_frac == 1.0
+    assert got[5].main_script == "greek"
+    assert got[6].main_script is None and got[6].n_chars is None
+    assert got[7].main_script is None
+    assert got[8].main_script == "und"
+
+
+def test_script_profile_tie_break_order(spark):
+    """Equal counts resolve to the earliest SCRIPT_ORDER entry — the
+    frozen deterministic-argmax contract (lang_id's idiom)."""
+    from greenmask_spark.functions.text_analysis import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "abПр")], "doc_id long, text string"
+    )  # 2 latin, 2 cyrillic
+    r = script_profile(df).collect()[0]
+    assert r.latin_frac == r.cyrillic_frac == 0.5
+    assert r.main_script == "latin"
+
+
+def test_script_corpus_step(spark):
+    """The `script` corpus step attaches main_script and the keep
+    allowlist drops wrong-script docs while KEEPING unscorable empty
+    docs (the NULL contract)."""
+    from greenmask_spark.pipeline.corpus import build_corpus_pipeline
+
+    rows = [(1, "plain english text"), (2, "Привет мир"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = build_corpus_pipeline(df, [
+        {"op": "script", "keep": ["latin"]},
+    ]).collect()
+    assert {r.doc_id for r in out} == {1, 3}
+    by_id = {r.doc_id: r.main_script for r in out}
+    assert by_id[1] == "latin" and by_id[3] is None
+
+
+def test_staged_r18_rows_oracle_parity(spark, sf_dir):
+    """The two staged r18 registry rows vs their DuckDB oracles over
+    the REAL tables — proven BEFORE any driver debut:
+    near_pair_scores (the embedding_near_dup + ngram_jaccard fold
+    under the lossless score rename) and script_profile (the NEW r18
+    operator, oracle GENERATED from the same frozen class dicts)."""
+    import os as _os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS FROM "
+                f"'{_os.path.join(sf_dir, t + '.parquet')}'")
+
+    srows = sorted(
+        (r.method, int(r.id_a), int(r.id_b), float(r.score))
+        for r in entrymod.q_near_pair_scores(spark, sf_dir).collect()
+    )
+    drows = sorted(
+        (a, int(b), int(c), float(d))
+        for a, b, c, d in con.sql(
+            entrymod._oracle_near_pair_scores()).fetchall()
+    )
+    assert len(srows) > 0 and srows == drows
+
+    def norm(row):
+        return tuple(
+            None if v is None else
+            (round(float(v), 4) if isinstance(v, float) else v)
+            for v in row
+        )
+
+    sdf = entrymod.q_script_profile(spark, sf_dir)
+    srows = sorted(norm(tuple(r)) for r in sdf.collect())
+    res = con.sql(entrymod._oracle_script_profile())
+    assert sorted(c for c in sdf.columns) == sorted(res.columns)
+    # align duck columns to spark order before comparing
+    duck = res.df()[sdf.columns]
+    drows = sorted(
+        norm(tuple(None if pd_isna(v) else v for v in row))
+        for row in duck.itertuples(index=False, name=None)
+    )
+    assert len(srows) > 0 and srows == drows
+
+
+def pd_isna(v):
+    import pandas as pd
+
+    try:
+        return pd.isna(v)
+    except (TypeError, ValueError):
+        return False

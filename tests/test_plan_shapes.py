@@ -251,6 +251,16 @@ SHAPES = {
     # tarfile parse stage, zero exchanges (the write's single shard
     # repartition runs eagerly inside the row)
     "webdataset_roundtrip": (0, 1),
+    # r13 — Unicode-script composition (the staged r18 debut row):
+    # ONE scan of pure codegen'd regexp length-drop expressions —
+    # the gopher_filter cost floor; a shuffle or Python node here is
+    # a regression
+    "script_profile": (0, 0),
+    # r13 — the staged r18 embedding_near_dup + ngram_jaccard fold:
+    # the union of the two original rows' plans (the tiled-BLAS Arrow
+    # pair stage + the shingle explode/agg + verify-join exchanges,
+    # all sliver-sized)
+    "near_pair_scores": (9, 1),
 }
 
 

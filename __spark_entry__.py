@@ -1313,6 +1313,102 @@ def _oracle_near_pair_scores() -> str:
     """
 
 
+def q_media_fingerprints(spark, sf_dir):
+    """STAGED r19 fold row (not yet in queries() — the r19 window
+    swap adds it per the queries() docstring plan): image_dhash +
+    audio_fingerprint merge into ONE media-fingerprint family row
+    (the fingerprints/minhash+simhash precedent). Each leg runs with
+    its ORIGINAL parameters and produces its ORIGINAL bigint values
+    verbatim; the only transformations are the constant ``method``
+    tag and the LOSSLESS rename unifying the fingerprint column
+    (image: fp := dhash; audio: fp := afp)."""
+    img = q_image_dhash(spark, sf_dir).select(
+        F.lit("image").alias("method"), "media_id",
+        F.col("dhash").alias("fp"),
+    )
+    aud = q_audio_fingerprint(spark, sf_dir).select(
+        F.lit("audio").alias("method"), "media_id",
+        F.col("afp").alias("fp"),
+    )
+    return img.unionByName(aud)
+
+
+def _oracle_media_fingerprints() -> str:
+    """STAGED r19 oracle for q_media_fingerprints (not yet in
+    oracle_sql()): the two original oracles under the unifying
+    rename; parity proven at sf0.001 in tests/test_functions.py::
+    test_staged_r19_rows_oracle_parity before any debut."""
+    return f"""
+    SELECT 'image' AS method, media_id, dhash AS fp
+    FROM ({_oracle_image_dhash()})
+    UNION ALL
+    SELECT 'audio' AS method, media_id, afp AS fp
+    FROM ({_oracle_audio_fingerprint()})
+    """
+
+
+def q_assemble_conversations(spark, sf_dir):
+    """STAGED r19 debut row (not yet in queries() — the r19 window
+    swap adds it per the queries() docstring plan, the proven-before-
+    debut convention): multi-turn SFT conversation assembly
+    (functions/conversations.assemble_conversations) — the step
+    between a sessionized event log and the tokenizer/packer: turns
+    gathered per conversation key, ordered by a unique
+    (ts, event_id) key, truncated to the first 8 turns, rendered
+    through the chatml template. Here each user's event stream
+    becomes one sample with role := event_type and text := props.
+
+    Scale shape: ONE shuffle on the conversation key; the max_turns
+    window pre-filter shares that exchange and bounds the per-group
+    gather buffer by the turn budget (a runaway conversation never
+    materializes past its first 8 turns). Zero Python — collect_list
+    + array_sort + transform/concat_ws are all JVM expressions."""
+    from greenmask_spark.functions.conversations import (
+        assemble_conversations,
+    )
+
+    events = _tables(spark, sf_dir, "events")["events"]
+    return assemble_conversations(
+        events,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        role_col="event_type",
+        text_col="props",
+        template="chatml",
+        max_turns=8,
+    )
+
+
+def _oracle_assemble_conversations() -> str:
+    """STAGED r19 oracle for q_assemble_conversations (not yet in
+    oracle_sql()): row_number over the same (ts, event_id) unique
+    order + string_agg(ORDER BY rn) replays the gather/truncate/
+    render exactly; parity proven at sf0.001 in
+    tests/test_functions.py::test_staged_r19_rows_oracle_parity
+    before any debut."""
+    return """
+    WITH ordered AS (
+      SELECT user_id, event_type, props,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id, event_type, props) AS rn
+      FROM events
+      WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    conv AS (
+      SELECT user_id,
+             CAST(count(*) AS INTEGER) AS n_turns,
+             string_agg('<|im_start|>' || coalesce(event_type, '')
+                        || chr(10) || coalesce(props, '')
+                        || '<|im_end|>', chr(10) ORDER BY rn) AS text
+      FROM ordered WHERE rn <= 8 GROUP BY user_id
+    )
+    SELECT user_id, n_turns,
+           CAST(length(text) AS BIGINT) AS n_chars, text
+    FROM conv
+    """
+
+
 def _oracle_ngram_decontaminate() -> str:
     n = _DECON_N
     return f"""
@@ -5854,6 +5950,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     functions/text_analysis.script_profile; the oracle is GENERATED
     from the same class dicts so the ranges cannot drift; bench
     HEADLINE row since r13). q_embedding_near_dup/q_ngram_jaccard
+    and their oracles stay in this file for the q_* fallback.
+
+    r19 PLAN (pre-staged): swap the halves again — the r19 window =
+    the r18 tail (= the r17 window). Slot headroom: fold image_dhash
+    + audio_fingerprint (both in the r17 window, so both rotate into
+    the r19 window together) into the staged ``media_fingerprints``
+    row (q_media_fingerprints + _oracle_media_fingerprints — the two
+    integer-exact media-fingerprint legs under the constant method
+    tag and the lossless fp rename (dhash/afp := fp, per-leg bigint
+    values verbatim); parity proven at sf0.001 in
+    tests/test_functions.py::test_staged_r19_rows_oracle_parity).
+    The freed slot's NEW r19 operator is ALSO already staged with
+    parity proven: ``assemble_conversations``
+    (q_assemble_conversations + _oracle_assemble_conversations —
+    multi-turn SFT conversation assembly with a budget-bounded
+    window pre-filter, functions/conversations.assemble_conversations;
+    bench HEADLINE row since r13). q_image_dhash/q_audio_fingerprint
     and their oracles stay in this file for the q_* fallback.
 
     Single-transformer queries from r1 remain consolidated into

@@ -120,6 +120,10 @@ HEADLINE = [
     # length-drop expressions, zero exchanges — the staged r18
     # registry row).
     "script_profile",
+    # r13 (late): multi-turn SFT conversation assembly (ONE exchange
+    # shared by the budget window pre-filter and the gather; zero
+    # Python — the staged r19 registry row).
+    "assemble_conversations",
 ]
 
 

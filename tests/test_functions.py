@@ -5009,3 +5009,45 @@ def pd_isna(v):
         return pd.isna(v)
     except (TypeError, ValueError):
         return False
+
+
+def test_staged_r19_rows_oracle_parity(spark, sf_dir):
+    """The two staged r19 registry rows vs their DuckDB oracles over
+    the REAL tables — proven BEFORE any driver debut:
+    media_fingerprints (the image_dhash + audio_fingerprint fold
+    under the lossless fp rename) and assemble_conversations (the
+    NEW r19 operator: SFT chat assembly over the events table)."""
+    import os as _os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.sql(f"CREATE VIEW {t} AS FROM "
+                f"'{_os.path.join(sf_dir, t + '.parquet')}'")
+
+    srows = sorted(
+        (r.method, int(r.media_id), int(r.fp))
+        for r in entrymod.q_media_fingerprints(spark, sf_dir).collect()
+    )
+    drows = sorted(
+        (a, int(b), int(c))
+        for a, b, c in con.sql(
+            entrymod._oracle_media_fingerprints()).fetchall()
+    )
+    assert len(srows) > 0 and srows == drows
+
+    sdf = entrymod.q_assemble_conversations(spark, sf_dir)
+    assert sdf.columns == ["user_id", "n_turns", "n_chars", "text"]
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = sorted(
+        tuple(row)
+        for row in con.sql(
+            entrymod._oracle_assemble_conversations()).fetchall()
+    )
+    assert len(srows) > 0 and srows == drows
+    # every sample respects the 8-turn budget and renders chatml
+    assert all(1 <= r[1] <= 8 for r in srows)
+    assert all(r[3].startswith("<|im_start|>") for r in srows)

@@ -261,6 +261,14 @@ SHAPES = {
     # pair stage + the shingle explode/agg + verify-join exchanges,
     # all sliver-sized)
     "near_pair_scores": (9, 1),
+    # r13 — the staged r19 image_dhash + audio_fingerprint fold: the
+    # union of the two original rows' plans (one Arrow decode+hash
+    # stage each, zero shuffles)
+    "media_fingerprints": (0, 2),
+    # r13 — the staged r19 SFT conversation assembly: the window
+    # pre-filter and the collect_list gather share ONE exchange on
+    # the conversation key; zero Python (pure JVM expressions)
+    "assemble_conversations": (1, 0),
 }
 
 

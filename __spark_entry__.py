@@ -1409,6 +1409,146 @@ def _oracle_assemble_conversations() -> str:
     """
 
 
+def q_t_numeric_draws(spark, sf_dir):
+    """STAGED r20 fold row (not yet in queries() — the r20 window
+    swap adds it per the queries() docstring plan): t_random_float +
+    t_random_numeric merge into ONE numeric-draw family row via a
+    LOSSLESS MELT (the linkrank_scores precedent): each leg runs with
+    its ORIGINAL parameters and produces its ORIGINAL double values
+    verbatim; the melt adds only the constant ``family`` tag, the
+    unified (k1, k2) key (the float leg's second key is NULL — it has
+    a one-column key), and the source column name as ``col_name``.
+    stack() keeps the melt codegen'd (no explode of literal
+    arrays)."""
+    fl = q_t_random_float(spark, sf_dir).selectExpr(
+        "'float' AS family",
+        "CAST(c_custkey AS BIGINT) AS k1",
+        "CAST(NULL AS BIGINT) AS k2",
+        "stack(2, 'c_acctbal', c_acctbal, 'nf', nf) AS (col_name, value)",
+    )
+    nm = q_t_random_numeric(spark, sf_dir).selectExpr(
+        "'numeric' AS family",
+        "CAST(l_orderkey AS BIGINT) AS k1",
+        "CAST(l_linenumber AS BIGINT) AS k2",
+        "stack(2, 'l_qty_dec', l_qty_dec, 'price_dec', price_dec)"
+        " AS (col_name, value)",
+    )
+    return fl.unionByName(nm)
+
+
+def _oracle_t_numeric_draws() -> str:
+    """STAGED r20 oracle for q_t_numeric_draws (not yet in
+    oracle_sql()): the two original oracles under the melt; parity
+    proven at sf0.001 in tests/test_functions.py::
+    test_staged_r20_rows_oracle_parity before any debut."""
+    return f"""
+    WITH fl AS ({_oracle_t_random_float()}),
+         nm AS ({_oracle_t_random_numeric()})
+    SELECT 'float' AS family, CAST(c_custkey AS BIGINT) AS k1,
+           CAST(NULL AS BIGINT) AS k2, 'c_acctbal' AS col_name,
+           c_acctbal AS value FROM fl
+    UNION ALL
+    SELECT 'float', CAST(c_custkey AS BIGINT), CAST(NULL AS BIGINT),
+           'nf', nf FROM fl
+    UNION ALL
+    SELECT 'numeric', CAST(l_orderkey AS BIGINT),
+           CAST(l_linenumber AS BIGINT), 'l_qty_dec', l_qty_dec FROM nm
+    UNION ALL
+    SELECT 'numeric', CAST(l_orderkey AS BIGINT),
+           CAST(l_linenumber AS BIGINT), 'price_dec', price_dec FROM nm
+    """
+
+
+def q_domain_profile(spark, sf_dir):
+    """STAGED r20 debut row (not yet in queries() — the r20 window
+    swap adds it per the queries() docstring plan, the proven-before-
+    debut convention): per-domain corpus curation profile
+    (functions/web.domain_profile — the FineWeb/RefinedWeb
+    domain-level quality pass, the QUALITY complement of
+    cap_per_domain's volume quota). Documents get a deterministic
+    crawl URL (lang + doc_id%7 subdomains of wiki.example.org — a
+    NULL lang yields a NULL URL, exercising the NULL-domain pooling
+    contract) and two integer per-doc signals (n_chars, whitespace
+    n_tokens); domains roll up to exact counts, DECIMAL(38,6) sums
+    and single-division means, gated on mean n_chars.
+
+    Scale shape: ONE map-side-combined shuffle of (domain, count,
+    decimal-sum) slivers; output = |domains| rows. Integer signals
+    make every sum exact and the mean ONE double division — the
+    cross-engine float rule with zero rounding exposure."""
+    from greenmask_spark.functions.text_analysis import token_count
+    from greenmask_spark.functions.web import domain_profile
+
+    docs = _tables(spark, sf_dir, "documents")["documents"]
+    url = F.concat(
+        F.lit("https://"), F.col("lang"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".wiki.example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    df = docs.select(
+        url.alias("url"),
+        "n_chars",
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return domain_profile(
+        df, "url", ("n_chars", "n_tokens"),
+        gates={"n_chars": (None, 500.0)},
+    )
+
+
+def _oracle_domain_profile() -> str:
+    """STAGED r20 oracle for q_domain_profile (not yet in
+    oracle_sql()): the same URL synthesis, host regexp, exact
+    decimal sums and single-division means in ANSI SQL; parity
+    proven at sf0.001 in tests/test_functions.py::
+    test_staged_r20_rows_oracle_parity before any debut."""
+    return """
+    WITH src AS (
+      SELECT 'https://' || lang || CAST(doc_id % 7 AS VARCHAR)
+             || '.wiki.example.org/p/' || CAST(doc_id AS VARCHAR)
+               AS url,
+             n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)),
+                                              '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    tagged AS (
+      SELECT nullif(lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)), '')
+               AS domain,
+             n_chars, n_tokens
+      FROM src
+    ),
+    agg AS (
+      SELECT domain,
+             count(*) AS n_docs,
+             count(n_chars) AS n_chars_n,
+             sum(CAST(n_chars AS DECIMAL(38,6))) AS n_chars_sum,
+             count(n_tokens) AS n_tokens_n,
+             sum(CAST(n_tokens AS DECIMAL(38,6))) AS n_tokens_sum
+      FROM tagged GROUP BY domain
+    )
+    SELECT domain, n_docs, n_chars_n, n_chars_sum, n_tokens_n,
+           n_tokens_sum,
+           CASE WHEN n_chars_n > 0
+                THEN CAST(n_chars_sum AS DOUBLE)
+                     / CAST(n_chars_n AS DOUBLE) END AS n_chars_mean,
+           CASE WHEN n_tokens_n > 0
+                THEN CAST(n_tokens_sum AS DOUBLE)
+                     / CAST(n_tokens_n AS DOUBLE) END AS n_tokens_mean,
+           (CASE WHEN n_chars_n > 0
+                 THEN CAST(n_chars_sum AS DOUBLE)
+                      / CAST(n_chars_n AS DOUBLE) END IS NOT NULL
+            AND CASE WHEN n_chars_n > 0
+                     THEN CAST(n_chars_sum AS DOUBLE)
+                          / CAST(n_chars_n AS DOUBLE) END
+                <= CAST(500.0 AS DOUBLE)) AS kept
+    FROM agg
+    """
+
+
 def _oracle_ngram_decontaminate() -> str:
     n = _DECON_N
     return f"""
@@ -5968,6 +6108,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window pre-filter, functions/conversations.assemble_conversations;
     bench HEADLINE row since r13). q_image_dhash/q_audio_fingerprint
     and their oracles stay in this file for the q_* fallback.
+
+    r20 PLAN (pre-staged): swap the halves again — the r20 window =
+    the r19 tail (= the r18 window). Slot headroom: fold
+    t_random_float + t_random_numeric (both in the r18 window, so
+    both rotate into the r20 window together) into the staged
+    ``t_numeric_draws`` row (q_t_numeric_draws +
+    _oracle_t_numeric_draws — the two numeric-draw transformer legs
+    under a LOSSLESS MELT: constant family tag, unified (k1, k2)
+    key, col_name column, every double value verbatim — the
+    linkrank_scores melt precedent; parity proven at sf0.001 in
+    tests/test_functions.py::test_staged_r20_rows_oracle_parity and
+    hash-exact at sf0.01 under tools/staged_parity.py). The freed
+    slot's NEW r20 operator is ALSO already staged with parity
+    proven: ``domain_profile`` (q_domain_profile +
+    _oracle_domain_profile — FineWeb-style per-domain quality
+    rollup with exact DECIMAL(38,6) sums, single-division means and
+    mean-range gates, functions/web.domain_profile; bench HEADLINE
+    row since r13). q_t_random_float/q_t_random_numeric and their
+    oracles stay in this file for the q_* fallback.
 
     Single-transformer queries from r1 remain consolidated into
     same-table family queries — each merged transformer keeps its

@@ -124,6 +124,10 @@ HEADLINE = [
     # shared by the budget window pre-filter and the gather; zero
     # Python — the staged r19 registry row).
     "assemble_conversations",
+    # r13 (late): per-domain quality rollup (ONE map-side-combined
+    # shuffle of (domain, count, decimal-sum) slivers — the staged
+    # r20 registry row).
+    "domain_profile",
 ]
 
 

@@ -359,3 +359,86 @@ def robots_filter(
         .filter(F.coalesce("__allowed", F.lit(True)))
         .select(*df.columns)
     )
+
+
+def domain_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    signal_cols: tuple[str, ...] = (),
+    registered_only: bool = False,
+    gates: dict[str, tuple[float | None, float | None]] | None = None,
+) -> DataFrame:
+    """Per-domain corpus curation profile (the FineWeb/RefinedWeb
+    domain-level quality pass): documents roll up to their URL's
+    domain with exact counts and per-signal sums/means, plus an
+    optional ``kept`` verdict from mean-range gates — the table a
+    curation run turns into a domain allow/blocklist (feed the
+    flagged domains to ``filter_blocklist``), and the complement of
+    ``cap_per_domain`` (which bounds VOLUME per domain; this judges
+    QUALITY per domain).
+
+    ``signal_cols`` are numeric per-document signals (e.g. n_chars, a
+    quality_score, pii_hits). Sums accumulate in DECIMAL(38,6) — an
+    exact, summation-order-independent lattice, so the aggregate is
+    bit-replayable in an ANSI oracle at any partitioning/cluster size
+    (the repo's cross-engine float rule: float64 partial sums would
+    drift with partition count). Each mean is ONE double division of
+    two exact quantities. Rows with a NULL signal keep their other
+    signals (per-signal n is counted separately, the SQL AVG
+    convention); a NULL/unparseable URL pools under the NULL domain
+    row rather than silently dropping.
+
+    ``gates`` maps signal -> (min_mean, max_mean) (either bound None
+    = unchecked); domains pass only if EVERY gated mean is inside its
+    range — NULL means (no scored docs) fail closed, the
+    curation-safe default.
+
+    Output: (domain, n_docs, <s>_n, <s>_sum, <s>_mean per signal
+    [, kept]).
+
+    Scale shape: ONE map-side-combined shuffle whose payload is
+    (domain, count, decimal sums) slivers — bodies never cross the
+    exchange; output cardinality = |domains|, tiny next to the
+    corpus. Gates are pure post-aggregation expressions."""
+    dom = url_domain(F.col(url_col), registered_only=registered_only)
+    dom = F.when(dom == "", F.lit(None)).otherwise(dom)
+
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for s in signal_cols:
+        v = F.col(s).cast("decimal(38,6)")
+        aggs.append(F.count(v).alias(f"{s}_n"))
+        aggs.append(F.sum(v).alias(f"{s}_sum"))
+    out = df.groupBy(dom.alias("domain")).agg(*aggs)
+
+    means = []
+    for s in signal_cols:
+        means.append(
+            F.when(
+                F.col(f"{s}_n") > 0,
+                (F.col(f"{s}_sum").cast("double")
+                 / F.col(f"{s}_n").cast("double")),
+            ).alias(f"{s}_mean")
+        )
+    cols = (
+        ["domain", "n_docs"]
+        + [c for s in signal_cols for c in (f"{s}_n", f"{s}_sum")]
+    )
+    out = out.select(*cols, *means)
+
+    if gates is not None:
+        unknown = sorted(set(gates) - set(signal_cols))
+        if unknown:
+            raise ValueError(
+                f"gates reference non-signal columns: {unknown}"
+            )
+        kept = F.lit(True)
+        for s, (lo, hi) in gates.items():
+            m = F.col(f"{s}_mean")
+            cond = m.isNotNull()
+            if lo is not None:
+                cond = cond & (m >= F.lit(float(lo)))
+            if hi is not None:
+                cond = cond & (m <= F.lit(float(hi)))
+            kept = kept & cond
+        out = out.withColumn("kept", kept)
+    return out

@@ -5051,3 +5051,116 @@ def test_staged_r19_rows_oracle_parity(spark, sf_dir):
     # every sample respects the 8-turn budget and renders chatml
     assert all(1 <= r[1] <= 8 for r in srows)
     assert all(r[3].startswith("<|im_start|>") for r in srows)
+
+
+def test_domain_profile_aggregates_and_gates(spark):
+    from greenmask_spark.functions.web import domain_profile
+
+    rows = [
+        ("https://a.example.org/p/1", 100, 0.9),
+        ("https://a.example.org/p/2", 300, 0.5),
+        ("https://b.example.org/x", 50, None),   # NULL signal kept for others
+        ("not a url", 10, 0.1),                   # unparseable -> NULL domain
+        (None, 20, 0.2),
+    ]
+    df = spark.createDataFrame(rows, "url string, n_chars int, q double")
+    out = domain_profile(
+        df, "url", ("n_chars", "q"),
+        gates={"q": (0.6, None)},
+    ).collect()
+    got = {r["domain"]: r for r in out}
+    a = got["a.example.org"]
+    assert a["n_docs"] == 2 and a["n_chars_n"] == 2 and a["q_n"] == 2
+    assert float(a["n_chars_sum"]) == 400.0
+    assert a["n_chars_mean"] == 200.0 and a["q_mean"] == 0.7
+    assert a["kept"] is True
+    b = got["b.example.org"]
+    # NULL q: q_n=0, q_mean NULL -> gate fails closed
+    assert b["q_n"] == 0 and b["q_mean"] is None and b["kept"] is False
+    # unparseable + NULL urls pool under the NULL domain
+    assert got[None]["n_docs"] == 2
+
+
+def test_domain_profile_registered_only_and_validation(spark):
+    import pytest as _pytest
+
+    from greenmask_spark.functions.web import domain_profile
+
+    df = spark.createDataFrame(
+        [("https://x.news.example.com/a", 1),
+         ("https://y.news.example.com/b", 3)],
+        "url string, s int",
+    )
+    out = domain_profile(df, "url", ("s",), registered_only=True).collect()
+    assert len(out) == 1 and out[0]["domain"] == "example.com"
+    assert out[0]["n_docs"] == 2 and out[0]["s_mean"] == 2.0
+    with _pytest.raises(ValueError, match="non-signal"):
+        domain_profile(df, "url", ("s",), gates={"nope": (0, 1)})
+
+
+def test_domain_profile_partitioning_invariant_plan_shape(spark):
+    from greenmask_spark.functions.web import domain_profile
+
+    rows = [(f"https://d{i % 3}.example.org/{i}", i, i / 7.0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "url string, n int, q double")
+    a = sorted(map(tuple, domain_profile(
+        df.coalesce(1), "url", ("n", "q")).collect()))
+    b = sorted(map(tuple, domain_profile(
+        df.repartition(13, "q"), "url", ("n", "q")).collect()))
+    assert a == b  # decimal sums: order-independent, partition-invariant
+    out = domain_profile(df, "url", ("n", "q"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "Python" not in plan
+
+
+def test_staged_r20_rows_oracle_parity(spark, sf_dir):
+    """The two staged r20 registry rows vs their DuckDB oracles over
+    the REAL tables — proven BEFORE any driver debut: t_numeric_draws
+    (the t_random_float + t_random_numeric lossless melt) and
+    domain_profile (the NEW r20 operator: FineWeb-style per-domain
+    quality rollup)."""
+    import os as _os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ("documents", "customer", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS FROM "
+                f"'{_os.path.join(sf_dir, t + '.parquet')}'")
+
+    sdf = entrymod.q_t_numeric_draws(spark, sf_dir)
+    assert sdf.columns == ["family", "k1", "k2", "col_name", "value"]
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = sorted(
+        tuple(row)
+        for row in con.sql(entrymod._oracle_t_numeric_draws()).fetchall()
+    )
+    assert len(srows) > 0 and srows == drows
+
+    sdf = entrymod.q_domain_profile(spark, sf_dir)
+    srows = sorted(
+        tuple(r) for r in sdf.collect()
+        
+    )
+    res = con.sql(entrymod._oracle_domain_profile())
+    assert sorted(sdf.columns) == sorted(res.columns)
+    duck = res.df()[sdf.columns]
+    drows = sorted(
+        tuple(None if pd_isna(v) else v for v in row)
+        for row in duck.itertuples(index=False, name=None)
+    )
+    assert len(srows) > 0
+    # decimal sums come back as Decimal from Spark and object from
+    # pandas — compare via float for sums, exact for the rest
+    def norm(row):
+        return tuple(
+            float(v) if hasattr(v, "as_tuple") else v for v in row
+        )
+    assert [norm(r) for r in srows] == [norm(r) for r in drows]
+    # gate sanity: at least one domain on each side of the verdict
+    kept = {r[-1] for r in srows}
+    assert True in kept or False in kept

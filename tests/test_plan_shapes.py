@@ -269,6 +269,12 @@ SHAPES = {
     # pre-filter and the collect_list gather share ONE exchange on
     # the conversation key; zero Python (pure JVM expressions)
     "assemble_conversations": (1, 0),
+    # r13 — the staged r20 t_random_float + t_random_numeric melt:
+    # two scan-only transformer legs, stack() stays codegen'd
+    "t_numeric_draws": (0, 0),
+    # r13 — the staged r20 per-domain quality rollup: ONE map-side-
+    # combined shuffle of (domain, count, decimal-sum) slivers
+    "domain_profile": (1, 0),
 }
 
 

@@ -92,12 +92,51 @@ def _replicate(con, base, out_dir, table, mult, strides):
         if n in offset_for else f"t.{n}"
         for n in names
     )
-    con.execute(
-        f"COPY (SELECT {sel} "
-        f"FROM read_parquet('{base}/{table}.parquet') t, "
-        f"range({mult}) i(i) ORDER BY {names[0]}) "
-        f"TO '{out_dir}/{table}.parquet' (FORMAT parquet)"
-    )
+    if mult < 200:
+        # small multipliers: one query, global key sort (the path that
+        # produced the recorded sf1/sf10 artifacts — kept bit-stable)
+        con.execute(
+            f"COPY (SELECT {sel} "
+            f"FROM read_parquet('{base}/{table}.parquet') t, "
+            f"range({mult}) i(i) ORDER BY {names[0]}) "
+            f"TO '{out_dir}/{table}.parquet' (FORMAT parquet)"
+        )
+        return
+    # large multipliers (sf100+): the single-query ORDER BY sorts the
+    # whole replicated table in DuckDB memory (600M lineitem rows
+    # OOMed a 125 GB host). Offsets are copy-monotone (stride >
+    # max(key)), so global key order == (copy, key) order: write
+    # key-sorted per-copy-group chunks, then stream-concat their row
+    # groups with pyarrow — peak memory is one chunk + one row group.
+    step = 10
+    parts = []
+    for lo in range(0, mult, step):
+        hi = min(lo + step, mult)
+        part = f"{out_dir}/.{table}.part{lo:05d}.parquet"
+        con.execute(
+            f"COPY (SELECT {sel} "
+            f"FROM read_parquet('{base}/{table}.parquet') t, "
+            f"range({lo}, {hi}) i(i) ORDER BY i.i, t.{names[0]}) "
+            f"TO '{part}' (FORMAT parquet)"
+        )
+        parts.append(part)
+    writer = None
+    try:
+        for part in parts:
+            f = pq.ParquetFile(part)
+            for rg in range(f.num_row_groups):
+                batch = f.read_row_group(rg)
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        f"{out_dir}/{table}.parquet", batch.schema
+                    )
+                writer.write_table(batch)
+            f.close()
+    finally:
+        if writer is not None:
+            writer.close()
+    for part in parts:
+        os.remove(part)
 
 
 def _copy_dim(con, base, out_dir, table):

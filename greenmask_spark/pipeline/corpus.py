@@ -399,6 +399,45 @@ def _step_cap_per_domain(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _step_domain_gate(df: DataFrame, p: dict) -> DataFrame:
+    """Drop every document whose DOMAIN fails a mean-signal gate (the
+    FineWeb domain-level curation pass, functions/web.domain_profile):
+    per-domain means of ``signals`` are computed over the exact
+    DECIMAL lattice, domains outside any ``gates`` range (signal ->
+    [min_mean, max_mean], null = unbounded; domains with no scored
+    docs fail closed) are removed WITH all their documents. A NULL /
+    unparseable URL pools under the NULL domain, which is gated like
+    any other. Two passes over the input (the tiny profile + the
+    broadcast-semi-join back), so a non-deterministic input is pinned
+    first — the cap_per_domain rule."""
+    from greenmask_spark.functions.web import domain_profile, url_domain
+    from greenmask_spark.plan.health import plan_has_nondeterministic
+
+    if plan_has_nondeterministic(df):
+        df = df.localCheckpoint(eager=True)
+    url_col = p.get("url_col", "url")
+    signals = tuple(p["signals"])
+    gates = {k: (v[0], v[1]) for k, v in dict(p["gates"]).items()}
+    ro = bool(p.get("registered_only", False))
+    prof = domain_profile(
+        df, url_col, signals, registered_only=ro, gates=gates
+    )
+    kept = prof.filter(F.col("kept")).select(
+        F.col("domain").alias("__dg_dom")
+    )
+    dom = url_domain(F.col(url_col), registered_only=ro)
+    dom = F.when(dom == "", F.lit(None)).otherwise(dom)
+    return (
+        df.withColumn("__dg_d", dom)
+        .join(
+            F.broadcast(kept),
+            F.col("__dg_d").eqNullSafe(F.col("__dg_dom")),
+            "left_semi",
+        )
+        .drop("__dg_d")
+    )
+
+
 def _step_cluster_split(df: DataFrame, p: dict) -> DataFrame:
     """Leakage-safe split: fuzzy-dedup clusters computed inline (same
     params as fuzzy_dedup), split hash keyed on the cluster id so near
@@ -1319,6 +1358,7 @@ CORPUS_STEPS: dict[str, Step] = {
     "blocklist": _step_blocklist,
     "robots_filter": _step_robots_filter,
     "cap_per_domain": _step_cap_per_domain,
+    "domain_gate": _step_domain_gate,
     "cluster_split": _step_cluster_split,
     "linear_score": _step_linear_score,
     "shuffle": _step_shuffle,

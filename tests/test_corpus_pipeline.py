@@ -1285,3 +1285,33 @@ def test_chunk_step(spark):
     named = CORPUS_STEPS["chunk"](
         df, {"max_tokens": 4, "chunk_col": "chunk_text"})
     assert "chunk_text" in named.columns and "text" not in named.columns
+
+
+def test_domain_gate_step(spark):
+    from greenmask_spark.pipeline import build_corpus_pipeline
+
+    rows = [
+        # good.example.org: long docs -> passes min mean
+        ("https://good.example.org/1", "w " * 40, 1),
+        ("https://good.example.org/2", "w " * 60, 2),
+        # bad.example.org: short docs -> mean below the gate, dropped
+        ("https://bad.example.org/1", "w", 3),
+        ("https://bad.example.org/2", "ww", 4),
+        # NULL URL pools under the NULL domain (short -> dropped too)
+        (None, "x", 5),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, doc_id int") \
+        .withColumn("n_chars", F.length("text"))
+    out = build_corpus_pipeline(df, [
+        {"op": "domain_gate", "signals": ["n_chars"],
+         "gates": {"n_chars": [20, None]}},
+    ])
+    assert {r.doc_id for r in out.collect()} == {1, 2}
+    assert out.columns == df.columns  # gate drops rows, never columns
+
+    # NULL-domain group passes when its docs do
+    out2 = build_corpus_pipeline(df, [
+        {"op": "domain_gate", "signals": ["n_chars"],
+         "gates": {"n_chars": [1, None]}},
+    ])
+    assert {r.doc_id for r in out2.collect()} == {1, 2, 3, 4, 5}

@@ -111,10 +111,11 @@ def minhash_signatures_df(
     a flat codegen'd sequence-explode + substr): min is insensitive to
     duplicates, so the signature values are identical and the per-gram
     work stays in whole-stage codegen."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    from greenmask_spark.session import spread_input
+
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     ex = (
-        df.repartition(n_part)
+        spread_input(df)
         .select(F.col(id_col).alias("id"), norm.alias("t"))
         .select(
             "id", "t",
@@ -625,6 +626,13 @@ def ngram_novelty(
         doc_ngrams(df, int(n), text_col, id_col)
         .select("id", _window_hash(F.col("gram")).alias("h"))
         .distinct()
+        # two consumers below (per-doc counts + first-owner) — un-
+        # checkpointed, the tokenize → explode → hash → DISTINCT chain
+        # (a full corpus pass plus the gram-stream shuffle) executes
+        # once per consumer. The lazy checkpoint materializes the
+        # (id, h) sliver stream exactly once, inside the first job
+        # that reads it (the repeated_spans persist convention).
+        .localCheckpoint(eager=False)
     )
     per_doc = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     novel = (
@@ -762,10 +770,11 @@ def _hash_stream(
     per shingle, positional (duplicates retained — min/set consumers
     are insensitive), repartitioned first so a small single-row-group
     parquet file still uses every core."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    from greenmask_spark.session import spread_input
+
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return (
-        df.repartition(n_part)
+        spread_input(df)
         .select(F.col(id_col).alias("id"), norm.alias("t"))
         .select(
             "id", "t",
@@ -969,9 +978,10 @@ def simhash_df(
     map-side combine; the bit assembly runs on aggregated scalars."""
     from greenmask_spark.functions.text_analysis import tokens
 
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    from greenmask_spark.session import spread_input
+
     ex = (
-        df.repartition(n_part)
+        spread_input(df)
         .select(
             F.col(id_col).alias("id"),
             F.explode_outer(
@@ -1126,10 +1136,10 @@ def substring_spans(
     # repartition first (the _hash_stream rationale): a small
     # single-row-group parquet source is ONE task, serializing the
     # per-window sha256 work onto one core
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    from greenmask_spark.session import spread_input
+
     w = (
-        df.filter(t.isNotNull() & (F.length(t) >= length))
-        .repartition(n_part)
+        spread_input(df.filter(t.isNotNull() & (F.length(t) >= length)))
         .select(
             F.col(id_col).alias("id"),
             F.explode(

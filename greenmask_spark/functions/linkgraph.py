@@ -198,19 +198,33 @@ def hits(
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
                 & (F.col("w") > 0))
         .groupBy("src", "dst").agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
+        # lazy, like pagerank's setup frames: both checkpoints
+        # materialize inside the first iteration's divisor job instead
+        # of paying two dedicated setup jobs (job-launch latency is the
+        # fixed cost that dominates small graphs; at scale this skips
+        # two redundant edge-scan re-executions, nothing else changes)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     scale = RANK_SCALE
 
     def _rescaled(raw: DataFrame, key: str, out: str) -> DataFrame:
         """nodes left-joined to raw scores, divided by the quantized
-        max divisor (1-row broadcast). Absent nodes score 0."""
+        max divisor (1-row broadcast). Absent nodes score 0.
+
+        ``raw`` is referenced twice — by the divisor aggregate AND the
+        rescale join. Un-checkpointed, the whole e ⋈ scores ⋈ groupBy
+        subtree behind it would execute twice per rescale (once inside
+        the broadcast build, once in the join) — at any scale that is
+        a full extra pass over the edge list per half-iteration. The
+        lazy checkpoint materializes it exactly once, inside the
+        divisor job, and the join reads the materialized partitions."""
+        raw = raw.localCheckpoint(eager=False)
         q = raw.agg(
             F.greatest(
                 F.lit(1).cast("bigint"),

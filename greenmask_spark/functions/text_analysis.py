@@ -392,10 +392,11 @@ def c4_filter(
     return out.filter(flags["passed"])
 
 
-def lang_id(text: Column) -> Column:
-    """Argmax of per-language stopword hits; ties break in LANG_ORDER;
-    all-zero → 'und' (undetermined)."""
-    hits = {lg: stopword_hits(text, lg) for lg in LANG_ORDER}
+def _lang_id_from_hits(hits: dict[str, Column]) -> Column:
+    """``lang_id`` over already-computed per-language hit counts —
+    callers that land the hit counts in their own projection (so each
+    tokenize+filter runs ONCE per row, see ``analyze``) share the exact
+    argmax/tie-break tree with the plain-text form."""
     best = F.lit("und")
     best_n = F.lit(0)
     for lg in reversed(LANG_ORDER):
@@ -406,6 +407,13 @@ def lang_id(text: Column) -> Column:
         best = F.when(cond & better, F.lit(lg)).otherwise(best)
         best_n = F.greatest(best_n, hits[lg])
     return best
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword hits; ties break in LANG_ORDER;
+    all-zero → 'und' (undetermined)."""
+    return _lang_id_from_hits(
+        {lg: stopword_hits(text, lg) for lg in LANG_ORDER})
 
 
 def fingerprint(text: Column) -> Column:
@@ -487,14 +495,15 @@ def winnow_fingerprints_df(
 
     from greenmask_spark.functions.dedup import _shingle_hash
 
+    from greenmask_spark.session import spread_input
+
     t = F.col(text_col)
     norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
-    n_part = df.sparkSession.sparkContext.defaultParallelism
     # flat codegen'd sequence-explode + substr — a transform() HOF here
     # would build the gram array interpreted (same lesson as
     # minhash_signatures_df)
     ex = (
-        df.repartition(n_part)
+        spread_input(df)
         .select(F.col(id_col).alias("id"), norm.alias("t"))
         .select(
             "id", "t",
@@ -507,16 +516,20 @@ def winnow_fingerprints_df(
         .select(
             "id",
             (F.col("i") - 1).alias("pos"),
+            # the per-doc gram count is KNOWN from the text length (it
+            # is exactly the sequence length exploded above) — carrying
+            # it beats re-deriving it downstream with a second
+            # count-over-partition window pass (one less per-row window
+            # aggregate at any scale; value-identical by construction)
+            F.greatest(F.length("t") - k + 1, F.lit(1)).alias("m"),
             _shingle_hash(F.expr(f"substr(t, i, {k})")).alias("h"),
         )
     )
     wframe = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
-    wall = Window.partitionBy("id")
     sel = (
         ex.select(
-            "id", "pos",
+            "id", "pos", "m",
             F.min("h").over(wframe).alias("wmin"),
-            F.count(F.lit(1)).over(wall).alias("m"),
         )
         # window positions 0..m-w (the full-width windows); a doc shorter
         # than one window keeps its single clamped window at pos 0
@@ -697,24 +710,73 @@ def analyze(
     ``winnow_fingerprints_df`` — the pure-expression winnow runs
     interpreted at ~25 ms/document) joined back on the document id
     (a staged row id when ``id_col`` is absent)."""
+    from greenmask_spark.session import spread_input
+
     t = F.col(text_col)
     has_id = id_col in df.columns
     base = df if has_id else df.withColumn(
         "__aid", F.monotonically_increasing_id())
     key = id_col if has_id else "__aid"
     # spread the regex-heavy stats across cores — a small documents
-    # parquet is one row group → one task otherwise
-    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # parquet is one row group → one task otherwise; at real scale the
+    # input already yields >= parallelism splits and this is a no-op
+    base = spread_input(base)
     wf = winnow_fingerprints_df(base, text_col, key).withColumnsRenamed(
         {"id": key})
-    stats = base.select(
+    # STAGED projections, not one: every helper below re-derives the
+    # token array from raw text, and higher-order filter() lambdas get
+    # distinct variable ids, so a single flat projection evaluates
+    # split(trim(lower(text))) ~25x per row (measured in the plan) and
+    # codegen subexpression elimination cannot unify them. Landing the
+    # array and the per-language hit counts in their OWN projections
+    # (the _gopher_metrics convention) pins one tokenize + one filter
+    # pass per language; CollapseProject keeps non-cheap multiply-
+    # referenced aliases staged. Every derived expression below is the
+    # exact tree the plain helpers build — values are bit-identical.
+    pre = base.select(
         "*",
-        token_count(t).alias("n_tokens"),
+        tokens(t).alias("__toks"),
+        F.length(F.trim(t)).alias("__trimlen"),
+        F.length(t).alias("__len"),
+        F.length(F.regexp_replace(F.lower(t), "[^a-z0-9 ]", ""))
+        .alias("__alnum"),
+        F.length(F.regexp_replace(F.trim(t), r"\s+", "")).alias("__nows"),
+    )
+    toks = F.col("__toks")
+
+    def _hits_col(lg: str) -> Column:
+        arr = F.array(*[F.lit(wd) for wd in STOPWORDS[lg]])
+        return F.size(F.filter(toks, lambda tok: F.array_contains(arr, tok)))
+
+    hit = pre.select(
+        "*",
+        F.size(toks).alias("__ntokraw"),
+        *[_hits_col(lg).alias(f"__hits_{lg}") for lg in LANG_ORDER],
+    )
+    n_tok = F.when(F.col("__trimlen") == 0, F.lit(0)).otherwise(
+        F.col("__ntokraw"))
+    hits = {lg: F.col(f"__hits_{lg}") for lg in LANG_ORDER}
+    sw = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        hits["en"] / n_tok.cast("double"))
+    pr = F.when(F.col("__len") == 0, F.lit(0.0)).otherwise(
+        (F.col("__len") - F.col("__alnum")) / F.col("__len").cast("double"))
+    mwl = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.col("__nows") / n_tok.cast("double"))
+    quality = F.round(
+        F.lit(0.4) * F.least(F.lit(1.0), sw / F.lit(0.4))
+        + F.lit(0.3) * (F.lit(1.0) - pr)
+        + F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(0.3))
+        .otherwise(F.lit(0.0)),
+        4,
+    )
+    stats = hit.select(
+        *df.columns, *([] if has_id else ["__aid"]),
+        n_tok.alias("n_tokens"),
         bpe_token_count(t).alias("n_bpe_tokens"),
-        F.round(stopword_ratio(t), 4).alias("sw_ratio"),
-        F.round(punct_ratio(t), 4).alias("p_ratio"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_pred"),
+        F.round(sw, 4).alias("sw_ratio"),
+        F.round(pr, 4).alias("p_ratio"),
+        quality.alias("quality"),
+        _lang_id_from_hits(hits).alias("lang_pred"),
         fingerprint(t).alias("fp"),
     )
     # NULL-text docs never survive winnow_fingerprints_df's inner explode,
@@ -1009,6 +1071,13 @@ def bm25_scores(
     tf = ex.groupBy("id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    # tf feeds BOTH the per-term document-frequency aggregate and the
+    # scoring join -- un-checkpointed, the whole corpus explode + terms
+    # semi-join + groupBy subtree executes twice (once inside the dfreq
+    # broadcast build, once for the scores): a full extra corpus pass
+    # at any scale. The lazy checkpoint materializes the (matching
+    # postings only) frame exactly once, inside the broadcast job.
+    tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_t")
     )
@@ -1158,6 +1227,13 @@ def bm25_scores_multi(
     tf = ex.groupBy("id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    # tf feeds BOTH the per-term document-frequency aggregate and the
+    # scoring join -- un-checkpointed, the whole corpus explode + terms
+    # semi-join + groupBy subtree executes twice (once inside the dfreq
+    # broadcast build, once for the scores): a full extra corpus pass
+    # at any scale. The lazy checkpoint materializes the (matching
+    # postings only) frame exactly once, inside the broadcast job.
+    tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_t")
     )
@@ -1366,11 +1442,12 @@ def entropy_profile(
     per-char. Characters are codepoint-based on both engines
     (substr semantics match for BMP text).
     """
+    from greenmask_spark.session import spread_input
+
     t = F.col(text_col)
-    n_part = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(F.col(id_col).alias("id"))
     ex = (
-        df.repartition(n_part)
+        spread_input(df)
         .select(F.col(id_col).alias("id"), t.alias("t"))
         .filter(F.col("t").isNotNull() & (F.length("t") > 0))
         .select(

@@ -66,11 +66,21 @@ def plan_health(df: DataFrame) -> dict:
     nodes: list = []
     _walk(df._jdf.queryExecution().executedPlan(), nodes, set(), jvm)
     counts = {"shuffles": 0, "bcasts": 0, "smj": 0, "python": 0,
-              "codegen": 0, "scans": 0, "pushed": 0, "cache_reads": 0}
+              "codegen": 0, "scans": 0, "pushed": 0, "cache_reads": 0,
+              "spread": 0}
     for n in nodes:
         cls = n.getClass().getSimpleName()
         if cls == "ShuffleExchangeExec":
-            counts["shuffles"] += 1
+            # round-robin exchanges are the input-size-ADAPTIVE spread
+            # (session.spread_input): they exist only when the input
+            # yields fewer scan splits than the session has cores —
+            # i.e. never at scale — so they are audited separately
+            # from the algorithmic (hash/range) shuffles whose count
+            # IS the operator's 100 TB shape
+            if "RoundRobinPartitioning" in str(n.outputPartitioning()):
+                counts["spread"] += 1
+            else:
+                counts["shuffles"] += 1
         elif cls == "BroadcastExchangeExec":
             counts["bcasts"] += 1
         elif cls == "SortMergeJoinExec":

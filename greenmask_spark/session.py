@@ -8,6 +8,8 @@ the shuffle/AQE behavior we want at cluster scale.
 
 from __future__ import annotations
 
+import glob
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,6 +63,86 @@ def get_spark(app_name: str = "greenmask-spark", **extra_confs: str) -> SparkSes
     return builder.getOrCreate()
 
 
+def _size_conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark size conf ('128m', '1g', plain bytes) to bytes."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    try:
+        if raw and raw[-1] == "b" and len(raw) > 1 and raw[-2] in units:
+            raw = raw[:-1]
+        if raw and raw[-1] in units:
+            return int(float(raw[:-1]) * units[raw[-1]])
+        return int(raw)
+    except Exception:
+        return default
+
+
+#: below this input size the spread exchange costs more in task
+#: scheduling than the single-task scan it fixes (dimension tables,
+#: 1-row stats frames) — measured locally, irrelevant at scale where
+#: the spread never fires at all
+_SPREAD_MIN_BYTES = 64 * 1024
+
+
+def _est_scan_partitions(spark: SparkSession, path: str) -> int:
+    """Estimate how many scan tasks Spark will give this parquet path:
+    Spark packs files into splits of ``maxPartitionBytes``, charging
+    each file ``openCostInBytes`` (guide §6) — close enough to decide
+    'way under-parallel' without materializing an RDD."""
+    if os.path.isdir(path):
+        files = [p for p in glob.glob(os.path.join(path, "**"),
+                                      recursive=True)
+                 if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))]
+    else:
+        files = [path]
+    mpb = _size_conf_bytes(spark, "spark.sql.files.maxPartitionBytes",
+                           128 * 1024**2)
+    open_cost = _size_conf_bytes(spark, "spark.sql.files.openCostInBytes",
+                                 4 * 1024**2)
+    total = sum(os.path.getsize(p) for p in files) \
+        + open_cost * max(len(files) - 1, 0)
+    if total < _SPREAD_MIN_BYTES:
+        # tiny (dimension-sized) input: report it as already-parallel
+        # so spread_input leaves it alone — scheduling a session's
+        # worth of near-empty tasks costs more than the 1-task scan
+        return 1 << 62
+    return max(1, math.ceil(total / max(mpb, 1)))
+
+
+def spread_input(df: DataFrame, est_partitions: int | None = None) -> DataFrame:
+    """Input-size-ADAPTIVE parallelizing repartition (guide §2: derive
+    partitioning from input size, never a constant tuned for one mode).
+
+    A small table is one parquet row group → ONE scan task, so every
+    downstream per-row transform (sha256 masking chains, regex text
+    stats, Arrow-batch kernels) runs single-threaded no matter how many
+    cores the session has. When the estimated scan-split count is below
+    the session's default parallelism, round-robin-repartition up to it;
+    when the input already yields >= parallelism splits (any real-scale
+    table), this is a NO-OP — the exchange does not exist on a cluster,
+    so it can never move 100 TB. Set SPARK_GRAFT_SPREAD=off to disable.
+
+    Value-neutral by repo contract: every operator is partitioning-
+    independent (the integer-exactness discipline), which the oracle
+    gate re-proves over the spread plans.
+    """
+    if os.environ.get("SPARK_GRAFT_SPREAD", "auto") == "off":
+        return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if est_partitions is None:
+        try:
+            est_partitions = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+    if est_partitions >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
@@ -104,5 +186,6 @@ def load_tables(
                 # restores TIMESTAMP for event-time ops (withWatermark and
                 # unix_micros reject NTZ)
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-            out[name] = df
+            out[name] = spread_input(
+                df, est_partitions=_est_scan_partitions(spark, path))
     return out

@@ -629,10 +629,13 @@ def ngram_novelty(
         # two consumers below (per-doc counts + first-owner) — un-
         # checkpointed, the tokenize → explode → hash → DISTINCT chain
         # (a full corpus pass plus the gram-stream shuffle) executes
-        # once per consumer. The lazy checkpoint materializes the
-        # (id, h) sliver stream exactly once, inside the first job
-        # that reads it (the repeated_spans persist convention).
-        .localCheckpoint(eager=False)
+        # once per consumer. EAGER (a lazy checkpoint is no compute
+        # barrier: the two consumers' aggregation map stages are
+        # siblings the scheduler runs concurrently, and each would
+        # materialize the chain itself); the dedicated job runs the
+        # chain exactly once and both consumers read the materialized
+        # (id, h) sliver partitions (the repeated_spans convention).
+        .localCheckpoint(eager=True)
     )
     per_doc = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     novel = (
@@ -1250,12 +1253,20 @@ def repeated_substring_spans(
             F.col("__t").substr(F.col("pos"), F.lit(length)).alias("g"),
         )
     )
-    hot_g = (
-        grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= int(min_count))
-        .select("g")
+    # one pass, not [groupBy(g) + semi-join]: the grouped/semi form
+    # references the cand ⋈ texts subtree twice and Spark re-executes
+    # it per reference (no exchange reuse fires for this shape) — a
+    # count-over-g window computes the same repeat test in a single
+    # candidate-sized exchange. g is never NULL here (cand rows come
+    # from non-null docs of length >= window), so window and groupBy
+    # grouping semantics agree; values are identical by construction.
+    wg = Window.partitionBy("g")
+    out = (
+        grams.select(
+            "id", "pos", F.count(F.lit(1)).over(wg).alias("__c"))
+        .filter(F.col("__c") >= int(min_count))
+        .select("id", "pos")
     )
-    out = grams.join(hot_g, "g", "left_semi").select("id", "pos")
     return _finish_spans(out, w, _persisted)
 
 

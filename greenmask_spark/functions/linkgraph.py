@@ -77,13 +77,15 @@ def pagerank(
          else F.lit(1).cast("bigint"))
     # setup frames all localCheckpoint (the per-iteration joins read
     # them; un-checkpointed, every iteration would re-run the raw edge
-    # scan + aggregations behind them), but only ONE is eager: lazy
-    # checkpoints materialize inside the first job that computes them,
-    # so ew's eager job persists e and deg in the same pass and
-    # nodes.count() persists nodes from the already-materialized e —
-    # 2 setup jobs instead of 4 (job launch latency is the fixed cost
-    # that dominates small graphs; at scale the same change just skips
-    # two redundant edge-scan+shuffle re-executions).
+    # scan + aggregations behind them). e is EAGER: inside the ew job
+    # its checkpoint feeds two SIBLING exchange stages (the e side and
+    # the deg side, which re-reads e), and a lazy checkpoint is not a
+    # compute barrier — the scheduler runs sibling map stages
+    # concurrently and each would materialize the edge aggregation
+    # itself ('Block rdd_N already exists' warnings). deg and nodes
+    # stay lazy: each has a single first consumer (deg fills inside
+    # ew's job, nodes inside its count), so they piggyback on jobs
+    # that already run instead of paying dedicated setup jobs.
     e = (
         edges.select(
             F.col(src_col).cast("bigint").alias("src"),
@@ -93,7 +95,7 @@ def pagerank(
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
                 & (F.col("w") > 0))
         .groupBy("src", "dst").agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(
         F.sum("w").alias("wtot")).localCheckpoint(eager=False)
@@ -198,33 +200,40 @@ def hits(
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
                 & (F.col("w") > 0))
         .groupBy("src", "dst").agg(F.sum("w").alias("w"))
-        # lazy, like pagerank's setup frames: both checkpoints
-        # materialize inside the first iteration's divisor job instead
-        # of paying two dedicated setup jobs (job-launch latency is the
-        # fixed cost that dominates small graphs; at scale this skips
-        # two redundant edge-scan re-executions, nothing else changes)
-        .localCheckpoint(eager=False)
+        # EAGER on purpose: e feeds SIBLING exchange stages inside each
+        # iteration job, and a lazy checkpoint is not a compute
+        # barrier — the scheduler launches sibling map stages
+        # concurrently and each materializes the un-checkpointed
+        # subtree itself (visible as 'Block rdd_N already exists'
+        # warnings), so laziness here re-runs the edge scan+aggregation
+        # once per sibling instead of skipping the setup job
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     scale = RANK_SCALE
+    raws: list[DataFrame] = []
 
     def _rescaled(raw: DataFrame, key: str, out: str) -> DataFrame:
         """nodes left-joined to raw scores, divided by the quantized
         max divisor (1-row broadcast). Absent nodes score 0.
 
         ``raw`` is referenced twice — by the divisor aggregate AND the
-        rescale join. Un-checkpointed, the whole e ⋈ scores ⋈ groupBy
+        rescale join. Un-persisted, the whole e ⋈ scores ⋈ groupBy
         subtree behind it would execute twice per rescale (once inside
-        the broadcast build, once in the join) — at any scale that is
-        a full extra pass over the edge list per half-iteration. The
-        lazy checkpoint materializes it exactly once, inside the
-        divisor job, and the join reads the materialized partitions."""
-        raw = raw.localCheckpoint(eager=False)
+        the broadcast build, once in the join's raw-side exchange) —
+        at any scale that is a full extra pass over the edge list per
+        half-iteration. persist() (NOT a lazy localCheckpoint: the
+        block-manager's per-partition compute locks make concurrent
+        sibling stages wait for one computation instead of each
+        running their own) materializes it exactly once; the handles
+        unpersist after the loop's eager checkpoints are final."""
+        raw = raw.persist()
+        raws.append(raw)
         q = raw.agg(
             F.greatest(
                 F.lit(1).cast("bigint"),
@@ -258,6 +267,11 @@ def hits(
             .groupBy("src").agg(F.sum("c").alias("raw"))
         )
         hub = _rescaled(hraw, "src", "h")
+    # hub/auth are eager checkpoints (materialized RDDs) — the raw
+    # caches have served their two consumers and can release now; the
+    # returned join reads only the checkpointed frames
+    for r in raws:
+        r.unpersist(False)
     return hub.join(auth, "node").select(
         "node", F.col("h").alias("hub_fp"), F.col("a").alias("auth_fp")
     )

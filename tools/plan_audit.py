@@ -57,18 +57,22 @@ def main() -> int:
             "vectorized ANN taggers (IVF centroid argmin, LSH sign-bit\n"
             "bucketing — Arrow-batch numpy kernels, not per-row UDFs);\n"
             "`scans` vs `pushed` shows predicate pushdown reaching parquet\n"
-            "(scans without filters legitimately push nothing).\n\n".format(
+            "(scans without filters legitimately push nothing). `spread`\n"
+            "counts the input-size-ADAPTIVE round-robin exchanges\n"
+            "(session.spread_input) that parallelize a sub-core-count\n"
+            "scan at this sf — they do not exist at scale, so they are\n"
+            "audited apart from the algorithmic shuffles.\n\n".format(
                 sf_dir.rstrip("/").rsplit("sf", 1)[-1])
         )
-        fh.write("| query | shuffles | broadcasts | SMJ | python | "
+        fh.write("| query | shuffles | spread | broadcasts | SMJ | python | "
                  "codegen spans | scans | w/ pushed filters | cache reads |\n")
-        fh.write("|---|---|---|---|---|---|---|---|---|\n")
+        fh.write("|---|---|---|---|---|---|---|---|---|---|\n")
         for name, a, err in rows:
             if a is None:
-                fh.write(f"| {name} | ERROR: {err} | | | | | | | |\n")
+                fh.write(f"| {name} | ERROR: {err} | | | | | | | | |\n")
                 continue
             fh.write(
-                f"| {name} | {a['shuffles']} | {a['bcasts']} | {a['smj']} "
+                f"| {name} | {a['shuffles']} | {a['spread']} | {a['bcasts']} | {a['smj']} "
                 f"| {a['python']} | {a['codegen']} | {a['scans']} "
                 f"| {a['pushed']} | {a['cache_reads']} |\n"
             )

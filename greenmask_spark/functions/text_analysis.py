@@ -1454,14 +1454,13 @@ def entropy_profile(
         spread_input(df)
         .select(F.col(id_col).alias("id"), t.alias("t"))
         .filter(F.col("t").isNotNull() & (F.length("t") > 0))
-        .select(
-            "id",
-            F.explode(
-                F.sequence(F.lit(1), F.length("t"))
-            ).alias("i"),
-            F.col("t"),
-        )
-        .select("id", F.expr("substr(t, i, 1)").alias("c"))
+        # split on the empty pattern yields the codepoint array in ONE
+        # O(n) pass (no trailing empty element, codepoint-aware like
+        # substr — probed incl. surrogate pairs); the previous
+        # sequence(1, length) + substr(t, i, 1) form paid an O(i)
+        # codepoint seek per position (O(n^2) per doc) and carried the
+        # full body into every exploded row
+        .select("id", F.explode(F.split("t", "")).alias("c"))
     )
     hist = ex.groupBy("id", "c").agg(F.count(F.lit(1)).alias("cnt"))
     ln2 = F.log(F.lit(2.0))

@@ -4765,6 +4765,30 @@ def test_entropy_profile_semantics(spark):
     assert got[5] == (4, 2, round(h, 4), 0.75)
 
 
+def test_entropy_profile_split_explode_parity(spark):
+    """The char stream now comes from explode(split(t, '')) — one O(n)
+    pass — instead of sequence(1, length) + substr(t, i, 1) (an O(i)
+    codepoint seek per position). Pin the equivalence on the string
+    classes that could diverge: multibyte BMP, non-BMP surrogate
+    pairs, whitespace/control chars, regex metachars (split's pattern
+    is the EMPTY regex), and single chars (no trailing empty element)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, s) for i, s in enumerate([
+        "a", "héllo wörld", "日本語テキスト", "tab\tnl\n mix",
+        "a.b*c[d]e", "ЀӿͰͽ", "emoji 😀 pair", "𝕏𝕐", "x" * 64,
+    ])]
+    df = spark.createDataFrame(rows, "id long, t string")
+    old = df.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.length("t"))).alias("i"),
+        F.col("t"),
+    ).select("id", F.expr("substr(t, i, 1)").alias("c"))
+    new = df.select("id", F.explode(F.split("t", "")).alias("c"))
+    assert sorted(map(tuple, old.collect())) == \
+        sorted(map(tuple, new.collect()))
+
+
 def test_entropy_profile_row_conservation(spark, sf_dir):
     """One output row per input row, id-aligned, over the real
     documents table; every non-empty doc gets non-NULL metrics with

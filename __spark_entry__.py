@@ -4848,9 +4848,11 @@ def q_repeated_spans(spark, sf_dir):
     window (stride 5) whose content occurs >= 2 times among the
     sampled windows — within or across documents — is flagged as
     (doc_id, pos). The hash-candidate stage shuffles (id, pos, h)
-    slivers only; the verify stage re-groups candidates by actual
-    window text, so the 60-bit hash can never flag an innocent span
-    (which also makes the oracle a plain text-group replay)."""
+    slivers only (h = codegen xxhash64 — any deterministic hash gives
+    the same verified output); the verify stage re-groups candidates
+    by actual window text, so a hash collision can never flag an
+    innocent span (which also makes the oracle a plain text-group
+    replay)."""
     from greenmask_spark.functions.dedup import repeated_substring_spans
 
     docs = _tables(spark, sf_dir, "documents")["documents"]

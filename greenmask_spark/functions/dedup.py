@@ -1108,8 +1108,26 @@ def _window_hash(s: Column) -> Column:
     """Portable 60-bit window hash (sha256 hex slice → bigint) — the
     same SQL twin as the sampling/minhash hashes but WITHOUT the 31-bit
     MERSENNE fold: substring-repeat detection groups billions of
-    windows and a 31-bit space would birthday-collide constantly."""
+    windows and a 31-bit space would birthday-collide constantly.
+
+    Use this where the hash VALUE is part of the output contract (the
+    ngram_novelty gram space: its oracle replays the identical sha256
+    slice in SQL). ``_candidate_hash`` is the cheap twin for stages
+    whose output is hash-agnostic."""
     return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("bigint")
+
+
+def _candidate_hash(s: Column) -> Column:
+    """Fast 64-bit window hash (xxhash64 — native codegen, no hex
+    round-trip) for CANDIDATE generation whose final output is
+    hash-agnostic: equal texts collide under any deterministic hash
+    (no false negatives ever), and ``repeated_substring_spans``'s
+    verify stage re-groups candidates by the actual window TEXT, so a
+    collision can never flag an innocent span. The declared
+    repeated_spans oracle replays window text, not hashes — switching
+    the candidate hash is invisible to it by construction. sha256+conv
+    cost ~20 codegen string ops per window and bought nothing here."""
+    return F.xxhash64(s)
 
 
 def substring_spans(
@@ -1156,7 +1174,7 @@ def substring_spans(
     )
     return w.select(
         "id", "pos",
-        _window_hash(F.col("__t").substr(F.col("pos"), F.lit(length)))
+        _candidate_hash(F.col("__t").substr(F.col("pos"), F.lit(length)))
         .alias("h"),
     )
 
@@ -1182,7 +1200,7 @@ def repeated_substring_spans(
     the repeat test is one map-side-combined count over h. With
     ``verify=True`` (default) the surviving candidates — typically a
     tiny fraction — are re-extracted from the documents and re-grouped
-    by the actual window TEXT, so a 60-bit hash collision can never
+    by the actual window TEXT, so a hash collision can never
     flag an innocent span; the verify join touches only candidate
     (id, pos) rows and their source docs.
 

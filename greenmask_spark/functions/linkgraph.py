@@ -114,7 +114,22 @@ def pagerank(
     d, scale = int(damping_ppm), RANK_SCALE
     ppm = 1_000_000
 
-    rank = nodes.select("node", F.lit(scale).cast("bigint").alias("r"))
+    # the dangling flag (no out-edges) is a property of the GRAPH, not
+    # of the iteration — computing it once here and carrying it as a
+    # boolean through every checkpoint removes the per-iteration
+    # rank ⟕ deg anti-join the old form paid (2 exchanges + 2 sorts
+    # per iteration at any scale, guide §2.4); the per-iteration
+    # dangling mass becomes a filtered 1-row aggregate over the
+    # already-checkpointed rank partitions. EAGER because each
+    # iteration reads rank from two sibling consumers (the contrib
+    # join and the dangling aggregate).
+    rank = (
+        nodes.join(deg.select(F.col("src").alias("__s")),
+                   F.col("node") == F.col("__s"), "left")
+        .select("node", F.lit(scale).cast("bigint").alias("r"),
+                F.col("__s").isNull().alias("dg"))
+        .localCheckpoint(eager=True)
+    )
     base = (ppm - d) * scale // ppm
     for _ in range(n_iters):
         contrib = (
@@ -127,13 +142,14 @@ def pagerank(
             )
             .groupBy("dst").agg(F.sum("c").alias("inflow"))
         )
-        # dangling nodes (no out-edges) spread their mass uniformly
-        dangling = (
-            rank.join(deg, rank["node"] == deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dang"))
+        # dangling nodes spread their mass uniformly — a flag filter
+        # over rank, not a join (the flag rides in the frame)
+        dangling = rank.agg(
+            F.coalesce(F.sum(F.when(F.col("dg"), F.col("r"))),
+                       F.lit(0)).alias("dang")
         )
         rank = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            rank.join(contrib, rank["node"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .withColumn(
                 "x",
@@ -147,6 +163,7 @@ def pagerank(
                     + F.expr(f"(x div {ppm}) * {d} "
                              f"+ ((x % {ppm}) * {d}) div {ppm}")
                 ).alias("r"),
+                "dg",
             )
             .localCheckpoint(eager=True)
         )
@@ -244,23 +261,28 @@ def hits(
         raws.append(raw)
         # the divisor is ONE bigint — fetch it like pagerank fetches
         # n_nodes (a scalar action, not driver data work) and inline
-        # it as a literal: the rescale checkpoint job becomes a pure
-        # projection over the cached raw partitions, with no broadcast
-        # exchange to build or wait on (measured ~30% faster than the
-        # broadcast form locally; one less exchange per half-iteration
-        # at any scale)
+        # it as a literal: the rescale becomes a pure projection over
+        # the cached raw partitions, with no broadcast exchange to
+        # build or wait on (measured ~30% faster than the broadcast
+        # form locally; one less exchange per half-iteration at any
+        # scale)
         qv = raw.agg(
             F.greatest(
                 F.lit(1).cast("bigint"),
                 F.expr(f"coalesce(max(raw), 0) div {scale}"),
             ).alias("q")
         ).collect()[0]["q"]
-        return (
-            raw.select(
-                F.col(key).alias("node"),
-                F.expr(f"raw div {int(qv)}").alias(out),
-            )
-            .localCheckpoint(eager=True)
+        # the rescale stays LAZY: it has exactly one consumer (the
+        # next half-iteration's edge join, or the final output join),
+        # so a dedicated checkpoint job per half-iteration would only
+        # re-write the node-sized frame the cache already holds — the
+        # divisor collect above has already materialized raw, and the
+        # consumer's plan truncates at the InMemoryRelation, so
+        # lineage stays bounded without it (the loop's final hub/auth
+        # ARE checkpointed below, before the caches release)
+        return raw.select(
+            F.col(key).alias("node"),
+            F.expr(f"raw div {int(qv)}").alias(out),
         )
 
     hub = nodes.select(
@@ -280,9 +302,13 @@ def hits(
             .groupBy("src").agg(F.sum("c").alias("raw"))
         )
         hub = _rescaled(hraw, "src", "h")
-    # hub/auth are eager checkpoints (materialized RDDs) — the raw
-    # caches have served their two consumers and can release now; the
-    # returned join reads only the checkpointed frames
+    # the loop's final hub/auth become eager checkpoints HERE (two
+    # jobs total instead of one per half-iteration) so the returned
+    # plan reads materialized RDDs; only then can the raw caches —
+    # which the lazy rescale projections still reference — release
+    # without the final join recomputing the whole loop
+    hub = hub.localCheckpoint(eager=True)
+    auth = auth.localCheckpoint(eager=True)
     for r in raws:
         r.unpersist(False)
     # absent nodes re-attach ONCE here (they scored 0 all along);

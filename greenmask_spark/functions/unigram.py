@@ -427,8 +427,23 @@ def unigram_encode(
         re.compile(GPT2_PRETOK, re.ASCII) if pretokenize == "gpt2" else None
     )
 
+    # per-worker word→pieces memo: _viterbi is deterministic per word
+    # and natural text repeats words heavily (Zipf), so one Python
+    # worker segments each distinct word ONCE and every later
+    # occurrence is a dict hit (guide §4.5: amortize heavy per-call
+    # work across the task). The dict pickles empty with the closure;
+    # each worker grows its own copy across batches.
+    cache: dict[str, list[str]] = {}
+
     @pandas_udf("array<string>")
     def _enc(s: pd.Series) -> pd.Series:
+        def seg(w):
+            r = cache.get(w)
+            if r is None:
+                r = _viterbi(w, logp, mpl, unk)
+                cache[w] = r
+            return r
+
         def one(x):
             if x is None:
                 return None
@@ -438,10 +453,10 @@ def unigram_encode(
                 if not w:
                     continue
                 if pretok is None:
-                    out.extend(_viterbi(w, logp, mpl, unk))
+                    out.extend(seg(w))
                 else:
                     for sub in pretok.findall(w):
-                        out.extend(_viterbi(sub, logp, mpl, unk))
+                        out.extend(seg(sub))
             return out
 
         return s.map(one)
@@ -458,10 +473,54 @@ def unigram_token_count(
 ) -> Column:
     """int token count under a trained unigram model — the column to
     hand ``pack_sequences``/``select_to_budget`` for REAL multilingual
-    token budgets."""
-    return F.when(text.isNull(), F.lit(None).cast("int")).otherwise(
-        F.size(
-            unigram_encode(text, pieces, lowercase, max_piece_len,
-                           pretokenize)
-        )
+    token budgets.
+
+    Counts directly in the Arrow kernel instead of wrapping
+    ``unigram_encode`` in ``size()``: the piece ARRAYS never cross the
+    Python→JVM boundary (guide §4.1: control how many bytes cross —
+    an int per row instead of hundreds of strings), and the per-word
+    memo caches COUNTS, which for a count query is all Viterbi needs
+    to hand back. Same segmentation, same NULL contract."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    from greenmask_spark.functions.bpe import GPT2_PRETOK
+
+    _check_pretok(pretokenize)
+    logp = {p: float(lp) for p, lp in pieces}
+    mpl = max_piece_len or max((len(p) for p in logp), default=1)
+    unk = (min(logp.values()) if logp else 0.0) - 10.0
+    ws = re.compile("[ \t\n\x0b\f\r]+")  # ASCII \s, same as bpe_encode
+    pretok = (
+        re.compile(GPT2_PRETOK, re.ASCII) if pretokenize == "gpt2" else None
     )
+    cache: dict[str, int] = {}
+
+    @pandas_udf("int")
+    def _cnt(s: pd.Series) -> pd.Series:
+        def seg(w):
+            r = cache.get(w)
+            if r is None:
+                r = len(_viterbi(w, logp, mpl, unk))
+                cache[w] = r
+            return r
+
+        def one(x):
+            if x is None:
+                return None
+            t = x.lower() if lowercase else x
+            n = 0
+            for w in ws.split(t.strip(" \t\n\x0b\f\r")):
+                if not w:
+                    continue
+                if pretok is None:
+                    n += seg(w)
+                else:
+                    for sub in pretok.findall(w):
+                        n += seg(sub)
+            return n
+
+        return s.map(one)
+
+    return _cnt(text)

@@ -417,10 +417,14 @@ def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
     # adaptive exchange repays itself above heavy per-row compute;
     # no-op at scale where the scan already yields >= cores splits).
     # AFTER limit/subset handling on purpose: a spread below a LIMIT
-    # could change which rows survive it.
+    # could change which rows survive it. The raised floor is
+    # chain-specific: masking expressions cost ~µs/row, so below ~1 MB
+    # of input the one-core pass beats the exchange round-trip
+    # (measured: mask_customer 0.48 s unspread vs 0.70+ spread on a
+    # 300 KB table, while orders-sized inputs keep a ~2x win).
     from greenmask_spark.session import spread_input
 
-    df = spread_input(df)
+    df = spread_input(df, min_bytes=1 << 20)
 
     pending: dict[str, Column] = {}
 

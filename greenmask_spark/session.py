@@ -112,9 +112,23 @@ def _est_scan_partitions(spark: SparkSession, path: str) -> int:
     return max(1, math.ceil(total / max(mpb, 1)))
 
 
-def spread_input(df: DataFrame, est_partitions: int | None = None) -> DataFrame:
+def spread_input(
+    df: DataFrame,
+    est_partitions: int | None = None,
+    min_bytes: int = _SPREAD_MIN_BYTES,
+) -> DataFrame:
     """Input-size-ADAPTIVE parallelizing repartition (guide §2: derive
     partitioning from input size, never a constant tuned for one mode).
+
+    ``min_bytes`` is the tiny-input floor: inputs estimated under it
+    are left alone (the exchange costs more than the single-task pass
+    it parallelizes). Callers whose per-row work is LIGHTER than the
+    text/Arrow kernels the default floor was measured on (e.g. the
+    transformer masking chain: a handful of hash/regex expressions per
+    row) pass a larger floor — below ~1 MB of input such a chain
+    finishes on one core faster than the spread exchange round-trips.
+    Irrelevant at scale: every floor is dwarfed by any real table, so
+    the spread never fires there either way.
 
     A small table is one parquet row group → ONE scan task, so every
     downstream per-row transform (sha256 masking chains, regex text
@@ -157,7 +171,7 @@ def spread_input(df: DataFrame, est_partitions: int | None = None) -> DataFrame:
             # of near-empty ones
             size = int(df._jdf.queryExecution().optimizedPlan()
                        .stats().sizeInBytes())
-            if size < _SPREAD_MIN_BYTES:
+            if size < min_bytes:
                 return df
         except Exception:
             pass

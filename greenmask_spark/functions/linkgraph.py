@@ -131,17 +131,37 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     base = (ppm - d) * scale // ppm
-    for _ in range(n_iters):
-        contrib = (
-            ew.join(rank, ew["src"] == rank["node"])
-            # (r div W)*w + ((r mod W)*w) div W ≡ (r*w) div W, bounded
-            .select(
-                "dst",
-                F.expr("(r div wtot) * w + ((r % wtot) * w) div wtot")
-                .alias("c"),
+    for it in range(n_iters):
+        if it == 0:
+            # iteration 1: every rank is the constant RANK_SCALE and
+            # every ew.src is a node, so the ew ⋈ rank contribution
+            # join keeps all edge rows with r = scale — fold it into a
+            # pure projection over the checkpointed edges with r
+            # inlined as a literal (guide §2.4: remove shuffles
+            # outright — this deletes one edge-sized exchange + join
+            # per call at any scale). Same split-form integer
+            # arithmetic, so the value is bit-identical.
+            contrib = (
+                ew.select(
+                    "dst",
+                    F.expr(f"(cast({scale} as bigint) div wtot) * w "
+                           f"+ ((cast({scale} as bigint) % wtot) * w) "
+                           f"div wtot").alias("c"),
+                )
+                .groupBy("dst").agg(F.sum("c").alias("inflow"))
             )
-            .groupBy("dst").agg(F.sum("c").alias("inflow"))
-        )
+        else:
+            contrib = (
+                ew.join(rank, ew["src"] == rank["node"])
+                # (r div W)*w + ((r mod W)*w) div W ≡ (r*w) div W,
+                # bounded
+                .select(
+                    "dst",
+                    F.expr("(r div wtot) * w + ((r % wtot) * w) div wtot")
+                    .alias("c"),
+                )
+                .groupBy("dst").agg(F.sum("c").alias("inflow"))
+            )
         # dangling nodes spread their mass uniformly — a flag filter
         # over rank, not a join (the flag rides in the frame)
         dangling = rank.agg(
@@ -289,12 +309,28 @@ def hits(
         "node", F.lit(scale).cast("bigint").alias("h")
     )
     auth = None
-    for _ in range(n_iters):
-        araw = (
-            e.join(hub, e["src"] == hub["node"])
-            .select("dst", (F.col("h") * F.col("w")).alias("c"))
-            .groupBy("dst").agg(F.sum("c").alias("raw"))
-        )
+    for it in range(n_iters):
+        if it == 0:
+            # iteration 1: every hub score is the constant RANK_SCALE
+            # and every e.src is a node (nodes = src ∪ dst, distinct),
+            # so the e ⋈ hub join keeps all edge rows with h = scale —
+            # fold it into a pure projection with the score inlined
+            # (guide §2.4); deletes one edge-sized exchange + the
+            # node-sized hub exchange from the first half-iteration at
+            # any scale. Same integer multiply, bit-identical.
+            araw = (
+                e.select(
+                    "dst",
+                    (F.lit(scale).cast("bigint") * F.col("w")).alias("c"),
+                )
+                .groupBy("dst").agg(F.sum("c").alias("raw"))
+            )
+        else:
+            araw = (
+                e.join(hub, e["src"] == hub["node"])
+                .select("dst", (F.col("h") * F.col("w")).alias("c"))
+                .groupBy("dst").agg(F.sum("c").alias("raw"))
+            )
         auth = _rescaled(araw, "dst", "a")
         hraw = (
             e.join(auth, e["dst"] == auth["node"])

@@ -621,22 +621,25 @@ def ngram_novelty(
     glues two #docs-row aggregate frames, never the gram stream.
     """
     from greenmask_spark.functions.lm import doc_ngrams
-    from greenmask_spark.session import spread_input
+    from greenmask_spark.session import share_subtree, spread_input
 
-    grams = (
+    grams = share_subtree(
         doc_ngrams(spread_input(df), int(n), text_col, id_col)
         .select("id", _window_hash(F.col("gram")).alias("h"))
-        .distinct()
+        .distinct(),
         # two consumers below (per-doc counts + first-owner) — un-
-        # checkpointed, the tokenize → explode → hash → DISTINCT chain
+        # materialized, the tokenize → explode → hash → DISTINCT chain
         # (a full corpus pass plus the gram-stream shuffle) executes
-        # once per consumer. EAGER (a lazy checkpoint is no compute
-        # barrier: the two consumers' aggregation map stages are
-        # siblings the scheduler runs concurrently, and each would
-        # materialize the chain itself); the dedicated job runs the
-        # chain exactly once and both consumers read the materialized
-        # (id, h) sliver partitions (the repeated_spans convention).
-        .localCheckpoint(eager=True)
+        # once per consumer, and a LAZY checkpoint is no compute
+        # barrier (the two consumers' aggregation map stages are
+        # siblings the scheduler runs concurrently; each would
+        # materialize the chain itself). share_subtree's persist IS a
+        # compute barrier (block-manager per-partition compute locks)
+        # and, unlike the r13 eager localCheckpoint, costs neither a
+        # dedicated materialization job nor full physical planning at
+        # plan-build time — the chain runs exactly once, inside the
+        # first consumer's action, at every scale.
+        "ngram_novelty.grams",
     )
     per_doc = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     novel = (
@@ -1130,6 +1133,16 @@ def _candidate_hash(s: Column) -> Column:
     return F.xxhash64(s)
 
 
+#: repeated_substring_spans verify gate: inputs estimated above this
+#: use the skew-safe groupBy+semi verify (map-side combine + AQE skew
+#: split) instead of the single-exchange count-over-g window, whose
+#: per-text window partition has no partial aggregation — one hot
+#: boilerplate window text would funnel every candidate into one task
+#: at corpus scale. Both forms are value-identical (see the comment at
+#: the use site).
+_VERIFY_WINDOW_MAX_BYTES = 64 * 1024**2
+
+
 def substring_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1272,13 +1285,34 @@ def repeated_substring_spans(
             F.col("__t").substr(F.col("pos"), F.lit(length)).alias("g"),
         )
     )
-    # one pass, not [groupBy(g) + semi-join]: the grouped/semi form
-    # references the cand ⋈ texts subtree twice and Spark re-executes
-    # it per reference (no exchange reuse fires for this shape) — a
-    # count-over-g window computes the same repeat test in a single
-    # candidate-sized exchange. g is never NULL here (cand rows come
-    # from non-null docs of length >= window), so window and groupBy
-    # grouping semantics agree; values are identical by construction.
+    # two value-identical verify formulations (g is never NULL here —
+    # cand rows come from non-null docs of length >= window — so
+    # window and groupBy grouping semantics agree):
+    #
+    # - LOCAL-scale (the default below the gate): one count-over-g
+    #   window — a single candidate-sized exchange, and no second
+    #   execution of the cand ⋈ texts subtree (the grouped/semi form
+    #   references it twice and Spark re-executes per reference; no
+    #   exchange reuse fires for this shape).
+    # - AT-scale: the window form puts EVERY candidate of one hot
+    #   boilerplate window text into a single window partition with
+    #   no map-side combine — a single-task skew/spill hotspot (r13
+    #   ADVICE). Above the gate the cand ⋈ texts subtree persists
+    #   once (share_subtree — single execution, same protection) and
+    #   the repeat test reverts to groupBy(g) [map-side combined] +
+    #   a semi-join, which AQE skew handling can split.
+    from greenmask_spark.session import est_input_bytes, share_subtree
+
+    big = est_input_bytes(df)
+    if big is not None and big > _VERIFY_WINDOW_MAX_BYTES:
+        grams = share_subtree(grams, "dedup.spans_verify_grams")
+        hot_g = (
+            grams.groupBy("g").agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") >= int(min_count))
+            .select("g")
+        )
+        out = grams.join(hot_g, "g", "left_semi").select("id", "pos")
+        return _finish_spans(out, w, _persisted)
     wg = Window.partitionBy("g")
     out = (
         grams.select(

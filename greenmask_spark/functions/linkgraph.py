@@ -131,6 +131,19 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     base = (ppm - d) * scale // ppm
+    # checkpoint CADENCE: an eager localCheckpoint per iteration costs
+    # one dedicated materialization job + full physical planning each
+    # time. Every SECOND iteration (and the last) checkpoints; the
+    # iteration in between persist()s instead — the block-manager
+    # compute locks still guarantee each iteration computes once
+    # (rank has three consumers: the contrib join, the dangling
+    # aggregate's broadcast build, and the rank ⟕ contrib outer join),
+    # lineage stays bounded at two iterations, and the persisted
+    # intermediates unpersist as soon as the next checkpoint seals
+    # them — nothing outlives the call. Halves the checkpoint jobs of
+    # the loop at any scale (guide §5: localCheckpoint for lineage,
+    # persist for reuse).
+    pending: list[DataFrame] = []
     for it in range(n_iters):
         if it == 0:
             # iteration 1: every rank is the constant RANK_SCALE and
@@ -185,8 +198,17 @@ def pagerank(
                 ).alias("r"),
                 "dg",
             )
-            .localCheckpoint(eager=True)
         )
+        if it == n_iters - 1 or it % 2 == 1:
+            rank = rank.localCheckpoint(eager=True)
+            for h in pending:
+                h.unpersist(False)
+            pending = []
+        else:
+            rank = rank.persist()
+            pending.append(rank)
+    for h in pending:  # unreachable for n_iters >= 1; belt and braces
+        h.unpersist(False)
     return rank.select("node", F.col("r").alias("rank_fp"))
 
 

@@ -775,10 +775,15 @@ def image_near_dups(
     if distinct_hashes:
         s = s.groupBy("hv").agg(F.min("id").alias("id"))
     # the self-join consumes the hash frame TWICE, and its lineage
-    # usually contains the decode mapInPandas — un-checkpointed, every
+    # usually contains the decode mapInPandas — unmaterialized, every
     # image would decode once per join side. The frame is 16 bytes/row,
-    # so materializing it is negligible against re-running decode.
-    s = s.localCheckpoint(eager=True)
+    # so materializing it is negligible against re-running decode;
+    # share_subtree's persist does it without the eager checkpoint's
+    # build-time planning + dedicated job (decode is deterministic, so
+    # an eviction recomputes identical hashes).
+    from greenmask_spark.session import share_subtree
+
+    s = share_subtree(s, "multimodal.hamming_hashes")
     bands = s.select(
         "id", "hv",
         F.posexplode(F.array(*[

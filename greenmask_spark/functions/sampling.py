@@ -731,13 +731,20 @@ def select_to_budget(
         ),
     ).withColumn("__s", F.col(score_col).cast("double"))
     # both driver-plan frames are tiny (1 row / <= n_buckets+1 rows)
-    # and feed MULTIPLE downstream reads — eager localCheckpoints keep
-    # each corpus scan from re-running them (un-pinned, the histogram
-    # and both branches would each re-execute the stats agg, and both
-    # branches the histogram agg)
-    stats = base.agg(
-        F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
-    ).localCheckpoint(eager=True)
+    # and feed MULTIPLE downstream reads — un-pinned, the histogram
+    # and both branches would each re-execute the stats agg (a corpus
+    # scan), and both branches the histogram agg. share_subtree's
+    # persist runs each agg exactly once (compute locks) WITHOUT the
+    # eager localCheckpoint's build-time physical planning + dedicated
+    # job the r13 profile put at ~0.5-0.9 s per call locally; both
+    # subtrees are deterministic, so a cache eviction recomputes the
+    # identical values.
+    from greenmask_spark.session import share_subtree
+
+    stats = share_subtree(
+        base.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi")),
+        "sampling.budget_stats",
+    )
     b = base.crossJoin(F.broadcast(stats)).withColumn(
         "__b",
         F.when(F.col("__s").isNull(), F.lit(-1))
@@ -766,12 +773,12 @@ def select_to_budget(
     run = Window.partitionBy(F.lit(0)).orderBy(F.desc("__b")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    plan = (
+    plan = share_subtree(
         b.groupBy("__b").agg(F.sum("__t").alias("__bt"))
         .withColumn("__cum", F.sum("__bt").over(run))
         .withColumn("__off", F.col("__cum") - F.col("__bt"))
-        .select("__b", "__cum", "__off")
-        .localCheckpoint(eager=True)
+        .select("__b", "__cum", "__off"),
+        "sampling.budget_plan",
     )
     joined = b.join(F.broadcast(plan), "__b")
     budget = F.lit(int(token_budget)).cast("bigint")

@@ -146,14 +146,18 @@ def bloom_contains(
     Scale/streaming shape: k broadcast LEFT joins (the bloom word table
     is ≤ num_bits/32 rows) + pure expressions — the probe side never
     shuffles, so this runs unchanged on a streaming DataFrame with no
-    state store. The sketch pins with an eager localCheckpoint first:
-    it feeds k broadcast builds, and un-pinned each would re-run the
-    sketch's whole build subtree (k reference scans instead of one) —
-    for an already-persisted sketch the pin is one tiny
-    materialization."""
+    state store. The sketch pins via share_subtree first: it feeds k
+    broadcast builds, and un-pinned each would re-run the sketch's
+    whole build subtree (k reference scans instead of one). The
+    persist's compute locks give the same single build as the r13
+    eager localCheckpoint without its build-time physical-planning +
+    dedicated-job cost; the sketch build is deterministic (sha256
+    hashes + bit_or), so an eviction recomputes identical words."""
     if num_hashes < 1:
         raise ValueError("num_hashes must be >= 1")
-    bloom = bloom.localCheckpoint(eager=True)
+    from greenmask_spark.session import share_subtree
+
+    bloom = share_subtree(bloom, "sketches.bloom_probe")
     out = df
     hits = []
     helpers = []

@@ -1049,6 +1049,8 @@ def bm25_scores(
     q_terms = [
         t for t in query.strip().lower().split() if t
     ]
+    from greenmask_spark.session import share_subtree
+
     if not q_terms:
         raise ValueError("bm25_scores: empty query")
     spark = df.sparkSession
@@ -1076,12 +1078,16 @@ def bm25_scores(
         F.count(F.lit(1)).alias("tf")
     )
     # tf feeds BOTH the per-term document-frequency aggregate and the
-    # scoring join -- un-checkpointed, the whole corpus explode + terms
+    # scoring join -- unmaterialized, the whole corpus explode + terms
     # semi-join + groupBy subtree executes twice (once inside the dfreq
     # broadcast build, once for the scores): a full extra corpus pass
-    # at any scale. The lazy checkpoint materializes the (matching
-    # postings only) frame exactly once, inside the broadcast job.
-    tf = tf.localCheckpoint(eager=False)
+    # at any scale. share_subtree persists the (matching postings
+    # only) frame so it computes exactly once, inside the broadcast
+    # job; the r13 lazy localCheckpoint bought the same single
+    # execution but paid FULL physical planning at plan-build time
+    # (profiled at >1 s per call locally — the one touched query the
+    # r13 driver bench measured slower), which persist() does not.
+    tf = share_subtree(tf, "bm25.tf")
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_t")
     )
@@ -1212,6 +1218,8 @@ def bm25_scores_multi(
     emits 0.0 for every (query, non-matching doc): that is N×Q rows —
     at scale keep the default False (the top-k path never needs
     misses)."""
+    from greenmask_spark.session import share_subtree
+
     qterms = _bm25_qterms(df.sparkSession, queries,
                           query_id_col, query_col)
     terms = qterms.select("term").distinct()
@@ -1232,12 +1240,16 @@ def bm25_scores_multi(
         F.count(F.lit(1)).alias("tf")
     )
     # tf feeds BOTH the per-term document-frequency aggregate and the
-    # scoring join -- un-checkpointed, the whole corpus explode + terms
+    # scoring join -- unmaterialized, the whole corpus explode + terms
     # semi-join + groupBy subtree executes twice (once inside the dfreq
     # broadcast build, once for the scores): a full extra corpus pass
-    # at any scale. The lazy checkpoint materializes the (matching
-    # postings only) frame exactly once, inside the broadcast job.
-    tf = tf.localCheckpoint(eager=False)
+    # at any scale. share_subtree persists the (matching postings
+    # only) frame so it computes exactly once, inside the broadcast
+    # job; the r13 lazy localCheckpoint bought the same single
+    # execution but paid FULL physical planning at plan-build time
+    # (profiled at >1 s per call locally — the one touched query the
+    # r13 driver bench measured slower), which persist() does not.
+    tf = share_subtree(tf, "bm25_multi.tf")
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_t")
     )

@@ -51,6 +51,24 @@ from pyspark.sql import functions as F
 
 from greenmask_spark.functions.bpe import _check_pretok, _word_counts
 
+#: cap on the per-worker Viterbi memo dicts in unigram_encode /
+#: unigram_token_count. ~1e6 entries ≈ tens of MB of Python strings —
+#: big enough that Zipfian text hits it essentially never, small enough
+#: that a 100 TB multilingual corpus (unbounded distinct tokens) cannot
+#: ramp a reused worker into the executor's overhead budget (guide §5).
+_MEMO_CAP = 1_000_000
+
+
+def _memo_put(cache: dict, key, value):
+    """Insert into a per-worker memo dict, clearing it first when it
+    has reached ``_MEMO_CAP`` entries. Eviction is value-neutral (the
+    memo only ever stores deterministic Viterbi results), so the cap
+    trades recompute for bounded worker memory."""
+    if len(cache) >= _MEMO_CAP:
+        cache.clear()
+    cache[key] = value
+    return value
+
 
 def unigram_seed_counts(
     corpus: DataFrame,
@@ -432,7 +450,13 @@ def unigram_encode(
     # worker segments each distinct word ONCE and every later
     # occurrence is a dict hit (guide §4.5: amortize heavy per-call
     # work across the task). The dict pickles empty with the closure;
-    # each worker grows its own copy across batches.
+    # each worker grows its own copy across batches. BOUNDED at
+    # _MEMO_CAP entries (guide §5): distinct-token cardinality on a
+    # multilingual 100 TB corpus is effectively unbounded and the
+    # worker process outlives tasks (spark.python.worker.reuse), so an
+    # uncapped dict is an executor-OOM ramp — on overflow the memo
+    # clears and rebuilds (Zipf means the hot head repopulates in one
+    # batch; values never change, so eviction is value-neutral).
     cache: dict[str, list[str]] = {}
 
     @pandas_udf("array<string>")
@@ -440,8 +464,7 @@ def unigram_encode(
         def seg(w):
             r = cache.get(w)
             if r is None:
-                r = _viterbi(w, logp, mpl, unk)
-                cache[w] = r
+                r = _memo_put(cache, w, _viterbi(w, logp, mpl, unk))
             return r
 
         def one(x):
@@ -495,15 +518,15 @@ def unigram_token_count(
     pretok = (
         re.compile(GPT2_PRETOK, re.ASCII) if pretokenize == "gpt2" else None
     )
-    cache: dict[str, int] = {}
+    cache: dict[str, int] = {}  # bounded at _MEMO_CAP, see unigram_encode
 
     @pandas_udf("int")
     def _cnt(s: pd.Series) -> pd.Series:
         def seg(w):
             r = cache.get(w)
             if r is None:
-                r = len(_viterbi(w, logp, mpl, unk))
-                cache[w] = r
+                r = _memo_put(
+                    cache, w, len(_viterbi(w, logp, mpl, unk)))
             return r
 
         def one(x):

@@ -149,8 +149,18 @@ def plan_has_nondeterministic(df: DataFrame) -> bool:
                     cexprs = c.expressions()
                     for j in range(cexprs.size()):
                         e = cexprs.apply(j)
+                        # the exemption requires BOTH the
+                        # PullOutNondeterministic alias name AND a
+                        # MonotonicallyIncreasingID child: the rule
+                        # gives rand()-derived repartition keys the
+                        # same alias, and those ARE the retry hazard
+                        # (SPARK-38388) this guard exists to catch —
+                        # matching on the name alone would wave them
+                        # through.
                         if (e.getClass().getSimpleName() == "Alias"
-                                and e.name() == "_nondeterministic"):
+                                and e.name() == "_nondeterministic"
+                                and e.child().getClass().getSimpleName()
+                                == "MonotonicallyIncreasingID"):
                             continue
                         if not e.deterministic():
                             return True

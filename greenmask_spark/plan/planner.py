@@ -390,6 +390,10 @@ def _step_reads(step: BoundTransformer,
 def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
     """Execute a table plan. Consecutive expression steps fuse into single
     projections; table-level steps (Template/Cmd) break the chain."""
+    # size hint attached by load_tables (file bytes of the scan) —
+    # captured BEFORE any transformation below replaces ``df`` with a
+    # derived frame that no longer carries the attribute
+    scan_bytes = getattr(df, "_graft_scan_bytes", None)
     if plan.query:
         # Custom per-table SQL override replaces the plain scan (reference:
         # entries/table.go:150-152 — COPY (<query>) TO STDOUT). The input
@@ -422,9 +426,20 @@ def apply_plan(df: DataFrame, plan: TablePlan) -> DataFrame:
     # of input the one-core pass beats the exchange round-trip
     # (measured: mask_customer 0.48 s unspread vs 0.70+ spread on a
     # 300 KB table, while orders-sized inputs keep a ~2x win).
+    # NOT under a custom SQL override or a LIMIT: the spread key
+    # (monotonically_increasing_id) is deterministic only over a
+    # deterministic-order input — arbitrary plan.query SQL (joins,
+    # aggregates) and LIMIT row selection don't pin in-partition row
+    # order across task retries, the SPARK-38388 duplication/loss
+    # hazard; filters/projections over the scan DO preserve scan
+    # order, so subset/when/type-override plans keep the spread.
+    # ``scan_bytes`` (file size attached by load_tables) makes the
+    # under-floor decision py4j-free — the per-call stats() analysis
+    # pass was the largest cost of the light masking chains locally.
     from greenmask_spark.session import spread_input
 
-    df = spread_input(df, min_bytes=1 << 20)
+    if plan.query is None and plan.limit is None:
+        df = spread_input(df, min_bytes=1 << 20, input_bytes=scan_bytes)
 
     pending: dict[str, Column] = {}
 

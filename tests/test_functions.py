@@ -5188,3 +5188,27 @@ def test_staged_r20_rows_oracle_parity(spark, sf_dir):
     # gate sanity: at least one domain on each side of the verdict
     kept = {r[-1] for r in srows}
     assert True in kept or False in kept
+
+
+def test_repeated_spans_verify_paths_identical(spark):
+    """The skew-safe groupBy+semi verify (taken above the size gate at
+    corpus scale) and the local count-over-g window verify produce the
+    SAME spans — the gate is placement/plan-shape only."""
+    from greenmask_spark.functions.dedup import repeated_substring_spans
+
+    boiler = _pseudo_text("boiler", 60)
+    a = _pseudo_text("a", 40) + boiler + _pseudo_text("a2", 40)
+    b = _pseudo_text("b", 25) + boiler + _pseudo_text("b2", 55)
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, _pseudo_text("d", 120)), (4, None)],
+        "doc_id long, text string",
+    )
+    small = {(r.id, r.pos) for r in
+             repeated_substring_spans(docs, length=30, stride=1).collect()}
+    # force the at-scale path via the load_tables-style size hint
+    docs_big = docs.filter(F.lit(True))
+    docs_big._graft_scan_bytes = 1 << 40
+    big = {(r.id, r.pos) for r in
+           repeated_substring_spans(
+               docs_big, length=30, stride=1).collect()}
+    assert small == big and small

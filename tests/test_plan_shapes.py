@@ -158,21 +158,31 @@ SHAPES = {
     # exchange is the final per-query rank
     "ivf_pq_topk": (1, 3),
     # r9 — persisted-index BM25 (2 prompts): postings materialize once
-    # (localCheckpoint in the registry row — the bm25_save_index
-    # production shape) and never re-shuffle; the 7 exchanges are all
-    # sliver-sized (stats distinct + 1-row agg, per-term df, the tiny
-    # query-term distincts, the final per-(query,doc) sum)
-    "bm25_indexed": (7, 0),
+    # (r14: share_subtree persist in the registry row — the
+    # bm25_save_index production shape) and never re-shuffle. r14
+    # accounting change: the persist keeps the index-build subtree
+    # VISIBLE to this audit (the old eager localCheckpoint truncated
+    # it to an ExistingRDD, hiding its one postings groupBy exchange
+    # that still ran in the checkpoint job), so the audited count is
+    # now the TRUE end-to-end 8: the 7 sliver exchanges of r9 (stats
+    # distinct + 1-row agg, per-term df, the tiny query-term
+    # distincts, the final per-(query,doc) sum) + the index build's
+    # postings aggregation. Executed shuffles unchanged.
+    "bm25_indexed": (8, 0),
     # r9 — perceptual/acoustic fingerprints: decode+hash is ONE
     # Arrow-batch mapInPandas over a scan — zero exchanges; a shuffle
     # here means pixels/samples started moving between stages
     "image_dhash": (0, 1),
     "audio_fingerprint": (0, 1),
-    # r9 — Hamming near-dup: the (id, hash) frame checkpoints before
-    # the self-join (decode runs ONCE, not once per side — a Python
-    # node here means the checkpoint was dropped), leaving the
-    # band-key join exchanges + the pair distinct over long triples
-    "image_near_dup": (3, 0),
+    # r9 — Hamming near-dup: the (id, hash) frame pins before the
+    # self-join so decode runs ONCE, not once per side. r14 accounting
+    # change: the pin is now a share_subtree persist (no dedicated
+    # checkpoint job), which keeps the decode mapInPandas VISIBLE to
+    # this audit inside the cached subtree — the budget admits that
+    # ONE Python node (it executes once; the other join side is an
+    # InMemoryTableScan, counted under cache_reads). A SECOND Python
+    # node would mean the pin was dropped and decode runs per side.
+    "image_near_dup": (3, 1),
     # r9 — link graph: the page→links explode stays shuffle-free; the
     # id join (AQE-broadcast at test sf) + the host-pair agg are the
     # only exchanges; never Python

@@ -229,3 +229,39 @@ def test_unigram_pack_sequences_budget(spark):
         fill[r.seq_id] = fill.get(r.seq_id, 0) + r.n_tokens
         docs_in[r.seq_id] = docs_in.get(r.seq_id, 0) + 1
     assert all(fill[b] <= 8 for b in fill if docs_in[b] > 1)
+
+
+def test_memo_put_bounds_cache(monkeypatch):
+    """The per-worker Viterbi memo is BOUNDED: at _MEMO_CAP entries the
+    dict clears and rebuilds instead of growing for the life of a
+    reused Python worker (guide §5 — distinct-token cardinality on a
+    multilingual corpus is unbounded, the memo must not be)."""
+    from greenmask_spark.functions import unigram as ug
+
+    monkeypatch.setattr(ug, "_MEMO_CAP", 3)
+    cache = {}
+    for i in range(10):
+        got = ug._memo_put(cache, f"w{i}", [f"p{i}"])
+        assert got == [f"p{i}"]          # insert returns the value
+        assert len(cache) <= 3           # never exceeds the cap
+    assert cache[f"w9"] == ["p9"]        # latest entry always present
+
+
+def test_unigram_encode_values_unchanged_by_memo_cap(spark):
+    """Eviction is value-neutral: encode output is a pure function of
+    (text, pieces) regardless of memo hits/misses — same corpus twice
+    through fresh encode closures yields identical segmentations."""
+    corpus = _toy_corpus(spark)
+    pieces = train_unigram(corpus, vocab_size=30, min_word_freq=1,
+                           em_iters=0, prune_rounds=1)
+    df = spark.createDataFrame(
+        [(1, "newest widest low"), (2, "lower low newest")],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r.toks for r in df.select(
+        "doc_id", unigram_encode(F.col("text"), pieces).alias("toks")
+    ).collect()}
+    b = {r.doc_id: r.toks for r in df.select(
+        "doc_id", unigram_encode(F.col("text"), pieces).alias("toks")
+    ).collect()}
+    assert a == b and a[1] and a[2]

@@ -1,5 +1,5 @@
 """Capture .explain("formatted") for bench HEADLINE queries into
-plans/r13/<query>_<tag>.txt (tag = before/after). Usage:
+plans/<dir>/<query>_<tag>.txt (dir from $SPARK_GRAFT_PLANS_DIR, default r14) (tag = before/after). Usage:
 
     python tools/capture_plans.py <tag> [query ...]
 
@@ -29,7 +29,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r13")
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("greenmask-spark-plans")
     qs = entrymod.queries()

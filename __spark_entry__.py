@@ -3860,8 +3860,9 @@ def q_robots_filter(spark, sf_dir):
     # NULL sources would make url NULL (kept by robots_filter — no
     # domain to match) while the oracle's WHERE NOT(...) three-values
     # them away: both sides drop them explicitly instead
-    docs = _tables(spark, sf_dir, "documents")["documents"].filter(
-        F.col("source").isNotNull())
+    t_docs = _tables(spark, sf_dir, "documents")["documents"]
+    docs = keep_scan_hint(
+        t_docs.filter(F.col("source").isNotNull()), t_docs)
     robots = docs.select("source").distinct().select(
         F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
         F.concat(
@@ -3883,11 +3884,11 @@ def q_robots_filter(spark, sf_dir):
         .when(m == 3, F.lit("/x123y"))
         .otherwise(F.lit("/"))
     )
-    urls = docs.select(
+    urls = keep_scan_hint(docs.select(
         "doc_id",
         F.concat(F.lit("https://"), F.col("source"),
                  F.lit(".example.com"), path).alias("url"),
-    )
+    ), docs)
     return robots_filter(urls, rules)
 
 
@@ -5464,7 +5465,11 @@ def q_select_to_budget(spark, sf_dir):
     from greenmask_spark.functions.text_analysis import token_count
 
     docs = _tables(spark, sf_dir, "documents")["documents"]
-    scored = docs.withColumn("__tok", token_count(F.col("text")))
+    # keep the scan hint across the deterministic projection so
+    # select_to_budget's nondeterminism guard takes its zero-py4j fast
+    # path instead of walking the JVM plan per call
+    scored = keep_scan_hint(
+        docs.withColumn("__tok", token_count(F.col("text"))), docs)
     out = select_to_budget(
         scored, _BUDGET_TOKENS, token_col="__tok", score_col="n_chars"
     )

@@ -47,6 +47,23 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """Parsed-SQL twin of ``dot`` over column NAMES — ONE py4j parse
+    instead of the dozens of Column-API round trips the lambda form
+    issues at plan-build time (the _lit_vec/_probe_expr precedent;
+    cProfile put ~2 s of q_ann_variants' build inside dot/norm
+    construction). Parses to the IDENTICAL zip_with/aggregate Catalyst
+    expressions with the same fold order and the same 0.0 double seed —
+    bit-identical values by construction."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"cast(x as double) * cast(y as double)), 0.0D, "
+            f"(acc, v) -> acc + v)")
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -109,10 +126,8 @@ def _staged_cosine() -> Column:
     live in ONE place — the oracle contract and rerank_topk's
     exact-input identity depend on every path producing bit-identical
     scores."""
-    return F.round(
-        dot(F.col("qvec"), F.col("cvec"))
-        / (F.col("qnorm") * F.col("cnorm")),
-        4,
+    return F.expr(
+        f"round({_dot_sql('qvec', 'cvec')} / (qnorm * cnorm), 4)"
     ).alias("cos_sim")
 
 
@@ -147,10 +162,10 @@ def cosine_topk(
     # norm(a)*norm(b) multiplication order (bit-identical, oracle-checked).
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn("qnorm", norm(F.col("qvec")))
+    ).withColumn("qnorm", F.expr(_norm_sql("qvec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("cnorm", norm(F.col("cvec")))
+    ).withColumn("cnorm", F.expr(_norm_sql("cvec")))
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
@@ -484,7 +499,7 @@ def ivf_topk(
     # the corpus-side scan is the one that must stay vectorized)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn("qnorm", norm(F.col("qvec")))
+    ).withColumn("qnorm", F.expr(_norm_sql("qvec")))
     # the whole probe selector is ONE parsed SQL string: the per-centroid
     # Column-API loop (16 aggregate/zip_with lambda exprs) spent ~1s of
     # driver time per plan build in py4j round trips; semantics identical
@@ -1305,10 +1320,10 @@ def rerank_topk(
     cand = candidates.select("query_id", "neighbor_id").distinct()
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn("qnorm", norm(F.col("qvec")))
+    ).withColumn("qnorm", F.expr(_norm_sql("qvec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("cnorm", norm(F.col("cvec")))
+    ).withColumn("cnorm", F.expr(_norm_sql("cvec")))
     scored = (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")

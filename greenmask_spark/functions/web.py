@@ -237,43 +237,49 @@ def parse_robots(
     few thousand lines, so each window partition is one small file;
     the output rule set is tiny relative to any URL frame.
     """
-    lines = df.select(
-        F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).select(
+    # every stage is a parsed-SQL projection (one py4j parse each):
+    # the Column-API form of this parser cost ~900 driver round trips
+    # per plan build (the _lit_vec precedent). Expressions are the
+    # exact SQL twins of the previous Column calls — same regexes,
+    # same window specs, same values.
+    lines = df.selectExpr(
+        f"{domain_col} AS domain",
+        f"posexplode(split({text_col}, '\\n')) AS (pos, line)",
+    ).selectExpr(
         "domain", "pos",
-        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),
-    ).filter(F.col("line") != "")
-    kv = lines.select(
+        "trim(regexp_replace(line, '#.*$', '')) AS line",
+    ).filter("line != ''")
+    kv = lines.selectExpr(
         "domain", "pos",
-        F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1))
-                ).alias("key"),
-        F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1)).alias("val"),
-    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
-    w = Window.partitionBy("domain").orderBy("pos")
-    grouped = kv.withColumn(
-        "__ua", (F.col("key") == "user-agent").cast("int")
-    ).withColumn(
-        # a group starts at a user-agent line NOT preceded by another
-        # user-agent line (contiguous agent runs share one group)
-        "grp",
-        F.sum(
-            F.when((F.col("__ua") == 1)
-                   & (F.lag("__ua", 1, 0).over(w) == 0), 1).otherwise(0)
-        ).over(w),
+        "lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS key",
+        "trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS val",
+    ).filter("key IN ('user-agent', 'allow', 'disallow')")
+    # a group starts at a user-agent line NOT preceded by another
+    # user-agent line (contiguous agent runs share one group); the
+    # lag window lands in its own projection — the analyzer would
+    # split the nested window form into the same two Window operators
+    grouped = kv.selectExpr(
+        "*", "CAST(key = 'user-agent' AS INT) AS __ua",
+    ).selectExpr(
+        "*",
+        "CASE WHEN __ua = 1 AND lag(__ua, 1, 0) OVER "
+        "(PARTITION BY domain ORDER BY pos) = 0 "
+        "THEN 1 ELSE 0 END AS __st",
+    ).selectExpr(
+        "*",
+        "sum(__st) OVER (PARTITION BY domain ORDER BY pos) AS grp",
     )
-    wg = Window.partitionBy("domain", "grp")
-    star = grouped.withColumn(
-        "star",
-        F.max(F.when((F.col("__ua") == 1) & (F.col("val") == "*"), 1)
-              .otherwise(0)).over(wg),
+    star = grouped.selectExpr(
+        "*",
+        "max(CASE WHEN __ua = 1 AND val = '*' THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY domain, grp) AS star",
     )
     rules = star.filter(
-        (F.col("star") == 1) & (F.col("__ua") == 0) & (F.col("val") != "")
-    ).select(
+        "star = 1 AND __ua = 0 AND val != ''"
+    ).selectExpr(
         "domain",
-        (F.col("key") == "allow").alias("allow"),
-        F.col("val").alias("prefix"),
+        "key = 'allow' AS allow",
+        "val AS prefix",
     )
     # conservative wildcard policy (see docstring). ``spec`` keeps the
     # ORIGINAL pattern length as the rule's specificity: a truncated
@@ -281,14 +287,14 @@ def parse_robots(
     # longest-match contest (RFC 9309 ranks by pattern octets), so
     # truncation can widen what a Disallow matches but never DEMOTE it
     # below an Allow it used to beat — over-block, never under-block.
-    has_meta = F.col("prefix").rlike("[*$]")
-    return rules.filter(~(F.col("allow") & has_meta)).select(
+    return rules.filter(
+        "NOT (allow AND prefix RLIKE '[*$]')"
+    ).selectExpr(
         "domain", "allow",
-        F.when(
-            ~F.col("allow") & has_meta,
-            F.regexp_extract("prefix", r"^([^*$]*)", 1),
-        ).otherwise(F.col("prefix")).alias("prefix"),
-        F.length("prefix").alias("spec"),
+        "CASE WHEN NOT allow AND prefix RLIKE '[*$]' "
+        "THEN regexp_extract(prefix, '^([^*$]*)', 1) "
+        "ELSE prefix END AS prefix",
+        "length(prefix) AS spec",
     ).distinct()
 
 
@@ -329,13 +335,18 @@ def robots_filter(
 
     if plan_has_nondeterministic(df):
         df = df.localCheckpoint(eager=True)
-    raw = F.regexp_extract(F.col(url_col),
-                           r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
-    path = F.when(raw.startswith("/"), raw).otherwise(
-        F.concat(F.lit("/"), raw))  # '' and '?q=1' both root at '/'
-    tagged = df.withColumn("__dom", url_domain(F.col(url_col))) \
-               .withColumn("__path", path) \
-               .withColumn("__rid", F.monotonically_increasing_id())
+    # one parsed-SQL projection (see parse_robots): same regexes and
+    # CASE as the previous Column form; '' and '?q=1' both root at '/'
+    raw_sql = (f"regexp_extract({url_col}, "
+               "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1)")
+    tagged = df.selectExpr(
+        "*",
+        f"lower(regexp_extract({url_col}, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS __dom",
+        f"CASE WHEN startswith({raw_sql}, '/') THEN {raw_sql} "
+        f"ELSE concat('/', {raw_sql}) END AS __path",
+        "monotonically_increasing_id() AS __rid",
+    )
     r = rules.select(
         F.col("domain").alias("__r_dom"),
         F.col("allow").alias("__r_allow"),
@@ -346,17 +357,15 @@ def robots_filter(
         r = F.broadcast(r)
     matched = (
         tagged.join(r, F.col("__dom") == F.col("__r_dom"))
-        .filter(F.col("__path").startswith(F.col("__r_prefix")))
+        .filter("startswith(__path, __r_prefix)")
         .groupBy("__rid")
-        .agg(F.max(F.struct(
-            F.col("__r_spec").alias("l"),
-            F.col("__r_allow").alias("a"),
-        )).alias("__m"))
-        .select("__rid", F.col("__m.a").alias("__allowed"))
+        .agg(F.expr("max(struct(__r_spec AS l, __r_allow AS a))")
+             .alias("__m"))
+        .selectExpr("__rid", "__m.a AS __allowed")
     )
     return (
         tagged.join(matched, "__rid", "left")
-        .filter(F.coalesce("__allowed", F.lit(True)))
+        .filter("coalesce(__allowed, true)")
         .select(*df.columns)
     )
 

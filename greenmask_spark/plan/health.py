@@ -118,7 +118,16 @@ def plan_has_nondeterministic(df: DataFrame) -> bool:
     subtree-recursive, so checking each node's own expression list
     covers the whole tree. Returns False when introspection is
     unavailable (no JVM plan handle) — callers treat that as
-    'assume deterministic', matching the pre-guard behavior."""
+    'assume deterministic', matching the pre-guard behavior.
+
+    Fast path: a frame carrying the load_tables scan hint
+    (``_graft_scan_bytes``) is by construction a deterministic parquet
+    scan plus deterministic projections/filters (``keep_scan_hint``'s
+    documented invariant — the hint must only be carried across
+    deterministic derivations), so the JVM plan walk — tens to
+    hundreds of py4j round trips — is skipped outright."""
+    if getattr(df, "_graft_scan_bytes", None) is not None:
+        return False
     try:
         # explicit stack, not recursion: an iteratively-built plan can
         # nest deeper than Python's recursion limit, and a

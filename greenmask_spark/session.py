@@ -193,9 +193,11 @@ def share_subtree(df: DataFrame, key: str) -> DataFrame:
 def keep_scan_hint(derived: DataFrame, src: DataFrame) -> DataFrame:
     """Carry ``src``'s load_tables size hint onto a derived frame
     (DataFrame transformations return new objects, dropping the
-    attribute). Only for derivations that keep the frame ~scan-sized
-    (added column copies, filters) — the hint is an estimate feeding a
-    floor/parallelism decision, not an exact size."""
+    attribute). INVARIANT: only use across DETERMINISTIC derivations
+    that keep the frame ~scan-sized (added column copies, projections,
+    filters) — the hint feeds (a) spread_input's floor/parallelism
+    estimate and (b) plan_has_nondeterministic's fast path, which
+    treats a hinted frame as a deterministic scan+projection chain."""
     b = getattr(src, "_graft_scan_bytes", None)
     if b is not None:
         derived._graft_scan_bytes = b
@@ -324,6 +326,28 @@ def load_tables(
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
+            # per-session cache of loaded table FRAMES. A DataFrame is
+            # a lazy plan handle, not data: caching it skips the
+            # repeated spark.read.parquet footer/schema round-trips
+            # every operator build pays (~0.2 s per call locally — the
+            # largest constant in light queries' plan-build time);
+            # every ACTION on the frame still scans the parquet files
+            # from disk. Stored ON the session object (dies with it)
+            # and keyed on (path, mtime, size) so regenerated testdata
+            # invalidates; nothing about query RESULTS is ever stored.
+            cache = getattr(spark, "_graft_table_cache", None)
+            if cache is None:
+                cache = {}
+                try:
+                    spark._graft_table_cache = cache
+                except Exception:
+                    pass
+            st = os.stat(path)
+            ck = (path, st.st_mtime_ns, st.st_size)
+            cached = cache.get(ck)
+            if cached is not None:
+                out[name] = cached
+                continue
             # NO blanket spread here: a parallelizing exchange only
             # pays for itself above heavy per-row compute, so the
             # operators that own such compute (masking chains, text
@@ -355,5 +379,6 @@ def load_tables(
                 df._graft_scan_bytes = _path_bytes(path)
             except OSError:
                 pass
+            cache[ck] = df
             out[name] = df
     return out
